@@ -1,0 +1,95 @@
+"""Concept extraction as vectorized Spark stages (T1-T3 of SURVEY.md §2.3).
+
+The extraction semantics live in :mod:`.purecore` (pinned to
+ConceptExtractor.scala:46-148); this module wraps them as an
+Arrow-batched pandas UDF returning ``array<struct<...>>`` so one pass
+over the chunk text yields the deduped, first-seen-ordered concept list
+per chunk.  Everything downstream (mentions explode, pair generation)
+is pure Catalyst — the reference re-ran extraction twice per chunk
+(GraphRagJob.scala:288,307); we extract once and reuse the column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import purecore
+
+CONCEPT_STRUCT = T.StructType(
+    [
+        T.StructField("concept_id", T.StringType(), False),
+        T.StructField("lemma", T.StringType(), False),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("origin", T.StringType(), False),
+    ]
+)
+CONCEPT_ARRAY = T.ArrayType(CONCEPT_STRUCT, containsNull=False)
+
+
+@F.pandas_udf(CONCEPT_ARRAY)
+def extract_concepts_udf(texts: pd.Series) -> pd.Series:
+    """T1 heuristic extraction, one Arrow batch at a time."""
+    return texts.map(
+        lambda t: [c._asdict() for c in purecore.extract_concepts(t)] if t else []
+    )
+
+
+def utf16_take_udf(n: int):
+    """JVM-`take(n)` evidence truncation (GraphRagJob.scala:318) as a
+    pandas UDF — UTF-16 code units, not codepoints, so astral-plane
+    chars count as 2 like on the JVM."""
+
+    @F.pandas_udf(T.StringType())
+    def _take(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: purecore.utf16_take(t, n) if t is not None else None)
+
+    return _take
+
+
+def with_concepts(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``concepts`` (deduped array), ``evidence`` (text take 500,
+    GraphRagJob.scala:318) and ``evidence100`` (take 100, the scorer
+    fallback truncation, RelationScorer.scala:142) — computed once per
+    chunk so the per-pair scorer stage stays JVM-only."""
+    return (
+        chunks.withColumn("concepts", extract_concepts_udf(F.col(text_col)))
+        .withColumn("evidence", utf16_take_udf(purecore.EVIDENCE_LIMIT)(F.col(text_col)))
+        .withColumn(
+            "evidence100",
+            utf16_take_udf(purecore.FALLBACK_EVIDENCE_LIMIT)(F.col("evidence")),
+        )
+    )
+
+
+def mentions_from(chunks_with_concepts: DataFrame) -> DataFrame:
+    """Explode to the ``mentions`` table: (chunk_id, concept_id, lemma,
+    surface, origin) — the reference's `Mentions` stream
+    (GraphRagJob.scala:76-79) as a flat columnar table."""
+    return chunks_with_concepts.select(
+        "chunk_id", F.explode("concepts").alias("c")
+    ).select(
+        "chunk_id",
+        F.col("c.concept_id").alias("concept_id"),
+        F.col("c.lemma").alias("lemma"),
+        F.col("c.surface").alias("surface"),
+        F.col("c.origin").alias("origin"),
+    )
+
+
+def normalize_lemma_col(col: Column) -> Column:
+    """T2 lemma normalization as a pure Catalyst expression chain —
+    exactly ConceptExtractor.scala:128-138, zero Python."""
+    c = F.regexp_replace(col, r"([a-z])([A-Z])", r"$1_$2")
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9_]", "_")
+    c = F.regexp_replace(c, r"_+", "_")
+    return F.regexp_replace(c, r"^_|_$", "")
+
+
+def concept_id_col(lemma: Column) -> Column:
+    """T3 concept-id — hex(sha256(lemma))[:16], pure Spark SQL
+    (ConceptExtractor.scala:144-148)."""
+    return F.substring(F.sha2(lemma, 256), 1, 16)

@@ -1,0 +1,195 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five methods over a document table ``(doc_id, text, ...)``:
+
+* exact / normalized exact — hash groupBy (one shuffle on a 16-byte
+  key; at 100 TB the md5 projection pushes only (id, hash) through it)
+* MinHash + LSH — shingle -> k minhashes -> bands -> bucket equi-join;
+  candidate pairs come from bucket co-membership, never a cross join
+* SimHash — 64-bit sign-aggregated fingerprint, near-dup = bucket on
+  bit-prefix + hamming check within buckets
+* n-gram Jaccard — token-shingle set overlap over bucketed candidates
+  (exposed brute within-group for the small oracle-checked variant)
+* embedding cosine — see similarity.py (reused here for near-dup)
+
+All hashing derives from xxhash64/md5 of (seed, shingle) so every run
+is deterministic with zero driver-side RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup groups by raw-text md5: (text_hash, dup_cnt,
+    canonical_id = min id).  Only groups with >1 member."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_cnt"), F.min("id").alias("canonical_id"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+def normalized_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Same, over the whitespace/case-normalized fingerprint."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_cnt"), F.min("id").alias("canonical_id"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+def _word_shingles(text_col, n: int):
+    """Array of n-word shingles (lowercased, whitespace tokens) —
+    pure array lambdas, per-row JVM work."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(i, shingle).  Computed entirely JVM-side with array
+    lambdas: no UDF, no shuffle (per-row work)."""
+    sh = _word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).where(
+        F.length(F.trim(F.col(text_col))) > 0
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, hash each band to a bucket, equi-join within
+    (band, bucket): candidate pairs (a_id, b_id) with a_id < b_id.
+    This is the scale path — the join key is (band_idx, bucket_hash) so
+    skew is bounded by true near-dup cluster sizes."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal
+    signature positions (two broadcast-able joins at dict scale; at
+    100 TB this is a shuffle join on id — fine, candidates are rare)."""
+    a = signatures.select(F.col("id").alias("a_id"), F.col("sig").alias("sig_a"))
+    b = signatures.select(F.col("id").alias("b_id"), F.col("sig").alias("sig_b"))
+    j = candidates.join(a, "a_id").join(b, "b_id")
+    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+    return j.select(
+        "a_id", "b_id", (eq / F.size("sig_a")).cast("double").alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: bit b of the fingerprint is the
+    sign of sum over tokens of (+1 if bit b of xxhash64(token) else -1).
+    Pure aggregate-free array math per row."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sum = lambda b: F.aggregate(  # noqa: E731
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    fp = None
+    for b in range(64):
+        bit = F.when(bit_sum(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash")).where(
+        F.length(F.trim(F.col(text_col))) > 0
+    )
+
+
+def simhash_candidates(fps: DataFrame, prefix_bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: bucket on the fingerprint's top bits, compare
+    hamming distance within buckets (classic rotate-and-bucket; one
+    rotation here — add rotations for higher recall)."""
+    bucketed = fps.withColumn("bucket", F.shiftright("simhash", 64 - prefix_bits))
+    l = bucketed.alias("l")
+    r = bucketed.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(r, "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), ham.alias("hamming")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.  With ``group_col``
+    the join is bounded within groups (the oracle-checkable small
+    variant); production recall comes from minhash_lsh_candidates
+    feeding this as the verify step."""
+    sh = F.array_distinct(_word_shingles(F.col(text_col), shingle_n))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        sh.alias("sh"),
+    ).where(F.size("sh") > 0)
+    l = base.alias("l")
+    r = base.alias("r")
+    on = [F.col("l.grp") == F.col("r.grp")] if group_col else []
+    joined = l.join(r, on if on else F.lit(True)).where(F.col("l.id") < F.col("r.id"))
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = (inter / union).cast("double")
+    return joined.select(
+        F.col("l.id").alias("a_id"),
+        F.col("r.id").alias("b_id"),
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

@@ -1,0 +1,172 @@
+"""Graph materialization (P6-P9, G1-G4 of SURVEY.md §2.5).
+
+The reference streams per-op Cypher MERGEs into Neo4j
+(storage/Neo4jSink.scala:138-225, batched 200/txn).  Here the graph is
+two columnar tables — ``nodes(label, id, props...)`` and
+``edges(src_label, src_id, rel, dst_label, dst_id, confidence,
+evidence, updated_at)`` — upserted per batch through the catalog's
+MERGE (Iceberg ``MERGE INTO`` shape).  Semantics preserved:
+
+* insert-or-overwrite-all-props, last-write-wins (Neo4jSink.scala:138-164)
+* edge-before-node tolerance: placeholder endpoint nodes created when
+  an edge arrives first, later overwritten by the real node
+  (Neo4jSink.scala:170-173) — here an anti-join backfill
+* relation-name sanitization upper + [^A-Z0-9_]->_ (Neo4jSink.scala:197)
+* idempotency: re-running the same batch leaves the tables identical
+  (MERGE on the full key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import ParquetCatalog
+
+NODE_COLUMNS = [
+    "label", "id", "lemma", "surface", "origin",
+    "doc_id", "text", "source_uri", "hash", "span_start", "span_end",
+]
+EDGE_KEY = ["src_label", "src_id", "rel", "dst_label", "dst_id"]
+
+_S = T.StringType()
+NODES_SCHEMA = T.StructType(
+    [T.StructField(c, T.IntegerType() if c.startswith("span_") else _S) for c in NODE_COLUMNS]
+)
+EDGES_SCHEMA = T.StructType(
+    [T.StructField(c, _S) for c in EDGE_KEY]
+    + [
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("evidence", _S),
+        T.StructField("updated_at", T.TimestampType()),
+    ]
+)
+
+def _NULL_STR():
+    return F.lit(None).cast("string")
+
+
+def _NULL_INT():
+    return F.lit(None).cast("int")
+
+
+def chunk_nodes(chunks: DataFrame) -> DataFrame:
+    """P6 (GraphRagJob.scala:376-394): Chunk -> node row."""
+    return chunks.select(
+        F.lit("Chunk").alias("label"),
+        F.col("chunk_id").alias("id"),
+        _NULL_STR().alias("lemma"),
+        _NULL_STR().alias("surface"),
+        _NULL_STR().alias("origin"),
+        "doc_id",
+        "text",
+        "source_uri",
+        "hash",
+        F.col("span.start").alias("span_start"),
+        F.col("span.end").alias("span_end"),
+    )
+
+
+def concept_nodes(mentions: DataFrame) -> DataFrame:
+    """P7 (GraphRagJob.scala:399-414): distinct Concept -> node row."""
+    return (
+        mentions.select("concept_id", "lemma", "surface", "origin")
+        .distinct()
+        .select(
+            F.lit("Concept").alias("label"),
+            F.col("concept_id").alias("id"),
+            "lemma",
+            "surface",
+            "origin",
+            _NULL_STR().alias("doc_id"),
+            _NULL_STR().alias("text"),
+            _NULL_STR().alias("source_uri"),
+            _NULL_STR().alias("hash"),
+            _NULL_INT().alias("span_start"),
+            _NULL_INT().alias("span_end"),
+        )
+    )
+
+
+def mention_edges(mentions: DataFrame, updated_at) -> DataFrame:
+    """P8 (GraphRagJob.scala:419-433): Chunk -MENTIONS-> Concept."""
+    return mentions.select(
+        F.lit("Chunk").alias("src_label"),
+        F.col("chunk_id").alias("src_id"),
+        F.lit("MENTIONS").alias("rel"),
+        F.lit("Concept").alias("dst_label"),
+        F.col("concept_id").alias("dst_id"),
+        F.lit(None).cast("double").alias("confidence"),
+        _NULL_STR().alias("evidence"),
+        F.lit(updated_at).cast("timestamp").alias("updated_at"),
+    )
+
+
+def sanitize_rel_col(col):
+    """P9 (Neo4jSink.scala:197)."""
+    return F.regexp_replace(F.upper(col), r"[^A-Z0-9_]", "_")
+
+
+def relation_edges(triples: DataFrame, updated_at) -> DataFrame:
+    """P9 (GraphRagJob.scala:438-454): triple -> typed Concept edge."""
+    return triples.select(
+        F.lit("Concept").alias("src_label"),
+        F.col("subj_id").alias("src_id"),
+        sanitize_rel_col(F.col("predicate")).alias("rel"),
+        F.lit("Concept").alias("dst_label"),
+        F.col("obj_id").alias("dst_id"),
+        "confidence",
+        "evidence",
+        F.lit(updated_at).cast("timestamp").alias("updated_at"),
+    )
+
+
+def upsert_graph(
+    spark: SparkSession,
+    catalog: ParquetCatalog,
+    nodes: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    nodes_table: str = "nodes",
+    edges_table: str = "edges",
+) -> None:
+    """G2+G3+G4: MERGE nodes and edges, then backfill placeholder
+    endpoint nodes for edges whose endpoints are not (yet) present.
+    Batching/retry is the catalog snapshot commit (atomic pointer flip;
+    Iceberg gives the same via optimistic snapshot retry)."""
+    if nodes is not None:
+        catalog.merge_upsert(spark, nodes_table, nodes, keys=["label", "id"])
+    if edges is not None:
+        catalog.merge_upsert(
+            spark, edges_table, edges, keys=EDGE_KEY, tiebreak=["confidence", "updated_at"]
+        )
+        # placeholder endpoints (Neo4jSink.scala:170-173): MERGE creates
+        # bare nodes so an edge can arrive before its node rows.
+        endpoints = (
+            edges.select(F.col("src_label").alias("label"), F.col("src_id").alias("id"))
+            .unionByName(
+                edges.select(F.col("dst_label").alias("label"), F.col("dst_id").alias("id"))
+            )
+            .distinct()
+        )
+        existing = catalog.read(spark, nodes_table)
+        if existing is not None:
+            missing = endpoints.join(
+                existing.select("label", "id"), on=["label", "id"], how="left_anti"
+            )
+        else:
+            missing = endpoints
+        placeholders = missing.select(
+            "label",
+            "id",
+            *[
+                (F.lit(None).cast("int") if c.startswith("span_") else _NULL_STR()).alias(c)
+                for c in NODE_COLUMNS[2:]
+            ],
+        )
+        if placeholders.limit(1).count() > 0:
+            # plain append: anti-join guarantees key novelty, and a real
+            # node row arriving later overwrites via merge_upsert.
+            catalog.append(spark, placeholders, nodes_table) if catalog.exists(
+                nodes_table
+            ) else catalog.overwrite(placeholders, nodes_table)

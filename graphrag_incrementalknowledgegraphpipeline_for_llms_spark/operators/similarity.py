@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the correctness baseline: one narrow pass
+  computing the score (JVM array math via zip_with/aggregate, no UDF),
+  then TakeOrderedAndProject.  At 100 TB this is a full scan but zero
+  shuffle — the right baseline shape.
+* LSH-bucketed ANN — the scale path: sign-random-projection buckets
+  from a deterministic hyperplane set (seeded numpy, broadcast as
+  literal arrays); candidates share >= 1 band bucket, re-ranked exactly.
+* embedding near-dup pairs — cosine >= threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a, b):
+    """Cosine similarity between two array columns, double math."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    score = cosine_col(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.round(score, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype("float64")
+
+
+def srp_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH: (id, band, bucket).  Hyperplanes are
+    deterministic literals compiled into the plan (tiny: n_planes*dim
+    doubles), so executors need no side channel."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(w)) for w in planes[p]])) >= 0, 1).otherwise(0)
+        for p in range(n_planes)
+    ]
+    per_band = n_planes // bands
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "", *[bits[b * per_band + i].cast("string") for i in range(per_band)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    return embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), band_rows).select(
+        "id", "vec", "bb.band", "bb.bucket"
+    )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: restrict to vectors sharing >= 1 band bucket with the
+    query, re-rank exactly.  Bucket filter is a broadcast semi-join of
+    <= `bands` literal keys — effectively partition pruning."""
+    import numpy as _np
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = _np.asarray(query, dtype="float64")
+    qbits = (planes @ qv >= 0).astype(int)
+    per_band = n_planes // bands
+    qbuckets = {
+        (b, "".join(map(str, qbits[b * per_band : (b + 1) * per_band]))) for b in range(bands)
+    }
+    bucketed = srp_buckets(embeddings, dim, n_planes, bands, seed, id_col, vec_col)
+    cond = None
+    for b, bk in sorted(qbuckets):
+        c = (F.col("band") == b) & (F.col("bucket") == bk)
+        cond = c if cond is None else (cond | c)
+    cands = bucketed.where(cond).select("id", "vec").distinct()
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cands.select(
+            F.col("id").alias("vec_id"), F.round(cosine_col(F.col("vec"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine.  With ``group_col`` the
+    candidate join is within groups (oracle-checkable small variant);
+    at scale feed srp_buckets co-membership instead."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *([F.col(group_col).alias("grp")] if group_col else []),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    on = [F.col("l.grp") == F.col("r.grp")] if group_col else [F.lit(True)]
+    sim = F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6)
+    return (
+        l.join(r, on)
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Query API (Q1-Q5 of SURVEY.md §2.6) over the nodes/edges tables.
+
+Each function is the Spark-SQL re-expression of one REST endpoint's
+Cypher (api/services/Neo4jQueryService.scala); the reference delegated
+planning to Neo4j — here Catalyst plans it (filter pushdown into the
+parquet scan, broadcast for the small search side, TakeOrderedAndProject
+for the top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_metadata(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Q1 (Neo4jQueryService.scala:76-117): global counts + edge-type
+    histogram.  One pass over each table."""
+    n = nodes.groupBy("label").count().collect()
+    by_label = {r["label"]: r["count"] for r in n}
+    hist = edge_type_histogram(edges).collect()
+    return {
+        "total_nodes": sum(by_label.values()),
+        "total_relationships": edges.count(),
+        "concept_count": by_label.get("Concept", 0),
+        "chunk_count": by_label.get("Chunk", 0),
+        "relationship_types": {r["rel"]: r["cnt"] for r in hist},
+    }
+
+
+def edge_type_histogram(edges: DataFrame) -> DataFrame:
+    """Q1 core: `MATCH ()-[r]->() RETURN type(r), count(r) ORDER BY
+    count DESC`."""
+    return edges.groupBy("rel").agg(F.count("*").alias("cnt")).orderBy(
+        F.desc("cnt"), "rel"
+    )
+
+
+def undirected_concept_edges(edges: DataFrame) -> DataFrame:
+    """Concept<->Concept edges viewed undirected (Cypher `-[r]-`):
+    union of both directions."""
+    cc = edges.where((F.col("src_label") == "Concept") & (F.col("dst_label") == "Concept"))
+    fwd = cc.select(
+        F.col("src_id").alias("cid"), F.col("dst_id").alias("nbr_id"), "rel", "confidence", "evidence"
+    )
+    rev = cc.select(
+        F.col("dst_id").alias("cid"), F.col("src_id").alias("nbr_id"), "rel", "confidence", "evidence"
+    )
+    return fwd.unionByName(rev)
+
+
+def search_concepts(
+    nodes: DataFrame, edges: DataFrame, pattern: str, top_k: int = 20
+) -> DataFrame:
+    """Q2 — the flagship (Neo4jQueryService.scala:304-428): substring
+    match on lemma/surface, OPTIONAL MATCH to undirected concept
+    neighbors, degree score + collect_set of neighbor lemmas, top-k by
+    score.  Left join keeps zero-degree concepts (score 0)."""
+    concepts = nodes.where(F.col("label") == "Concept").select(
+        F.col("id").alias("concept_id"), "lemma", "surface", "origin"
+    )
+    matched = concepts.where(
+        F.col("lemma").contains(pattern) | F.col("surface").contains(pattern)
+    )
+    und = undirected_concept_edges(edges)
+    nbr = und.join(
+        concepts.select(F.col("concept_id").alias("nbr_id"), F.col("lemma").alias("nbr_lemma")),
+        "nbr_id",
+    )
+    joined = matched.join(nbr, matched.concept_id == nbr.cid, "left")
+    return (
+        joined.groupBy("concept_id", "lemma", "surface", "origin")
+        .agg(
+            F.count(F.col("cid")).alias("score"),
+            F.sort_array(F.collect_set("nbr_lemma")).alias("related_lemmas"),
+        )
+        .orderBy(F.desc("score"), "concept_id")
+        .limit(top_k)
+    )
+
+
+def chunks_mentioning(
+    mentions: DataFrame, chunks_or_nodes: DataFrame, concept_id: str, limit: int = 100
+) -> DataFrame:
+    """Q3 evidence/provenance (Neo4jQueryService.scala:126-192):
+    chunks that MENTION a concept, LIMIT 100.  Ordered by chunk_id for
+    a deterministic limit (the reference's LIMIT is storage-order)."""
+    hits = mentions.where(F.col("concept_id") == concept_id).select("chunk_id").distinct()
+    return (
+        hits.join(chunks_or_nodes, "chunk_id")
+        .orderBy("chunk_id")
+        .limit(limit)
+    )
+
+
+def concept_neighbors(
+    nodes: DataFrame, edges: DataFrame, concept_id: str, top_k: int = 20
+) -> DataFrame:
+    """Q4 (Neo4jQueryService.scala:201-295): undirected 1-hop distinct
+    concept neighbors, LIMIT k (deterministic order added)."""
+    und = undirected_concept_edges(edges).where(F.col("cid") == concept_id)
+    concepts = nodes.where(F.col("label") == "Concept").select(
+        F.col("id").alias("nbr_id"), "lemma", "surface", "origin"
+    )
+    return (
+        und.select("nbr_id")
+        .distinct()
+        .join(concepts, "nbr_id")
+        .orderBy("nbr_id")
+        .limit(top_k)
+    )
+
+
+def neighbor_edges(edges: DataFrame, concept_id: str, top_k: int = 20) -> DataFrame:
+    """Q4's companion edge listing: rel type/confidence/evidence."""
+    und = undirected_concept_edges(edges).where(F.col("cid") == concept_id)
+    return und.select("cid", "nbr_id", "rel", "confidence", "evidence").orderBy(
+        "nbr_id", "rel"
+    ).limit(top_k)
+
+
+def group_results(results: DataFrame, lemma_col: str = "lemma") -> DataFrame:
+    """Q5 (QueryRoute.scala:46-65): group by the lemma's first
+    underscore-token, collecting members."""
+    key = F.split(F.col(lemma_col), "_").getItem(0).alias("group_key")
+    return results.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list(lemma_col)).alias("members"),
+    )
