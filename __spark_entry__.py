@@ -1,38 +1,655 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark GraphRAG KG engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship concept-search (Q2) over the sf0.001
+documents table end-to-end (extraction -> graph -> search).
+
+``queries()``/``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 plus the training-data-pipeline operators.  Every oracle
+mirrors the Spark semantics exactly; the per-doc text is derived with
+an identical regexp_replace chain in both engines because the raw
+``documents.text`` is all-lowercase (no extraction branch would fire
+on it).  Keys without an oracle entry are genuinely non-SQL ops
+(LSH/minhash/simhash internals, multimodal UDF features) — the driver
+records rows-only checks for those.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+    concepts as cf,
+)
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+    purecore,
+    text as tf,
+)
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+    canonicalize,
+    cooccur,
+    dedup,
+    graph,
+    multimodal,
+    scorer,
+    similarity,
+)
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# deterministic casing: documents.text is all-lowercase; this chain is
+# applied identically in Spark and DuckDB so every extraction branch
+# (NER / stopword / camelCase / acronym gates / technicalTerm) and every
+# scorer rule (is_a / part_of / causes) fires on real data.
+# ---------------------------------------------------------------------------
+CASE_RULES = [
+    (r"\bspark\b", "Apache Spark"),   # NER multi-word
+    (r"\bthe\b", "The"),              # stopword -> excluded
+    (r"\bwindow\b", "Window"),        # NER single word
+    (r"\bscan\b", "tableScan"),       # technicalTerm
+    (r"\bagg\b", "AGG"),              # acronym (3)
+    (r"\bmerge\b", "MergeSort"),      # camelCase
+    (r"\bkey\b", "KeyValue"),         # camelCase
+    (r"\bhash\b", "HASHTABLES"),      # acronym len>6 -> excluded
+    (r"\bsort\b", "Top-K"),           # lemma-normalization edge
+    (r"\bsmall\b", "is a"),           # scorer rule: is_a
+    (r"\bbig\b", "part of"),          # scorer rule: part_of
+    (r"\bslow\b", "causes"),          # scorer rule: causes
+]
+
+
+def _cased_col(col):
+    for pat, rep in CASE_RULES:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def _cased_sql(expr: str = "text") -> str:
+    for pat, rep in CASE_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        _cased_col(F.col("text")).alias("text"),
+    )
+
+
+def _enriched(spark, sf_dir):
+    return cf.with_concepts(_chunks(spark, sf_dir))
+
+
+def _mentions(spark, sf_dir):
+    return cf.mentions_from(_enriched(spark, sf_dir))
+
+
+def _triples(spark, sf_dir):
+    cands = cooccur.candidate_pairs(_enriched(spark, sf_dir))
+    return scorer.triples_from(scorer.score_candidates(cands))
+
+
+STOPWORDS_SQL = ",".join(f"'{w}'" for w in sorted(purecore.STOP_WORDS))
+
+# mentions CTE shared by most KG oracles (semantics: purecore T1-T3)
+MENTIONS_CTE = f"""
+src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, {_cased_sql()} AS text FROM documents),
+raw AS (
+  SELECT chunk_id, unnest(regexp_extract_all(text, '\\b[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*\\b')) AS surface, 'NER' AS origin FROM src
+  UNION ALL
+  SELECT chunk_id, unnest(regexp_extract_all(text, '\\b[A-Z][a-z]+(?:[A-Z][a-z]+)+\\b')), 'camelCase' FROM src
+  UNION ALL
+  SELECT chunk_id, unnest(regexp_extract_all(text, '\\b[A-Z]{{2,}}\\b')), 'acronym' FROM src
+  UNION ALL
+  SELECT chunk_id, unnest(regexp_extract_all(text, '\\b[a-z]+(?:[A-Z][a-z]+)+\\b')), 'technicalTerm' FROM src
+),
+gated AS (
+  SELECT * FROM raw
+  WHERE NOT (origin = 'NER' AND (length(surface) <= 2 OR surface IN ({STOPWORDS_SQL})))
+    AND NOT (origin = 'acronym' AND length(surface) > 6)
+),
+mentions AS (
+  SELECT DISTINCT chunk_id,
+    substr(sha256(trim(regexp_replace(regexp_replace(lower(regexp_replace(surface, '([a-z])([A-Z])', '\\1_\\2', 'g')), '[^a-z0-9_]', '_', 'g'), '_+', '_', 'g'), '_')), 1, 16) AS concept_id,
+    trim(regexp_replace(regexp_replace(lower(regexp_replace(surface, '([a-z])([A-Z])', '\\1_\\2', 'g')), '[^a-z0-9_]', '_', 'g'), '_+', '_', 'g'), '_') AS lemma,
+    surface, origin
+  FROM gated
+)"""
+
+# canonical id-ordered pairs CTE (purecore R1 semantics; composite key
+# breaks full-identity ties exactly like the engine's join formulation)
+PAIRS_CTE = f"""{MENTIONS_CTE},
+pairs AS (
+  SELECT m1.chunk_id AS window_id,
+         least(m1.concept_id, m2.concept_id) AS a_id,
+         greatest(m1.concept_id, m2.concept_id) AS b_id,
+         CASE WHEN m1.concept_id <= m2.concept_id THEN m1.lemma ELSE m2.lemma END AS a_lemma,
+         CASE WHEN m1.concept_id <= m2.concept_id THEN m2.lemma ELSE m1.lemma END AS b_lemma,
+         CAST(1 AS BIGINT) AS freq
+  FROM mentions m1 JOIN mentions m2
+    ON m1.chunk_id = m2.chunk_id
+   AND concat(m1.concept_id, chr(31), m1.lemma, chr(31), m1.surface, chr(31), m1.origin)
+     < concat(m2.concept_id, chr(31), m2.lemma, chr(31), m2.surface, chr(31), m2.origin)
+)"""
+
+TRIPLES_CTE = f"""{PAIRS_CTE},
+evid AS (SELECT chunk_id, substr(text, 1, 500) AS evidence, substr(text, 1, 100) AS evidence100 FROM src),
+scored AS (
+  SELECT p.a_id AS subj_id,
+         CASE WHEN p.a_lemma = p.b_lemma THEN 'synonym_of'
+              WHEN contains(lower(e.evidence), ' is a ') OR contains(lower(e.evidence), ' is an ') THEN 'is_a'
+              WHEN contains(lower(e.evidence), ' part of ') THEN 'part_of'
+              WHEN contains(lower(e.evidence), ' causes ') OR contains(lower(e.evidence), ' caused by ') THEN 'causes'
+              ELSE 'related_to' END AS predicate,
+         p.b_id AS obj_id,
+         CAST(CASE WHEN p.a_lemma = p.b_lemma THEN 0.9
+              WHEN contains(lower(e.evidence), ' is a ') OR contains(lower(e.evidence), ' is an ') THEN 0.9
+              WHEN contains(lower(e.evidence), ' part of ') THEN 0.85
+              WHEN contains(lower(e.evidence), ' causes ') OR contains(lower(e.evidence), ' caused by ') THEN 0.8
+              ELSE 0.5 END AS DOUBLE) AS confidence,
+         e.evidence100 AS evidence,
+         p.window_id AS chunk_id
+  FROM pairs p JOIN evid e ON p.window_id = e.chunk_id
+),
+triples AS (SELECT * FROM scored WHERE confidence >= 0.65)"""
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+def q_kg_mentions(spark, sf_dir):
+    return _mentions(spark, sf_dir)
+
+
+def q_kg_pairs(spark, sf_dir):
+    return cooccur.candidate_pairs(_enriched(spark, sf_dir)).select(
+        F.col("window_id"),
+        F.col("a.concept_id").alias("a_id"),
+        F.col("b.concept_id").alias("b_id"),
+        "freq",
+    )
+
+
+def q_kg_pair_freq(spark, sf_dir):
+    pairs = cooccur.candidate_pairs(_enriched(spark, sf_dir))
+    return cooccur.aggregate_pair_frequencies(pairs).select("a_id", "b_id", "freq")
+
+
+def q_kg_pmi(spark, sf_dir):
+    enriched = _enriched(spark, sf_dir)
+    pairs = cooccur.candidate_pairs(enriched)
+    mentions = cf.mentions_from(enriched)
+    total = _docs(spark, sf_dir).count()
+    pf = cooccur.aggregate_pair_frequencies(pairs)
+    cfreq = cooccur.concept_chunk_frequencies(mentions)
+    return cooccur.pmi_scores(pf, cfreq, total).select(
+        "a_id", "b_id", "freq", F.round("pmi", 6).alias("pmi")
+    )
+
+
+def q_kg_triples(spark, sf_dir):
+    return _triples(spark, sf_dir)
+
+
+def q_kg_edge_histogram(spark, sf_dir):
+    t = _triples(spark, sf_dir)
+    return (
+        t.select(graph.sanitize_rel_col(F.col("predicate")).alias("rel"))
+        .groupBy("rel")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "rel")
+    )
+
+
+def q_kg_concept_search(spark, sf_dir):
+    """Q2 flagship over the derived mention/pair graph: substring
+    filter + undirected degree + neighbor collect + top-k."""
+    mentions = _mentions(spark, sf_dir)
+    pairs = q_kg_pairs(spark, sf_dir)
+    concepts = mentions.select("concept_id", "lemma", "surface").distinct()
+    und = pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr")).unionByName(
+        pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr"))
+    )
+    lem = mentions.select("concept_id", "lemma").distinct()
+    nbr = und.join(lem.select(F.col("concept_id").alias("nbr"), F.col("lemma").alias("nbr_lemma")), "nbr")
+    matched = concepts.where(F.col("lemma").contains("value") | F.col("surface").contains("value"))
+    joined = matched.join(nbr, matched.concept_id == nbr.cid, "left")
+    return (
+        joined.groupBy("concept_id")
+        .agg(
+            F.count("cid").alias("score"),
+            F.concat_ws(",", F.sort_array(F.collect_set("nbr_lemma"))).alias("related"),
+        )
+        .orderBy(F.desc("score"), "concept_id")
+        .limit(20)
+    )
+
+
+def q_kg_evidence(spark, sf_dir):
+    """Q3: chunks mentioning concept 'apache_spark', LIMIT 100."""
+    cid = purecore.concept_id("apache_spark")
+    m = _mentions(spark, sf_dir).where(F.col("concept_id") == cid)
+    chunks = _chunks(spark, sf_dir)
+    return (
+        m.select("chunk_id").distinct().join(chunks, "chunk_id")
+        .orderBy("chunk_id").limit(100)
+        .select("chunk_id", "text")
+    )
+
+
+def q_kg_neighbors(spark, sf_dir):
+    """Q4: undirected 1-hop distinct neighbors of 'apache_spark'."""
+    cid = purecore.concept_id("apache_spark")
+    pairs = q_kg_pairs(spark, sf_dir)
+    und = pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr")).unionByName(
+        pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr"))
+    )
+    lem = _mentions(spark, sf_dir).select(
+        F.col("concept_id").alias("nbr"), "lemma"
+    ).distinct()
+    return (
+        und.where(F.col("cid") == cid)
+        .select("nbr").distinct()
+        .join(lem, "nbr")
+        .orderBy("nbr", "lemma")
+        .limit(20)
+        .select(F.col("nbr").alias("neighbor_id"), "lemma")
+    )
+
+
+def q_kg_group_results(spark, sf_dir):
+    """Q5: group concepts by first lemma token."""
+    lem = _mentions(spark, sf_dir).select("concept_id", "lemma").distinct()
+    return (
+        lem.groupBy(F.split(F.col("lemma"), "_").getItem(0).alias("group_key"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("group_key")
+    )
+
+
+def q_kg_connected_components(spark, sf_dir):
+    """Connected components over a chain graph (consecutive vec_ids
+    within each embedding label) — CC(chain) must equal the per-label
+    min, which the oracle computes directly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb.select(
+        F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("id"), "label"
+    )
+    w = Window.partitionBy("label").orderBy("id")
+    edges = ids.withColumn("prev", F.lag("id").over(w)).where(F.col("prev").isNotNull())
+    cc = canonicalize.connected_components(edges.select(F.col("prev").alias("u"), F.col("id").alias("v")))
+    singles = ids.join(cc, ids.id == cc.id, "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return cc.unionByName(singles).orderBy("id")
+
+
+# -- relational coverage ------------------------------------------------------
+
+def q_rel_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rel_tpch_q3(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < "1995-03-15")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > "1995-03-15")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_rel_top3_per_group(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 6).alias("value"), "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
+def q_rel_event_histogram(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy(
+        F.desc("cnt"), "event_type"
+    )
+
+
+def q_rel_null_audit(spark, sf_dir):
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.chunks import null_audit
+
+    d = _docs(spark, sf_dir).select(
+        F.when(F.col("lang") == "de", None).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("n_chars") < 100, None).otherwise(F.col("n_chars")).alias("n_chars"),
+        "source",
+    )
+    return null_audit(d, ["lang", "n_chars", "source"])
+
+
+def q_rel_coalesce_projection(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.coalesce(F.when(F.col("lang") == "de", None).otherwise(F.col("lang")), F.col("source")).alias(
+            "source_uri"
+        ),
+    ).orderBy("doc_id")
+
+
+def q_rel_evidence_truncation(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.substring("text", 1, 500).alias("evidence")).orderBy("doc_id")
+
+
+# -- training-data ops --------------------------------------------------------
+
+def _docs_with_dups(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.unionByName(
+        d.where(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+
+
+def q_dd_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs_with_dups(spark, sf_dir)).orderBy("text_hash")
+
+
+def q_dd_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", tf.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def q_dd_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.10, shingle_n=2, group_col="source"
+    ).orderBy("a_id", "b_id")
+
+
+def q_dd_embed_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=0.30, group_col="label").orderBy(
+        "a_id", "b_id"
+    )
+
+
+def q_sim_bruteforce_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.brute_force_topk(emb, list(qv), k=10)
+
+
+def q_txt_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    feats = tf.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        tf.token_count(F.col("text")).alias("token_count"),
+        tf.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        tf.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# -- rows-only (non-SQL-expressible internals) --------------------------------
+
+def q_dd_minhash_lsh(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs_with_dups(spark, sf_dir))
+    cands = dedup.minhash_lsh_candidates(sigs)
+    return dedup.minhash_jaccard_estimate(sigs, cands).where(F.col("est_jaccard") >= 0.5)
+
+
+def q_dd_simhash(spark, sf_dir):
+    fps = dedup.simhash(_docs_with_dups(spark, sf_dir))
+    return dedup.simhash_candidates(fps, max_hamming=3)
+
+
+def q_sim_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    return similarity.ann_topk(emb, qv, dim=64, k=10)
+
+
+def q_mm_features(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.extract_features(d, payload_col="payload", url_col="url")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction -> pair graph -> Q2 concept search on
+    sf0.001."""
+    return q_kg_concept_search(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_cooccur_pairs": q_kg_pairs,
+        "kg_pair_freq": q_kg_pair_freq,
+        "kg_pmi": q_kg_pmi,
+        "kg_triples": q_kg_triples,
+        "kg_edge_histogram": q_kg_edge_histogram,
+        "kg_concept_search": q_kg_concept_search,
+        "kg_evidence": q_kg_evidence,
+        "kg_neighbors": q_kg_neighbors,
+        "kg_group_results": q_kg_group_results,
+        "kg_connected_components": q_kg_connected_components,
+        "rel_tpch_q1": q_rel_tpch_q1,
+        "rel_tpch_q3": q_rel_tpch_q3,
+        "rel_top3_per_group": q_rel_top3_per_group,
+        "rel_event_histogram": q_rel_event_histogram,
+        "rel_null_audit": q_rel_null_audit,
+        "rel_coalesce_projection": q_rel_coalesce_projection,
+        "rel_evidence_truncation": q_rel_evidence_truncation,
+        "dd_exact": q_dd_exact,
+        "dd_fingerprint": q_dd_fingerprint,
+        "dd_ngram_jaccard": q_dd_ngram_jaccard,
+        "dd_embed_near_dup": q_dd_embed_near_dup,
+        "sim_bruteforce_topk": q_sim_bruteforce_topk,
+        "txt_stats": q_txt_stats,
+        "dd_minhash_lsh": q_dd_minhash_lsh,
+        "dd_simhash": q_dd_simhash,
+        "sim_ann_topk": q_sim_ann_topk,
+        "mm_features": q_mm_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ",".join(f"'{w}'" for w in tf.EN_MARKERS)
+    de = ",".join(f"'{w}'" for w in tf.DE_MARKERS)
+    en_hits = "+".join(
+        f"length(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in tf.EN_MARKERS
+    )
+    de_hits = "+".join(
+        f"length(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in tf.DE_MARKERS
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+        " list_transform(b.embedding, x -> CAST(x AS DOUBLE))), p -> p[1]*p[2]))"
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    return {
+        "kg_mentions": f"WITH {MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions",
+        "kg_cooccur_pairs": f"WITH {PAIRS_CTE} SELECT window_id, a_id, b_id, freq FROM pairs",
+        "kg_pair_freq": f"WITH {PAIRS_CTE} SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id",
+        "kg_pmi": f"""WITH {PAIRS_CTE},
+pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),
+cfreq AS (SELECT concept_id, COUNT(DISTINCT chunk_id) AS cfreq FROM mentions GROUP BY concept_id),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT pf.a_id, pf.b_id, pf.freq,
+       ROUND(log2((pf.freq / n.n) / ((ca.cfreq / n.n) * (cb.cfreq / n.n))), 6) AS pmi
+FROM pf, n
+JOIN cfreq ca ON pf.a_id = ca.concept_id
+JOIN cfreq cb ON pf.b_id = cb.concept_id""",
+        "kg_triples": f"WITH {TRIPLES_CTE} SELECT subj_id, predicate, obj_id, confidence, evidence, chunk_id FROM triples",
+        "kg_edge_histogram": f"""WITH {TRIPLES_CTE}
+SELECT regexp_replace(upper(predicate), '[^A-Z0-9_]', '_', 'g') AS rel, COUNT(*) AS cnt
+FROM triples GROUP BY 1 ORDER BY cnt DESC, rel""",
+        "kg_concept_search": f"""WITH {PAIRS_CTE},
+concepts AS (SELECT DISTINCT concept_id, lemma, surface FROM mentions),
+lem AS (SELECT DISTINCT concept_id, lemma FROM mentions),
+und AS (SELECT a_id AS cid, b_id AS nbr FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+nbr AS (SELECT und.cid, l.lemma AS nbr_lemma FROM und JOIN lem l ON und.nbr = l.concept_id),
+matched AS (SELECT DISTINCT concept_id FROM concepts WHERE contains(lemma, 'value') OR contains(surface, 'value'))
+SELECT m.concept_id,
+       COUNT(n.cid) AS score,
+       COALESCE(array_to_string(array_agg(DISTINCT n.nbr_lemma ORDER BY n.nbr_lemma) FILTER (n.nbr_lemma IS NOT NULL), ','), '') AS related
+FROM matched m LEFT JOIN nbr n ON m.concept_id = n.cid
+GROUP BY m.concept_id ORDER BY score DESC, m.concept_id LIMIT 20""",
+        "kg_evidence": f"""WITH {MENTIONS_CTE}
+SELECT DISTINCT m.chunk_id, s.text
+FROM mentions m JOIN src s ON m.chunk_id = s.chunk_id
+WHERE m.concept_id = substr(sha256('apache_spark'), 1, 16)
+ORDER BY m.chunk_id LIMIT 100""",
+        "kg_neighbors": f"""WITH {PAIRS_CTE},
+und AS (SELECT a_id AS cid, b_id AS nbr FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+lem AS (SELECT DISTINCT concept_id, lemma FROM mentions),
+nb AS (SELECT DISTINCT nbr FROM und WHERE cid = substr(sha256('apache_spark'), 1, 16))
+SELECT nb.nbr AS neighbor_id, l.lemma
+FROM nb JOIN lem l ON nb.nbr = l.concept_id
+ORDER BY neighbor_id, lemma LIMIT 20""",
+        "kg_group_results": f"""WITH {MENTIONS_CTE},
+lem AS (SELECT DISTINCT concept_id, lemma FROM mentions)
+SELECT string_split(lemma, '_')[1] AS group_key, COUNT(*) AS n
+FROM lem GROUP BY 1 ORDER BY group_key""",
+        "kg_connected_components": """
+SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS id,
+       MIN(lpad(CAST(vec_id AS VARCHAR), 6, '0')) OVER (PARTITION BY label) AS component
+FROM embeddings ORDER BY id""",
+        "rel_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "rel_tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "rel_top3_per_group": """
+SELECT event_type, event_id, ROUND(value, 6) AS value, rn FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""",
+        "rel_event_histogram": """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""",
+        "rel_null_audit": """
+WITH d AS (SELECT CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang,
+                  CASE WHEN n_chars < 100 THEN NULL ELSE n_chars END AS n_chars,
+                  source FROM documents)
+SELECT CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls
+FROM d""",
+        "rel_coalesce_projection": """
+SELECT doc_id, COALESCE(CASE WHEN lang = 'de' THEN NULL ELSE lang END, source) AS source_uri
+FROM documents ORDER BY doc_id""",
+        "rel_evidence_truncation": """
+SELECT doc_id, substr(text, 1, 500) AS evidence FROM documents ORDER BY doc_id""",
+        "dd_exact": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_cnt, MIN(doc_id) AS canonical_id
+FROM d GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash""",
+        "dd_fingerprint": """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id""",
+        "dd_ngram_jaccard": """
+WITH t AS (
+  SELECT doc_id AS id, source AS grp,
+         list_distinct(
+           list_transform(
+             range(1, greatest(length(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 0, 1)),
+             i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i:i+1], ' '))) AS sh
+  FROM documents
+  WHERE length(trim(text)) > 0),
+p AS (
+  SELECT l.id AS a_id, r.id AS b_id,
+         ROUND(CAST(length(list_intersect(l.sh, r.sh)) AS DOUBLE)
+               / length(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
+  FROM t l JOIN t r ON l.grp = r.grp AND l.id < r.id
+  WHERE length(l.sh) > 0 AND length(r.sh) > 0)
+SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.10 ORDER BY a_id, b_id""",
+        "dd_embed_near_dup": f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({cos}, 6) >= 0.30 ORDER BY a_id, b_id""",
+        "sim_bruteforce_topk": f"""
+WITH b AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id, ROUND({cos}, 6) AS cosine
+FROM embeddings a, b
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "txt_stats": f"""
+SELECT doc_id,
+  length(regexp_extract_all(text, '\\S+')) AS token_count,
+  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+  CASE WHEN ({en_hits}) > ({de_hits}) THEN 'en'
+       WHEN ({de_hits}) > ({en_hits}) THEN 'de'
+       ELSE 'und' END AS lang_pred,
+  ROUND(CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+  ROUND(CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0 THEN CAST(({en_hits}) AS DOUBLE) / length(regexp_extract_all(text, '\\S+')) ELSE 0.0 END, 6) AS stop_ratio,
+  ROUND(CAST(
+    (CASE WHEN length(regexp_extract_all(text, '\\S+')) >= 5 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) ELSE 0.0 END) > 0.001
+            AND (CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) ELSE 0.0 END) < 0.2 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN (CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0 THEN CAST(({en_hits}) AS DOUBLE) / length(regexp_extract_all(text, '\\S+')) ELSE 0.0 END) > 0.02 THEN 0.3 ELSE 0.0 END)
+  AS DOUBLE), 6) AS quality_score
+FROM documents ORDER BY doc_id""",
+    }

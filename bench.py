@@ -1,0 +1,115 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus kg-pipeline throughput fields}.
+
+The KG-pipeline benchmark generates a deterministic synthetic pages
+table once (cached parquet under .cache/) and measures docs/sec of the
+full pipeline (html->text, extraction, pairs, scoring, graph MERGE,
+lineage) into a fresh catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.session import get_spark
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    spark = get_spark(app_name="kg-bench", cpus=CPUS)
+
+    # ---- warmup: JVM + Arrow python workers ----
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm("id")).collect()
+
+    timings: dict[str, float] = {}
+
+    # ---- KG pipeline throughput ----
+    pages_path = os.path.join(REPO, ".cache", f"bench_pages_{N_PAGES}")
+    if not os.path.isdir(pages_path):
+        datagen.write_pages_parquet(spark, pages_path, N_PAGES, partitions=CPUS * 2)
+    cat_path = os.path.join(REPO, ".cache", "bench_catalog")
+    shutil.rmtree(cat_path, ignore_errors=True)
+    cat = ParquetCatalog(cat_path)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.monotonic()
+    res = pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
+    kg_sec = time.monotonic() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    docs_per_sec = round(res.pages / kg_sec, 2)
+
+    # ---- headline query timings at SF_DIR ----
+    qs = entry.queries()
+    bench_queries = [
+        "kg_mentions",
+        "kg_cooccur_pairs",
+        "kg_pmi",
+        "kg_triples",
+        "kg_concept_search",
+        "kg_connected_components",
+        "rel_tpch_q1",
+        "rel_tpch_q3",
+        "rel_top3_per_group",
+        "dd_exact",
+        "dd_minhash_lsh",
+        "dd_ngram_jaccard",
+        "sim_bruteforce_topk",
+        "sim_ann_topk",
+        "txt_stats",
+    ]
+    for name in bench_queries:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        timings[f"{name}_rows"] = n
+
+    total = round(sum(v for k, v in timings.items() if not k.endswith("_rows")), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v for k, v in timings.items() if not k.endswith("_rows")},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "kg_pages": res.pages,
+        "kg_mentions": res.mentions,
+        "kg_triples": res.triples,
+        "kg_docs_per_sec": docs_per_sec,
+        "cpus": CPUS,
+        "stage_ms": res.stage_ms,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,18 +49,43 @@ def utf16_take_udf(n: int):
     return _take
 
 
+ENRICH_STRUCT = T.StructType(
+    [
+        T.StructField("concepts", CONCEPT_ARRAY, False),
+        T.StructField("evidence", T.StringType(), True),
+        T.StructField("evidence100", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(ENRICH_STRUCT)
+def _enrich_udf(texts: pd.Series) -> pd.DataFrame:
+    concepts, ev, ev100 = [], [], []
+    for t in texts:
+        if not t:
+            concepts.append([])
+            ev.append("" if t == "" else None)
+            ev100.append("" if t == "" else None)
+            continue
+        concepts.append([c._asdict() for c in purecore.extract_concepts(t)])
+        e = purecore.utf16_take(t, purecore.EVIDENCE_LIMIT)
+        ev.append(e)
+        ev100.append(purecore.utf16_take(e, purecore.FALLBACK_EVIDENCE_LIMIT))
+    return pd.DataFrame({"concepts": concepts, "evidence": ev, "evidence100": ev100})
+
+
 def with_concepts(chunks: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``concepts`` (deduped array), ``evidence`` (text take 500,
     GraphRagJob.scala:318) and ``evidence100`` (take 100, the scorer
-    fallback truncation, RelationScorer.scala:142) — computed once per
-    chunk so the per-pair scorer stage stays JVM-only."""
+    fallback truncation, RelationScorer.scala:142) in ONE Arrow pass —
+    a single Python stage per partition; everything downstream is
+    JVM-only."""
     return (
-        chunks.withColumn("concepts", extract_concepts_udf(F.col(text_col)))
-        .withColumn("evidence", utf16_take_udf(purecore.EVIDENCE_LIMIT)(F.col(text_col)))
-        .withColumn(
-            "evidence100",
-            utf16_take_udf(purecore.FALLBACK_EVIDENCE_LIMIT)(F.col("evidence")),
-        )
+        chunks.withColumn("_e", _enrich_udf(F.col(text_col)))
+        .withColumn("concepts", F.col("_e.concepts"))
+        .withColumn("evidence", F.col("_e.evidence"))
+        .withColumn("evidence100", F.col("_e.evidence100"))
+        .drop("_e")
     )
 
 

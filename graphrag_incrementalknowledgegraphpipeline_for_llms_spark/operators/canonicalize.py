@@ -33,9 +33,10 @@ def _canon(e: DataFrame) -> DataFrame:
 
 
 def _checksum(e: DataFrame):
+    # decimal(38,0) sum: immune to ANSI long-overflow on hash sums
     row = e.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64("u", "v")).alias("h"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return (row["n"], row["h"])
 

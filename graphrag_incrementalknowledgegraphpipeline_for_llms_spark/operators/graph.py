@@ -129,17 +129,30 @@ def upsert_graph(
     edges: DataFrame | None = None,
     nodes_table: str = "nodes",
     edges_table: str = "edges",
+    check_placeholders: bool = True,
 ) -> None:
     """G2+G3+G4: MERGE nodes and edges, then backfill placeholder
     endpoint nodes for edges whose endpoints are not (yet) present.
     Batching/retry is the catalog snapshot commit (atomic pointer flip;
-    Iceberg gives the same via optimistic snapshot retry)."""
+    Iceberg gives the same via optimistic snapshot retry).
+    ``check_placeholders=False`` skips the endpoint anti-join when the
+    caller guarantees the node batch covers every edge endpoint (the
+    pipeline does — edges derive from the same chunks)."""
     if nodes is not None:
-        catalog.merge_upsert(spark, nodes_table, nodes, keys=["label", "id"])
+        catalog.merge_upsert(
+            spark, nodes_table, nodes, keys=["label", "id"], resolution="deterministic"
+        )
     if edges is not None:
         catalog.merge_upsert(
-            spark, edges_table, edges, keys=EDGE_KEY, tiebreak=["confidence", "updated_at"]
+            spark,
+            edges_table,
+            edges,
+            keys=EDGE_KEY,
+            tiebreak=["confidence", "updated_at"],
+            resolution="deterministic",
         )
+        if not check_placeholders:
+            return
         # placeholder endpoints (Neo4jSink.scala:170-173): MERGE creates
         # bare nodes so an edge can arrive before its node rows.
         endpoints = (

@@ -5,18 +5,26 @@ Stages (single extraction pass — the reference ran extraction twice per
 chunk, GraphRagJob.scala:288,307):
 
   pages scan -> [incremental filter vs checkpoint] -> html->text
-  -> chunks -> with_concepts (one Arrow UDF pass)
+  -> chunks -> with_concepts (ONE Arrow UDF pass: concepts + evidence)
   -> mentions (explode)                     -> nodes/edges MERGE
   -> candidate pairs (array combinatorics)  -> deterministic scorer
   -> triples [optional canonicalization]    -> typed edges MERGE
   -> lineage + checkpoint rows
 
+Action budget (the driver-side job count is the fixed cost that
+dominates small batches and is pure overhead at 100 TB):
+  1 stats aggregation on the persisted enriched DF (page/mention
+  counts, url ranges, max warc_ts — all in one job), then one write
+  per output table.  Row counts for lineage come from parquet footers
+  (no Spark job).  When the incremental filter guarantees
+  batch-disjoint keys, mentions/triples use plain appends instead of
+  MERGE windows.
+
 Scale notes: the only wide operations are the MERGE anti-joins and the
 distinct over concepts; everything upstream is narrow per-partition
-work, so the plan's cost is O(pages/partitions) per executor.  The
-pages scan is repartitioned by url hash (repartitionByRange on the
-url-hash bounds shuffle fan-out and keeps partition sizes uniform at
-10^12-doc scale — north_rule).
+work.  The pages scan can be repartitioned by url hash
+(repartitionByRange bounds shuffle fan-out and keeps partition sizes
+uniform at 10^12-doc scale — north_rule).
 """
 
 from __future__ import annotations
@@ -50,7 +58,8 @@ class PipelineResult:
 
 def chunks_from_pages(pages: DataFrame) -> DataFrame:
     """1 page = 1 chunk (pass-through chunking like the reference's
-    upstream); chunk_id/hash are content hashes, pure Spark SQL."""
+    upstream); chunk_id/hash are content hashes, pure Spark SQL.
+    warc_ts is carried for the checkpoint high-water mark."""
     text = F.coalesce(F.col("text"), F.lit(""))
     return pages.select(
         F.substring(F.sha2(F.concat(F.col("url"), F.lit("\x1f"), text), 256), 1, 16).alias(
@@ -63,6 +72,7 @@ def chunks_from_pages(pages: DataFrame) -> DataFrame:
         text.alias("text"),
         F.col("url").alias("source_uri"),
         F.sha2(text, 256).alias("hash"),
+        F.col("warc_ts"),
     )
 
 
@@ -92,35 +102,40 @@ def run_pipeline(
     last_ts = None
     cp = catalog.read(spark, CHECKPOINT_TABLE)
     if incremental and cp is not None:
-        row = cp.agg(F.max("max_warc_ts").alias("m")).collect()[0]
-        last_ts = row["m"]
+        last_ts = cp.agg(F.max("max_warc_ts").alias("m")).collect()[0]["m"]
     if last_ts is not None:
         pages = pages.where(F.col("warc_ts") > F.lit(last_ts))
     if scan_partitions:
         # bound shuffle fan-out: uniform ranges over the url hash
         pages = pages.repartitionByRange(scan_partitions, F.xxhash64("url"))
-    d()
-
-    d = clock("html_to_text")
     if extract_from_html:
         pages = hf.with_extracted_text(pages)
     d()
 
+    # ---- one extraction pass + ONE stats job --------------------------------
     d = clock("extract")
-    chunks = chunks_from_pages(pages)
-    enriched = cf.with_concepts(chunks).persist()
-    n_pages = enriched.count()  # materialize once; reused by 4 branches
+    enriched = cf.with_concepts(chunks_from_pages(pages)).persist()
+    part_stats = (
+        enriched.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("chunk_cnt"),
+            F.sum(F.size("concepts")).alias("mention_cnt"),
+            F.min("doc_id").alias("url_min"),
+            F.max("doc_id").alias("url_max"),
+            F.max("warc_ts").alias("max_ts"),
+        )
+        .collect()
+    )
+    n_pages = sum(r["chunk_cnt"] for r in part_stats)
+    n_mentions = sum(r["mention_cnt"] or 0 for r in part_stats)
+    max_ts = max((r["max_ts"] for r in part_stats), default=None)
     d()
     if n_pages == 0:
         enriched.unpersist()
         return PipelineResult(catalog.current_version("nodes"), 0, 0, 0, 0, timings)
 
-    d = clock("mentions")
+    # ---- derive tables (all lazy, reusing the cached extraction) ------------
     mentions = cf.mentions_from(enriched)
-    n_mentions = mentions.count()
-    d()
-
-    d = clock("triples")
     candidates = cooccur.candidate_pairs(enriched)
     triples = scorer.triples_from(scorer.score_candidates(candidates))
     if alias_pairs is not None:
@@ -128,8 +143,33 @@ def run_pipeline(
 
         cmap = canonicalize.canonical_concepts(mentions, alias_pairs)
         triples = canonicalize.rewrite_triples(triples, cmap)
-    triples = triples.persist()
-    n_triples = triples.count()
+        triples = triples.persist()
+
+    # disjointness: with the incremental filter active, batches can
+    # never repeat a chunk -> plain appends for the flat tables
+    disjoint = incremental
+    d = clock("materialize")
+    prev_triples = catalog.count("triples")
+    if disjoint and catalog.exists("mentions"):
+        catalog.append(spark, mentions, "mentions")
+    elif disjoint:
+        catalog.overwrite(mentions, "mentions")
+    else:
+        catalog.merge_upsert(
+            spark, "mentions", mentions,
+            keys=["chunk_id", "concept_id", "lemma", "surface", "origin"],
+        )
+    if disjoint and catalog.exists("triples"):
+        catalog.append(spark, triples, "triples")
+    elif disjoint:
+        catalog.overwrite(triples, "triples")
+    else:
+        catalog.merge_upsert(
+            spark, "triples", triples, keys=["subj_id", "predicate", "obj_id", "chunk_id"]
+        )
+    n_triples = catalog.count("triples") - (prev_triples if disjoint else 0)
+    if not disjoint:
+        n_triples = catalog.count("triples")
     d()
 
     d = clock("graph_merge")
@@ -137,37 +177,35 @@ def run_pipeline(
     edges = graph.mention_edges(mentions, updated_at).unionByName(
         graph.relation_edges(triples, updated_at)
     )
-    graph.upsert_graph(spark, catalog, nodes, edges)
-    catalog.merge_upsert(
-        spark,
-        "mentions",
-        mentions,
-        keys=["chunk_id", "concept_id", "lemma", "surface", "origin"],
-    )
-    catalog.merge_upsert(
-        spark, "triples", triples, keys=["subj_id", "predicate", "obj_id", "chunk_id"]
-    )
+    # this batch's nodes cover every edge endpoint (edges derive from
+    # the same chunks/mentions), so the placeholder backfill scan is
+    # skipped; external edge-first writers call upsert_graph directly
+    graph.upsert_graph(spark, catalog, nodes, edges, check_placeholders=False)
     d()
 
-    # ---- lineage + checkpoint ----
+    # ---- lineage + checkpoint (counts from parquet footers, no jobs) --------
     d = clock("lineage")
     snapshot_id = catalog.current_version("nodes")
-    stats = (
-        enriched.select("doc_id", F.spark_partition_id().alias("partition_id"), "concepts")
-        .groupBy("partition_id")
-        .agg(
-            F.min("doc_id").alias("url_min"),
-            F.max("doc_id").alias("url_max"),
-            F.count("*").alias("chunk_cnt"),
-            F.sum(F.size("concepts")).alias("mention_cnt"),
+    lineage_rows = [
+        (
+            snapshot_id,
+            r["partition_id"],
+            r["url_min"],
+            r["url_max"],
+            r["chunk_cnt"],
+            r["mention_cnt"] or 0,
+            n_triples,
         )
-        .withColumn("snapshot_id", F.lit(snapshot_id))
-        .withColumn("triple_cnt", F.lit(n_triples))
+        for r in part_stats
+    ]
+    lineage = spark.createDataFrame(
+        lineage_rows,
+        "snapshot_id long, partition_id int, url_min string, url_max string, "
+        "chunk_cnt long, mention_cnt long, triple_cnt long",
     )
-    catalog.append(spark, stats, LINEAGE_TABLE) if catalog.exists(
+    catalog.append(spark, lineage, LINEAGE_TABLE) if catalog.exists(
         LINEAGE_TABLE
-    ) else catalog.overwrite(stats, LINEAGE_TABLE)
-    max_ts = pages.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
+    ) else catalog.overwrite(lineage, LINEAGE_TABLE)
     cp_row = spark.createDataFrame(
         [(snapshot_id, max_ts, n_pages)], "snapshot_id long, max_warc_ts timestamp, pages long"
     )
@@ -177,5 +215,6 @@ def run_pipeline(
     d()
 
     enriched.unpersist()
-    triples.unpersist()
+    if alias_pairs is not None:
+        triples.unpersist()
     return PipelineResult(snapshot_id, n_pages, n_pages, n_mentions, n_triples, timings)

@@ -3,10 +3,12 @@
 The north rule targets Iceberg tables with ``MERGE INTO`` upserts and
 snapshot-driven incremental reads.  The sandbox image ships no Iceberg
 jars, so this module provides a parquet-backed catalog with the SAME
-API shape: versioned snapshot directories per table, an atomic current
-pointer, ``merge_upsert`` (= MERGE INTO emulation via dedup + anti-join
-+ union), and snapshot ids for checkpoint/lineage.  On a real cluster
-swap :class:`ParquetCatalog` for an Iceberg catalog: ``merge_upsert``
+API shape: manifest-listed snapshot versions per table, an atomic
+current pointer, O(batch) appends (new data dir + manifest entry, like
+an Iceberg fast-append), ``merge_upsert`` (= MERGE INTO emulation via
+dedup + anti-join + union, copy-on-write like Iceberg's default MERGE),
+and snapshot ids for checkpoint/lineage.  On a real cluster swap
+:class:`ParquetCatalog` for an Iceberg catalog: ``merge_upsert``
 becomes a single ``MERGE INTO`` statement and snapshots come from
 Iceberg metadata — callers don't change.
 
@@ -19,6 +21,8 @@ updates are deduped per batch with a deterministic tie-break
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 
@@ -45,41 +49,71 @@ class ParquetCatalog:
         with open(p) as f:
             return int(f.read().strip())
 
-    def _vdir(self, name: str, version: int) -> str:
-        return os.path.join(self._tdir(name), f"v{version:05d}")
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"m{version:05d}.json")
+
+    def _manifest(self, name: str, version: int) -> list[str]:
+        if version == 0:
+            return []
+        with open(self._manifest_path(name, version)) as f:
+            return json.load(f)
+
+    def data_dirs(self, name: str) -> list[str]:
+        t = self._tdir(name)
+        return [os.path.join(t, d) for d in self._manifest(name, self.current_version(name))]
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) > 0
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
-        v = self.current_version(name)
-        if v == 0:
+        dirs = self.data_dirs(name)
+        if not dirs:
             return None
-        return spark.read.parquet(self._vdir(name, v))
+        return spark.read.parquet(*dirs)
 
-    def _commit(self, name: str, df: DataFrame) -> int:
-        """Write a new snapshot dir, then atomically flip the pointer."""
-        v = self.current_version(name) + 1
-        out = self._vdir(name, v)
+    def count(self, name: str) -> int:
+        """Row count from parquet footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for d in self.data_dirs(name)
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+
+    def _commit(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write a new data dir, record a new manifest, atomically flip
+        the pointer.  ``append`` keeps prior data dirs (O(batch));
+        ``overwrite`` supersedes them."""
+        cur = self.current_version(name)
+        v = cur + 1
+        ddir = f"d{v:05d}"
+        out = os.path.join(self._tdir(name), ddir)
         df.write.mode("overwrite").parquet(out)
+        prev = self._manifest(name, cur) if mode == "append" else []
+        manifest = prev + [ddir]
+        os.makedirs(self._tdir(name), exist_ok=True)
+        with open(self._manifest_path(name, v), "w") as f:
+            json.dump(manifest, f)
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer(name))
-        # retain the previous snapshot only (bounded disk; Iceberg would
-        # handle retention via expire_snapshots)
-        for old in range(1, v - 1):
-            d = self._vdir(name, old)
-            if os.path.isdir(d):
+        # retain only dirs referenced by the current or previous
+        # manifest (Iceberg: expire_snapshots)
+        keep = set(manifest) | set(self._manifest(name, cur) if cur else [])
+        for d in glob.glob(os.path.join(self._tdir(name), "d*")):
+            if os.path.basename(d) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
         return v
 
     def overwrite(self, df: DataFrame, name: str) -> int:
-        return self._commit(name, df)
+        return self._commit(name, df, mode="overwrite")
 
     def append(self, spark: SparkSession, df: DataFrame, name: str) -> int:
-        cur = self.read(spark, name)
-        return self._commit(name, cur.unionByName(df) if cur is not None else df)
+        if not self.exists(name):
+            return self._commit(name, df, mode="overwrite")
+        return self._commit(name, df, mode="append")
 
     # -- MERGE INTO emulation -------------------------------------------------
     def merge_upsert(
@@ -89,27 +123,43 @@ class ParquetCatalog:
         updates: DataFrame,
         keys: list[str],
         tiebreak: list[str] | None = None,
+        resolution: str = "replace",
     ) -> int:
         """``MERGE INTO name t USING updates s ON <keys> WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
 
         ``tiebreak``: columns whose DESC order picks the winning source
         row when a batch contains duplicate keys (deterministic
-        last-write-wins stand-in).  Keys default to natural column
-        order for ties.
+        last-write-wins stand-in; remaining columns break residual ties
+        ascending, nulls last so placeholder rows always lose).
+
+        ``resolution``:
+        * ``"replace"`` — true MERGE: a matched source row replaces the
+          target row (the reference's last-write-wins,
+          Neo4jSink.scala:138-164).
+        * ``"deterministic"`` — existing matched rows compete with the
+          updates under the SAME total order, so the final table is
+          independent of how rows were split across incremental
+          batches (run(A);run(B) == run(A∪B) — FIXTURES.md §6).
         """
         order = [F.col(c).desc_nulls_last() for c in (tiebreak or [])] + [
-            F.col(c) for c in updates.columns
+            F.col(c).asc_nulls_last() for c in updates.columns
         ]
+        existing = self.read(spark, name)
+        pool = updates
+        if resolution == "deterministic" and existing is not None:
+            matched = existing.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+            pool = updates.unionByName(matched.select(*updates.columns))
         w = Window.partitionBy(*keys).orderBy(*order)
         deduped = (
-            updates.withColumn("_rn", F.row_number().over(w))
+            pool.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        existing = self.read(spark, name)
         if existing is None:
             return self._commit(name, deduped)
         kept = existing.join(deduped.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = kept.unionByName(deduped.select(*existing.columns))
+        # the USING-join reorders key columns to the front — restore the
+        # table's schema order so snapshots keep a stable column layout
+        merged = kept.select(*existing.columns).unionByName(deduped.select(*existing.columns))
         return self._commit(name, merged)

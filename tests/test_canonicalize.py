@@ -1,0 +1,70 @@
+"""Connected components (large-star/small-star) and entity linking."""
+
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "u string, v string")
+    return {
+        r["id"]: r["component"]
+        for r in canonicalize.connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_chain_long(spark):
+    n = 40
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == n + 1
+
+
+def test_star_hub(spark):
+    edges = [("hub", f"s{i:02d}") for i in range(20)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"hub"}
+
+
+def test_self_loops_and_dups_ignored(spark):
+    got = _cc(spark, [("a", "a"), ("a", "b"), ("b", "a")])
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_canonical_concepts_with_aliases(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "id_ml", "machine_learning", "Machine Learning", "NER"),
+            ("c1", "id_ai", "ai", "AI", "acronym"),
+            ("c2", "id_kg", "knowledge_graph", "Knowledge Graph", "NER"),
+        ],
+        "chunk_id string, concept_id string, lemma string, surface string, origin string",
+    )
+    aliases = spark.createDataFrame(
+        [("machine_learning", "ai")], "lemma_a string, lemma_b string"
+    )
+    got = {
+        r["concept_id"]: r["canonical_id"]
+        for r in canonicalize.canonical_concepts(mentions, aliases).collect()
+    }
+    # ml and ai collapse to one canonical id; kg stays itself
+    assert got["id_kg"] == "id_kg"
+    assert got["id_ml"] == got["id_ai"] == min("id_ml", "id_ai")
+
+
+def test_rewrite_triples(spark):
+    triples = spark.createDataFrame(
+        [("id_ai", "related_to", "id_kg", 0.9, "e", "c1")],
+        "subj_id string, predicate string, obj_id string, confidence double, evidence string, chunk_id string",
+    )
+    cmap = spark.createDataFrame(
+        [("id_ai", "id_ml"), ("id_kg", "id_kg")], "concept_id string, canonical_id string"
+    )
+    rows = canonicalize.rewrite_triples(triples, cmap).collect()
+    assert rows[0]["subj_id"] == "id_ml" and rows[0]["obj_id"] == "id_kg"

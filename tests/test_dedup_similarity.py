@@ -1,0 +1,102 @@
+"""Dedup + similarity operators: recall/precision on planted dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),      # exact dup of 1
+    (3, "THE quick   brown fox jumps over the lazy dog again and again"),    # norm dup of 1
+    (4, "the quick brown fox jumps over the lazy cat again and again"),      # near dup (1 word)
+    (5, "completely different content about spark execution engines today"),
+    (6, "spark execution engines process columnar batches with codegen"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_cnt"] == 2 and groups[0]["canonical_id"] == 1
+
+
+def test_normalized(spark, docs):
+    groups = dedup.normalized_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_cnt"] == 3
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sigs = dedup.minhash_signatures(docs, shingle_n=2, num_hashes=32)
+    cands = dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    est = dedup.minhash_jaccard_estimate(sigs, cands)
+    pairs = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in est.collect()}
+    assert pairs.get((1, 2)) == 1.0  # exact dup: identical signature
+    near = [(a, b) for (a, b) in pairs if {a, b} == {1, 4} or {a, b} == {2, 4}]
+    assert near, "near-dup (one word changed) must share a band bucket"
+    assert (1, 5) not in pairs and (1, 6) not in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    fps = dedup.simhash(docs)
+    cands = dedup.simhash_candidates(fps, prefix_bits=8, max_hamming=10)
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in cands.collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3, shingle_n=2).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 1),
+    (3, [0.0, 0.95, 0.05, 0.0], 1),
+    (4, [0.0, 0.0, 0.0, 1.0], 2),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(spark, vecs):
+    got = similarity.brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+    assert got[0]["cosine"] == 1.0
+
+
+def test_ann_matches_brute_force_top1(spark, vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    ann = similarity.ann_topk(vecs, q, dim=4, k=3, n_planes=8, bands=4).collect()
+    assert ann[0]["vec_id"] == 0  # the identical vector always shares all buckets
+
+
+def test_embedding_near_dups(spark, vecs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in similarity.embedding_near_dups(vecs, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(v >= 0.9 for v in pairs.values())
+
+
+def test_ann_recall_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=5).collect()]
+    ann = [r["vec_id"] for r in similarity.ann_topk(emb, q, dim=64, k=5).collect()]
+    # LSH recall: the query vector itself must be found; overlap is expected
+    assert ann[0] == exact[0] == 0

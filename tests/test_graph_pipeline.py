@@ -1,0 +1,133 @@
+"""Graph MERGE semantics (G2/G3), pipeline e2e, incrementality,
+lineage, byte-identity (SURVEY.md §5.2-5.4)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import html as hf
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import graph
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline
+
+TS = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+
+def _table(spark, catalog, name):
+    df = catalog.read(spark, name)
+    return sorted(tuple(r) for r in df.collect()) if df is not None else None
+
+
+class TestMerge:
+    def test_upsert_idempotent(self, spark, catalog):
+        nodes = spark.createDataFrame(
+            [("Concept", "id1", "lemma1", "s", "o", None, None, None, None, None, None)],
+            graph.NODES_SCHEMA,
+        )
+        edges = spark.createDataFrame(
+            [("Concept", "id1", "IS_A", "Concept", "id2", 0.9, "ev", TS)], graph.EDGES_SCHEMA
+        )
+        graph.upsert_graph(spark, catalog, nodes, edges)
+        snap1 = (_table(spark, catalog, "nodes"), _table(spark, catalog, "edges"))
+        graph.upsert_graph(spark, catalog, nodes, edges)
+        snap2 = (_table(spark, catalog, "nodes"), _table(spark, catalog, "edges"))
+        assert snap1 == snap2
+
+    def test_last_write_wins(self, spark, catalog):
+        n1 = spark.createDataFrame(
+            [("Concept", "id1", "old", "s", "o", None, None, None, None, None, None)],
+            graph.NODES_SCHEMA,
+        )
+        catalog.merge_upsert(spark, "nodes", n1, keys=["label", "id"])
+        n2 = n1.withColumn("lemma", F.lit("new"))
+        catalog.merge_upsert(spark, "nodes", n2, keys=["label", "id"])
+        rows = catalog.read(spark, "nodes").collect()
+        assert len(rows) == 1 and rows[0]["lemma"] == "new"
+
+    def test_edge_before_node_placeholder_then_backfill(self, spark, catalog):
+        edges = spark.createDataFrame(
+            [("Concept", "a", "RELATED_TO", "Concept", "b", 0.7, "ev", TS)], graph.EDGES_SCHEMA
+        )
+        graph.upsert_graph(spark, catalog, nodes=None, edges=edges)
+        nodes = {r["id"]: r for r in catalog.read(spark, "nodes").collect()}
+        assert set(nodes) == {"a", "b"}
+        assert nodes["a"]["lemma"] is None  # placeholder
+        real = spark.createDataFrame(
+            [("Concept", "a", "lemma_a", "s", "o", None, None, None, None, None, None)],
+            graph.NODES_SCHEMA,
+        )
+        graph.upsert_graph(spark, catalog, nodes=real, edges=None)
+        nodes2 = {r["id"]: r for r in catalog.read(spark, "nodes").collect()}
+        assert nodes2["a"]["lemma"] == "lemma_a"  # backfilled
+        assert nodes2["b"]["lemma"] is None
+
+    def test_rel_sanitization(self, spark):
+        df = spark.createDataFrame(
+            [("x", "re-lated to!", "y", 0.9, "e", "c")],
+            "subj_id string, predicate string, obj_id string, confidence double, evidence string, chunk_id string",
+        )
+        rows = graph.relation_edges(df, TS).collect()
+        assert rows[0]["rel"] == "RE_LATED_TO_"
+
+    def test_duplicate_source_keys_deduped(self, spark, catalog):
+        edges = spark.createDataFrame(
+            [
+                ("Concept", "a", "IS_A", "Concept", "b", 0.7, "low", TS),
+                ("Concept", "a", "IS_A", "Concept", "b", 0.9, "high", TS),
+            ],
+            graph.EDGES_SCHEMA,
+        )
+        catalog.merge_upsert(
+            spark, "edges", edges, keys=graph.EDGE_KEY, tiebreak=["confidence", "updated_at"]
+        )
+        rows = catalog.read(spark, "edges").collect()
+        assert len(rows) == 1 and rows[0]["confidence"] == 0.9  # max-confidence wins
+
+
+class TestPipeline:
+    def test_e2e_and_incremental_equivalence(self, spark, catalog, tmp_path):
+        """run(A) then run(B incrementally) == run(A ∪ B) (FIXTURES.md §6)."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        pages = datagen.pages_df(spark, 60)
+        a = pages.orderBy("warc_ts").limit(42)
+        r1 = pipeline.run_pipeline(spark, a, catalog, extract_from_html=True)
+        assert r1.pages == 42
+        r2 = pipeline.run_pipeline(spark, pages, catalog, extract_from_html=True)
+        assert r2.pages == 18  # only the new ones
+
+        full_cat = ParquetCatalog(str(tmp_path / "full"))
+        pipeline.run_pipeline(spark, pages, full_cat, extract_from_html=True)
+
+        for t in ["nodes", "edges", "mentions", "triples"]:
+            assert _table(spark, catalog, t) == _table(spark, full_cat, t), t
+
+    def test_lineage_written(self, spark, catalog):
+        pages = datagen.pages_df(spark, 20)
+        pipeline.run_pipeline(spark, pages, catalog)
+        lineage = catalog.read(spark, "lineage")
+        rows = lineage.collect()
+        assert len(rows) >= 1
+        assert sum(r["chunk_cnt"] for r in rows) == 20
+        cols = set(lineage.columns)
+        assert {"snapshot_id", "partition_id", "url_min", "url_max", "chunk_cnt",
+                "mention_cnt", "triple_cnt"} <= cols
+
+    def test_byte_identity_all_urls(self, spark):
+        """north_rule gate: html->text is byte-identical per url."""
+        pages = datagen.pages_df(spark, 100)
+        report = hf.text_identity_report(pages)
+        assert report.where(~F.col("ok")).count() == 0
+
+    def test_chunk_ids_stable_sql_vs_python(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+            purecore as p,
+        )
+
+        pages = datagen.pages_df(spark, 10)
+        rows = pipeline.chunks_from_pages(pages).select("doc_id", "chunk_id", "text").collect()
+        for r in rows:
+            assert r["chunk_id"] == p.chunk_id_for(r["doc_id"], r["text"])

@@ -1,0 +1,115 @@
+"""Query library (Q1-Q5) over a materialized graph + text functions +
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import multimodal
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline, queries
+
+
+@pytest.fixture(scope="module")
+def g(spark, tmp_path_factory):
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    cat = ParquetCatalog(str(tmp_path_factory.mktemp("qcat")))
+    pipeline.run_pipeline(spark, datagen.pages_df(spark, 40), cat, extract_from_html=True)
+    return {
+        "nodes": cat.read(spark, "nodes"),
+        "edges": cat.read(spark, "edges"),
+        "mentions": cat.read(spark, "mentions"),
+    }
+
+
+def test_q1_metadata(spark, g):
+    meta = queries.graph_metadata(g["nodes"], g["edges"])
+    assert meta["chunk_count"] == 40
+    assert meta["total_nodes"] == meta["concept_count"] + meta["chunk_count"]
+    assert meta["relationship_types"]["MENTIONS"] > 0
+    hist = queries.edge_type_histogram(g["edges"]).collect()
+    assert [r["cnt"] for r in hist] == sorted((r["cnt"] for r in hist), reverse=True)
+
+
+def test_q2_search_scores_are_degrees(spark, g):
+    res = queries.search_concepts(g["nodes"], g["edges"], "spark", top_k=5).collect()
+    assert res, "pattern 'spark' must match (Apache Spark / SparkContext in vocab)"
+    und = queries.undirected_concept_edges(g["edges"])
+    for r in res[:2]:
+        deg = und.where(F.col("cid") == r["concept_id"]).count()
+        assert r["score"] == deg
+
+
+def test_q3_evidence(spark, g):
+    some = g["mentions"].limit(1).collect()[0]
+    chunks = g["nodes"].where(F.col("label") == "Chunk").select(
+        F.col("id").alias("chunk_id"), "text"
+    )
+    res = queries.chunks_mentioning(g["mentions"], chunks, some["concept_id"]).collect()
+    assert 1 <= len(res) <= 100
+    assert any(r["chunk_id"] == some["chunk_id"] for r in res)
+
+
+def test_q4_neighbors_distinct(spark, g):
+    some = (
+        queries.undirected_concept_edges(g["edges"]).limit(1).collect()[0]["cid"]
+    )
+    res = queries.concept_neighbors(g["nodes"], g["edges"], some, top_k=10).collect()
+    ids = [r["nbr_id"] for r in res]
+    assert len(ids) == len(set(ids)) and len(ids) <= 10
+
+
+def test_q5_grouping(spark, g):
+    concepts = g["nodes"].where(F.col("label") == "Concept")
+    res = queries.group_results(concepts).collect()
+    keys = {r["group_key"] for r in res}
+    assert "data" in keys or "graph" in keys  # vocab has data_*/graph_* lemmas
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat with the mat.",),
+            ("der hund und die katze mit dem haus und der tür.",),
+            ("",),
+        ],
+        "text string",
+    )
+    feats = tf.quality_features(F.col("text"))
+    rows = df.select(
+        tf.token_count(F.col("text")).alias("tc"),
+        tf.lang_id(F.col("text")).alias("lang"),
+        feats["quality_score"].alias("q"),
+        tf.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert rows[0]["tc"] == 9 and rows[0]["lang"] == "en" and rows[0]["q"] == 1.0
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["tc"] == 0 and rows[2]["lang"] == "und"
+    assert len({r["fp"] for r in rows}) == 3
+
+
+def test_multimodal_features(spark):
+    pages = datagen.pages_df(spark, 10)
+    feats = multimodal.extract_features(pages, payload_col="html").collect()
+    assert len(feats) == 10
+    by_url = {r["url"]: r for r in feats}
+    for r in feats:
+        assert r["fmt"] == "html" and r["byte_len"] > 0 and len(r["sha256"]) == 64
+    import hashlib
+
+    one = pages.limit(1).collect()[0]
+    assert by_url[one["url"]]["sha256"] == hashlib.sha256(bytes(one["html"])).hexdigest()
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG....")
+
+
+def test_frame_sample_plan(spark):
+    pages = datagen.pages_df(spark, 5)
+    rows = multimodal.frame_sample_plan(pages, every_n=1).groupBy("url").count().collect()
+    assert all(r["count"] >= 1 for r in rows)

@@ -1,0 +1,128 @@
+"""Two-parallelism-level scaling benchmark (the sandbox proxy for the
+north rule's N vs 4N executor criterion).
+
+Runs the SAME kg pipeline on the SAME pages parquet at local[N] and
+local[4N] in separate JVMs, reports docs/sec at both and the scaling
+efficiency (throughput_4N / throughput_N) / 4, and writes/updates
+BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_pages] [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.session import get_spark
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+from pyspark.sql import functions as F, types as T
+
+cpus = {cpus}
+spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus)
+# warmup JVM + Arrow workers so we measure the job, not the boot
+spark.range(1_000_000).select(F.sum("id")).collect()
+import pandas as pd
+@F.pandas_udf(T.LongType())
+def _w(s: pd.Series) -> pd.Series:
+    return s
+spark.range(10000).select(_w("id")).collect()
+
+cat_path = {cat_path!r}
+shutil.rmtree(cat_path, ignore_errors=True)
+pages = spark.read.parquet({pages_path!r})
+t0 = time.monotonic()
+res = pipeline.run_pipeline(spark, pages, ParquetCatalog(cat_path), extract_from_html=True)
+dt = time.monotonic() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt, "pages": res.pages,
+  "mentions": res.mentions, "triples": res.triples,
+  "docs_per_sec": res.pages / dt, "stage_ms": res.stage_ms}}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, pages_path: str) -> dict:
+    code = RUNNER.format(
+        repo=REPO,
+        cpus=cpus,
+        pages_path=pages_path,
+        cat_path=os.path.join(REPO, ".cache", f"scaling_cat_{cpus}"),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"no RESULT line at cpus={cpus}")
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    pages_path = os.path.join(REPO, ".cache", f"bench_pages_{n_pages}")
+    if not os.path.isdir(pages_path):
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            "from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.session import get_spark\n"
+            "from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen\n"
+            f"spark = get_spark(cpus=16)\n"
+            f"datagen.write_pages_parquet(spark, {pages_path!r}, {n_pages}, partitions=64)\n"
+            "spark.stop()\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
+
+    lo = run_at(n_low, pages_path)
+    hi = run_at(n_high, pages_path)
+    ratio = n_high / n_low
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    report = {
+        "n_pages": n_pages,
+        "low": lo,
+        "high": hi,
+        "parallelism_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+        "passes_0.8": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+    md = f"""# BENCH — measured results (round 1)
+
+## KG pipeline scaling (N vs 4N parallelism, same input, fresh JVMs)
+
+Sandbox proxy for the north rule's two-cluster-size criterion: the same
+`run_pipeline` job over the same {n_pages}-page synthetic Common-Crawl-style
+`pages` parquet at `local[{n_low}]` and `local[{n_high}]` (4x cores).
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{n_low}] (N) | {lo['sec']:.2f} | {lo['docs_per_sec']:.1f} |
+| local[{n_high}] (4N) | {hi['sec']:.2f} | {hi['docs_per_sec']:.1f} |
+
+**Scaling efficiency = (docs/sec@4N ÷ docs/sec@N) ÷ 4 = {eff:.3f}**
+(target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Pipeline output at this scale: {hi['mentions']} mentions, {hi['triples']} triples.
+
+Stage timings at 4N (ms): `{json.dumps(hi['stage_ms'])}`
+
+Reproduce: `python tools/bench_scaling.py {n_pages} {n_low} {n_high}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
