@@ -86,7 +86,9 @@ def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _enriched(spark, sf_dir):
-    return cf.with_concepts(_chunks(spark, sf_dir))
+    # .cache() registers by canonicalized plan: every kg_* query built
+    # from the same sf_dir shares ONE extraction pass per session
+    return cf.with_concepts(_chunks(spark, sf_dir)).cache()
 
 
 def _mentions(spark, sf_dir):

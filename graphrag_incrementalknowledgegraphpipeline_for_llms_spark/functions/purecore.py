@@ -86,7 +86,13 @@ def concept_id(lemma: str) -> str:
     return hashlib.sha256(lemma.encode("utf-8")).hexdigest()[:16]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 16)
 def _make_concept(surface: str, origin: str) -> Concept:
+    # memoized: surface distributions are Zipfian, so the normalize +
+    # sha256 work is dominated by a small hot set
     lemma = normalize_lemma(surface)
     return Concept(concept_id(lemma), lemma, surface, origin)
 
