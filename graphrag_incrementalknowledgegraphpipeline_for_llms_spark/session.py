@@ -19,6 +19,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str:
+    """Prefer tmpfs for shuffle scratch; fall back to /tmp."""
+    for d in ("/dev/shm", "/tmp"):
+        if os.path.isdir(d) and os.access(d, os.W_OK):
+            return os.path.join(d, "spark-local")
+    return "/tmp/spark-local"
+
+
 def get_spark(
     app_name: str = "graphrag-kg-spark",
     cpus: int | None = None,
@@ -35,6 +43,18 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # shuffle/spill scratch on tmpfs: measured 1.6x end-to-end on the
+        # sandbox VM (virtio disk syscalls dominate high-thread shuffles);
+        # the cluster equivalent is fast local SSD scratch
+        .config("spark.local.dir", _scratch_dir())
+        # bigger Arrow batches: fewer JVM<->Python socket round trips
+        # per UDF stage (measured 1.4x on the extraction stage)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # measured pathology: a pool of idle REUSED python workers
+        # degrades subsequent JVM-only stages ~10x at local[32]
+        # (materialize 60s -> 5s with reuse off); fresh workers per
+        # task cost ~0.3s spawn, amortized by the large Arrow batches
+        .config("spark.python.worker.reuse", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -110,6 +110,32 @@ class ParquetCatalog:
     def overwrite(self, df: DataFrame, name: str) -> int:
         return self._commit(name, df, mode="overwrite")
 
+    def commit_rows(self, name: str, rows: list[dict], schema, mode: str = "append") -> int:
+        """Driver-side commit of a SMALL row set (lineage, checkpoints)
+        via pyarrow — zero Spark jobs.  ``schema`` is a pyarrow schema.
+        The files remain ordinary table data dirs, readable by
+        ``read()`` like any snapshot."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cur = self.current_version(name)
+        if cur == 0:
+            mode = "overwrite"
+        v = cur + 1
+        ddir = f"d{v:05d}"
+        out = os.path.join(self._tdir(name), ddir)
+        os.makedirs(out, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, os.path.join(out, "part-00000.parquet"))
+        prev = self._manifest(name, cur) if mode == "append" else []
+        with open(self._manifest_path(name, v), "w") as f:
+            json.dump(prev + [ddir], f)
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer(name))
+        return v
+
     def append(self, spark: SparkSession, df: DataFrame, name: str) -> int:
         if not self.exists(name):
             return self._commit(name, df, mode="overwrite")

@@ -19,7 +19,6 @@ def test_job_registry_failure(spark):
 
 
 def test_explain_trace_real_plan(spark):
-    df = spark.range(10).groupBy((spark.range(1).columns and None) or None)
     df = spark.range(10).selectExpr("id % 3 AS k").groupBy("k").count()
     trace = api.explain_trace(df)
     assert "HashAggregate" in trace["physical_plan"]
