@@ -119,37 +119,49 @@ def run_pipeline(
         last_ts = cp.agg(F.max("max_warc_ts").alias("m")).collect()[0]["m"]
     if last_ts is not None:
         pages = pages.where(F.col("warc_ts") > F.lit(last_ts))
-    if scan_partitions:
-        # bound shuffle fan-out: uniform ranges over the url hash
-        pages = pages.repartitionByRange(scan_partitions, F.xxhash64("url"))
+    # bound shuffle fan-out AND guarantee the UDF stage gets enough
+    # splits: small-file inputs get packed into very few tasks by
+    # maxPartitionBytes, which serializes the extraction stage.  Hash
+    # repartition on url keeps partition sizes uniform at any scale.
+    if scan_partitions is None:
+        scan_partitions = spark.sparkContext.defaultParallelism * 2
+    pages = pages.repartition(scan_partitions, F.xxhash64("url"))
     if extract_from_html:
         pages = hf.with_extracted_text(pages)
     d()
 
-    # ---- one extraction pass + ONE stats job --------------------------------
+    # ---- one extraction pass ------------------------------------------------
     d = clock("extract")
     enriched = cf.with_concepts(chunks_from_pages(pages))
     if stage_mode == "parquet":
         catalog.overwrite(enriched, "_stage_enriched")
         enriched = catalog.read(spark, "_stage_enriched")
+        n_pages_probe = catalog.count("_stage_enriched")  # footers, free
     elif stage_mode == "memory":
         enriched = enriched.persist()
-    part_stats = (
-        enriched.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("chunk_cnt"),
-            F.sum(F.size("concepts")).alias("mention_cnt"),
-            F.min("doc_id").alias("url_min"),
-            F.max("doc_id").alias("url_max"),
-            F.max("warc_ts").alias("max_ts"),
+        n_pages_probe = enriched.count()
+    else:
+        n_pages_probe = None  # decided by the stats job below
+
+    def run_stats():
+        return (
+            enriched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("chunk_cnt"),
+                F.sum(F.size("concepts")).alias("mention_cnt"),
+                F.min("doc_id").alias("url_min"),
+                F.max("doc_id").alias("url_max"),
+                F.max("warc_ts").alias("max_ts"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    n_pages = sum(r["chunk_cnt"] for r in part_stats)
-    n_mentions = sum(r["mention_cnt"] or 0 for r in part_stats)
-    max_ts = max((r["max_ts"] for r in part_stats), default=None)
+
+    part_stats = None
+    if n_pages_probe is None:
+        part_stats = run_stats()
+        n_pages_probe = sum(r["chunk_cnt"] for r in part_stats)
     d()
-    if n_pages == 0:
+    if n_pages_probe == 0:
         if stage_mode == "memory":
             enriched.unpersist()
         return PipelineResult(catalog.current_version("nodes"), 0, 0, 0, 0, timings)
@@ -170,38 +182,64 @@ def run_pipeline(
     disjoint = incremental
     d = clock("materialize")
     prev_triples = catalog.count("triples")
-    if disjoint and catalog.exists("mentions"):
-        catalog.append(spark, mentions, "mentions")
-    elif disjoint:
-        catalog.overwrite(mentions, "mentions")
-    else:
-        catalog.merge_upsert(
-            spark, "mentions", mentions,
-            keys=["chunk_id", "concept_id", "lemma", "surface", "origin"],
-        )
-    if disjoint and catalog.exists("triples"):
-        catalog.append(spark, triples, "triples")
-    elif disjoint:
-        catalog.overwrite(triples, "triples")
-    else:
-        catalog.merge_upsert(
-            spark, "triples", triples, keys=["subj_id", "predicate", "obj_id", "chunk_id"]
-        )
-    n_triples = catalog.count("triples") - (prev_triples if disjoint else 0)
-    if not disjoint:
-        n_triples = catalog.count("triples")
-    d()
-
-    d = clock("graph_merge")
     nodes = graph.chunk_nodes(enriched).unionByName(graph.concept_nodes(mentions))
     edges = graph.mention_edges(mentions, updated_at).unionByName(
         graph.relation_edges(triples, updated_at)
     )
-    # this batch's nodes cover every edge endpoint (edges derive from
-    # the same chunks/mentions), so the placeholder backfill scan is
-    # skipped; external edge-first writers call upsert_graph directly
-    graph.upsert_graph(spark, catalog, nodes, edges, check_placeholders=False)
+
+    def write_mentions():
+        if disjoint:
+            catalog.append(spark, mentions, "mentions")
+        else:
+            catalog.merge_upsert(
+                spark, "mentions", mentions,
+                keys=["chunk_id", "concept_id", "lemma", "surface", "origin"],
+            )
+
+    def write_triples():
+        if disjoint:
+            catalog.append(spark, triples, "triples")
+        else:
+            catalog.merge_upsert(
+                spark, "triples", triples,
+                keys=["subj_id", "predicate", "obj_id", "chunk_id"],
+            )
+
+    def write_nodes():
+        # this batch's nodes cover every edge endpoint (edges derive
+        # from the same chunks/mentions), so the placeholder backfill
+        # scan is skipped; external edge-first writers call
+        # upsert_graph directly
+        graph.upsert_graph(spark, catalog, nodes=nodes, edges=None)
+
+    def write_edges():
+        graph.upsert_graph(
+            spark, catalog, nodes=None, edges=edges, check_placeholders=False
+        )
+
+    # the four table writes are independent (distinct tables, all
+    # derived from the staged extraction), and the lineage stats job
+    # is read-only -> submit all five as concurrent Spark jobs; the
+    # scheduler interleaves their stages and keeps the executors full
+    # instead of paying five sequential job tails
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        jobs = [write_mentions, write_triples, write_nodes, write_edges]
+        futures = [ex.submit(fn) for fn in jobs]
+        stats_future = ex.submit(run_stats) if part_stats is None else None
+        for f in futures:
+            f.result()
+        if stats_future is not None:
+            part_stats = stats_future.result()
+    n_pages = sum(r["chunk_cnt"] for r in part_stats)
+    n_mentions = sum(r["mention_cnt"] or 0 for r in part_stats)
+    max_ts = max((r["max_ts"] for r in part_stats), default=None)
+    n_triples = catalog.count("triples") - (prev_triples if disjoint else 0)
+    if not disjoint:
+        n_triples = catalog.count("triples")
     d()
+    timings["graph_merge"] = 0  # merged into `materialize` (concurrent writes)
 
     # ---- lineage + checkpoint: driver-side pyarrow commits, ZERO Spark
     # jobs (the rows come from the one stats aggregation) --------------

@@ -26,7 +26,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -154,10 +154,12 @@ class ParquetCatalog:
         """``MERGE INTO name t USING updates s ON <keys> WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
 
-        ``tiebreak``: columns whose DESC order picks the winning source
-        row when a batch contains duplicate keys (deterministic
-        last-write-wins stand-in; remaining columns break residual ties
-        ascending, nulls last so placeholder rows always lose).
+        ``tiebreak``: columns that lead the winner ordering when a
+        batch contains duplicate keys (deterministic last-write-wins
+        stand-in; max wins, so e.g. highest confidence).  Remaining
+        ties break by the max of the full row struct — any fixed total
+        order works, and null fields lose to non-null, so placeholder
+        rows always lose.
 
         ``resolution``:
         * ``"replace"`` — true MERGE: a matched source row replaces the
@@ -168,19 +170,26 @@ class ParquetCatalog:
           independent of how rows were split across incremental
           batches (run(A);run(B) == run(A∪B) — FIXTURES.md §6).
         """
-        order = [F.col(c).desc_nulls_last() for c in (tiebreak or [])] + [
-            F.col(c).asc_nulls_last() for c in updates.columns
-        ]
         existing = self.read(spark, name)
         pool = updates
         if resolution == "deterministic" and existing is not None:
             matched = existing.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
             pool = updates.unionByName(matched.select(*updates.columns))
-        w = Window.partitionBy(*keys).orderBy(*order)
+        # winner per key = max_by over (tiebreak..., all columns): a
+        # total order, so batch-split independent; null struct fields
+        # compare smallest, so placeholder (all-null-prop) rows always
+        # lose to real rows.  max_by aggregates with MAP-SIDE COMBINE —
+        # the shuffle carries ~|distinct keys| rows, not |input| rows
+        # (a row_number window here shuffled the full input and was the
+        # dominant pipeline cost on multi-million-row edge merges).
+        cols = pool.columns
+        okey = F.struct(
+            *[F.col(c) for c in (tiebreak or [])], *[F.col(c) for c in cols]
+        )
         deduped = (
-            pool.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            pool.groupBy(*keys)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), okey).alias("_w"))
+            .select("_w.*")
         )
         if existing is None:
             return self._commit(name, deduped)

