@@ -71,6 +71,18 @@ class ParquetCatalog:
             return None
         return spark.read.parquet(*dirs)
 
+    def read_version_delta(self, spark: SparkSession, name: str, version: int) -> DataFrame | None:
+        """Rows ADDED by snapshot ``version`` (its newest data dir) —
+        the incremental-read primitive (Iceberg: incremental scan
+        between snapshots).  For an append commit this is exactly the
+        appended batch."""
+        dirs = self._manifest(name, version)
+        prev = self._manifest(name, version - 1) if version > 1 else []
+        new = [d for d in dirs if d not in prev]
+        if not new:
+            return None
+        return spark.read.parquet(*[os.path.join(self._tdir(name), d) for d in new])
+
     def count(self, name: str) -> int:
         """Row count from parquet footers — no Spark job."""
         import pyarrow.parquet as pq
