@@ -59,6 +59,8 @@ CASE_RULES = [
     (r"\bsmall\b", "is a"),           # scorer rule: is_a
     (r"\bbig\b", "part of"),          # scorer rule: part_of
     (r"\bslow\b", "causes"),          # scorer rule: causes
+    (r"\bvector\b", "New York"),      # T4: multi-word NER_LOCATION merge
+    (r"\bcustomer\b", "Alice Smith"), # T4: multi-word NER_PERSON merge
 ]
 
 
@@ -165,12 +167,95 @@ scored AS (
 triples AS (SELECT * FROM scored WHERE confidence >= 0.65)"""
 
 
+# T4 NLP-extraction CTE (purecore.extract_concepts_nlp semantics: the
+# deterministic tagger + the reference's entity-merge / noun-gate /
+# camelCase-acronym-union logic, ConceptExtractor.scala:157-256).
+# Lexicons and suffix lists are generated from purecore so the two
+# sides cannot drift.
+_LOC_SQL = ",".join(f"'{w}'" for w in sorted(purecore.NER_LOCATION))
+_PER_SQL = ",".join(f"'{w}'" for w in sorted(purecore.NER_PERSON))
+_ORG_SQL = ",".join(f"'{w}'" for w in sorted(purecore.NER_ORGANIZATION))
+_SUFFIX_RE = "(" + "|".join(purecore.NOUN_SUFFIXES) + ")$"
+_LEMMA_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(regexp_replace({0}, '([a-z])([A-Z])', "
+    "'\\1_\\2', 'g')), '[^a-z0-9_]', '_', 'g'), '_+', '_', 'g'), '_')"
+)
+
+NLP_MENTIONS_CTE = f"""
+nlp_src AS (SELECT chunk_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t FROM src),
+nlp_toks AS (
+  SELECT chunk_id,
+         unnest(regexp_split_to_array(t, '\\s+')) AS raw,
+         generate_subscripts(regexp_split_to_array(t, '\\s+'), 1) AS idx
+  FROM nlp_src WHERE length(t) > 0
+),
+nlp_tagged AS (
+  SELECT chunk_id, idx,
+         regexp_replace(raw, '^[^A-Za-z0-9]+|[^A-Za-z0-9]+$', '', 'g') AS word,
+         NOT regexp_matches(raw, '[A-Za-z0-9]$') AS brk
+  FROM nlp_toks
+),
+nlp_tagged2 AS (
+  SELECT *,
+    CASE WHEN word IN ({_LOC_SQL}) THEN 'LOCATION'
+         WHEN word IN ({_PER_SQL}) THEN 'PERSON'
+         WHEN word IN ({_ORG_SQL}) THEN 'ORGANIZATION'
+         ELSE 'O' END AS ner,
+    CASE WHEN regexp_matches(word, '^[A-Z][a-z]+$') THEN 'NNP'
+         WHEN regexp_matches(word, '^[a-z]+$') AND regexp_matches(word, 's$') AND length(word) > 3 THEN 'NNS'
+         WHEN regexp_matches(word, '^[a-z]+$') AND regexp_matches(word, '{_SUFFIX_RE}') THEN 'NN'
+         ELSE '' END AS pos
+  FROM nlp_tagged
+),
+nlp_runs AS (
+  SELECT *, CASE WHEN lag(ner) OVER w IS NULL OR lag(ner) OVER w <> ner OR lag(brk) OVER w THEN 1 ELSE 0 END AS newgrp
+  FROM nlp_tagged2 WINDOW w AS (PARTITION BY chunk_id ORDER BY idx)
+),
+nlp_grps AS (
+  SELECT *, SUM(newgrp) OVER (PARTITION BY chunk_id ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+  FROM nlp_runs
+),
+nlp_entities AS (
+  SELECT chunk_id, string_agg(word, ' ' ORDER BY idx) AS surface, 'NER_' || any_value(ner) AS origin
+  FROM nlp_grps WHERE ner <> 'O' GROUP BY chunk_id, grp
+),
+nlp_raw AS (
+  SELECT chunk_id, surface, origin FROM nlp_entities
+  WHERE length(surface) > 2 AND surface NOT IN ({STOPWORDS_SQL})
+  UNION ALL
+  SELECT chunk_id, word, 'POS_' || pos FROM nlp_grps
+  WHERE ner = 'O' AND pos <> '' AND length(word) > 2 AND word NOT IN ({STOPWORDS_SQL})
+    AND NOT regexp_matches(lower(word), '^[0-9]+$')
+),
+nlp_base AS (
+  SELECT DISTINCT chunk_id, {_LEMMA_SQL.format('surface')} AS lemma, surface, origin FROM nlp_raw
+),
+nlp_union AS (
+  SELECT * FROM nlp_base
+  UNION ALL
+  SELECT m.chunk_id, m.lemma, m.surface, m.origin
+  FROM mentions m
+  WHERE m.origin IN ('camelCase', 'acronym')
+    AND NOT EXISTS (SELECT 1 FROM nlp_base n WHERE n.chunk_id = m.chunk_id AND n.lemma = m.lemma)
+),
+nlp_mentions AS (
+  SELECT DISTINCT chunk_id, substr(sha256(lemma), 1, 16) AS concept_id, lemma, surface, origin
+  FROM nlp_union
+)"""
+
+
 # ---------------------------------------------------------------------------
 # Spark query callables
 # ---------------------------------------------------------------------------
 
 def q_kg_mentions(spark, sf_dir):
     return _mentions(spark, sf_dir)
+
+
+def q_kg_mentions_nlp(spark, sf_dir):
+    """T4: NLP-strategy extraction (deterministic NER/POS tagger +
+    reference merge/union semantics)."""
+    return cf.mentions_from(cf.with_concepts(_chunks(spark, sf_dir), strategy="nlp"))
 
 
 def q_kg_pairs(spark, sf_dir):
@@ -470,6 +555,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_nlp": q_kg_mentions_nlp,
         "kg_cooccur_pairs": q_kg_pairs,
         "kg_pair_freq": q_kg_pair_freq,
         "kg_pmi": q_kg_pmi,
@@ -517,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "kg_mentions": f"WITH {MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions",
+        "kg_mentions_nlp": f"WITH {MENTIONS_CTE}, {NLP_MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM nlp_mentions",
         "kg_cooccur_pairs": f"WITH {PAIRS_CTE} SELECT window_id, a_id, b_id, freq FROM pairs",
         "kg_pair_freq": f"WITH {PAIRS_CTE} SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id",
         "kg_pmi": f"""WITH {PAIRS_CTE},

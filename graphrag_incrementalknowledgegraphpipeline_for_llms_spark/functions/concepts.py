@@ -37,6 +37,16 @@ def extract_concepts_udf(texts: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(CONCEPT_ARRAY)
+def extract_concepts_nlp_udf(texts: pd.Series) -> pd.Series:
+    """T4 NLP extraction (ConceptExtractor.scala:157-256): deterministic
+    NER/POS tagger stand-in + the reference's entity-merge / noun-gate /
+    heuristic-union / fallback semantics (purecore.extract_concepts_nlp)."""
+    return texts.map(
+        lambda t: [c._asdict() for c in purecore.extract_concepts_nlp(t)] if t else []
+    )
+
+
 def utf16_take_udf(n: int):
     """JVM-`take(n)` evidence truncation (GraphRagJob.scala:318) as a
     pandas UDF — UTF-16 code units, not codepoints, so astral-plane
@@ -58,30 +68,45 @@ ENRICH_STRUCT = T.StructType(
 )
 
 
-@F.pandas_udf(ENRICH_STRUCT)
-def _enrich_udf(texts: pd.Series) -> pd.DataFrame:
-    concepts, ev, ev100 = [], [], []
-    for t in texts:
-        if not t:
-            concepts.append([])
-            ev.append("" if t == "" else None)
-            ev100.append("" if t == "" else None)
-            continue
-        concepts.append([c._asdict() for c in purecore.extract_concepts(t)])
-        e = purecore.utf16_take(t, purecore.EVIDENCE_LIMIT)
-        ev.append(e)
-        ev100.append(purecore.utf16_take(e, purecore.FALLBACK_EVIDENCE_LIMIT))
-    return pd.DataFrame({"concepts": concepts, "evidence": ev, "evidence100": ev100})
+def _make_enrich_udf(extractor):
+    @F.pandas_udf(ENRICH_STRUCT)
+    def _enrich(texts: pd.Series) -> pd.DataFrame:
+        concepts, ev, ev100 = [], [], []
+        for t in texts:
+            if not t:
+                concepts.append([])
+                ev.append("" if t == "" else None)
+                ev100.append("" if t == "" else None)
+                continue
+            concepts.append([c._asdict() for c in extractor(t)])
+            e = purecore.utf16_take(t, purecore.EVIDENCE_LIMIT)
+            ev.append(e)
+            ev100.append(purecore.utf16_take(e, purecore.FALLBACK_EVIDENCE_LIMIT))
+        return pd.DataFrame({"concepts": concepts, "evidence": ev, "evidence100": ev100})
+
+    return _enrich
 
 
-def with_concepts(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+_enrich_udf = _make_enrich_udf(purecore.extract_concepts)
+_enrich_nlp_udf = _make_enrich_udf(purecore.extract_concepts_nlp)
+
+
+def with_concepts(
+    chunks: DataFrame, text_col: str = "text", strategy: str = "heuristic"
+) -> DataFrame:
     """Add ``concepts`` (deduped array), ``evidence`` (text take 500,
     GraphRagJob.scala:318) and ``evidence100`` (take 100, the scorer
     fallback truncation, RelationScorer.scala:142) in ONE Arrow pass —
     a single Python stage per partition; everything downstream is
-    JVM-only."""
+    JVM-only.
+
+    ``strategy`` mirrors the reference's concept.strategies config
+    (application.conf:67-71): ``"heuristic"`` (default, like the
+    reference's default-on heuristic pass) or ``"nlp"`` (T4,
+    ConceptExtractor.scala:157-256 semantics)."""
+    udf = {"heuristic": _enrich_udf, "nlp": _enrich_nlp_udf}[strategy]
     return (
-        chunks.withColumn("_e", _enrich_udf(F.col(text_col)))
+        chunks.withColumn("_e", udf(F.col(text_col)))
         .withColumn("concepts", F.col("_e.concepts"))
         .withColumn("evidence", F.col("_e.evidence"))
         .withColumn("evidence100", F.col("_e.evidence100"))

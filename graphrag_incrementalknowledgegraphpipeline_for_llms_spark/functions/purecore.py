@@ -120,6 +120,156 @@ def extract_concepts(text: str) -> list[Concept]:
 
 
 # ---------------------------------------------------------------------------
+# T4 — NLP concept extraction (ConceptExtractor.scala:157-256)
+# ---------------------------------------------------------------------------
+#
+# The reference's `extractWithNLP` runs Stanford CoreNLP
+# (tokenize,ssplit,pos,lemma,ner — ConceptExtractor.scala:30-44) and
+# then applies 100 LoC of its own semantics on the token stream:
+#   * consecutive same-NER-tag tokens merge into one multi-word entity
+#     surface, origin "NER_<TYPE>" (ConceptExtractor.scala:176-235)
+#   * entity surfaces gated by len>2 and the StopWords set
+#   * O-tagged tokens with a noun POS tag (NN/NNP/NNS/NNPS), len>2,
+#     not a stopword, not all-digits -> origin "POS_<tag>"
+#     (ConceptExtractor.scala:216-222)
+#   * union with the heuristic pass: camelCase/acronym concepts added
+#     only when their LEMMA is not already present
+#     (ConceptExtractor.scala:240-248)
+#   * any exception -> full fallback to extractHeuristic
+#     (ConceptExtractor.scala:251-255)
+#
+# CoreNLP's statistical models are not available (and not deterministic
+# across versions), so the TAGGER here is a deterministic stand-in —
+# lexicon + shape rules, pinned below and replicated verbatim in the
+# DuckDB oracle SQL — while the surrounding merge/gate/union/fallback
+# semantics mirror the reference exactly.  The tagger is a seam: swap
+# `_token_tags` for real model output and everything downstream holds.
+
+NOUN_TAGS = frozenset({"NN", "NNP", "NNS", "NNPS"})  # ConceptExtractor.scala:63
+
+# deterministic NER lexicons (capitalized forms; tag applies to the
+# stripped token only when it keeps its original capitalization)
+NER_LOCATION = frozenset(
+    "New York London Paris Berlin Tokyo Seattle California Washington "
+    "America Europe Africa Asia Australia India China France Germany "
+    "England Canada Mexico Brazil Valley States Kingdom United San "
+    "Francisco Los Angeles".split()
+)
+NER_PERSON = frozenset(
+    "Alice Carol Smith Johnson Turing Knuth Lovelace Hopper Dijkstra "
+    "Shannon Neumann Curie Darwin Einstein Newton".split()
+)
+NER_ORGANIZATION = frozenset(
+    "Apache Google Microsoft Amazon Netflix Foundation University "
+    "Institute Laboratories Corporation Inc Corp Ltd NASA MIT".split()
+)
+
+# noun-ish suffixes for lowercase common nouns (deterministic NN gate)
+NOUN_SUFFIXES = (
+    "tion", "sion", "ment", "ness", "ity", "ance", "ence", "ship",
+    "ism", "age", "graph", "data", "base", "ware", "gine", "work",
+    "tor", "ter", "ser", "ler", "ner",
+)
+
+_STRIP_EDGE = re.compile(r"^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", re.ASCII)
+_ALNUM_END = re.compile(r"[A-Za-z0-9]$", re.ASCII)
+_CAP_WORD = re.compile(r"^[A-Z][a-z]+$", re.ASCII)
+_LOWER_WORD = re.compile(r"^[a-z]+$", re.ASCII)
+_ALL_DIGITS = re.compile(r"^[0-9]+$", re.ASCII)
+
+
+def _token_tags(raw_token: str) -> tuple[str, str, str, bool]:
+    """(word, ner_tag, pos_tag, breaks_after) for one whitespace token.
+
+    * word = token with non-alphanumeric edges stripped (the CoreNLP
+      tokenizer would have split that punctuation off)
+    * ner from the lexicons; "O" otherwise
+    * pos: NNP for Capitalized, NNS for lowercase plural, NN for
+      lowercase with a noun suffix, "" otherwise (only consulted for
+      O-tagged tokens, like the reference)
+    * breaks_after: trailing punctuation on the RAW token ends any
+      in-flight multi-word entity (CoreNLP would emit the punctuation
+      as its own O token, breaking the chain)
+    """
+    word = _STRIP_EDGE.sub("", raw_token)
+    # ASCII-pinned (like every other gate here): a trailing non-ASCII
+    # letter breaks the chain too, matching the RE2 oracle exactly
+    breaks_after = not _ALNUM_END.search(raw_token)
+    if not word:
+        return ("", "O", "", True)
+    if word in NER_LOCATION:
+        ner = "LOCATION"
+    elif word in NER_PERSON:
+        ner = "PERSON"
+    elif word in NER_ORGANIZATION:
+        ner = "ORGANIZATION"
+    else:
+        ner = "O"
+    if _CAP_WORD.match(word):
+        pos = "NNP"
+    elif _LOWER_WORD.match(word):
+        if word.endswith("s") and len(word) > 3:
+            pos = "NNS"
+        elif word.endswith(NOUN_SUFFIXES):
+            pos = "NN"
+        else:
+            pos = ""
+    else:
+        pos = ""
+    return (word, ner, pos, breaks_after)
+
+
+def extract_concepts_nlp(text: str) -> list[Concept]:
+    """T4 (ConceptExtractor.scala:157-256): NER entity merging + POS
+    noun harvest + camelCase/acronym union, heuristic fallback on
+    error.  LinkedHashSet dedup over full concept identity."""
+    try:
+        seen: dict[Concept, None] = {}
+
+        def flush(entity_words: list[str], entity_type: str | None):
+            if not entity_words or entity_type is None:
+                return
+            surface = " ".join(entity_words)
+            if utf16_len(surface) > 2 and surface not in STOP_WORDS:
+                seen.setdefault(_make_concept(surface, f"NER_{entity_type}"))
+
+        cur_words: list[str] = []
+        cur_type: str | None = None
+        for raw in text.split():
+            word, ner, pos, breaks_after = _token_tags(raw)
+            if ner != "O":
+                if cur_type == ner:
+                    cur_words.append(word)
+                else:
+                    flush(cur_words, cur_type)
+                    cur_words, cur_type = [word], ner
+            else:
+                flush(cur_words, cur_type)
+                cur_words, cur_type = [], None
+                if (
+                    pos in NOUN_TAGS
+                    and utf16_len(word) > 2
+                    and word not in STOP_WORDS
+                    and not _ALL_DIGITS.match(word.lower())
+                ):
+                    seen.setdefault(_make_concept(word, f"POS_{pos}"))
+            if breaks_after:
+                flush(cur_words, cur_type)
+                cur_words, cur_type = [], None
+        flush(cur_words, cur_type)
+
+        # union with heuristics: camelCase/acronym only, lemma-novel
+        # (ConceptExtractor.scala:240-248)
+        lemmas = {c.lemma for c in seen}
+        for c in extract_concepts(text):
+            if c.origin in ("camelCase", "acronym") and c.lemma not in lemmas:
+                seen.setdefault(c)
+        return list(seen)
+    except Exception:
+        return extract_concepts(text)  # ConceptExtractor.scala:251-255
+
+
+# ---------------------------------------------------------------------------
 # UTF-16 helpers (JVM String semantics)
 # ---------------------------------------------------------------------------
 

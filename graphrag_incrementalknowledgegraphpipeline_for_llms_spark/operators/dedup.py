@@ -49,10 +49,13 @@ def _word_shingles(text_col, n: int):
     """Array of n-word shingles (lowercased, whitespace tokens) —
     pure array lambdas, per-row JVM work."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # short-doc guard: sequence(1, 0) would DESCEND (step -1) and then
+    # slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START — docs with
+    # fewer than n tokens must yield an empty shingle array instead
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def minhash_signatures(
@@ -74,11 +77,13 @@ def minhash_signatures(
     base = F.transform(sh, lambda s: F.xxhash64(s))
     # materialize `base` once per row behind a projection boundary so
     # the k array_min expressions share it instead of re-splitting text
+    # docs with zero shingles (< shingle_n tokens) carry no signature:
+    # an all-null sig would LSH-hash every short doc into ONE bucket —
+    # a quadratic skew bomb on real web corpora full of stub pages
     proj = df.select(
         F.col(id_col).alias("id"),
         base.alias("_base"),
-        F.length(F.trim(F.col(text_col))).alias("_len"),
-    ).where(F.col("_len") > 0)
+    ).where(F.size("_base") > 0)
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("_base"), lambda h, i=i: F.xxhash64(F.lit(i), h)))

@@ -122,6 +122,12 @@ def relation_edges(triples: DataFrame, updated_at) -> DataFrame:
     )
 
 
+# default bucket count for the nodes/edges tables: merges rewrite only
+# buckets containing update keys (catalog._commit_bucketed).  At 10^12
+# docs raise to O(10^3-10^4) so per-bucket files stay 128-512 MB.
+DEFAULT_GRAPH_BUCKETS = 32
+
+
 def upsert_graph(
     spark: SparkSession,
     catalog: ParquetCatalog,
@@ -130,6 +136,7 @@ def upsert_graph(
     nodes_table: str = "nodes",
     edges_table: str = "edges",
     check_placeholders: bool = True,
+    buckets: int | None = DEFAULT_GRAPH_BUCKETS,
 ) -> None:
     """G2+G3+G4: MERGE nodes and edges, then backfill placeholder
     endpoint nodes for edges whose endpoints are not (yet) present.
@@ -140,16 +147,23 @@ def upsert_graph(
     pipeline does — edges derive from the same chunks)."""
     if nodes is not None:
         catalog.merge_upsert(
-            spark, nodes_table, nodes, keys=["label", "id"], resolution="deterministic"
+            spark, nodes_table, nodes, keys=["label", "id"],
+            resolution="deterministic", buckets=buckets,
         )
     if edges is not None:
+        # tiebreak leads with updated_at: the reference Neo4j sink is
+        # last-write-wins (Neo4jSink.scala:138-164), so a LATER re-score
+        # must replace the stored edge even at lower confidence;
+        # confidence only breaks same-timestamp ties (within-batch
+        # determinism — the pipeline stamps one updated_at per batch)
         catalog.merge_upsert(
             spark,
             edges_table,
             edges,
             keys=EDGE_KEY,
-            tiebreak=["confidence", "updated_at"],
+            tiebreak=["updated_at", "confidence"],
             resolution="deterministic",
+            buckets=buckets,
         )
         if not check_placeholders:
             return
@@ -178,8 +192,11 @@ def upsert_graph(
             ],
         )
         if placeholders.limit(1).count() > 0:
-            # plain append: anti-join guarantees key novelty, and a real
-            # node row arriving later overwrites via merge_upsert.
-            catalog.append(spark, placeholders, nodes_table) if catalog.exists(
-                nodes_table
-            ) else catalog.overwrite(placeholders, nodes_table)
+            # key-novel by the anti-join, so this merge is a pure
+            # insert; routed through merge_upsert so a fresh nodes
+            # table is created with the SAME bucket spec the real
+            # node merges will use.
+            catalog.merge_upsert(
+                spark, nodes_table, placeholders, keys=["label", "id"],
+                resolution="deterministic", buckets=buckets,
+            )

@@ -53,11 +53,15 @@ def score_candidates(
     application.conf:56).  Output evidence is the fallback-path
     100-unit truncation (RelationScorer.scala:142), precomputed
     per-chunk upstream so this stage stays JVM-only."""
-    ev100 = (
-        F.col(evidence100_col)
-        if evidence100_col in candidates.columns
-        else F.substring(F.col("evidence"), 1, purecore.FALLBACK_EVIDENCE_LIMIT)
-    )
+    if evidence100_col in candidates.columns:
+        ev100 = F.col(evidence100_col)
+    else:
+        # fallback must count UTF-16 code units like JVM String.take
+        # (RelationScorer.scala:142) — F.substring counts code points
+        # and diverges on astral-plane chars, so reuse the pinned UDF
+        from ..functions import concepts as _cf
+
+        ev100 = _cf.utf16_take_udf(purecore.FALLBACK_EVIDENCE_LIMIT)(F.col("evidence"))
     predicate, confidence = _verdict(F.col("a.lemma"), F.col("b.lemma"), F.col("evidence"))
     return (
         candidates.select(

@@ -87,6 +87,8 @@ def run_pipeline(
     updated_at=DEFAULT_UPDATED_AT,
     scan_partitions: int | None = None,
     stage_mode: str = "parquet",
+    epoch_id: int | None = None,
+    extraction_strategy: str = "heuristic",
 ) -> PipelineResult:
     """``stage_mode`` controls how the enriched (post-extraction) data
     is shared across the downstream consumers:
@@ -119,20 +121,41 @@ def run_pipeline(
         last_ts = cp.agg(F.max("max_warc_ts").alias("m")).collect()[0]["m"]
     if last_ts is not None:
         pages = pages.where(F.col("warc_ts") > F.lit(last_ts))
-    # bound shuffle fan-out AND guarantee the UDF stage gets enough
-    # splits: small-file inputs get packed into very few tasks by
-    # maxPartitionBytes, which serializes the extraction stage.  Hash
-    # repartition on url keeps partition sizes uniform at any scale.
+    # guarantee the UDF stage gets enough splits: small-file inputs
+    # get packed into very few tasks by maxPartitionBytes, which
+    # serializes the extraction stage.  The repartition is CONDITIONAL:
+    # when the scan already yields >= target splits (the normal case at
+    # scale — 100 TB of 128-512 MB files), skip it entirely rather than
+    # shuffle the html payload bytes through the cluster.  Columns are
+    # pruned to the pipeline's inputs BEFORE any shuffle so the html
+    # blob is never carried further than the extraction stage needs.
     if scan_partitions is None:
         scan_partitions = spark.sparkContext.defaultParallelism * 2
-    pages = pages.repartition(scan_partitions, F.xxhash64("url"))
+    needed = ["url", "warc_ts"] + (["html"] if extract_from_html else ["text"])
+    pages = pages.select(*[c for c in needed if c in pages.columns])
+    if pages.rdd.getNumPartitions() < scan_partitions:
+        pages = pages.repartition(scan_partitions, F.xxhash64("url"))
     if extract_from_html:
         pages = hf.with_extracted_text(pages)
     d()
 
     # ---- one extraction pass ------------------------------------------------
     d = clock("extract")
-    enriched = cf.with_concepts(chunks_from_pages(pages))
+    chunks = chunks_from_pages(pages)
+    if incremental and catalog.exists("nodes"):
+        # the warc_ts high-water mark admits re-crawls of IDENTICAL
+        # pages (chunk_id = sha256(url+text) ignores warc_ts); without
+        # this anti-join a re-crawl would re-append duplicate
+        # mentions/triples rows.  Cost shape: a 16-byte-key anti-join
+        # against a single column-pruned scan of the Chunk node ids —
+        # and it skips re-extraction of unchanged pages entirely.
+        known = (
+            catalog.read(spark, "nodes")
+            .where(F.col("label") == "Chunk")
+            .select(F.col("id").alias("chunk_id"))
+        )
+        chunks = chunks.join(known, on="chunk_id", how="left_anti")
+    enriched = cf.with_concepts(chunks, strategy=extraction_strategy)
     if stage_mode == "parquet":
         catalog.overwrite(enriched, "_stage_enriched")
         enriched = catalog.read(spark, "_stage_enriched")
@@ -215,15 +238,31 @@ def run_pipeline(
     # tables, all derived from the staged extraction), and the lineage
     # stats job is read-only -> concurrent Spark jobs (the scheduler
     # interleaves their stages and keeps the executors full)
+    import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        futures = [ex.submit(fn) for fn in (write_mentions, write_triples, write_nodes)]
-        stats_future = ex.submit(run_stats) if part_stats is None else None
-        for f in futures:
-            f.result()
-        if stats_future is not None:
-            part_stats = stats_future.result()
+    if _os.environ.get("SPARK_GRAFT_SERIAL_WRITES"):
+        # profiling mode: run each write as its own timed step
+        for nm, fn in (
+            ("w_mentions", write_mentions),
+            ("w_triples", write_triples),
+            ("w_nodes", write_nodes),
+        ):
+            dd = clock(nm)
+            fn()
+            dd()
+        if part_stats is None:
+            dd = clock("w_stats")
+            part_stats = run_stats()
+            dd()
+    else:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futures = [ex.submit(fn) for fn in (write_mentions, write_triples, write_nodes)]
+            stats_future = ex.submit(run_stats) if part_stats is None else None
+            for f in futures:
+                f.result()
+            if stats_future is not None:
+                part_stats = stats_future.result()
     n_pages = sum(r["chunk_cnt"] for r in part_stats)
     n_mentions = sum(r["mention_cnt"] or 0 for r in part_stats)
     max_ts = max((r["max_ts"] for r in part_stats), default=None)
@@ -288,11 +327,19 @@ def run_pipeline(
             ("snapshot_id", pa.int64()),
             ("max_warc_ts", pa.timestamp("us", tz="UTC")),
             ("pages", pa.int64()),
+            ("epoch_id", pa.int64()),
         ]
     )
     catalog.commit_rows(
         CHECKPOINT_TABLE,
-        [{"snapshot_id": snapshot_id, "max_warc_ts": max_ts, "pages": n_pages}],
+        [
+            {
+                "snapshot_id": snapshot_id,
+                "max_warc_ts": max_ts,
+                "pages": n_pages,
+                "epoch_id": epoch_id,
+            }
+        ],
         cp_schema,
     )
     d()

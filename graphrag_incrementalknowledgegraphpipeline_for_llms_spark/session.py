@@ -36,9 +36,13 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # local rule of thumb: ~cores. On a cluster this is superseded by
-        # AQE coalescing from a higher initial value.
-        shuffle_partitions = max(cpus, 8)
+        # start HIGH and let AQE coalesce down (the cluster-correct
+        # shape): a static ~cores count capped post-shuffle write
+        # parallelism and measurably flattened the merge stages'
+        # core-count scaling (graph_merge 2.2x from 4->16 cores with
+        # partitions=max(cpus,8); the shuffle reduce side is also the
+        # parquet write side here)
+        shuffle_partitions = max(cpus * 4, 32)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -39,6 +39,23 @@ class ParquetCatalog:
     def _tdir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    # -- bucket spec (Iceberg: partition spec with a bucket transform) --------
+    def _spec_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_spec.json")
+
+    def bucket_spec(self, name: str) -> dict | None:
+        """{"keys": [...], "n": int} when the table is hash-bucketed."""
+        p = self._spec_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_spec(self, name: str, keys: list[str], n: int) -> None:
+        os.makedirs(self._tdir(name), exist_ok=True)
+        with open(self._spec_path(name), "w") as f:
+            json.dump({"keys": list(keys), "n": int(n)}, f)
+
     def _pointer(self, name: str) -> str:
         return os.path.join(self._tdir(name), "_current")
 
@@ -52,15 +69,38 @@ class ParquetCatalog:
     def _manifest_path(self, name: str, version: int) -> str:
         return os.path.join(self._tdir(name), f"m{version:05d}.json")
 
-    def _manifest(self, name: str, version: int) -> list[str]:
+    def _manifest(self, name: str, version: int):
+        """List[str] of data dirs (append/overwrite tables) OR
+        {"buckets": {bucket_id: data_dir}} (bucketed tables)."""
         if version == 0:
             return []
         with open(self._manifest_path(name, version)) as f:
             return json.load(f)
 
-    def data_dirs(self, name: str) -> list[str]:
+    @staticmethod
+    def _manifest_paths(manifest, buckets: list[int] | None = None) -> list[str]:
+        """Relative data paths for a manifest; for bucketed manifests
+        optionally restricted to the given bucket ids (bucket pruning —
+        the Iceberg partition-pruning analog)."""
+        if isinstance(manifest, dict):
+            bm = manifest["buckets"]
+            items = bm.items() if buckets is None else (
+                (str(b), bm[str(b)]) for b in buckets if str(b) in bm
+            )
+            return [os.path.join(d, f"_bucket={b}") for b, d in items]
+        return list(manifest)
+
+    @staticmethod
+    def _manifest_dirs(manifest) -> set[str]:
+        """Top-level data dirs referenced by a manifest (for GC)."""
+        if isinstance(manifest, dict):
+            return set(manifest["buckets"].values())
+        return set(manifest)
+
+    def data_dirs(self, name: str, buckets: list[int] | None = None) -> list[str]:
         t = self._tdir(name)
-        return [os.path.join(t, d) for d in self._manifest(name, self.current_version(name))]
+        m = self._manifest(name, self.current_version(name))
+        return [os.path.join(t, p) for p in self._manifest_paths(m, buckets)]
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) > 0
@@ -76,9 +116,10 @@ class ParquetCatalog:
         the incremental-read primitive (Iceberg: incremental scan
         between snapshots).  For an append commit this is exactly the
         appended batch."""
-        dirs = self._manifest(name, version)
+        m = self._manifest(name, version)
         prev = self._manifest(name, version - 1) if version > 1 else []
-        new = [d for d in dirs if d not in prev]
+        prev_dirs = self._manifest_dirs(prev)
+        new = [p for p in self._manifest_paths(m) if p.split(os.sep)[0] not in prev_dirs]
         if not new:
             return None
         return spark.read.parquet(*[os.path.join(self._tdir(name), d) for d in new])
@@ -111,16 +152,69 @@ class ParquetCatalog:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer(name))
+        self._gc(name, manifest, cur)
+        return v
+
+    def _gc(self, name: str, manifest, cur: int) -> None:
         # retain only dirs referenced by the current or previous
         # manifest (Iceberg: expire_snapshots)
-        keep = set(manifest) | set(self._manifest(name, cur) if cur else [])
+        keep = self._manifest_dirs(manifest) | (
+            self._manifest_dirs(self._manifest(name, cur)) if cur else set()
+        )
         for d in glob.glob(os.path.join(self._tdir(name), "d*")):
             if os.path.basename(d) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
-        return v
 
     def overwrite(self, df: DataFrame, name: str) -> int:
+        spec = self.bucket_spec(name)
+        if spec is not None:
+            return self._commit_bucketed(name, df, spec, replace_all=True)
         return self._commit(name, df, mode="overwrite")
+
+    # -- bucketed layout (Iceberg: bucket(n, keys) partition transform) -------
+    def _bucket_col(self, spec: dict):
+        return F.pmod(F.xxhash64(*spec["keys"]), F.lit(spec["n"])).cast("int")
+
+    def _commit_bucketed(
+        self, name: str, df: DataFrame, spec: dict, replace_all: bool = False
+    ) -> int:
+        """Write ``df`` partitioned by bucket into a new data dir and
+        update the bucket->dir manifest: buckets present in ``df`` now
+        point at the new dir; other buckets keep their previous dir
+        (untouched — zero IO).  ``replace_all`` drops prior buckets
+        entirely (overwrite semantics)."""
+        cur = self.current_version(name)
+        v = cur + 1
+        ddir = f"d{v:05d}"
+        out = os.path.join(self._tdir(name), ddir)
+        n_tasks = max(1, min(spec["n"], 256))
+        (
+            df.withColumn("_bucket", self._bucket_col(spec))
+            .repartition(n_tasks, F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
+        written = {
+            d.split("=", 1)[1]: ddir
+            for d in os.listdir(out)
+            if d.startswith("_bucket=")
+        }
+        prev = {} if replace_all or cur == 0 else dict(
+            self._manifest(name, cur)["buckets"]
+            if isinstance(self._manifest(name, cur), dict)
+            else {}
+        )
+        prev.update(written)
+        manifest = {"buckets": prev}
+        with open(self._manifest_path(name, v), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer(name))
+        self._gc(name, manifest, cur)
+        return v
 
     def commit_rows(self, name: str, rows: list[dict], schema, mode: str = "append") -> int:
         """Driver-side commit of a SMALL row set (lineage, checkpoints)
@@ -149,6 +243,12 @@ class ParquetCatalog:
         return v
 
     def append(self, spark: SparkSession, df: DataFrame, name: str) -> int:
+        spec = self.bucket_spec(name)
+        if spec is not None:
+            # bucketed tables keep one dir per bucket — an append is a
+            # key-novel merge (callers guarantee novelty, e.g. the
+            # placeholder backfill's anti-join)
+            return self.merge_upsert(spark, name, df, keys=spec["keys"], resolution="deterministic")
         if not self.exists(name):
             return self._commit(name, df, mode="overwrite")
         return self._commit(name, df, mode="append")
@@ -162,6 +262,7 @@ class ParquetCatalog:
         keys: list[str],
         tiebreak: list[str] | None = None,
         resolution: str = "replace",
+        buckets: int | None = None,
     ) -> int:
         """``MERGE INTO name t USING updates s ON <keys> WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
@@ -182,7 +283,31 @@ class ParquetCatalog:
           independent of how rows were split across incremental
           batches (run(A);run(B) == run(A∪B) — FIXTURES.md §6).
         """
-        existing = self.read(spark, name)
+        spec = self.bucket_spec(name)
+        if spec is None and buckets:
+            if self.exists(name):
+                raise ValueError(
+                    f"table {name!r} already exists unbucketed; bucket specs "
+                    "must be set before the first commit"
+                )
+            spec = {"keys": list(keys), "n": int(buckets)}
+            self._write_spec(name, keys, buckets)
+
+        touched: list[int] | None = None
+        if spec is not None:
+            # ---- bucket pruning (copy-on-write MERGE, Iceberg analog):
+            # only buckets that contain update keys are read, merged and
+            # rewritten; every other bucket keeps its existing data dir
+            # untouched in the new manifest.
+            updates = updates.withColumn("_ub", self._bucket_col(spec))
+            touched = sorted(
+                r["_ub"] for r in updates.select("_ub").distinct().collect()
+            )
+            updates = updates.drop("_ub")
+            dirs = self.data_dirs(name, buckets=touched) if self.exists(name) else []
+            existing = spark.read.parquet(*dirs) if dirs else None
+        else:
+            existing = self.read(spark, name)
         pool = updates
         if resolution == "deterministic" and existing is not None:
             matched = existing.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
@@ -204,9 +329,13 @@ class ParquetCatalog:
             .select("_w.*")
         )
         if existing is None:
+            if spec is not None:
+                return self._commit_bucketed(name, deduped, spec)
             return self._commit(name, deduped)
         kept = existing.join(deduped.select(*keys).distinct(), on=keys, how="left_anti")
         # the USING-join reorders key columns to the front — restore the
         # table's schema order so snapshots keep a stable column layout
         merged = kept.select(*existing.columns).unionByName(deduped.select(*existing.columns))
+        if spec is not None:
+            return self._commit_bucketed(name, merged, spec)
         return self._commit(name, merged)

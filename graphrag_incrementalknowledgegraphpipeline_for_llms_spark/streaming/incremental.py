@@ -47,12 +47,28 @@ def stream_pages_dir(
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
 
     def sink(batch_df, epoch_id: int):
+        # replay guard: foreachBatch re-delivers an epoch whose data
+        # commits landed but whose Spark checkpoint write crashed; the
+        # pipeline records applied epoch_ids in its own checkpoint
+        # table, so a replayed epoch is skipped instead of re-appended.
+        # (The residual window — crash BETWEEN the data appends and the
+        # catalog checkpoint commit — is closed chunk-level by the
+        # pipeline's anti-join against committed Chunk nodes.)
+        from ..plans.pipeline import CHECKPOINT_TABLE
+
+        cp = catalog.read(spark, CHECKPOINT_TABLE)
+        if cp is not None and "epoch_id" in cp.columns:
+            from pyspark.sql import functions as F
+
+            if cp.where(F.col("epoch_id") == epoch_id).limit(1).count() > 0:
+                return
         run_pipeline(
             spark,
             batch_df,
             catalog,
             incremental=True,
             extract_from_html=extract_from_html,
+            epoch_id=epoch_id,
         )
 
     return (

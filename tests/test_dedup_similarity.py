@@ -41,6 +41,26 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (1, 5) not in pairs and (1, 6) not in pairs
 
 
+def test_short_docs_do_not_crash(spark):
+    """Docs with fewer tokens than the shingle size must yield empty
+    shingle arrays (matching the DuckDB oracle), not a Spark
+    INVALID_PARAMETER_VALUE.START error, and must NOT all collide into
+    one all-null-signature LSH bucket."""
+    short = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""), (4, "a proper three token document here"),
+         (5, "a proper three token document here")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(short, shingle_n=3, num_hashes=8)
+    rows = sigs.collect()
+    assert {r["doc_id"] if "doc_id" in r else r["id"] for r in rows} == {4, 5}
+    cands = dedup.minhash_lsh_candidates(sigs, bands=4, rows_per_band=2).collect()
+    assert {(r["a_id"], r["b_id"]) for r in cands} == {(4, 5)}
+    assert dedup.ngram_jaccard_pairs(short, threshold=0.3, shingle_n=3).count() == 1
+    assert dedup.ngram_jaccard_pairs_inverted(short, threshold=0.3, shingle_n=3).count() == 1
+    assert dedup.simhash(short).count() == 4  # only the empty doc drops
+
+
 def test_simhash_hamming(spark, docs):
     fps = dedup.simhash(docs)
     cands = dedup.simhash_candidates(fps, prefix_bits=8, max_hamming=10)

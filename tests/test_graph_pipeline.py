@@ -131,3 +131,42 @@ class TestPipeline:
         rows = pipeline.chunks_from_pages(pages).select("doc_id", "chunk_id", "text").collect()
         for r in rows:
             assert r["chunk_id"] == p.chunk_id_for(r["doc_id"], r["text"])
+
+
+class TestBucketedMerge:
+    """Bucket-pruned copy-on-write MERGE (catalog._commit_bucketed)."""
+
+    def test_untouched_buckets_keep_their_data_dir(self, spark, catalog):
+        import json, os
+
+        rows = [(f"k{i}", f"v{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "id string, val string")
+        catalog.merge_upsert(spark, "t", df, keys=["id"], buckets=8)
+        m1 = catalog._manifest("t", catalog.current_version("t"))["buckets"]
+        assert set(m1.values()) == {"d00001"} and len(m1) == 8
+
+        upd = spark.createDataFrame([("k0", "NEW")], "id string, val string")
+        catalog.merge_upsert(spark, "t", upd, keys=["id"])
+        m2 = catalog._manifest("t", catalog.current_version("t"))["buckets"]
+        # exactly one bucket rewritten; the other 7 still point at d00001
+        assert sorted(set(m2.values())) == ["d00001", "d00002"]
+        assert sum(1 for v in m2.values() if v == "d00002") == 1
+
+        got = {r["id"]: r["val"] for r in catalog.read(spark, "t").collect()}
+        assert len(got) == 200 and got["k0"] == "NEW" and got["k1"] == "v1"
+
+    def test_bucketed_read_after_many_merges(self, spark, catalog):
+        df = spark.createDataFrame([(f"k{i}", i) for i in range(50)], "id string, v long")
+        catalog.merge_upsert(spark, "t2", df, keys=["id"], buckets=4)
+        for step in range(3):
+            upd = spark.createDataFrame([(f"k{step}", 100 + step)], "id string, v long")
+            catalog.merge_upsert(spark, "t2", upd, keys=["id"])
+        got = {r["id"]: r["v"] for r in catalog.read(spark, "t2").collect()}
+        assert len(got) == 50
+        assert got["k0"] == 100 and got["k1"] == 101 and got["k2"] == 102 and got["k5"] == 5
+
+    def test_bucketed_rejects_late_spec(self, spark, catalog):
+        df = spark.createDataFrame([("a", 1)], "id string, v long")
+        catalog.merge_upsert(spark, "t3", df, keys=["id"])  # unbucketed
+        with pytest.raises(ValueError):
+            catalog.merge_upsert(spark, "t3", df, keys=["id"], buckets=4)

@@ -168,3 +168,75 @@ class TestHtml:
             hashlib.sha256(p.extract_text(h).encode()).hexdigest()
             == hashlib.sha256(text.encode()).hexdigest()
         )
+
+
+class TestNlpExtraction:
+    """T4 golden fixtures — one per branch of ConceptExtractor.scala:157-256."""
+
+    def _by_origin(self, text):
+        out = {}
+        for c in p.extract_concepts_nlp(text):
+            out.setdefault(c.origin, []).append(c.surface)
+        return out
+
+    def test_multiword_entity_merge(self):
+        # consecutive same-NER tokens merge into ONE surface
+        got = self._by_origin("visited New York yesterday")
+        assert got["NER_LOCATION"] == ["New York"]
+
+    def test_entity_type_change_splits(self):
+        # LOCATION then PERSON: chain flushes at the type boundary
+        got = self._by_origin("from London Paris Alice Smith came home")
+        assert got["NER_LOCATION"] == ["London Paris"]
+        assert got["NER_PERSON"] == ["Alice Smith"]
+
+    def test_punctuation_breaks_chain(self):
+        # "New, York" — CoreNLP would tokenize the comma as O; the
+        # trailing punctuation on the raw token breaks the entity
+        got = self._by_origin("in New, York today")
+        assert got["NER_LOCATION"] == ["New", "York"]
+
+    def test_trailing_entity_flushed(self):
+        got = self._by_origin("they moved to Tokyo")
+        assert got["NER_LOCATION"] == ["Tokyo"]
+
+    def test_pos_noun_branches(self):
+        got = self._by_origin("the Compiler wrote documents about regression")
+        assert "Compiler" in got["POS_NNP"]
+        assert "documents" in got["POS_NNS"]
+        assert "regression" in got["POS_NN"]
+
+    def test_pos_gates(self):
+        # stopword (The), len<=2 (ab... no: 'ab' stripped len 2), digits
+        got = self._by_origin("The ab 123 Figure")
+        assert "POS_NNP" not in got or "Figure" not in got.get("POS_NNP", [])
+        assert all("The" not in v and "ab" not in v and "123" not in v for v in got.values())
+
+    def test_heuristic_union_camel_acronym_only(self):
+        got = self._by_origin("the DataStream uses an API for Tokyo")
+        assert got["NER_LOCATION"] == ["Tokyo"]
+        assert "DataStream" in got["camelCase"]
+        assert "API" in got["acronym"]
+        # plain-capitalized heuristic concepts (origin NER) are NOT unioned
+        assert "NER" not in got
+
+    def test_union_is_lemma_novel(self):
+        # NNP 'Datastream'? no — craft: POS_NNP 'Api' lemma 'api' blocks acronym 'API' lemma 'api'
+        got = self._by_origin("the Api spec and the API")
+        assert "Api" in got.get("POS_NNP", [])
+        assert "acronym" not in got  # lemma 'api' already present
+
+    def test_fallback_on_error(self, monkeypatch):
+        calls = {"n": 0}
+
+        def boom(raw):
+            raise RuntimeError("tagger died")
+
+        monkeypatch.setattr(p, "_token_tags", boom)
+        got = p.extract_concepts_nlp("GraphRAG uses an API")
+        origins = {c.origin for c in got}
+        assert origins and origins <= {"NER", "camelCase", "acronym", "technicalTerm"}
+
+    def test_dedup_full_identity_first_seen(self):
+        got = p.extract_concepts_nlp("Tokyo then Tokyo again")
+        assert [c.surface for c in got if c.origin == "NER_LOCATION"] == ["Tokyo"]
