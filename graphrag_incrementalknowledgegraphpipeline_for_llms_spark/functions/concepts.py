@@ -91,6 +91,62 @@ _enrich_udf = _make_enrich_udf(purecore.extract_concepts)
 _enrich_nlp_udf = _make_enrich_udf(purecore.extract_concepts_nlp)
 
 
+HTML_ENRICH_STRUCT = T.StructType(
+    [T.StructField("text", T.StringType(), True)] + list(ENRICH_STRUCT.fields)
+)
+
+
+def _make_html_enrich_udf(extractor):
+    """html->text + concept extraction FUSED into one Arrow pass: the
+    chained-UDF plan (extract_text_udf -> _enrich_udf) pays two
+    JVM<->Python round trips per batch with the full text payload on
+    the wire both times; fusing halves that and keeps one Python worker
+    per task instead of two."""
+
+    @F.pandas_udf(HTML_ENRICH_STRUCT)
+    def _enrich(htmls: pd.Series) -> pd.DataFrame:
+        texts, concepts, ev, ev100 = [], [], [], []
+        for b in htmls:
+            t = purecore.extract_text(bytes(b)) if b is not None else None
+            texts.append(t)
+            if not t:
+                concepts.append([])
+                ev.append("" if t == "" else None)
+                ev100.append("" if t == "" else None)
+                continue
+            concepts.append([c._asdict() for c in extractor(t)])
+            e = purecore.utf16_take(t, purecore.EVIDENCE_LIMIT)
+            ev.append(e)
+            ev100.append(purecore.utf16_take(e, purecore.FALLBACK_EVIDENCE_LIMIT))
+        return pd.DataFrame(
+            {"text": texts, "concepts": concepts, "evidence": ev, "evidence100": ev100}
+        )
+
+    return _enrich
+
+
+_html_enrich_udf = _make_html_enrich_udf(purecore.extract_concepts)
+_html_enrich_nlp_udf = _make_html_enrich_udf(purecore.extract_concepts_nlp)
+
+
+def enrich_pages_from_html(
+    pages: DataFrame, html_col: str = "html", strategy: str = "heuristic"
+) -> DataFrame:
+    """One fused Arrow pass over raw pages: html -> text -> concepts /
+    evidence / evidence100.  Returns pages with ``text``, ``concepts``,
+    ``evidence``, ``evidence100`` columns added (html dropped)."""
+    udf = {"heuristic": _html_enrich_udf, "nlp": _html_enrich_nlp_udf}[strategy]
+    return (
+        pages.withColumn("_e", udf(F.col(html_col)))
+        .drop(html_col)
+        .withColumn("text", F.col("_e.text"))
+        .withColumn("concepts", F.col("_e.concepts"))
+        .withColumn("evidence", F.col("_e.evidence"))
+        .withColumn("evidence100", F.col("_e.evidence100"))
+        .drop("_e")
+    )
+
+
 def with_concepts(
     chunks: DataFrame, text_col: str = "text", strategy: str = "heuristic"
 ) -> DataFrame:

@@ -84,12 +84,15 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         base.alias("_base"),
     ).where(F.size("_base") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_base"), lambda h, i=i: F.xxhash64(F.lit(i), h)))
-            for i in range(num_hashes)
-        ]
-    )
+    def _min_hash_i(i: int):
+        # NOTE: the lambda MUST be unary — pyspark passes (element,
+        # array_index) to a binary lambda, so a `lambda h, i=i:` binds
+        # the ARRAY INDEX over the captured hash-function index and
+        # every signature position computes the same function (caught
+        # by the exact pytest oracle in test_rowsonly_oracles).
+        return F.array_min(F.transform(F.col("_base"), lambda h: F.xxhash64(F.lit(i), h)))
+
+    sig = F.array(*[_min_hash_i(i) for i in range(num_hashes)])
     return proj.select("id", sig.alias("sig"))
 
 
@@ -179,6 +182,78 @@ def simhash_candidates(fps: DataFrame, prefix_bits: int = 16, max_hamming: int =
     )
 
 
+def _shingle_sets(df, text_col, id_col, shingle_n, group_col=None):
+    """(id [, grp], sh: sorted distinct shingle hashes, n: |sh|)."""
+    sh = F.array_sort(
+        F.array_distinct(
+            F.transform(_word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(group_col).alias("grp")] if group_col else []),
+            sh.alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("n", F.size("sh"))
+    )
+
+
+def ngram_jaccard_prefix_candidates(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT candidate generation via prefix filtering (PPJoin family):
+    under any global token order, J(a,b) >= t implies |a∩b| >= ⌈t·|a|⌉,
+    so the first |a| - ⌈t·|a|⌉ + 1 sorted shingles of each side must
+    share an element.  The self-join runs on exploded PREFIX tokens
+    only — never all pairs, never full shingle arrays through the
+    shuffle.  Global order = hash order (≈uniform doc frequency); a
+    frequency-ascending order would prune harder but needs a stats
+    pass.  Returns distinct (a_id, b_id) with a size-ratio prefilter
+    applied (J <= min/max)."""
+    base = _shingle_sets(df, text_col, id_col, shingle_n)
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))).cast("int") + F.lit(1)
+    ex = base.select(
+        "id", "n", F.explode(F.slice("sh", F.lit(1), plen)).alias("h")
+    )
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(r, "h")
+        .where(F.col("l.id") < F.col("r.id"))
+        .where(
+            F.least("l.n", "r.n") >= F.greatest("l.n", "r.n") * F.lit(float(threshold))
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over a candidate-pair DataFrame (a_id, b_id) —
+    the verify step behind every bucketed/prefix candidate source."""
+    base = _shingle_sets(df, text_col, id_col, shingle_n)
+    a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    j = candidates.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (inter / (F.col("n_a") + F.col("n_b") - inter)).cast("double")
+    return j.select(
+        "a_id", "b_id", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -186,33 +261,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs.  With ``group_col``
-    the join is bounded within groups (the oracle-checkable small
-    variant); production recall comes from minhash_lsh_candidates
-    feeding this as the verify step."""
+    """Exact n-gram Jaccard pairs.  Path selection (all EXACT output):
+
+    * ``candidates`` given — verify those pairs only (e.g. from
+      minhash_lsh_candidates for approximate recall, or any external
+      blocking).
+    * ``group_col`` given — within-group join (bounded small groups).
+    * neither — prefix-filtered self-join (scale-safe default; the
+      former all-pairs cross join is gone)."""
+    if candidates is not None:
+        return ngram_jaccard_verify(df, candidates, threshold, shingle_n, text_col, id_col)
+    if group_col is None:
+        cands = ngram_jaccard_prefix_candidates(df, threshold, shingle_n, text_col, id_col)
+        return ngram_jaccard_verify(df, cands, threshold, shingle_n, text_col, id_col)
     # Distinct shingles hashed to longs (set cardinality preserved;
     # long-array intersections are far cheaper than string ones) + a
-    # size-ratio prefilter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so
-    # pairs failing the ratio can never reach the threshold.
-    #
-    # Shape note (measured at sf0.1): an inverted-index self-join on
-    # shingle hash loses badly when shingle document-frequencies are
-    # high (Σ df² blowup) — see ngram_jaccard_pairs_inverted below for
-    # the sparse-overlap variant; pick by corpus statistics.
-    sh = F.array_distinct(
-        F.transform(_word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(group_col).alias("grp")] if group_col else []),
-        sh.alias("sh"),
-    ).where(F.size("sh") > 0).withColumn("n", F.size("sh"))
+    # within-group path: size-ratio prefilter (J <= min/max) bounds the
+    # join; groups must be small (the oracle-checkable variant)
+    base = _shingle_sets(df, text_col, id_col, shingle_n, group_col)
     l = base.alias("l")
     r = base.alias("r")
-    on = [F.col("l.grp") == F.col("r.grp")] if group_col else []
     joined = (
-        l.join(r, on if on else F.lit(True))
+        l.join(r, [F.col("l.grp") == F.col("r.grp")])
         .where(F.col("l.id") < F.col("r.id"))
         .where(
             F.least("l.n", "r.n") >= F.greatest("l.n", "r.n") * F.lit(float(threshold))

@@ -130,26 +130,77 @@ def ann_topk(
     )
 
 
+def srp_candidate_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (a_id, b_id) pairs sharing >= 1 SRP band bucket — the
+    scale-safe candidate source for near-dup verification.  Join key is
+    (band, bucket): skew is bounded by true near-dup cluster sizes, the
+    same shape as minhash_lsh_candidates."""
+    b = srp_buckets(embeddings, dim, n_planes, bands, seed, id_col, vec_col).select(
+        "id", "band", "bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str | None = None,
+    candidates: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate vector pairs by cosine.  With ``group_col`` the
-    candidate join is within groups (oracle-checkable small variant);
-    at scale feed srp_buckets co-membership instead."""
+    """Near-duplicate vector pairs by exact cosine.  Candidate source:
+
+    * ``candidates`` (a_id, b_id) — verify those pairs (external
+      blocking, e.g. :func:`srp_candidate_pairs`).
+    * ``group_col`` — within-group join (bounded small groups; the
+      oracle-checkable variant).
+    * neither — SRP-LSH bucket co-membership (requires ``dim``); the
+      former all-pairs cross join is gone.
+    """
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         *([F.col(group_col).alias("grp")] if group_col else []),
     )
+    if candidates is None and group_col is None:
+        if dim is None:
+            raise ValueError(
+                "embedding_near_dups without group_col/candidates needs dim= "
+                "for the SRP-LSH default path (all-pairs is not offered)"
+            )
+        candidates = srp_candidate_pairs(
+            embeddings, dim, id_col=id_col, vec_col=vec_col
+        )
+    if candidates is not None:
+        a = base.select(F.col("id").alias("a_id"), F.col("vec").alias("vec_a"))
+        b = base.select(F.col("id").alias("b_id"), F.col("vec").alias("vec_b"))
+        sim = F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6)
+        return (
+            candidates.join(a, "a_id")
+            .join(b, "b_id")
+            .select("a_id", "b_id", sim.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
     l, r = base.alias("l"), base.alias("r")
-    on = [F.col("l.grp") == F.col("r.grp")] if group_col else [F.lit(True)]
     sim = F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6)
     return (
-        l.join(r, on)
+        l.join(r, [F.col("l.grp") == F.col("r.grp")])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)

@@ -1,0 +1,396 @@
+"""HTTP API surface with the reference's request/response shapes.
+
+The reference serves these over Akka HTTP (api/ApiServer.scala:51-68,
+api/routes/*.scala, api/models/ApiModels.scala); here the same JSON
+contract is a stdlib ``ThreadingHTTPServer`` over the library's query
+functions — no extra dependencies, Spark handles concurrent actions
+from handler threads natively.
+
+Endpoints (paths and DTO field names match ApiModels.scala verbatim):
+
+* ``GET  /health``                          -> "OK"            (ApiServer.scala:52-56)
+* ``GET  /v1/metadata``                     -> GraphMetadata   (MetadataRoute.scala:22-44)
+* ``GET  /v1/evidence/{conceptId}``         -> EvidenceResponse, 404 CONCEPT_NOT_FOUND
+                                               (EvidenceRoute.scala:22-53)
+* ``GET  /v1/graph/concept/{id}/neighbors`` -> ExploreResponse (ExploreRoute.scala:22-59)
+* ``POST /v1/query``                        -> QueryResponse sync (200) or async (202)
+                                               with the reference's async predicate
+                                               (QueryRoute.scala:37-41)
+* ``GET  /v1/jobs/{jobId}``                 -> JobStatus       (JobsRoute.scala:69-90)
+* ``GET  /v1/jobs/{jobId}/result``          -> QueryResponse   (JobsRoute.scala:92-130)
+* ``GET  /v1/explain/trace/{requestId}``    -> ExecutionTrace — with Catalyst's REAL
+                                               plan steps, not the reference's mock
+                                               (ExplainRoute.scala:23-54)
+
+Every response is wrapped in ApiResponse {success, data?, error?,
+traceId?} (ApiModels.scala:12-23).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import api as apimod
+from . import queries as q
+
+
+def _now_iso() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+class GraphApiService:
+    """Query services over the nodes/edges/mentions tables (the
+    Neo4jQueryService analog, backed by Spark instead of Cypher)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        nodes: DataFrame,
+        edges: DataFrame,
+        mentions: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.nodes = nodes
+        self.edges = edges
+        self.mentions = mentions
+        self.jobs = apimod.JobRegistry()
+        self.job_requests: dict[str, dict] = {}
+        self.traces: dict[str, dict] = {}
+
+    # -- service methods (DTO-shaped dicts) -------------------------------
+
+    def metadata(self) -> dict:
+        m = q.graph_metadata(self.nodes, self.edges)
+        return {
+            "nodeCount": m["total_nodes"],
+            "edgeCount": m["total_relationships"],
+            "conceptCount": m["concept_count"],
+            "chunkCount": m["chunk_count"],
+            "relationTypes": m["relationship_types"],
+            "lastUpdated": _now_iso(),
+        }
+
+    def _concept_row(self, concept_id: str):
+        rows = (
+            self.nodes.where((F.col("label") == "Concept") & (F.col("id") == concept_id))
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def evidence(self, concept_id: str) -> dict:
+        """EvidenceResponse (Neo4jQueryService.scala:126-192)."""
+        c = self._concept_row(concept_id)
+        if c is None:
+            raise KeyError(f"Concept not found: {concept_id}")
+        chunk_nodes = self.nodes.where(F.col("label") == "Chunk")
+        hits = (
+            self.edges.where(
+                (F.col("rel") == "MENTIONS") & (F.col("dst_id") == concept_id)
+            )
+            .select(F.col("src_id").alias("id"))
+            .distinct()
+        )
+        chunks = hits.join(chunk_nodes, "id").orderBy("id").limit(100).collect()
+        return {
+            "conceptId": concept_id,
+            "lemma": c["lemma"],
+            "surface": c["surface"],
+            "chunks": [
+                {
+                    "chunkId": r["id"],
+                    "docId": r["doc_id"],
+                    "text": r["text"],
+                    "sourceUri": r["source_uri"],
+                    "span": {"start": r["span_start"] or 0, "end": r["span_end"] or 0},
+                }
+                for r in chunks
+            ],
+            "totalMentions": len(chunks),
+        }
+
+    def neighbors(self, concept_id: str, limit: int = 20) -> dict:
+        """ExploreResponse (Neo4jQueryService.scala:201-295)."""
+        c = self._concept_row(concept_id)
+        if c is None:
+            raise KeyError(f"Concept not found: {concept_id}")
+        nbrs = q.concept_neighbors(self.nodes, self.edges, concept_id, top_k=limit).collect()
+        rels = q.neighbor_edges(self.edges, concept_id, top_k=limit).collect()
+
+        def node(r, id_key):
+            return {
+                "conceptId": r[id_key],
+                "lemma": r["lemma"],
+                "surface": r["surface"],
+                "origin": r["origin"],
+            }
+
+        return {
+            "center": node({"concept_id": concept_id, **{k: c[k] for k in ("lemma", "surface", "origin")}}, "concept_id"),
+            "neighbors": [node(r, "nbr_id") for r in nbrs],
+            "relations": [
+                {
+                    "fromConceptId": r["cid"],
+                    "toConceptId": r["nbr_id"],
+                    "relationType": r["rel"],
+                    "confidence": r["confidence"],
+                    "evidence": r["evidence"],
+                }
+                for r in rels
+            ],
+            "totalNeighbors": len(nbrs),
+        }
+
+    def search(self, pattern: str, top_k: int = 20) -> list[dict]:
+        """QueryResult list (Neo4jQueryService.scala:304-428)."""
+        rows = q.search_concepts(self.nodes, self.edges, pattern, top_k=top_k).collect()
+        return [
+            {
+                "conceptId": r["concept_id"],
+                "lemma": r["lemma"],
+                "relatedConcepts": list(r["related_lemmas"]),
+                "score": float(r["score"]),
+            }
+            for r in rows
+        ]
+
+    # -- query orchestration ----------------------------------------------
+
+    @staticmethod
+    def should_use_async(req: dict) -> bool:
+        """The reference's async predicate (QueryRoute.scala:37-41)."""
+        output = req.get("output") or {}
+        constraints = req.get("constraints") or {}
+        return bool(
+            (output.get("groupBy"))
+            or req.get("timeRange") is not None
+            or constraints.get("datasets")
+            or constraints.get("baselines")
+        )
+
+    @staticmethod
+    def group_results(results: list[dict], group_by: list[str] | None):
+        """QueryRoute.scala:46-66 — group by the lemma's first token."""
+        if not group_by or not group_by[0]:
+            return None
+        key = group_by[0]
+        grouped: dict[str, list[dict]] = {}
+        for r in results:
+            gv = r["lemma"].split("_")[0] or "other"
+            grouped.setdefault(gv, []).append(r)
+        return [
+            {"key": {key: gv}, "items": items} for gv, items in grouped.items()
+        ]
+
+    def run_query(self, req: dict, request_id: str) -> dict:
+        top_k = (req.get("output") or {}).get("topKPerGroup") or 20
+        t0 = time.monotonic()
+        results = self.search(req["query"], top_k)
+        groups = self.group_results(results, (req.get("output") or {}).get("groupBy"))
+        self.traces[request_id] = {
+            "query": req["query"],
+            "n_results": len(results),
+            "executionTimeMs": int((time.monotonic() - t0) * 1000),
+        }
+        return {
+            "mode": "sync",
+            "summary": f"Found {len(results)} concepts matching '{req['query']}'",
+            "results": results,
+            "groups": groups,
+            "jobId": None,
+            "statusLink": None,
+            "evidenceAvailable": bool(results),
+            "explainLink": f"/v1/explain/trace/{request_id}",
+        }
+
+    def submit_async(self, req: dict, request_id: str) -> dict:
+        top_k = (req.get("output") or {}).get("topKPerGroup") or 20
+        job_id = self.jobs.submit(
+            lambda: q.search_concepts(self.nodes, self.edges, req["query"], top_k=top_k)
+        )
+        self.job_requests[job_id] = {"req": req, "request_id": request_id}
+        return {
+            "mode": "async",
+            "summary": "Query submitted for asynchronous processing",
+            "results": None,
+            "groups": None,
+            "jobId": job_id,
+            "statusLink": f"/v1/jobs/{job_id}",
+            "evidenceAvailable": True,
+            "explainLink": f"/v1/explain/trace/{request_id}",
+        }
+
+    def job_status(self, job_id: str) -> dict | None:
+        s = self.jobs.status(job_id)
+        if s is None:
+            return None
+        return {
+            "jobId": s.job_id,
+            "state": s.state,
+            "startedAt": None,
+            "finishedAt": None,
+            "progress": 100 if s.state in ("SUCCEEDED", "FAILED") else 0,
+            "resultLink": f"/v1/jobs/{s.job_id}/result",
+            "error": s.error,
+        }
+
+    def job_result(self, job_id: str) -> tuple[int, dict]:
+        s = self.jobs.status(job_id)
+        if s is None:
+            return 404, {"code": "NOT_FOUND", "message": f"Job not found: {job_id}"}
+        if s.state in ("PENDING", "RUNNING"):
+            return 202, {"jobId": job_id, "state": s.state}
+        if s.state == "FAILED":
+            return 500, {"code": "JOB_FAILED", "message": s.error or "Job failed"}
+        meta = self.job_requests.get(job_id, {})
+        req = meta.get("req", {"query": ""})
+        results = [
+            {
+                "conceptId": r["concept_id"],
+                "lemma": r["lemma"],
+                "relatedConcepts": list(r["related_lemmas"]),
+                "score": float(r["score"]),
+            }
+            for r in (s.result or [])
+        ]
+        groups = self.group_results(results, (req.get("output") or {}).get("groupBy"))
+        return 200, {
+            "mode": "async",
+            "summary": f"Found {len(results)} concepts matching '{req.get('query', '')}'",
+            "results": results,
+            "groups": groups,
+            "jobId": job_id,
+            "statusLink": f"/v1/jobs/{job_id}",
+            "evidenceAvailable": bool(results),
+            "explainLink": f"/v1/explain/trace/{meta.get('request_id', '')}",
+        }
+
+    def explain(self, request_id: str) -> dict:
+        """ExecutionTrace with Catalyst's REAL plan (ExplainRoute mock
+        upgraded; counters from the traced run)."""
+        trace = self.traces.get(request_id)
+        df = q.search_concepts(self.nodes, self.edges, trace["query"] if trace else "")
+        plan = apimod.explain_trace(df)
+        return {
+            "requestId": request_id,
+            "query": trace["query"] if trace else "",
+            "plan": [{"step": s, "cypher": None, "detail": None} for s in plan["steps"]],
+            "counters": {
+                "nodesRead": trace["n_results"] if trace else 0,
+                "relationshipsRead": 0,
+                "llmCalls": 0,
+                "cacheHits": 0,
+            },
+            "executionTimeMs": trace["executionTimeMs"] if trace else 0,
+            "promptVersions": None,
+        }
+
+
+def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) a ThreadingHTTPServer; caller runs
+    ``serve_forever`` in a thread and ``shutdown()`` when done."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence request logging
+            pass
+
+        def _send(self, code: int, payload, wrap: bool = True, error: dict | None = None):
+            if wrap:
+                body = {
+                    "success": error is None,
+                    "data": payload,
+                    "error": error,
+                    "traceId": str(uuid.uuid4()),
+                }
+            else:
+                body = payload
+            data = json.dumps(body).encode() if not isinstance(body, str) else body.encode()
+            self.send_response(code)
+            self.send_header(
+                "Content-Type",
+                "application/json" if not isinstance(body, str) else "text/plain",
+            )
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, code: int, err_code: str, message: str, details: str | None = None):
+            self._send(code, None, error={"code": err_code, "message": message, "details": details})
+
+        def do_GET(self):
+            try:
+                path = self.path.split("?")[0].rstrip("/")
+                qs = {}
+                if "?" in self.path:
+                    from urllib.parse import parse_qs
+
+                    qs = {k: v[0] for k, v in parse_qs(self.path.split("?", 1)[1]).items()}
+                if path == "/health":
+                    return self._send(200, "OK", wrap=False)
+                if path == "/v1/metadata":
+                    return self._send(200, service.metadata())
+                if path.startswith("/v1/evidence/"):
+                    cid = path[len("/v1/evidence/"):]
+                    try:
+                        return self._send(200, service.evidence(cid))
+                    except KeyError as e:
+                        return self._error(404, "CONCEPT_NOT_FOUND", str(e))
+                if path.startswith("/v1/graph/concept/") and path.endswith("/neighbors"):
+                    cid = path[len("/v1/graph/concept/"):-len("/neighbors")]
+                    try:
+                        return self._send(
+                            200, service.neighbors(cid, int(qs.get("limit", "20")))
+                        )
+                    except KeyError as e:
+                        return self._error(404, "CONCEPT_NOT_FOUND", str(e))
+                if path.startswith("/v1/jobs/") and path.endswith("/result"):
+                    job_id = path[len("/v1/jobs/"):-len("/result")]
+                    code, payload = service.job_result(job_id)
+                    if code in (200, 202):
+                        return self._send(code, payload)
+                    return self._error(code, payload["code"], payload["message"])
+                if path.startswith("/v1/jobs/"):
+                    st = service.job_status(path[len("/v1/jobs/"):])
+                    if st is None:
+                        return self._error(404, "NOT_FOUND", "Job not found")
+                    return self._send(200, st)
+                if path.startswith("/v1/explain/trace/"):
+                    return self._send(200, service.explain(path[len("/v1/explain/trace/"):]))
+                return self._error(404, "NOT_FOUND", f"No route for {path}")
+            except Exception as e:  # 500 shape (MetadataRoute.scala:34-41)
+                return self._error(500, "INTERNAL_ERROR", str(e), type(e).__name__)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                path = self.path.rstrip("/")
+                if path == "/v1/query":
+                    if "query" not in req:
+                        return self._error(400, "BAD_REQUEST", "missing 'query'")
+                    request_id = f"req-{uuid.uuid4().hex[:8]}"
+                    if service.should_use_async(req):
+                        return self._send(202, service.submit_async(req, request_id))
+                    return self._send(200, service.run_query(req, request_id))
+                return self._error(404, "NOT_FOUND", f"No route for {path}")
+            except json.JSONDecodeError as e:
+                return self._error(400, "BAD_REQUEST", f"invalid JSON: {e}")
+            except Exception as e:
+                return self._error(500, "INTERNAL_ERROR", str(e), type(e).__name__)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(service: GraphApiService, host: str = "127.0.0.1", port: int = 0):
+    """Start the server on a daemon thread; returns (server, port)."""
+    server = make_server(service, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]

@@ -56,10 +56,12 @@ class PipelineResult:
     stage_ms: dict[str, int] = field(default_factory=dict)
 
 
-def chunks_from_pages(pages: DataFrame) -> DataFrame:
+def chunks_from_pages(pages: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """1 page = 1 chunk (pass-through chunking like the reference's
     upstream); chunk_id/hash are content hashes, pure Spark SQL.
-    warc_ts is carried for the checkpoint high-water mark."""
+    warc_ts is carried for the checkpoint high-water mark.
+    ``extra_cols`` pass through already-computed enrichment columns
+    (the fused html+extraction path)."""
     text = F.coalesce(F.col("text"), F.lit(""))
     return pages.select(
         F.substring(F.sha2(F.concat(F.col("url"), F.lit("\x1f"), text), 256), 1, 16).alias(
@@ -73,6 +75,7 @@ def chunks_from_pages(pages: DataFrame) -> DataFrame:
         F.col("url").alias("source_uri"),
         F.sha2(text, 256).alias("hash"),
         F.col("warc_ts"),
+        *extra_cols,
     )
 
 
@@ -135,27 +138,44 @@ def run_pipeline(
     pages = pages.select(*[c for c in needed if c in pages.columns])
     if pages.rdd.getNumPartitions() < scan_partitions:
         pages = pages.repartition(scan_partitions, F.xxhash64("url"))
-    if extract_from_html:
-        pages = hf.with_extracted_text(pages)
     d()
 
     # ---- one extraction pass ------------------------------------------------
     d = clock("extract")
-    chunks = chunks_from_pages(pages)
-    if incremental and catalog.exists("nodes"):
+    enrich_cols = ("concepts", "evidence", "evidence100")
+    if extract_from_html:
+        # fused Arrow pass: html -> text -> concepts in ONE Python
+        # stage (two chained UDFs paid the text payload over the
+        # JVM<->Python wire twice)
+        enriched = chunks_from_pages(
+            cf.enrich_pages_from_html(pages, strategy=extraction_strategy),
+            extra_cols=enrich_cols,
+        )
+    else:
+        enriched = None  # built below, after the incremental anti-join
+
+    def _dedupe_known(df):
+        if not (incremental and catalog.exists("nodes")):
+            return df
         # the warc_ts high-water mark admits re-crawls of IDENTICAL
         # pages (chunk_id = sha256(url+text) ignores warc_ts); without
         # this anti-join a re-crawl would re-append duplicate
         # mentions/triples rows.  Cost shape: a 16-byte-key anti-join
-        # against a single column-pruned scan of the Chunk node ids —
-        # and it skips re-extraction of unchanged pages entirely.
+        # against a single column-pruned scan of the Chunk node ids.
         known = (
             catalog.read(spark, "nodes")
             .where(F.col("label") == "Chunk")
             .select(F.col("id").alias("chunk_id"))
         )
-        chunks = chunks.join(known, on="chunk_id", how="left_anti")
-    enriched = cf.with_concepts(chunks, strategy=extraction_strategy)
+        return df.join(known, on="chunk_id", how="left_anti")
+
+    if enriched is not None:
+        enriched = _dedupe_known(enriched)
+    else:
+        # text path: anti-join BEFORE the extraction UDF so unchanged
+        # re-crawls skip extraction entirely
+        chunks = _dedupe_known(chunks_from_pages(pages))
+        enriched = cf.with_concepts(chunks, strategy=extraction_strategy)
     if stage_mode == "parquet":
         catalog.overwrite(enriched, "_stage_enriched")
         enriched = catalog.read(spark, "_stage_enriched")
@@ -283,6 +303,9 @@ def run_pipeline(
     else:
         mentions_t = catalog.read(spark, "mentions")
         triples_t = catalog.read(spark, "triples")
+    # (measured: pre-deduping the two edge families separately before
+    # the MERGE adds shuffles and loses — one 5-key max_by dedup over
+    # the raw union is the cheapest correct shape at every core count)
     edges = graph.mention_edges(mentions_t, updated_at).unionByName(
         graph.relation_edges(triples_t, updated_at)
     )

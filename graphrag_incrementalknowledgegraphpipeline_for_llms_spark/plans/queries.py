@@ -80,12 +80,20 @@ def search_concepts(
 
 
 def chunks_mentioning(
-    mentions: DataFrame, chunks_or_nodes: DataFrame, concept_id: str, limit: int = 100
+    mentions: DataFrame, chunks_or_nodes: DataFrame, concept_id: str, limit: int = 100,
+    require_exists: bool = True,
 ) -> DataFrame:
     """Q3 evidence/provenance (Neo4jQueryService.scala:126-192):
     chunks that MENTION a concept, LIMIT 100.  Ordered by chunk_id for
-    a deterministic limit (the reference's LIMIT is storage-order)."""
+    a deterministic limit (the reference's LIMIT is storage-order).
+
+    A concept id with NO mention rows raises KeyError, mirroring the
+    reference's `NoSuchElementException("Concept not found")`
+    (Neo4jQueryService.scala:141-143); pass ``require_exists=False``
+    for the silent-empty behavior."""
     hits = mentions.where(F.col("concept_id") == concept_id).select("chunk_id").distinct()
+    if require_exists and hits.limit(1).count() == 0:
+        raise KeyError(f"Concept not found: {concept_id}")
     return (
         hits.join(chunks_or_nodes, "chunk_id")
         .orderBy("chunk_id")

@@ -107,7 +107,7 @@ def test_ann_matches_brute_force_top1(spark, vecs):
 def test_embedding_near_dups(spark, vecs):
     pairs = {
         (r["a_id"], r["b_id"]): r["cosine"]
-        for r in similarity.embedding_near_dups(vecs, threshold=0.9).collect()
+        for r in similarity.embedding_near_dups(vecs, threshold=0.9, group_col="label").collect()
     }
     assert (0, 1) in pairs and (2, 3) in pairs
     assert all(v >= 0.9 for v in pairs.values())
@@ -120,3 +120,57 @@ def test_ann_recall_on_real_embeddings(spark):
     ann = [r["vec_id"] for r in similarity.ann_topk(emb, q, dim=64, k=5).collect()]
     # LSH recall: the query vector itself must be found; overlap is expected
     assert ann[0] == exact[0] == 0
+
+
+def test_prefix_filtered_jaccard_matches_bruteforce(spark):
+    """ngram_jaccard_pairs default (prefix-filtered, no group) must be
+    EXACT: same rows as the within-group brute join over one group."""
+    docs = spark.createDataFrame(
+        [(i, t, "g") for i, t in DOCS], "doc_id long, text string, grp string"
+    )
+    brute = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3, shingle_n=2, group_col="grp").collect()
+    }
+    prefix = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3, shingle_n=2).collect()
+    }
+    assert prefix == brute and len(brute) >= 2
+
+
+def test_jaccard_with_external_candidates(spark, docs):
+    cands = spark.createDataFrame([(1, 2), (1, 5)], "a_id long, b_id long")
+    rows = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, shingle_n=2, candidates=cands
+        ).collect()
+    }
+    assert rows == {(1, 2): 1.0}  # (1,5) verified and rejected
+
+
+def test_embedding_near_dups_requires_dim_or_candidates(spark, vecs):
+    with pytest.raises(ValueError, match="dim"):
+        similarity.embedding_near_dups(vecs, threshold=0.9)
+
+
+def test_embedding_near_dups_srp_default(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dup of vec 0 (tiny perturbation -> same SRP buckets
+    # with overwhelming probability, cosine ~ 1)
+    rows.append((100, [float(x) for x in base[0] + 1e-4 * rng.randn(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.embedding_near_dups(emb, threshold=0.99, dim=64).collect()
+    }
+    assert (0, 100) in got
+    # exact-verify step: random pairs can never pass the 0.99 gate
+    assert all(a == 0 and b == 100 for a, b in got)

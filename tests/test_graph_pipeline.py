@@ -105,6 +105,21 @@ class TestPipeline:
         for t in ["nodes", "edges", "mentions", "triples"]:
             assert _table(spark, catalog, t) == _table(spark, full_cat, t), t
 
+    def test_recrawl_identical_pages_no_duplicates(self, spark, catalog):
+        """FIXTURES.md §6 re-crawl scenario: identical pages with a
+        NEWER warc_ts pass the high-water-mark filter but must not
+        duplicate flat-table rows (chunk anti-join)."""
+        pages = datagen.pages_df(spark, 30)
+        r1 = pipeline.run_pipeline(spark, pages, catalog, extract_from_html=True)
+        snap = {t: _table(spark, catalog, t) for t in ["mentions", "triples", "nodes", "edges"]}
+        recrawl = pages.withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")
+        )
+        r2 = pipeline.run_pipeline(spark, recrawl, catalog, extract_from_html=True)
+        assert r2.pages == 0  # all chunks known -> nothing re-extracted
+        for t, before in snap.items():
+            assert _table(spark, catalog, t) == before, t
+
     def test_lineage_written(self, spark, catalog):
         pages = datagen.pages_df(spark, 20)
         pipeline.run_pipeline(spark, pages, catalog)

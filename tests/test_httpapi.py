@@ -1,0 +1,147 @@
+"""HTTP API surface: reference request/response shapes over a live
+ThreadingHTTPServer (ApiServer.scala:51-68, QueryRoute.scala:37-139,
+ApiModels.scala field names)."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import concepts as cf
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import graph
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import httpapi, pipeline
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    cat = ParquetCatalog(str(tmp_path_factory.mktemp("api_cat")))
+    pages = datagen.pages_df(spark, 40)
+    pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
+    svc = httpapi.GraphApiService(
+        spark, cat.read(spark, "nodes"), cat.read(spark, "edges")
+    )
+    srv, port = httpapi.serve_background(svc)
+    yield f"http://127.0.0.1:{port}", svc
+    srv.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        body = r.read().decode()
+        return r.status, json.loads(body) if body.startswith("{") else body
+
+
+def _get_raw(base, path):
+    req = urllib.request.Request(base + path)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_health(server):
+    base, _ = server
+    status, body = _get(base, "/health")
+    assert status == 200 and body == "OK"
+
+
+def test_metadata_shape(server):
+    base, _ = server
+    status, body = _get(base, "/v1/metadata")
+    assert status == 200 and body["success"] is True and body["traceId"]
+    data = body["data"]
+    assert set(data) == {
+        "nodeCount", "edgeCount", "conceptCount", "chunkCount",
+        "relationTypes", "lastUpdated",
+    }
+    assert data["nodeCount"] > 0 and "MENTIONS" in data["relationTypes"]
+
+
+def test_query_sync_and_explain(server):
+    base, _ = server
+    status, body = _post(base, "/v1/query", {"query": "page"})
+    assert status == 200
+    data = body["data"]
+    assert data["mode"] == "sync" and data["results"] is not None
+    if data["results"]:
+        r0 = data["results"][0]
+        assert set(r0) == {"conceptId", "lemma", "relatedConcepts", "score"}
+    trace_path = data["explainLink"]
+    status, body = _get_raw(base, trace_path)
+    assert status == 200
+    t = body["data"]
+    assert t["plan"] and t["counters"]["nodesRead"] == len(data["results"])
+
+
+def test_query_async_roundtrip(server):
+    base, svc = server
+    status, body = _post(
+        base, "/v1/query",
+        {"query": "page", "output": {"groupBy": ["category"], "topKPerGroup": 5}},
+    )
+    assert status == 202  # the reference's async predicate fires on groupBy
+    data = body["data"]
+    assert data["mode"] == "async" and data["jobId"]
+    job_id = data["jobId"]
+    svc.jobs.wait(job_id, timeout=120)
+    status, body = _get_raw(base, f"/v1/jobs/{job_id}")
+    assert status == 200 and body["data"]["state"] == "SUCCEEDED"
+    status, body = _get_raw(base, f"/v1/jobs/{job_id}/result")
+    assert status == 200
+    res = body["data"]
+    assert res["groups"] is not None or res["results"] == []
+
+
+def test_evidence_and_neighbors_404(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/evidence/doesnotexist")
+    assert status == 404 and body["success"] is False
+    assert body["error"]["code"] == "CONCEPT_NOT_FOUND"
+    status, body = _get_raw(base, "/v1/graph/concept/doesnotexist/neighbors")
+    assert status == 404 and body["error"]["code"] == "CONCEPT_NOT_FOUND"
+
+
+def test_evidence_and_neighbors_ok(server, spark):
+    base, svc = server
+    cid = (
+        svc.nodes.where(F.col("label") == "Concept").limit(1).collect()[0]["id"]
+    )
+    status, body = _get_raw(base, f"/v1/evidence/{cid}")
+    assert status == 200
+    data = body["data"]
+    assert data["conceptId"] == cid and isinstance(data["chunks"], list)
+    if data["chunks"]:
+        assert set(data["chunks"][0]) == {"chunkId", "docId", "text", "sourceUri", "span"}
+    status, body = _get_raw(base, f"/v1/graph/concept/{cid}/neighbors?limit=5")
+    assert status == 200
+    data = body["data"]
+    assert data["center"]["conceptId"] == cid
+    assert len(data["neighbors"]) == data["totalNeighbors"] <= 5
+    for rel in data["relations"]:
+        assert set(rel) == {
+            "fromConceptId", "toConceptId", "relationType", "confidence", "evidence"
+        }
+
+
+def test_bad_request(server):
+    base, _ = server
+    status, body = _post(base, "/v1/query", {"nope": 1})
+    assert status == 400 and body["error"]["code"] == "BAD_REQUEST"

@@ -1,0 +1,191 @@
+"""Exact pure-Python oracles for the driver queries that DuckDB cannot
+express (no xxhash64 there): dd_minhash_lsh, dd_simhash, sim_ann_topk,
+mm_features.  Each test recomputes the full result set at sf0.001 from
+first principles (tests/xxhash_ref.py implements public XXH64 with
+Spark's per-type dispatch) and asserts EXACT row-set equality against
+the Spark query — upgrading these entries from rows-only to
+value-checked."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as E
+from tests.xxhash_ref import spark_xxhash64
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = E._docs_with_dups(spark, SF).select("doc_id", "text").collect()
+    return [(r["doc_id"], r["text"]) for r in rows]
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _signature(text: str, shingle_n: int, num_hashes: int):
+    base = [spark_xxhash64(s) for s in _shingles(text, shingle_n)]
+    if not base:
+        return None
+    return [
+        min(spark_xxhash64(i, ("long", h)) for h in base) for i in range(num_hashes)
+    ]
+
+
+class TestXxhashRef:
+    def test_matches_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("hello world",), ("",), ("a" * 100,), ("unicode é中\U0001f600",)],
+            "s string",
+        )
+        got = df.select(
+            F.xxhash64("s").alias("hs"),
+            F.xxhash64(F.lit(7), F.xxhash64("s")).alias("hchain"),
+            F.xxhash64(F.lit(1234567890123), F.xxhash64("s")).alias("hlong"),
+        ).collect()
+        for r, row in zip(got, df.collect()):
+            s = row["s"]
+            hs = spark_xxhash64(s)
+            assert r["hs"] == hs
+            assert r["hchain"] == spark_xxhash64(7, ("long", hs))
+            assert r["hlong"] == spark_xxhash64(1234567890123, ("long", hs))
+
+
+class TestMinhashLshOracle:
+    def test_dd_minhash_lsh_exact(self, spark, docs_with_dups):
+        # mirror q_dd_minhash_lsh: defaults shingle_n=3, num_hashes=32,
+        # bands=8, rows_per_band=4, est_jaccard >= 0.5
+        sigs = {}
+        for doc_id, text in docs_with_dups:
+            sig = _signature(text, 3, 32)
+            if sig is not None:
+                sigs[doc_id] = sig
+        buckets = {}
+        for doc_id, sig in sigs.items():
+            for b in range(8):
+                key = (b, spark_xxhash64(*[("long", sig[b * 4 + r]) for r in range(4)]))
+                buckets.setdefault(key, []).append(doc_id)
+        cands = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cands.add((ids[i], ids[j]))
+        expected = set()
+        for a, b in cands:
+            eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            est = eq / 32
+            if est >= 0.5:
+                expected.add((a, b, est))
+        got = {
+            (r["a_id"], r["b_id"], r["est_jaccard"])
+            for r in E.q_dd_minhash_lsh(spark, SF).collect()
+        }
+        assert got == expected and len(expected) >= 50  # >= planted dups
+
+
+class TestSimhashOracle:
+    def test_dd_simhash_exact(self, spark, docs_with_dups):
+        def simhash(text):
+            toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            hs = [spark_xxhash64(t) for t in toks]
+            fp = 0
+            for b in range(64):
+                s = sum(1 if (h >> b) & 1 else -1 for h in hs)
+                bit = 1 if s > 0 else 0
+                fp ^= bit << b
+            return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+        fps = {
+            doc_id: simhash(text)
+            for doc_id, text in docs_with_dups
+            if text.strip()
+        }
+        buckets = {}
+        for doc_id, fp in fps.items():
+            buckets.setdefault(fp >> (64 - 16), []).append(doc_id)
+        expected = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                    if ham <= 3:
+                        expected.add((a, b, ham))
+        got = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in E.q_dd_simhash(spark, SF).collect()
+        }
+        assert got == expected and len(expected) >= 50
+
+
+class TestAnnOracle:
+    def test_sim_ann_topk_exact(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype="float64") for r in emb}
+        q = vecs[0]
+        planes = np.random.RandomState(42).randn(16, 64).astype("float64")
+
+        def buckets(v):
+            bits = (planes @ v >= 0).astype(int)
+            return {
+                (b, "".join(map(str, bits[b * 4 : (b + 1) * 4]))) for b in range(4)
+            }
+
+        qb = buckets(q)
+        cands = [vid for vid, v in vecs.items() if buckets(v) & qb]
+        scored = []
+        qn = math.sqrt(float(q @ q))
+        for vid in cands:
+            v = vecs[vid]
+            c = float(q @ v) / (qn * math.sqrt(float(v @ v)))
+            scored.append((vid, round(c, 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        expected = scored[:10]
+        got = [
+            (r["vec_id"], r["cosine"]) for r in E.q_sim_ann_topk(spark, SF).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expected]
+        for (gv, gc), (ev, ec) in zip(got, expected):
+            assert abs(gc - ec) < 1e-6  # FP summation order may differ in the last ulp
+
+
+class TestMmFeaturesOracle:
+    def test_mm_features_exact(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+        expected = set()
+        for r in docs:
+            b = r["text"].encode("utf-8")
+            arr = np.frombuffer(b, dtype=np.uint8)
+            expected.add(
+                (
+                    str(r["doc_id"]),
+                    "binary",
+                    len(b),
+                    hashlib.sha256(b).hexdigest(),
+                    "bin",
+                    round(float(arr.mean()), 9) if len(arr) else 0.0,
+                    round(float(arr.std()), 9) if len(arr) else 0.0,
+                    int(np.bincount(arr, minlength=256).argmax()) if len(arr) else 0,
+                )
+            )
+        got = {
+            (
+                r["url"], r["media_type"], r["byte_len"], r["sha256"], r["fmt"],
+                round(r["mean_byte"], 9), round(r["std_byte"], 9), r["top_byte"],
+            )
+            for r in E.q_mm_features(spark, SF).collect()
+        }
+        assert got == expected

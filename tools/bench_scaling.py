@@ -69,9 +69,16 @@ def run_at(cpus: int, pages_path: str) -> dict:
         pages_path=pages_path,
         cat_path=os.path.join(os.environ.get("SPARK_GRAFT_SCALING_DIR", "/dev/shm/kgbench"), f"cat_{cpus}"),
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    # taskset: pin the WHOLE process tree (JVM + GC threads + Python
+    # workers + kernel work on their behalf) to exactly N CPUs — the
+    # faithful proxy for an N-core executor.  Without it a local[2] JVM
+    # sizes GC for the host's 32 CPUs and Python UDF workers run
+    # outside the task slots, so the "2-core" run was measured burning
+    # 3-5 busy cores and the N-vs-4N ratio was meaningless.
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
