@@ -500,6 +500,42 @@ def q_rel_top3_per_group(spark, sf_dir):
     )
 
 
+def q_rel_sessionize(spark, sf_dir):
+    """Event-time sessionization (30-min gap) + per-session rollup."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.session_stats(e, gap_seconds=1800).orderBy("user_id", "session_id")
+
+
+def q_rel_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase gets the latest prior click's
+    value for the same user (union+window shape, no range join)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return ev.asof_join(
+        left, right, key_col="user_id", right_value_cols=["click_value"]
+    ).orderBy("event_id").select(
+        "event_id", "user_id", "ts", "right_ts",
+        F.round("right_click_value", 6).alias("click_value"),
+    )
+
+
+def q_rel_tumbling_window(spark, sf_dir):
+    """Hourly tumbling-window rollup per event type."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.tumbling_rollup(e, 3600, group_cols=["event_type"]).orderBy(
+        "window_start", "event_type"
+    )
+
+
 def q_rel_event_histogram(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy(
@@ -650,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q9": q_rel_tpch_q9,
         "rel_top3_per_group": q_rel_top3_per_group,
         "rel_event_histogram": q_rel_event_histogram,
+        "rel_sessionize": q_rel_sessionize,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_tumbling_window": q_rel_tumbling_window,
         "rel_null_audit": q_rel_null_audit,
         "rel_coalesce_projection": q_rel_coalesce_projection,
         "rel_evidence_truncation": q_rel_evidence_truncation,
@@ -781,6 +820,38 @@ SELECT event_type, event_id, ROUND(value, 6) AS value, rn FROM (
   FROM events) WHERE rn <= 3 ORDER BY event_type, rn""",
         "rel_event_histogram": """
 SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""",
+        "rel_sessionize": """
+WITH o AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 THEN 1 ELSE 0 END AS ns
+  FROM o
+),
+g AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sn
+  FROM f
+)
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '-' || CAST(sn AS VARCHAR) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS t_start,
+       MAX(ts) AS t_end,
+       ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) AS duration_sec
+FROM g GROUP BY user_id, sn ORDER BY user_id, session_id""",
+        "rel_asof_join": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, r.ts AS right_ts, ROUND(r.click_value, 6) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
+        "rel_tumbling_window": """
+SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / (3600 * CAST(1000000 AS BIGINT))) * 3600 * CAST(1000000 AS BIGINT) AS BIGINT)) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""",
         "rel_null_audit": """
 WITH d AS (SELECT CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang,
                   CASE WHEN n_chars < 100 THEN NULL ELSE n_chars END AS n_chars,

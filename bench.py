@@ -71,6 +71,7 @@ def main():
     qs = entry.queries()
     bench_queries = [
         "kg_mentions",
+        "kg_mentions_nlp",
         "kg_cooccur_pairs",
         "kg_pmi",
         "kg_triples",
@@ -78,6 +79,8 @@ def main():
         "kg_connected_components",
         "rel_tpch_q1",
         "rel_tpch_q3",
+        "rel_tpch_q5",
+        "rel_tpch_q9",
         "rel_top3_per_group",
         "dd_exact",
         "dd_minhash_lsh",

@@ -1,0 +1,180 @@
+"""Event-time operators for training-data pipelines: sessionization,
+as-of join, tumbling-window rollups.
+
+These are operators the reference lacks but any web-scale event/log
+pipeline needs; each is a composition of built-in DataFrame ops (no
+UDFs, no collects) chosen for its shuffle shape:
+
+* sessionize — ONE shuffle on the entity key; the gap detection is a
+  lag + running-sum window over the key's partition (classic
+  sessionization; skewed users bound the partition, use the salt in
+  ``canonicalize`` if an entity exceeds executor memory).
+* asof_join — re-expressed as union + per-key window (last non-null
+  preceding value) instead of a range join: a range join explodes to
+  |left|x|right| per key before filtering; the union shape is
+  O((|left|+|right|) log) with one shuffle on the key.
+* tumbling_rollup — plain groupBy on (window, keys); map-side partial
+  aggregation makes the shuffle carry one row per (window, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(col):
+    """unix_micros tolerant of TIMESTAMP_NTZ inputs (parquet event
+    tables are NTZ; the session timezone is pinned to UTC, so the
+    NTZ->TZ cast is deterministic)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Assign event-time sessions per key: a new session starts when
+    the gap since the previous event exceeds ``gap_seconds``.  Output:
+    input columns + ``session_id`` (= ``<key>-<n>``, n starting at 0
+    in ts order).  ``tiebreak_col`` makes the ordering total when
+    timestamps collide (None to order by ts alone)."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    # microsecond arithmetic: exact, and expressible identically in
+    # any engine (second-truncation semantics differ between engines)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (
+            _micros(F.col(ts_col)) - _micros(prev_ts)
+            > gap_seconds * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess_n = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - F.lit(1)
+    return events.withColumn(
+        "session_id", F.concat_ws("-", F.col(key_col).cast("string"), sess_n.cast("string"))
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-session rollup: (key, session_id, n_events, t_start, t_end,
+    duration_sec)."""
+    s = sessionize(events, gap_seconds, ts_col, key_col)
+
+    return (
+        s.groupBy(key_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("t_start"),
+            F.max(ts_col).alias("t_end"),
+            F.round(
+                (F.max(_micros(F.col(ts_col))) - F.min(_micros(F.col(ts_col))))
+                / 1_000_000.0,
+                6,
+            ).alias("duration_sec"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    right_ts_alias: str = "right_ts",
+    right_value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the LATEST right
+    row with ``right.ts <= left.ts`` for the same key (pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+
+    Implementation: tag + union + per-key ordered window carrying the
+    last non-null right value forward — one shuffle on the key, no
+    range-join explosion.  Rows with no preceding right row keep
+    nulls; ``tolerance_seconds`` nulls matches older than the
+    tolerance."""
+    right_value_cols = right_value_cols or []
+    lcols = left.columns
+    l = left.select(
+        F.lit(1).alias("_is_left"),
+        F.col(ts_col),
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    r = right.select(
+        F.lit(0).alias("_is_left"),
+        F.col(ts_col),
+        F.col(key_col),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_l"),
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    u = l.unionByName(r)
+    # order right rows BEFORE left rows at equal ts (asof is inclusive)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in right_value_cols]
+    carried_ts = F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts")
+    out = u.select("*", carried_ts, *carried).where(F.col("_is_left") == 1)
+    match_ok = F.col("_c_ts").isNotNull()
+    if tolerance_seconds is not None:
+        match_ok = match_ok & (
+            _micros(F.col(ts_col)) - _micros(F.col("_c_ts"))
+            <= tolerance_seconds * 1_000_000
+        )
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        F.when(match_ok, F.col("_c_ts")).alias(right_ts_alias),
+        *[
+            F.when(match_ok, F.col(f"_c_{c}")).alias(f"right_{c}")
+            for c in right_value_cols
+        ],
+    )
+
+
+def tumbling_rollup(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window aggregate: (window_start, *group_cols, cnt,
+    sum, avg).  Uses epoch bucketing (expressible identically in any
+    SQL engine; `F.window` produces the same buckets for tumbling
+    windows)."""
+    group_cols = group_cols or []
+    bucket = F.timestamp_micros(
+        (
+            F.floor(_micros(F.col(ts_col)) / (window_seconds * 1_000_000))
+            * (window_seconds * 1_000_000)
+        ).cast("long")
+    ).cast("timestamp_ntz")
+    return (
+        events.groupBy(bucket.alias("window_start"), *group_cols)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,193 @@
+"""Event-time operators: sessionization, as-of join, tumbling rollup
+(batch), and the applyInPandasWithState streaming sessionizer."""
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def edf(spark):
+    rows = [
+        # user 1: two sessions split by a 60-min gap (gap = 30 min)
+        (0, _ts(0), 1, "click", 1.0),
+        (1, _ts(10), 1, "click", 2.0),
+        (2, _ts(20), 1, "purchase", 3.0),
+        (3, _ts(90), 1, "click", 4.0),
+        (4, _ts(95), 1, "click", 5.0),
+        # user 2: one session
+        (5, _ts(5), 2, "signup", 6.0),
+        (6, _ts(25), 2, "purchase", 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+class TestSessionize:
+    def test_sessions_split_on_gap(self, spark, edf):
+        got = {
+            r["event_id"]: r["session_id"]
+            for r in ev.sessionize(edf, gap_seconds=1800).collect()
+        }
+        assert got[0] == got[1] == got[2] == "1-0"
+        assert got[3] == got[4] == "1-1"
+        assert got[5] == got[6] == "2-0"
+
+    def test_session_stats(self, spark, edf):
+        got = {
+            (r["user_id"], r["session_id"]): (r["n_events"], r["duration_sec"])
+            for r in ev.session_stats(edf, gap_seconds=1800).collect()
+        }
+        assert got[(1, "1-0")] == (3, 1200.0)
+        assert got[(1, "1-1")] == (2, 300.0)
+        assert got[(2, "2-0")] == (2, 1200.0)
+
+
+class TestAsofJoin:
+    def test_backward_latest_match(self, spark, edf):
+        left = edf.where(F.col("event_type") == "purchase")
+        right = edf.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        out = ev.asof_join(
+            left, right, key_col="user_id", right_value_cols=["click_value"]
+        ).collect()
+        by_id = {r["event_id"]: r for r in out}
+        # purchase at t=20 (user 1): latest click at t=10 (value 2.0)
+        assert by_id[2]["right_click_value"] == 2.0
+        assert by_id[2]["right_ts"] == _ts(10)
+        # purchase at t=25 (user 2): no click rows for user 2 -> nulls
+        assert by_id[6]["right_ts"] is None and by_id[6]["right_click_value"] is None
+        # all left columns preserved
+        assert by_id[2]["value"] == 3.0 and by_id[2]["event_type"] == "purchase"
+
+    def test_equal_ts_is_inclusive(self, spark):
+        left = spark.createDataFrame([(1, T0, 10)], "id long, ts timestamp, user_id long")
+        right = spark.createDataFrame(
+            [(T0, 10, 99.0)], "ts timestamp, user_id long, v double"
+        )
+        out = ev.asof_join(left, right, key_col="user_id", right_value_cols=["v"]).collect()
+        assert out[0]["right_v"] == 99.0
+
+    def test_tolerance(self, spark, edf):
+        left = edf.where(F.col("event_type") == "purchase")
+        right = edf.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("cv")
+        )
+        out = ev.asof_join(
+            left, right, key_col="user_id", right_value_cols=["cv"],
+            tolerance_seconds=60,
+        ).collect()
+        by_id = {r["event_id"]: r for r in out}
+        assert by_id[2]["right_cv"] is None  # 10 min gap > 60 s tolerance
+
+
+class TestTumbling:
+    def test_hourly_buckets(self, spark, edf):
+        got = {
+            (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+            for r in ev.tumbling_rollup(edf, 3600, group_cols=["event_type"]).collect()
+        }
+        assert got[(T0, "click")] == (2, 3.0)       # t=0,10
+        assert got[(_ts(60), "click")] == (2, 9.0)  # t=90,95
+        assert got[(T0, "purchase")] == (2, 10.0)   # t=20,25
+
+
+class TestStreamingSessions:
+    def test_stateful_sessionizer(self, spark, tmp_path):
+        """applyInPandasWithState end-to-end: stream the fixture events
+        in, expect closed sessions (gap) plus timeout-flushed tails."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.streaming import (
+            sessions as ss,
+        )
+
+        src = os.path.join(str(tmp_path), "events_in")
+        rows = [
+            (0, _ts(0), 1), (1, _ts(10), 1), (2, _ts(90), 1),
+            (3, _ts(5), 2),
+        ]
+        spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long").write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .parquet(src)
+        )
+        out = ss.stream_sessions(stream, gap_seconds=1800, timeout_ms=2000)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 90
+            want = {(1, 2), (1, 1), (2, 1)}  # (user, n_events) incl. timeout flushes
+            got = set()
+            while time.time() < deadline and got != want:
+                time.sleep(2)
+                got = {
+                    (r["user_id"], r["n_events"])
+                    for r in spark.sql("SELECT * FROM sessions_out").collect()
+                }
+            assert got == want, got
+        finally:
+            q.stop()
+
+    def test_session_fn_unit(self):
+        """Drive make_session_fn directly with a fake GroupState."""
+        import pandas as pd
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+                self.hasTimedOut = False
+                self.timeout = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                if self._v is None:
+                    raise ValueError("no state")
+                return self._v
+
+            def update(self, v):
+                self._v = tuple(v)
+
+            def remove(self):
+                self._v = None
+
+            def setTimeoutDuration(self, ms):
+                self.timeout = ms
+
+        fn = ss_fn = None
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.streaming.sessions import (
+            make_session_fn,
+        )
+
+        fn = make_session_fn(gap_seconds=1800, timeout_ms=1000)
+        st = FakeState()
+        pdf = pd.DataFrame({"ts": [T0, _ts(10), _ts(90)]})
+        out = list(fn((1,), iter([pdf]), st))
+        assert len(out) == 1 and out[0]["n_events"].tolist() == [2]
+        assert st.exists and st.get[2] == 1  # open session: the t=90 event
+        # timeout path flushes the open session
+        st.hasTimedOut = True
+        out2 = list(fn((1,), iter([]), st))
+        assert out2[0]["n_events"].tolist() == [1]
+        assert not st.exists
