@@ -267,12 +267,13 @@ class ParquetCatalog:
         """``MERGE INTO name t USING updates s ON <keys> WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
 
-        ``tiebreak``: columns that lead the winner ordering when a
-        batch contains duplicate keys (deterministic last-write-wins
-        stand-in; max wins, so e.g. highest confidence).  Remaining
-        ties break by the max of the full row struct — any fixed total
-        order works, and null fields lose to non-null, so placeholder
-        rows always lose.
+        ``tiebreak``: column names OR Column expressions that lead the
+        winner ordering when a batch contains duplicate keys
+        (deterministic last-write-wins stand-in; max wins, so e.g.
+        highest confidence).  Remaining ties break by the row's content
+        hash — any fixed total order works.  Callers needing
+        "real rows beat placeholder rows" pass a completeness
+        expression as a tiebreak (see graph.upsert_graph).
 
         ``resolution``:
         * ``"replace"`` — true MERGE: a matched source row replaces the
@@ -312,21 +313,41 @@ class ParquetCatalog:
         if resolution == "deterministic" and existing is not None:
             matched = existing.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
             pool = updates.unionByName(matched.select(*updates.columns))
-        # winner per key = max_by over (tiebreak..., all columns): a
-        # total order, so batch-split independent; null struct fields
-        # compare smallest, so placeholder (all-null-prop) rows always
-        # lose to real rows.  max_by aggregates with MAP-SIDE COMBINE —
-        # the shuffle carries ~|distinct keys| rows, not |input| rows
-        # (a row_number window here shuffled the full input and was the
-        # dominant pipeline cost on multi-million-row edge merges).
+        # winner per key = max_by over (tiebreak..., _rid): a total
+        # order (rid = content hash stands in for the full row as the
+        # final tiebreak), so batch-split independent and stable across
+        # runs.  LATE MATERIALIZATION: an agg whose buffer holds the
+        # full row struct is not hash-aggregable — Spark plans a
+        # SortAggregate that SORTS every payload byte (measured: the
+        # 47M-row edge dedup at 600k pages sorted ~28 GB and dominated
+        # the pipeline).  Instead the agg runs over a NARROW projection
+        # (keys + tiebreaks + 8-byte rid) and the winner rows are
+        # fetched back by a semi-join on rid (AQE turns it into a
+        # broadcast join — the build side is just the winner rids).
         cols = pool.columns
-        okey = F.struct(
-            *[F.col(c) for c in (tiebreak or [])], *[F.col(c) for c in cols]
+        salted = []
+        for i, c in enumerate(cols):
+            # interleave field ordinals so value-shifts between
+            # adjacent nullable columns can't produce rid collisions
+            salted += [F.lit(i), F.col(c)]
+        pool = pool.withColumn("_rid", F.xxhash64(*salted))
+        tb_exprs = [F.col(t) if isinstance(t, str) else t for t in (tiebreak or [])]
+        narrow = pool.select(
+            *keys,
+            F.col("_rid"),
+            *[e.alias(f"_tb{i}") for i, e in enumerate(tb_exprs)],
         )
+        okey = F.struct(
+            *[F.col(f"_tb{i}") for i in range(len(tb_exprs))], F.col("_rid")
+        )
+        winners = narrow.groupBy(*keys).agg(F.max_by(F.col("_rid"), okey).alias("_rid"))
         deduped = (
-            pool.groupBy(*keys)
-            .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), okey).alias("_w"))
-            .select("_w.*")
+            pool.join(winners.select("_rid"), "_rid", "left_semi")
+            # identical-content copies share a rid and all pass the
+            # semi-join — collapse them
+            .dropDuplicates(["_rid"])
+            .drop("_rid")
+            .select(*cols)
         )
         if existing is None:
             if spec is not None:
