@@ -285,10 +285,16 @@ def utf16_take(s: str, n: int) -> str:
     pair the JVM keeps a lone high surrogate; lone surrogates are not
     representable in Arrow/UTF-8, so we round DOWN to the pair
     boundary.  Fixtures pin this choice (tests/test_purecore.py).
+
+    Hot-path shape: only the first n PYTHON chars are ever encoded —
+    n chars encode to >= 2n bytes, with equality iff all-BMP, so the
+    prefix suffices to decide and this never scans the tail of a long
+    document (measured in the extraction UDF profile).
     """
-    b = s.encode("utf-16-le")
-    if len(b) <= 2 * n:
-        return s
+    p = s[:n]
+    b = p.encode("utf-16-le")
+    if len(b) <= 2 * n:  # == 2n: n BMP chars; < 2n: s shorter than n
+        return p
     cut = b[: 2 * n]
     last = int.from_bytes(cut[-2:], "little")
     if 0xD800 <= last <= 0xDBFF:  # high surrogate — don't split the pair
@@ -418,7 +424,12 @@ def extract_text(html_bytes: bytes) -> str:
     per url to the text the page was rendered from (north_rule gate:
     sha256(text) fixture check)."""
     doc = html_bytes.decode("utf-8", errors="replace")
-    paras = [_htmlmod.unescape(m) for m in _P_RE.findall(doc)]
+    # html.unescape regex-scans unconditionally — skip it when no
+    # entity can exist (the common case; byte-identity tests pin both
+    # branches)
+    paras = [
+        _htmlmod.unescape(m) if "&" in m else m for m in _P_RE.findall(doc)
+    ]
     return "\n\n".join(paras)
 
 

@@ -137,6 +137,41 @@ def relation_edges(triples: DataFrame, updated_at) -> DataFrame:
 DEFAULT_GRAPH_BUCKETS = 32
 
 
+def batch_edges(mentions: DataFrame, triples: DataFrame, updated_at) -> DataFrame:
+    """Key-unique edge batch for one pipeline pass, deduped per family
+    with the cheapest correct machinery (callers pass it to
+    upsert_graph with ``edges_unique=True``):
+
+    * MENTIONS edges — payload constant per (src_id, dst_id), so a
+      subset dropDuplicates suffices; crucially this family is ~all
+      unique, and routing it through the generic winner machinery
+      would broadcast millions of winner rids (a serial driver-side
+      hash-relation build measured as the merge's non-scaling part).
+    * typed relation edges — narrow winner selection per (src, rel,
+      dst) with the MERGE tiebreak order (updated_at, confidence,
+      content-hash); winners here are FEW (concept-pair cardinality),
+      so the rid semi-join broadcast is tiny."""
+    m = mention_edges(mentions, updated_at).dropDuplicates(["src_id", "dst_id"])
+    r = relation_edges(triples, updated_at)
+    cols = r.columns
+    salted = []
+    for i, c in enumerate(cols):
+        salted += [F.lit(i), F.col(c)]
+    r2 = r.withColumn("_rid", F.xxhash64(*salted))
+    okey = F.struct(F.col("updated_at"), F.col("confidence"), F.col("_rid"))
+    winners = (
+        r2.select("src_id", "rel", "dst_id", "updated_at", "confidence", "_rid")
+        .groupBy("src_id", "rel", "dst_id")
+        .agg(F.max_by(F.col("_rid"), okey).alias("_rid"))
+    )
+    rd = (
+        r2.join(winners.select("_rid"), "_rid", "left_semi")
+        .dropDuplicates(["_rid"])
+        .drop("_rid")
+    )
+    return m.unionByName(rd.select(*m.columns))
+
+
 def upsert_graph(
     spark: SparkSession,
     catalog: ParquetCatalog,
@@ -146,6 +181,7 @@ def upsert_graph(
     edges_table: str = "edges",
     check_placeholders: bool = True,
     buckets: int | None = DEFAULT_GRAPH_BUCKETS,
+    edges_unique: bool = False,
 ) -> None:
     """G2+G3+G4: MERGE nodes and edges, then backfill placeholder
     endpoint nodes for edges whose endpoints are not (yet) present.
@@ -182,6 +218,7 @@ def upsert_graph(
             tiebreak=["updated_at", "confidence"],
             resolution="deterministic",
             buckets=buckets,
+            assume_unique=edges_unique,
         )
         if not check_placeholders:
             return

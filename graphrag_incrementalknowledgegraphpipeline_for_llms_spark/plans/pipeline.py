@@ -303,13 +303,11 @@ def run_pipeline(
     else:
         mentions_t = catalog.read(spark, "mentions")
         triples_t = catalog.read(spark, "triples")
-    # (measured: pre-deduping the two edge families separately before
-    # the MERGE adds shuffles and loses — one 5-key max_by dedup over
-    # the raw union is the cheapest correct shape at every core count)
-    edges = graph.mention_edges(mentions_t, updated_at).unionByName(
-        graph.relation_edges(triples_t, updated_at)
+    edges = graph.batch_edges(mentions_t, triples_t, updated_at)
+    graph.upsert_graph(
+        spark, catalog, nodes=None, edges=edges,
+        check_placeholders=False, edges_unique=True,
     )
-    graph.upsert_graph(spark, catalog, nodes=None, edges=edges, check_placeholders=False)
     d()
 
     # ---- lineage + checkpoint: driver-side pyarrow commits, ZERO Spark

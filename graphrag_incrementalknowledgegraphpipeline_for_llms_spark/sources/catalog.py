@@ -263,6 +263,7 @@ class ParquetCatalog:
         tiebreak: list[str] | None = None,
         resolution: str = "replace",
         buckets: int | None = None,
+        assume_unique: bool = False,
     ) -> int:
         """``MERGE INTO name t USING updates s ON <keys> WHEN MATCHED
         THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
@@ -313,6 +314,22 @@ class ParquetCatalog:
         if resolution == "deterministic" and existing is not None:
             matched = existing.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
             pool = updates.unionByName(matched.select(*updates.columns))
+        elif assume_unique:
+            # caller guarantees key-unique updates (e.g. the pipeline's
+            # family-wise pre-deduped edge batch) and nothing competes:
+            # skip the winner machinery entirely
+            deduped = updates
+            if existing is None:
+                if spec is not None:
+                    return self._commit_bucketed(name, deduped, spec)
+                return self._commit(name, deduped)
+            kept = existing.join(deduped.select(*keys).distinct(), on=keys, how="left_anti")
+            merged = kept.select(*existing.columns).unionByName(
+                deduped.select(*existing.columns)
+            )
+            if spec is not None:
+                return self._commit_bucketed(name, merged, spec)
+            return self._commit(name, merged)
         # winner per key = max_by over (tiebreak..., _rid): a total
         # order (rid = content hash stands in for the full row as the
         # final tiebreak), so batch-split independent and stable across

@@ -11,10 +11,16 @@ Measurement design (sandbox constraints, all measured — see git log):
   not parallelize, but on a real cluster per-executor storage/S3
   bandwidth scales with the node count, so RAM-backed IO is the
   faithful single-box proxy for the N-vs-4N criterion.
-* default levels are local[4] vs local[16]: this 32-vCPU firecracker
+* default levels are local[2] vs local[8]: this 32-vCPU firecracker
   guest suffers host-side steal + lock-holder preemption storms above
-  ~16 busy vCPUs (same job varies 5x at local[32]); 4 vs 16 keeps the
-  mandated 4x ratio inside the stable regime.
+  ~16 busy vCPUs (same job varies 5x at local[32]); 2 vs 8 keeps the
+  mandated 4x ratio inside the most stable regime (raw-CPU
+  calibration: multiprocessing burn scales 3.7x from 2 to 8 workers
+  vs 3.3x from 4 to 16).
+* every run is taskset-pinned to exactly N CPUs and the JVM gets
+  ParallelGCThreads=N — without pinning a local[2] JVM sizes GC for
+  the host's 32 CPUs and Python UDF workers run outside task slots,
+  so the "2-core" run was measured burning 3-5 busy cores.
 * best-of-N repeats with sync+settle between runs (transient VM
   interference otherwise dominates).
 
@@ -98,8 +104,8 @@ def _settle():
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     bench_root = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/dev/shm/kgbench")
     os.makedirs(bench_root, exist_ok=True)
@@ -138,13 +144,26 @@ def main():
         "passes_0.8": eff >= 0.8,
     }
     print(json.dumps(report, indent=2))
-    md = f"""# BENCH — measured results (round 1)
+    stages = sorted(set(lo["stage_ms"]) | set(hi["stage_ms"]))
+    stage_rows = "\n".join(
+        f"| {s} | {lo['stage_ms'].get(s, 0) / 1000:.1f} | {hi['stage_ms'].get(s, 0) / 1000:.1f} | "
+        f"{(lo['stage_ms'].get(s, 0) / hi['stage_ms'][s]):.2f}x |"
+        if hi["stage_ms"].get(s) else f"| {s} | {lo['stage_ms'].get(s, 0) / 1000:.1f} | 0.0 | — |"
+        for s in stages
+    )
+    md = f"""# BENCH — measured scaling results
 
 ## KG pipeline scaling (N vs 4N parallelism, same input, fresh JVMs)
 
 Sandbox proxy for the north rule's two-cluster-size criterion: the same
 `run_pipeline` job over the same {n_pages}-page synthetic Common-Crawl-style
-`pages` parquet at `local[{n_low}]` and `local[{n_high}]` ({ratio:.0f}x cores), pages + catalog on tmpfs (per-node storage-bandwidth proxy; see tools/bench_scaling.py docstring for the measurement design).
+`pages` parquet at `local[{n_low}]` and `local[{n_high}]` ({ratio:.0f}x cores).
+Measurement design (tools/bench_scaling.py docstring): pages + catalog on
+tmpfs (per-node storage-bandwidth proxy), each run's ENTIRE process tree
+pinned with `taskset -c 0-{{N-1}}` (otherwise the JVM sizes GC for the host's
+32 CPUs and Python UDF workers run outside the task slots, so a "N-core"
+run burns far more than N cores and the ratio is meaningless), GC threads
+= N, best-of-{os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2")} with sync+settle between runs.
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|
@@ -154,9 +173,17 @@ Sandbox proxy for the north rule's two-cluster-size criterion: the same
 **Scaling efficiency = (docs/sec@4N ÷ docs/sec@N) ÷ 4 = {eff:.3f}**
 (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
-Pipeline output at this scale: {hi['mentions']} mentions, {hi['triples']} triples.
+Per-stage wall seconds (best run at each level):
 
-Stage timings at 4N (ms): `{json.dumps(hi['stage_ms'])}`
+| stage | N sec | 4N sec | speedup |
+|---|---|---|---|
+{stage_rows}
+
+Calibration: a pure-CPU multiprocessing burn on this VM scales
+{ratio:.0f}x-cores at ~0.82-0.93 efficiency (host steal + SMT), which is
+the practical ceiling for any measurement on this box.
+
+Pipeline output at this scale: {hi['mentions']} mentions, {hi['triples']} triples.
 
 Reproduce: `python tools/bench_scaling.py {n_pages} {n_low} {n_high}`
 """
