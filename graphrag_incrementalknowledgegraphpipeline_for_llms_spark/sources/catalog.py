@@ -242,6 +242,37 @@ class ParquetCatalog:
         os.replace(tmp, self._pointer(name))
         return v
 
+    # -- maintenance (Iceberg: rewrite_data_files / expire_snapshots) ---------
+    def compact(self, spark: SparkSession, name: str) -> int:
+        """Rewrite the current snapshot into one consolidated data dir
+        (bucketed tables keep their bucket layout).  Incremental
+        appends accumulate one dir per batch; at 100 TB this is the
+        periodic rewrite_data_files job that restores large scan
+        splits.  Readers are unaffected: the pointer flips atomically
+        and the previous snapshot's dirs are retained until the next
+        commit's GC."""
+        df = self.read(spark, name)
+        if df is None:
+            return 0
+        spec = self.bucket_spec(name)
+        if spec is not None:
+            return self._commit_bucketed(name, df, spec, replace_all=True)
+        return self._commit(name, df, mode="overwrite")
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` versions
+        (data dirs they exclusively referenced are already GC'd by
+        commits).  keep_last >= 2 preserves read_version_delta for the
+        current snapshot."""
+        cur = self.current_version(name)
+        removed = []
+        for f in glob.glob(os.path.join(self._tdir(name), "m*.json")):
+            v = int(os.path.basename(f)[1:6])
+            if v <= cur - keep_last:
+                os.remove(f)
+                removed.append(v)
+        return sorted(removed)
+
     def append(self, spark: SparkSession, df: DataFrame, name: str) -> int:
         spec = self.bucket_spec(name)
         if spec is not None:

@@ -185,3 +185,53 @@ class TestBucketedMerge:
         catalog.merge_upsert(spark, "t3", df, keys=["id"])  # unbucketed
         with pytest.raises(ValueError):
             catalog.merge_upsert(spark, "t3", df, keys=["id"], buckets=4)
+
+
+class TestCatalogMaintenance:
+    def test_compact_append_table(self, spark, catalog):
+        import glob as g
+        import os
+
+        for i in range(4):
+            df = spark.createDataFrame([(i, f"v{i}")], "id long, val string")
+            catalog.append(spark, df, "t_app")
+        before = sorted(tuple(r) for r in catalog.read(spark, "t_app").collect())
+        assert len(catalog.data_dirs("t_app")) == 4
+        catalog.compact(spark, "t_app")
+        assert len(catalog.data_dirs("t_app")) == 1
+        after = sorted(tuple(r) for r in catalog.read(spark, "t_app").collect())
+        assert after == before
+
+    def test_compact_bucketed_table(self, spark, catalog):
+        df = spark.createDataFrame([(f"k{i}", i) for i in range(40)], "id string, v long")
+        catalog.merge_upsert(spark, "t_b", df, keys=["id"], buckets=4)
+        for i in range(3):
+            upd = spark.createDataFrame([(f"k{i}", 100 + i)], "id string, v long")
+            catalog.merge_upsert(spark, "t_b", upd, keys=["id"])
+        m = catalog._manifest("t_b", catalog.current_version("t_b"))["buckets"]
+        assert len(set(m.values())) > 1  # fragmented across commit dirs
+        catalog.compact(spark, "t_b")
+        m2 = catalog._manifest("t_b", catalog.current_version("t_b"))["buckets"]
+        assert len(set(m2.values())) == 1  # one consolidated dir
+        got = {r["id"]: r["v"] for r in catalog.read(spark, "t_b").collect()}
+        assert len(got) == 40 and got["k0"] == 100 and got["k5"] == 5
+        # spec survives compaction: further merges stay bucket-pruned
+        catalog.merge_upsert(
+            spark, "t_b",
+            spark.createDataFrame([("k9", 999)], "id string, v long"), keys=["id"],
+        )
+        assert catalog.read(spark, "t_b").where("id='k9'").collect()[0]["v"] == 999
+
+    def test_expire_snapshots(self, spark, catalog):
+        import glob as g
+        import os
+
+        for i in range(5):
+            df = spark.createDataFrame([(i,)], "id long")
+            catalog.append(spark, df, "t_exp")
+        assert catalog.current_version("t_exp") == 5
+        removed = catalog.expire_snapshots("t_exp", keep_last=2)
+        assert removed == [1, 2, 3]
+        manifests = g.glob(os.path.join(catalog._tdir("t_exp"), "m*.json"))
+        assert len(manifests) == 2
+        assert catalog.read(spark, "t_exp").count() == 5  # current snapshot intact
