@@ -649,6 +649,16 @@ def q_sim_ann_topk(spark, sf_dir):
     return similarity.ann_topk(emb, qv, dim=64, k=10)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic k-means coarse quantizer (driver-side
+    sample), literal-centroid assignment, nprobe-list probe + exact
+    re-rank.  Exact numpy oracle in tests/test_dedup_similarity.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.ivf_train_centroids(emb, dim=64, n_lists=8, sample=256)
+    qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    return similarity.ivf_topk(emb, qv, cent, nprobe=3, k=10)
+
+
 def q_mm_features(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"), F.encode("text", "utf-8").alias("payload")
@@ -701,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_simhash": q_dd_simhash,
         "sim_ann_topk": q_sim_ann_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "mm_features": q_mm_features,
     }
 

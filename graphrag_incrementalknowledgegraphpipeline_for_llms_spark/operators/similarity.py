@@ -130,6 +130,102 @@ def ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-coarse-quantizer scale path.
+# Training samples a bounded prefix to the driver (standard IVF
+# practice: centroids are trained on a sample, applied to the corpus);
+# assignment + probing are narrow per-row JVM expressions, so at 100 TB
+# the assign pass is a map-only job and a table PARTITIONED BY list_id
+# turns probes into partition pruning.
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over a bounded driver-side sample
+    (first ``sample`` rows by id — deterministic, no RNG over data;
+    init = seeded gaussian).  Returns (n_lists, dim) float64."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    if len(cent) < n_lists:  # tiny corpora: pad with jittered copies
+        extra = cent[rng.choice(len(cent), n_lists - len(cent))] + 1e-3 * rng.randn(
+            n_lists - len(cent), dim
+        )
+        cent = np.vstack([cent, extra])
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+def _dist2_to_centroid(vec, centroid: np.ndarray):
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``list_id`` = argmin squared distance to the centroids
+    (centroids are plan literals, like srp_buckets' hyperplanes).
+    Narrow map-only pass — no shuffle."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(*[_dist2_to_centroid(vec, c) for c in centroids])
+    list_id = F.array_position(dists, F.array_min(dists)) - F.lit(1)
+    return embeddings.withColumn("list_id", list_id.cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: restrict to the ``nprobe`` lists whose centroids are
+    nearest the query, re-rank exactly by cosine.  The list filter is a
+    literal IN-predicate — partition pruning when the table is stored
+    partitioned by list_id."""
+    q = np.asarray(query, dtype="float64")
+    order = (((centroids - q[None, :]) ** 2).sum(axis=1)).argsort()
+    probe = [int(j) for j in order[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def srp_candidate_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -174,3 +174,49 @@ def test_embedding_near_dups_srp_default(spark):
     assert (0, 100) in got
     # exact-verify step: random pairs can never pass the 0.99 gate
     assert all(a == 0 and b == 100 for a, b in got)
+
+
+class TestIvf:
+    def test_ivf_assign_and_topk(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cent = similarity.ivf_train_centroids(emb, dim=64, n_lists=8, sample=256)
+        assert cent.shape == (8, 64)
+        assigned = similarity.ivf_assign(emb, cent)
+        lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+        assert lists <= set(range(8)) and len(lists) >= 2
+
+        q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+        got = similarity.ivf_topk(emb, q, cent, nprobe=3, k=5).collect()
+        # the query vector itself must be found (its own list is probed first)
+        assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+
+    def test_ivf_matches_numpy_oracle(self, spark):
+        """Exact replication: same centroids, same probe set, same
+        cosine ranking computed in numpy."""
+        import math
+
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype="float64") for r in rows}
+        cent = similarity.ivf_train_centroids(emb, dim=64, n_lists=8, sample=256)
+        q = vecs[3]
+        order = (((cent - q[None, :]) ** 2).sum(axis=1)).argsort()
+        probe = set(int(j) for j in order[:3])
+        expected = []
+        qn = math.sqrt(float(q @ q))
+        for vid, v in vecs.items():
+            d2 = ((cent - v[None, :]) ** 2).sum(axis=1)
+            if int(d2.argmin()) in probe:
+                expected.append((vid, round(float(q @ v) / (qn * math.sqrt(float(v @ v))), 6)))
+        expected.sort(key=lambda t: (-t[1], t[0]))
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in similarity.ivf_topk(emb, list(q), cent, nprobe=3, k=10).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expected[:10]]
+        for (gv, gc), (ev, ec) in zip(got, expected):
+            assert abs(gc - ec) < 1e-6
