@@ -76,8 +76,27 @@ def _cased_sql(expr: str = "text") -> str:
     return expr
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a tiny-file scan out to the session's parallelism.
+
+    The sf* documents/embeddings tables are single small parquet files
+    (one row group), so Spark's byte-based split packing gives the scan
+    1-2 partitions and every narrow compute-bound stage downstream
+    (minhash/simhash/feature extraction) runs on 2 of N cores.  Parquet
+    can't split below row-group granularity, so an explicit shuffle of
+    the (tiny) input is the only spread.  At 100 TB the scan has
+    thousands of row groups and this no-ops in spirit — the shuffle
+    cost here is bounded by the small input size by construction."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +387,7 @@ def q_kg_connected_components(spark, sf_dir):
     """Connected components over a chain graph (consecutive vec_ids
     within each embedding label) — CC(chain) must equal the per-label
     min, which the oracle computes directly."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     ids = emb.select(
         F.lpad(F.col("vec_id").cast("string"), 6, "0").alias("id"), "label"
     )
@@ -596,7 +615,10 @@ def q_dd_ngram_jaccard(spark, sf_dir):
     is the default for real corpora; this synthetic corpus's ~30-word
     vocabulary makes every shared-token blocking quadratic.)"""
     d = _docs_with_dups(spark, sf_dir)
-    sigs = dedup.minhash_signatures(d, shingle_n=2, num_hashes=24)
+    # cache the narrow (id, 24-long) signature table: the LSH self-join
+    # references it twice and would recompute the shingle+hash pass per
+    # branch otherwise (Spark has no automatic common-subtree reuse)
+    sigs = dedup.minhash_signatures(d, shingle_n=2, num_hashes=24).cache()
     cands = dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=3)
     return dedup.ngram_jaccard_pairs(
         d, threshold=0.5, shingle_n=2, candidates=cands
@@ -604,14 +626,14 @@ def q_dd_ngram_jaccard(spark, sf_dir):
 
 
 def q_dd_embed_near_dup(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups(emb, threshold=0.30, group_col="label").orderBy(
         "a_id", "b_id"
     )
 
 
 def q_sim_bruteforce_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return similarity.brute_force_topk(emb, list(qv), k=10)
 
@@ -633,18 +655,21 @@ def q_txt_stats(spark, sf_dir):
 # -- rows-only (non-SQL-expressible internals) --------------------------------
 
 def q_dd_minhash_lsh(spark, sf_dir):
-    sigs = dedup.minhash_signatures(_docs_with_dups(spark, sf_dir))
+    # cache: sigs feeds the LSH self-join (2 refs) AND both sides of
+    # the jaccard-estimate join (2 more) — 4 recomputes without it
+    sigs = dedup.minhash_signatures(_docs_with_dups(spark, sf_dir)).cache()
     cands = dedup.minhash_lsh_candidates(sigs)
     return dedup.minhash_jaccard_estimate(sigs, cands).where(F.col("est_jaccard") >= 0.5)
 
 
 def q_dd_simhash(spark, sf_dir):
-    fps = dedup.simhash(_docs_with_dups(spark, sf_dir))
+    # cache: the bucketed self-join references fps twice
+    fps = dedup.simhash(_docs_with_dups(spark, sf_dir)).cache()
     return dedup.simhash_candidates(fps, max_hamming=3)
 
 
 def q_sim_ann_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
     return similarity.ann_topk(emb, qv, dim=64, k=10)
 
@@ -653,7 +678,7 @@ def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic k-means coarse quantizer (driver-side
     sample), literal-centroid assignment, nprobe-list probe + exact
     re-rank.  Exact numpy oracle in tests/test_dedup_similarity.py."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     cent = similarity.ivf_train_centroids(emb, dim=64, n_lists=8, sample=256)
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
     return similarity.ivf_topk(emb, qv, cent, nprobe=3, k=10)

@@ -32,13 +32,35 @@ def _shingles(text: str, n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    x &= M64
+    return x if r == 0 else ((x << r) | (x >> (64 - r))) & M64
+
+
+def _to_signed(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def _signature(text: str, shingle_n: int, num_hashes: int):
-    base = [spark_xxhash64(s) for s in _shingles(text, shingle_n)]
-    if not base:
+    """Mirror of dedup.minhash_signatures: g_i(s) = h1 XOR
+    rotl(h2, (i*19+7) % 64), h2 = xxhash64(1, h1)."""
+    h1s = [spark_xxhash64(s) for s in _shingles(text, shingle_n)]
+    if not h1s:
         return None
-    return [
-        min(spark_xxhash64(i, ("long", h)) for h in base) for i in range(num_hashes)
-    ]
+    h2s = [spark_xxhash64(1, ("long", h)) for h in h1s]
+    sig = []
+    for i in range(num_hashes):
+        r = (i * 19 + 7) % 64
+        sig.append(
+            min(
+                _to_signed((h1 & M64) ^ _rotl64(h2, r))
+                for h1, h2 in zip(h1s, h2s)
+            )
+        )
+    return sig
 
 
 class TestXxhashRef:
