@@ -30,6 +30,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _winner_dedup(pool: DataFrame, keys: list[str], tb_exprs: list) -> DataFrame:
+    """One winner row per key under the total order (tiebreaks..., rid).
+
+    LATE MATERIALIZATION: an agg whose buffer holds the full row struct
+    is not hash-aggregable — Spark plans a SortAggregate that SORTS
+    every payload byte (measured: the 47M-row edge dedup at 600k pages
+    sorted ~28 GB and dominated the pipeline).  Instead the agg runs
+    over a NARROW projection (keys + tiebreaks + 8-byte rid) and the
+    winner rows are fetched back by a semi-join on rid (AQE turns it
+    into a broadcast join — the build side is just the winner rids)."""
+    cols = pool.columns
+    salted = []
+    for i, c in enumerate(cols):
+        # interleave field ordinals so value-shifts between adjacent
+        # nullable columns can't produce rid collisions
+        salted += [F.lit(i), F.col(c)]
+    pool = pool.withColumn("_rid", F.xxhash64(*salted))
+    narrow = pool.select(
+        *keys,
+        F.col("_rid"),
+        *[e.alias(f"_tb{i}") for i, e in enumerate(tb_exprs)],
+    )
+    okey = F.struct(*[F.col(f"_tb{i}") for i in range(len(tb_exprs))], F.col("_rid"))
+    winners = narrow.groupBy(*keys).agg(F.max_by(F.col("_rid"), okey).alias("_rid"))
+    return (
+        pool.join(winners.select("_rid"), "_rid", "left_semi")
+        # identical-content copies share a rid and all pass the
+        # semi-join — collapse them
+        .dropDuplicates(["_rid"])
+        .drop("_rid")
+        .select(*cols)
+    )
+
+
 class ParquetCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -105,11 +139,68 @@ class ParquetCatalog:
     def exists(self, name: str) -> bool:
         return self.current_version(name) > 0
 
+    # -- merge-on-read spec ---------------------------------------------------
+    def _mor_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_mor.json")
+
+    def mor_spec(self, name: str) -> dict | None:
+        """{"keys": [...], "tiebreak": [...], "resolution": str} when
+        the table takes merge-on-read deltas."""
+        p = self._mor_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _delta_entries(self, name: str) -> list[str]:
+        m = self._manifest(name, self.current_version(name))
+        if isinstance(m, dict):
+            return []
+        return [d for d in m if os.path.basename(d).startswith("e")]
+
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
         dirs = self.data_dirs(name)
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        mor = self.mor_spec(name)
+        deltas = self._delta_entries(name) if mor else []
+        if not deltas:
+            return spark.read.parquet(*dirs)
+        return self._resolve_mor(spark, name, mor)
+
+    def _resolve_mor(self, spark: SparkSession, name: str, mor: dict) -> DataFrame:
+        """Merge-on-read reconciliation: base rows + delta rows compete
+        per key.  ``resolution="replace"`` orders primarily by delta
+        sequence (base = 0), so the newest delta wins — last-write-wins
+        across commits; ``"deterministic"`` ignores arrival order and
+        ranks by (tiebreak..., rid) alone, so the resolved table is
+        independent of how rows were split across delta batches."""
+        t = self._tdir(name)
+        m = self._manifest(name, self.current_version(name))
+        base = [d for d in m if not os.path.basename(d).startswith("e")]
+        parts = []
+        if base:
+            parts.append(
+                spark.read.parquet(*[os.path.join(t, d) for d in base]).withColumn(
+                    "_seq", F.lit(0)
+                )
+            )
+        for d in self._delta_entries(name):
+            seq = int(os.path.basename(d)[1:6])
+            parts.append(
+                spark.read.parquet(os.path.join(t, d)).withColumn("_seq", F.lit(seq))
+            )
+        pool = parts[0]
+        for p in parts[1:]:
+            pool = pool.unionByName(p)
+        tb = [F.col(c) for c in mor.get("tiebreak", [])]
+        cols = [c for c in pool.columns if c != "_seq"]
+        if mor["resolution"] == "replace":
+            return _winner_dedup(pool, mor["keys"], [F.col("_seq")] + tb).select(*cols)
+        # deterministic: arrival order must not influence the outcome —
+        # drop _seq BEFORE hashing so an identical row in base and a
+        # delta collapses to one rid instead of competing by sequence
+        return _winner_dedup(pool.select(*cols), mor["keys"], tb)
 
     def read_version_delta(self, spark: SparkSession, name: str, version: int) -> DataFrame | None:
         """Rows ADDED by snapshot ``version`` (its newest data dir) —
@@ -125,7 +216,10 @@ class ParquetCatalog:
         return spark.read.parquet(*[os.path.join(self._tdir(name), d) for d in new])
 
     def count(self, name: str) -> int:
-        """Row count from parquet footers — no Spark job."""
+        """Row count from parquet footers — no Spark job.  PHYSICAL
+        rows: on a merge-on-read table with unresolved deltas this
+        counts superseded versions too; use ``read(...).count()`` for
+        the logical count, or compact first."""
         import pyarrow.parquet as pq
 
         return sum(
@@ -134,13 +228,14 @@ class ParquetCatalog:
             for f in glob.glob(os.path.join(d, "*.parquet"))
         )
 
-    def _commit(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
+    def _commit(self, name: str, df: DataFrame, mode: str = "overwrite", prefix: str = "d") -> int:
         """Write a new data dir, record a new manifest, atomically flip
         the pointer.  ``append`` keeps prior data dirs (O(batch));
-        ``overwrite`` supersedes them."""
+        ``overwrite`` supersedes them.  ``prefix="e"`` marks the dir as
+        a merge-on-read delta (resolved by read, folded by compact)."""
         cur = self.current_version(name)
         v = cur + 1
-        ddir = f"d{v:05d}"
+        ddir = f"{prefix}{v:05d}"
         out = os.path.join(self._tdir(name), ddir)
         df.write.mode("overwrite").parquet(out)
         prev = self._manifest(name, cur) if mode == "append" else []
@@ -284,7 +379,60 @@ class ParquetCatalog:
             return self._commit(name, df, mode="overwrite")
         return self._commit(name, df, mode="append")
 
-    # -- MERGE INTO emulation -------------------------------------------------
+    # -- MERGE INTO emulation, merge-on-read mode -----------------------------
+    def merge_upsert_mor(
+        self,
+        spark: SparkSession,
+        name: str,
+        updates: DataFrame,
+        keys: list[str],
+        tiebreak: list[str] | None = None,
+        resolution: str = "replace",
+    ) -> int:
+        """Merge-on-read MERGE: the batch is written as a DELTA dir in
+        O(batch) — no base data is read or rewritten (Iceberg's
+        ``write.merge.mode=merge-on-read`` analog; the copy-on-write
+        path is :meth:`merge_upsert`).  ``read`` reconciles base and
+        deltas per key at scan time; :meth:`compact` folds deltas back
+        into the base (the periodic rewrite job).
+
+        Trade: writes are O(batch) regardless of table size — the
+        incremental-ingest win — while reads pay a winner-resolution
+        shuffle until compaction.  Right when batches are frequent and
+        small relative to the table; the CoW bucketed path is right
+        when reads dominate.
+
+        ``tiebreak`` must be column NAMES here (they are persisted in
+        ``_mor.json`` for read-time resolution).  ``resolution`` as in
+        :meth:`merge_upsert`; with ``"replace"``, newer deltas beat
+        older deltas beat base (last-write-wins across commits)."""
+        if self.bucket_spec(name) is not None:
+            raise ValueError(
+                f"table {name!r} is hash-bucketed (copy-on-write with bucket "
+                "pruning); merge-on-read deltas are for unbucketed tables"
+            )
+        tiebreak = list(tiebreak or [])
+        if not all(isinstance(t, str) for t in tiebreak):
+            raise TypeError("merge_upsert_mor tiebreaks must be column names")
+        spec = {"keys": list(keys), "tiebreak": tiebreak, "resolution": resolution}
+        prev = self.mor_spec(name)
+        if prev is None:
+            os.makedirs(self._tdir(name), exist_ok=True)
+            with open(self._mor_path(name), "w") as f:
+                json.dump(spec, f)
+        elif prev != spec:
+            raise ValueError(
+                f"table {name!r} has mor spec {prev}; a merge with {spec} "
+                "would change read-time resolution semantics"
+            )
+        # within-batch dedup only (Iceberg MERGE errors on duplicate
+        # source keys; we resolve them deterministically instead)
+        deduped = _winner_dedup(updates, list(keys), [F.col(t) for t in tiebreak])
+        if not self.exists(name):
+            return self._commit(name, deduped, mode="overwrite")
+        return self._commit(name, deduped, mode="append", prefix="e")
+
+    # -- MERGE INTO emulation, copy-on-write mode -----------------------------
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -364,39 +512,9 @@ class ParquetCatalog:
         # winner per key = max_by over (tiebreak..., _rid): a total
         # order (rid = content hash stands in for the full row as the
         # final tiebreak), so batch-split independent and stable across
-        # runs.  LATE MATERIALIZATION: an agg whose buffer holds the
-        # full row struct is not hash-aggregable — Spark plans a
-        # SortAggregate that SORTS every payload byte (measured: the
-        # 47M-row edge dedup at 600k pages sorted ~28 GB and dominated
-        # the pipeline).  Instead the agg runs over a NARROW projection
-        # (keys + tiebreaks + 8-byte rid) and the winner rows are
-        # fetched back by a semi-join on rid (AQE turns it into a
-        # broadcast join — the build side is just the winner rids).
-        cols = pool.columns
-        salted = []
-        for i, c in enumerate(cols):
-            # interleave field ordinals so value-shifts between
-            # adjacent nullable columns can't produce rid collisions
-            salted += [F.lit(i), F.col(c)]
-        pool = pool.withColumn("_rid", F.xxhash64(*salted))
+        # runs.  See _winner_dedup for the late-materialization shape.
         tb_exprs = [F.col(t) if isinstance(t, str) else t for t in (tiebreak or [])]
-        narrow = pool.select(
-            *keys,
-            F.col("_rid"),
-            *[e.alias(f"_tb{i}") for i, e in enumerate(tb_exprs)],
-        )
-        okey = F.struct(
-            *[F.col(f"_tb{i}") for i in range(len(tb_exprs))], F.col("_rid")
-        )
-        winners = narrow.groupBy(*keys).agg(F.max_by(F.col("_rid"), okey).alias("_rid"))
-        deduped = (
-            pool.join(winners.select("_rid"), "_rid", "left_semi")
-            # identical-content copies share a rid and all pass the
-            # semi-join — collapse them
-            .dropDuplicates(["_rid"])
-            .drop("_rid")
-            .select(*cols)
-        )
+        deduped = _winner_dedup(pool, keys, tb_exprs)
         if existing is None:
             if spec is not None:
                 return self._commit_bucketed(name, deduped, spec)

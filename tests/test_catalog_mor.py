@@ -1,0 +1,107 @@
+"""Merge-on-read catalog mode: O(batch) delta writes, read-time
+winner resolution, compaction folding."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+    ParquetCatalog,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "val", "conf").collect())
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "k long, val string, conf double")
+
+
+class TestMorMerge:
+    def test_delta_write_leaves_base_untouched(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5), (2, "b", 0.5)]), keys=["k"])
+        base_files = set(glob.glob(str(tmp_path / "t" / "d*" / "*.parquet")))
+        mtimes = {f: os.path.getmtime(f) for f in base_files}
+
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(2, "B2", 0.9), (3, "c", 0.5)]), keys=["k"])
+        assert set(glob.glob(str(tmp_path / "t" / "d*" / "*.parquet"))) == base_files
+        assert {f: os.path.getmtime(f) for f in base_files} == mtimes
+        # the delta landed as an e-dir
+        assert glob.glob(str(tmp_path / "t" / "e*"))
+
+    def test_read_resolves_last_write_wins(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.9), (2, "b", 0.9)]), keys=["k"])
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(2, "B2", 0.1)]), keys=["k"])
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(2, "B3", 0.2), (3, "c", 0.5)]), keys=["k"])
+        # replace resolution: the NEWEST delta wins even with lower conf
+        assert _rows(cat.read(spark, "t")) == [
+            (1, "a", 0.9),
+            (2, "B3", 0.2),
+            (3, "c", 0.5),
+        ]
+
+    def test_within_batch_duplicates_resolved_by_tiebreak(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(
+            spark,
+            "t",
+            _mk(spark, [(1, "lo", 0.1), (1, "hi", 0.9)]),
+            keys=["k"],
+            tiebreak=["conf"],
+        )
+        assert _rows(cat.read(spark, "t")) == [(1, "hi", 0.9)]
+
+    def test_deterministic_resolution_is_batch_split_independent(self, spark, tmp_path):
+        a = [(1, "x", 0.3), (2, "y", 0.8)]
+        b = [(1, "z", 0.7), (3, "w", 0.1)]
+
+        cat1 = ParquetCatalog(str(tmp_path / "split"))
+        cat1.merge_upsert_mor(spark, "t", _mk(spark, a), keys=["k"], tiebreak=["conf"], resolution="deterministic")
+        cat1.merge_upsert_mor(spark, "t", _mk(spark, b), keys=["k"], tiebreak=["conf"], resolution="deterministic")
+
+        cat2 = ParquetCatalog(str(tmp_path / "union"))
+        cat2.merge_upsert_mor(spark, "t", _mk(spark, a + b), keys=["k"], tiebreak=["conf"], resolution="deterministic")
+
+        assert _rows(cat1.read(spark, "t")) == _rows(cat2.read(spark, "t"))
+        # and the winner is by conf, not arrival: (1, z, 0.7) beats (1, x, 0.3)
+        assert (1, "z", 0.7) in _rows(cat1.read(spark, "t"))
+
+    def test_compact_folds_deltas(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5), (2, "b", 0.5)]), keys=["k"])
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(2, "B2", 0.9)]), keys=["k"])
+        before = _rows(cat.read(spark, "t"))
+
+        cat.compact(spark, "t")
+        assert _rows(cat.read(spark, "t")) == before
+        assert cat._delta_entries("t") == []
+        # physical count now equals logical count again
+        assert cat.count("t") == len(before)
+        # a new delta after compaction still resolves
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "A9", 0.9)]), keys=["k"])
+        assert (1, "A9", 0.9) in _rows(cat.read(spark, "t"))
+
+    def test_spec_conflicts_raise(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5)]), keys=["k"])
+        with pytest.raises(ValueError, match="mor spec"):
+            cat.merge_upsert_mor(
+                spark, "t", _mk(spark, [(2, "b", 0.5)]), keys=["k"], resolution="deterministic"
+            )
+        cat.merge_upsert(
+            spark, "bkt", _mk(spark, [(1, "a", 0.5)]), keys=["k"], buckets=4
+        )
+        with pytest.raises(ValueError, match="hash-bucketed"):
+            cat.merge_upsert_mor(spark, "bkt", _mk(spark, [(2, "b", 0.5)]), keys=["k"])
+
+    def test_incremental_delta_read(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5)]), keys=["k"])
+        v = cat.merge_upsert_mor(spark, "t", _mk(spark, [(2, "b", 0.5)]), keys=["k"])
+        inc = cat.read_version_delta(spark, "t", v)
+        assert _rows(inc) == [(2, "b", 0.5)]
