@@ -67,26 +67,39 @@ def srp_buckets(
     deterministic literals compiled into the plan (tiny: n_planes*dim
     doubles), so executors need no side channel."""
     planes = _hyperplanes(dim, n_planes, seed)
+    # ONE nested-array literal + one transform for all plane dots:
+    # n_planes separate dot-aggregate expressions (each a 64-literal
+    # array) made the analyzed tree huge — plan compile dominated the
+    # first execution (~5 s at n_planes=16, dim=64).  The packed form
+    # is one expression; per-row work is identical.
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(w)) for w in p]) for p in planes]
+    )
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(w)) for w in planes[p]])) >= 0, 1).otherwise(0)
-        for p in range(n_planes)
-    ]
+    bits_arr = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    # stage the bit computation so the `bands` band-struct expressions
+    # slice an attribute instead of re-evaluating every plane dot
+    staged = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bits_arr.alias("_bits")
+    )
     per_band = n_planes // bands
     band_rows = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "", *[bits[b * per_band + i].cast("string") for i in range(per_band)]
+                    F.array_join(
+                        F.slice(F.col("_bits"), b * per_band + 1, per_band), ""
                     ).alias("bucket"),
                 )
                 for b in range(bands)
             ]
         )
     ).alias("bb")
-    return embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), band_rows).select(
+    return staged.select("id", "vec", band_rows).select(
         "id", "vec", "bb.band", "bb.bucket"
     )
 
