@@ -30,6 +30,7 @@ from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import 
 from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
     canonicalize,
     cooccur,
+    curation,
     dedup,
     graph,
     multimodal,
@@ -625,6 +626,17 @@ def q_dd_ngram_jaccard(spark, sf_dir):
     ).orderBy("a_id", "b_id")
 
 
+def q_dd_curation(spark, sf_dir):
+    """Corpus curation (length+quality+lang gates, exact dedup) over
+    the documents table with planted duplicates — the kept set."""
+    return curation.curate_corpus(_docs_with_dups(spark, sf_dir)).orderBy("id")
+
+
+def q_dd_curation_funnel(spark, sf_dir):
+    """Single-pass per-gate survivor counts for the same curation."""
+    return curation.curation_funnel(_docs_with_dups(spark, sf_dir))
+
+
 def q_dd_embed_near_dup(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups(emb, threshold=0.30, group_col="label").orderBy(
@@ -729,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_evidence_truncation": q_rel_evidence_truncation,
         "dd_exact": q_dd_exact,
         "dd_fingerprint": q_dd_fingerprint,
+        "dd_curation": q_dd_curation,
+        "dd_curation_funnel": q_dd_curation_funnel,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_embed_near_dup": q_dd_embed_near_dup,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -756,6 +770,35 @@ def oracle_sql() -> dict[str, str]:
         " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
         " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
     )
+    punct_ratio = (
+        "CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END"
+    )
+    stop_ratio = (
+        "CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0 THEN"
+        f" CAST(({en_hits}) AS DOUBLE) / length(regexp_extract_all(text, '\\S+')) ELSE 0.0 END"
+    )
+    quality = f"""ROUND(CAST(
+    (CASE WHEN length(regexp_extract_all(text, '\\S+')) >= 5 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN ({punct_ratio}) > 0.001 AND ({punct_ratio}) < 0.2 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN ({stop_ratio}) > 0.02 THEN 0.3 ELSE 0.0 END)
+  AS DOUBLE), 6)"""
+    _CURATION_FEATS_CTE = f"""docs_dup AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT * REPLACE (doc_id + 1000000 AS doc_id) FROM documents WHERE doc_id < 50
+),
+feats AS (
+  SELECT doc_id AS id,
+    CASE WHEN ({en_hits}) > ({de_hits}) THEN 'en'
+         WHEN ({de_hits}) > ({en_hits}) THEN 'de'
+         ELSE 'und' END AS lang,
+    length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    {quality} AS quality_score,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM docs_dup
+),
+gated AS (SELECT * FROM feats WHERE n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en'))"""
     return {
         "kg_mentions": f"WITH {MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions",
         "kg_mentions_nlp": f"WITH {MENTIONS_CTE}, {NLP_MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM nlp_mentions",
@@ -952,4 +995,19 @@ SELECT doc_id,
     + (CASE WHEN (CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0 THEN CAST(({en_hits}) AS DOUBLE) / length(regexp_extract_all(text, '\\S+')) ELSE 0.0 END) > 0.02 THEN 0.3 ELSE 0.0 END)
   AS DOUBLE), 6) AS quality_score
 FROM documents ORDER BY doc_id""",
+        "dd_curation": f"""
+WITH {_CURATION_FEATS_CTE}
+SELECT g.id, g.lang, g.n_tokens, g.quality_score, g.fp
+FROM gated g
+JOIN (SELECT fp, min(id) AS id FROM gated GROUP BY fp) w
+  ON g.fp = w.fp AND g.id = w.id
+ORDER BY g.id""",
+        "dd_curation_funnel": f"""
+WITH {_CURATION_FEATS_CTE.replace("gated AS (SELECT * FROM feats WHERE n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en'))", "gated AS (SELECT * FROM feats)")}
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+  CAST(COUNT(*) FILTER (n_tokens >= 5) AS BIGINT) AS pass_length,
+  CAST(COUNT(*) FILTER (n_tokens >= 5 AND quality_score >= 0.5) AS BIGINT) AS pass_quality,
+  CAST(COUNT(*) FILTER (n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en')) AS BIGINT) AS pass_lang,
+  CAST(COUNT(DISTINCT CASE WHEN n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en') THEN fp END) AS BIGINT) AS after_dedup
+FROM gated""",
     }

@@ -1,0 +1,90 @@
+"""Corpus curation: the canonical training-data prep composition —
+quality gate + language gate + exact dedup — as one operator with a
+lineage funnel.
+
+Scale shape (the whole point at 100 TB):
+
+* ONE narrow projection computes every feature (token count, lang id,
+  quality score, fingerprint) from the text; the text column itself
+  never crosses a shuffle.
+* gates are plain Catalyst predicates evaluated in the scan stage —
+  they prune before any exchange.
+* dedup is groupBy(min(id)) over (fingerprint, id) ONLY — a 16-byte
+  key + 8-byte id through the shuffle — followed by a semi-join on id
+  to late-materialize the surviving rows (same shape as the catalog
+  MERGE winner selection).
+* the funnel audit is a single-pass conditional aggregate — one job,
+  no per-stage re-scans.
+
+Every output has an exact ANSI-SQL twin (DuckDB oracle entries
+``dd_curation`` / ``dd_curation_funnel``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tf
+
+
+def _features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    feats = tf.quality_features(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        tf.lang_id(F.col(text_col)).alias("lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+        tf.fingerprint(F.col(text_col)).alias("fp"),
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Kept documents after the three gates + exact dedup.
+
+    Output: (id, lang, n_tokens, quality_score, fp), one row per
+    surviving fingerprint (canonical survivor = min id — deterministic
+    and batch-split independent)."""
+    gated = _features(df, text_col, id_col).where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("lang").isin(*langs))
+    )
+    winners = gated.groupBy("fp").agg(F.min("id").alias("id"))
+    return gated.join(winners, ["fp", "id"], "left_semi").select(
+        "id", "lang", "n_tokens", "quality_score", "fp"
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Per-gate survivor counts in ONE aggregate pass (the lineage row
+    a curation job logs): total -> length gate -> +quality -> +lang ->
+    distinct fingerprints among full survivors (= post-dedup size).
+
+    Gates are applied cumulatively in the stated order, matching
+    :func:`curate_corpus` (whose conjunction is order-independent)."""
+    f = _features(df, text_col, id_col)
+    g_len = F.col("n_tokens") >= min_tokens
+    g_q = g_len & (F.col("quality_score") >= min_quality)
+    g_lang = g_q & F.col("lang").isin(*langs)
+    return f.agg(
+        F.count("*").alias("total"),
+        F.count_if(g_len).alias("pass_length"),
+        F.count_if(g_q).alias("pass_quality"),
+        F.count_if(g_lang).alias("pass_lang"),
+        F.count_distinct(F.when(g_lang, F.col("fp"))).alias("after_dedup"),
+    )
