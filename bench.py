@@ -85,9 +85,13 @@ def main():
         "dd_exact",
         "dd_minhash_lsh",
         "dd_ngram_jaccard",
+        "dd_simhash",
+        "dd_curation",
         "sim_bruteforce_topk",
         "sim_ann_topk",
+        "sim_ivf_topk",
         "txt_stats",
+        "mm_features",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
