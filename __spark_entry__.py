@@ -637,6 +637,22 @@ def q_dd_curation_funnel(spark, sf_dir):
     return curation.curation_funnel(_docs_with_dups(spark, sf_dir))
 
 
+def q_dd_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per source.  With per-group distinct
+    text counts below k the sketch IS the distinct set, so the
+    estimate is exact and DuckDB's COUNT(DISTINCT) oracles it; the
+    estimate regime (distinct >> k) is bound-checked in
+    tests/test_sketches.py."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+    sk = sketches.kmv_sketch(_docs(spark, sf_dir), "text", group_cols=["source"], k=2048)
+    return (
+        sketches.kmv_estimate(sk, k=2048)
+        .select("source", F.col("distinct_est").cast("long").alias("distinct_texts"))
+        .orderBy("source")
+    )
+
+
 def q_dd_embed_near_dup(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dups(emb, threshold=0.30, group_col="label").orderBy(
@@ -743,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fingerprint": q_dd_fingerprint,
         "dd_curation": q_dd_curation,
         "dd_curation_funnel": q_dd_curation_funnel,
+        "dd_kmv_distinct": q_dd_kmv_distinct,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_embed_near_dup": q_dd_embed_near_dup,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -1010,4 +1027,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS total,
   CAST(COUNT(*) FILTER (n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en')) AS BIGINT) AS pass_lang,
   CAST(COUNT(DISTINCT CASE WHEN n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en') THEN fp END) AS BIGINT) AS after_dedup
 FROM gated""",
+        "dd_kmv_distinct": """
+SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts
+FROM documents GROUP BY source ORDER BY source""",
     }

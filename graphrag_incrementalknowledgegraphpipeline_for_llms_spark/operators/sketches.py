@@ -1,0 +1,128 @@
+"""Deterministic mergeable sketches: KMV distinct-count and k-min
+quantile sampling.
+
+Sketch operators are the scale answer when an exact aggregate's state
+is unbounded: exact COUNT(DISTINCT x) shuffles every distinct value;
+exact percentiles sort the column.  Both sketches here keep O(k) state
+per group, merge associatively across partitions (map-side combine
+does most of the work — the shuffle carries one k-array per group per
+map task), and are DETERMINISTIC: the "random" hash is Spark's
+xxhash64, so every run — and the pure-Python pytest oracle — produces
+bit-identical sketches.  That determinism is what HLL/t-digest
+implementations can't give an exact-comparison test harness.
+
+* KMV (k minimum values): keep the k smallest hash values of the set.
+  Estimate: (k-1) / normalized k-th minimum — the classic bottom-k
+  estimator (relative error ~ 1/sqrt(k-2)).  Exact when the group has
+  fewer than k distinct values (the sketch IS the distinct set then).
+* k-min sample quantiles: the same bottom-k trick keeps a uniform
+  (hash-ordered) sample of distinct values; quantiles read from the
+  sample.  Coarser than KLL at the same k, but mergeable,
+  deterministic, and honest about its error (documented, not hidden).
+
+Shuffle shape: ``dropDuplicates([group, hash])`` first (map-side
+combine removes repeat values before any exchange), then a window
+``row_number() <= k`` over (group, hash-ascending).  The shuffle
+carries (group, 8-byte hash) pairs only, and the window is sort-based
+streaming state — one row in flight per group.  A
+``collect_set``-then-slice aggregate would be simpler but its buffer
+is unbounded — the exact thing a sketch exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Spark xxhash64 returns signed 64-bit; shift to unsigned order by
+# flipping the sign bit so "smallest hash" is well-defined uniformly.
+_SIGN = -(1 << 63)
+
+_M64 = float(1 << 64)
+
+
+def _uhash(col) -> "F.Column":
+    """xxhash64 mapped to an order-preserving unsigned rank (stored
+    signed: h XOR sign-bit), so ascending sort = unsigned hash order."""
+    return F.xxhash64(col).bitwiseXOR(F.lit(_SIGN))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: (group..., kmv: array<bigint> — the k
+    smallest distinct unsigned-ordered hashes, ascending).
+
+    Mergeable: union two sketch tables and re-run ``kmv_merge`` (or
+    this function over the union of raw tables) — bottom-k of a union
+    = bottom-k of concatenated bottom-k's."""
+    group_cols = group_cols or []
+    hashed = df.select(
+        *group_cols, _uhash(F.col(value_col)).alias("_h")
+    ).dropDuplicates([*group_cols, "_h"])
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("_h") if group_cols else Window.partitionBy(F.lit(1)).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return topk.groupBy(*group_cols).agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None, k: int = 256) -> DataFrame:
+    """Merge sketch rows (e.g. from different days/partitions of a
+    table): concatenate, distinct, keep the k smallest."""
+    group_cols = group_cols or []
+    return sketches.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+        ).alias("kmv")
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per sketch row.
+
+    |kmv| < k  -> the sketch saw every distinct value: exact count.
+    |kmv| == k -> (k-1) / R where R = fraction of hash space below the
+    k-th minimum (unsigned)."""
+    n = F.size("kmv")
+    kth = F.element_at(F.col("kmv"), k)
+    # unsigned fraction of 2^64 below the k-th minimum
+    frac = (kth.cast("double") - F.lit(float(_SIGN))) / F.lit(_M64)
+    est = F.when(n < k, n.cast("double")).otherwise((F.lit(float(k - 1))) / frac)
+    return sketches.withColumn("distinct_est", F.round(est, 3))
+
+
+def kmin_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Approximate per-group quantiles of DISTINCT values from a
+    deterministic bottom-k-by-hash sample: keep the k values whose
+    hashes are smallest (a uniform sample of the distinct set), read
+    quantiles off the sorted sample.
+
+    Error: sample-of-distincts quantiles — right for "what does a
+    typical VALUE look like" (p50 token count over distinct docs),
+    wrong for frequency-weighted quantiles; use the exact
+    ``percentile`` on a pre-aggregated table for the latter."""
+    group_cols = group_cols or []
+    hashed = df.select(
+        *group_cols, F.col(value_col).alias("_v"), _uhash(F.col(value_col)).alias("_h")
+    ).dropDuplicates([*group_cols, "_h"])
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("_h") if group_cols else Window.partitionBy(F.lit(1)).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    sample = topk.groupBy(*group_cols).agg(F.array_sort(F.collect_list("_v")).alias("_sample"))
+    qcols = [
+        F.element_at(
+            F.col("_sample"),
+            F.greatest(
+                F.lit(1), F.ceil(F.size("_sample") * F.lit(float(p))).cast("int")
+            ),
+        ).alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return sample.select(*group_cols, *qcols)

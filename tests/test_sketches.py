@@ -1,0 +1,78 @@
+"""KMV / k-min-sample sketches: exact pure-Python oracle (the sketch
+hash is Spark xxhash64, reimplemented in tests/xxhash_ref.py), merge
+associativity, estimate accuracy bounds."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+from tests.xxhash_ref import spark_xxhash64
+
+SIGN = 1 << 63
+M64 = (1 << 64) - 1
+
+
+def _uhash_signed(v: str) -> int:
+    h = spark_xxhash64(v) & M64
+    u = h ^ SIGN  # same XOR the engine applies, still signed-compared
+    return u - (1 << 64) if u >= SIGN else u
+
+
+def _py_kmv(values, k):
+    hs = sorted({_uhash_signed(v) for v in values})
+    return hs[:k]
+
+
+class TestKmvExact:
+    def test_sketch_matches_python_oracle(self, spark):
+        vals = [f"doc-{i}" for i in range(500)] * 3  # repeats collapse
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = sketches.kmv_sketch(df, "v", k=64).collect()[0]["kmv"]
+        assert list(got) == _py_kmv(vals, 64)
+
+    def test_grouped_sketch(self, spark):
+        rows = [(i % 3, f"u{i}") for i in range(300)]
+        df = spark.createDataFrame(rows, "g int, v string")
+        for r in sketches.kmv_sketch(df, "v", group_cols=["g"], k=32).collect():
+            want = _py_kmv([v for g, v in rows if g == r["g"]], 32)
+            assert list(r["kmv"]) == want
+
+    def test_small_cardinality_is_exact(self, spark):
+        df = spark.createDataFrame([(f"x{i % 7}",) for i in range(100)], "v string")
+        est = sketches.kmv_estimate(sketches.kmv_sketch(df, "v", k=64), k=64).collect()[0]
+        assert est["distinct_est"] == 7.0
+
+    def test_estimate_within_bound(self, spark):
+        n, k = 20000, 256
+        df = spark.range(n).select(F.concat(F.lit("id-"), F.col("id")).alias("v"))
+        est = sketches.kmv_estimate(sketches.kmv_sketch(df, "v", k=k), k=k).collect()[0][
+            "distinct_est"
+        ]
+        # bottom-k relative error ~ 1/sqrt(k-2); allow 5 sigma
+        assert abs(est - n) / n < 5 / math.sqrt(k - 2)
+
+    def test_merge_equals_union(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(400)], "v string")
+        b = spark.createDataFrame([(f"a{i}",) for i in range(200, 600)], "v string")
+        k = 64
+        merged = sketches.kmv_merge(
+            sketches.kmv_sketch(a, "v", k=k).unionByName(sketches.kmv_sketch(b, "v", k=k)),
+            k=k,
+        ).collect()[0]["kmv"]
+        direct = sketches.kmv_sketch(a.unionByName(b), "v", k=k).collect()[0]["kmv"]
+        assert list(merged) == list(direct)
+
+
+class TestKminQuantiles:
+    def test_quantiles_from_sample(self, spark):
+        df = spark.range(1000).select(F.col("id").cast("int").alias("v"))
+        row = sketches.kmin_quantiles(df, "v", [0.5, 0.9], k=256).collect()[0]
+        # uniform sample of 0..999: p50 near 500, p90 near 900
+        assert abs(row["q50"] - 500) < 120
+        assert abs(row["q90"] - 900) < 120
+
+    def test_exact_when_sample_covers_all(self, spark):
+        df = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]], "v int")
+        row = sketches.kmin_quantiles(df, "v", [0.5, 1.0], k=64).collect()[0]
+        assert row["q50"] == 5 and row["q100"] == 10
