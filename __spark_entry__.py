@@ -563,6 +563,25 @@ def q_rel_event_histogram(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP(event_type, cohort): per-group rows, per-type
+    subtotals, grand total — the grouping-sets surface the reference
+    lacks.  Sums accumulate in decimal so both engines round the same
+    value (double-sum low bits are partition-order dependent)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.pmod("user_id", F.lit(10)).alias("cohort"),
+        F.col("value").cast("decimal(20,6)").alias("dval"),
+    )
+    return (
+        e.rollup("event_type", "cohort")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("dval"), 4).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("cohort").asc_nulls_first())
+    )
+
+
 def q_rel_null_audit(spark, sf_dir):
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.chunks import null_audit
 
@@ -712,6 +731,21 @@ def q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, qv, cent, nprobe=3, k=10)
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out plumbing over binary payloads: every 2nd
+    fake frame (frame = 32-byte span).  SQL-expressible, so this one
+    multimodal op gets a real DuckDB oracle."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        multimodal.frame_sample_plan(d, every_n=2, frame_bytes=32)
+        .select("url", F.col("frame_idx").cast("long").alias("frame_idx"))
+        .orderBy(F.col("url").cast("long"), "frame_idx")
+    )
+
+
 def q_mm_features(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"), F.encode("text", "utf-8").alias("payload")
@@ -752,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize": q_rel_sessionize,
         "rel_asof_join": q_rel_asof_join,
         "rel_tumbling_window": q_rel_tumbling_window,
+        "rel_rollup": q_rel_rollup,
         "rel_null_audit": q_rel_null_audit,
         "rel_coalesce_projection": q_rel_coalesce_projection,
         "rel_evidence_truncation": q_rel_evidence_truncation,
@@ -769,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": q_sim_ann_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -1030,4 +1066,15 @@ FROM gated""",
         "dd_kmv_distinct": """
 SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts
 FROM documents GROUP BY source ORDER BY source""",
+        "rel_rollup": """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+  COUNT(*) AS cnt,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS BIGINT))
+ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""",
+        "mm_frame_sample": """
+SELECT CAST(doc_id AS VARCHAR) AS url,
+  unnest(range(0, greatest(octet_length(encode(text)) // 32, 1), 2)) AS frame_idx
+FROM documents ORDER BY doc_id, frame_idx""",
     }

@@ -83,16 +83,25 @@ def extract_features(
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int = 10,
+    payload_col: str = "payload",
+    url_col: str = "url",
+    frame_bytes: int = 4096,
+) -> DataFrame:
     """Video frame-sampling PLUMBING: emits (url, frame_idx) rows for
     frames a real decoder would materialize — deterministic fake
-    frame count = byte_len // 4096.  Shows the explode fan-out shape
-    without a codec."""
-    n_frames = (F.length(F.col("payload")) / F.lit(4096)).cast("int")
-    src = df.select(F.col("url"), F.col("html").alias("payload"))
+    frame count = byte_len // frame_bytes (>= 1 per payload).  Shows
+    the explode fan-out shape without a codec; swapping the fake count
+    for a container-header parse changes one expression."""
+    src = df.select(F.col(url_col).alias("url"), F.col(payload_col).alias("payload"))
+    n_frames = F.greatest(
+        (F.length(F.col("payload")) / F.lit(frame_bytes)).cast("int"), F.lit(1)
+    )
     return src.select(
         "url",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
