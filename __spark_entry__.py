@@ -563,6 +563,61 @@ def q_rel_event_histogram(spark, sf_dir):
     )
 
 
+def q_rel_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: supplier-nation x customer-nation volume by
+    year — 6-table join with BOTH nation sides broadcast (tiny dims)
+    and the symmetric nation-pair predicate."""
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") < F.col("cust_nation"))
+    return (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_rel_json_extract(spark, sf_dir):
+    """JSON column processing (S4-adjacent): parse events.props with
+    an explicit schema (corrupt rows -> null struct, dropped — the
+    drop-don't-fail contract), aggregate the extracted field."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    ).where(F.col("p").isNotNull() & F.col("p.k").isNotNull())
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_rel_rollup(spark, sf_dir):
     """GROUP BY ROLLUP(event_type, cohort): per-group rows, per-type
     subtotals, grand total — the grouping-sets surface the reference
@@ -787,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_tumbling_window": q_rel_tumbling_window,
         "rel_rollup": q_rel_rollup,
+        "rel_tpch_q7": q_rel_tpch_q7,
+        "rel_json_extract": q_rel_json_extract,
         "rel_null_audit": q_rel_null_audit,
         "rel_coalesce_projection": q_rel_coalesce_projection,
         "rel_evidence_truncation": q_rel_evidence_truncation,
@@ -1066,6 +1123,28 @@ FROM gated""",
         "dd_kmv_distinct": """
 SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts
 FROM documents GROUP BY source ORDER BY source""",
+        "rel_tpch_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "rel_json_extract": """
+SELECT event_type,
+  COUNT(*) AS cnt,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type ORDER BY event_type""",
         "rel_rollup": """
 SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
   COUNT(*) AS cnt,
