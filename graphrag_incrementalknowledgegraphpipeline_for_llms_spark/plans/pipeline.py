@@ -92,6 +92,7 @@ def run_pipeline(
     stage_mode: str = "parquet",
     epoch_id: int | None = None,
     extraction_strategy: str = "heuristic",
+    dedup_pages: bool = False,
 ) -> PipelineResult:
     """``stage_mode`` controls how the enriched (post-extraction) data
     is shared across the downstream consumers:
@@ -138,6 +139,22 @@ def run_pipeline(
     pages = pages.select(*[c for c in needed if c in pages.columns])
     if pages.rdd.getNumPartitions() < scan_partitions:
         pages = pages.repartition(scan_partitions, F.xxhash64("url"))
+    if dedup_pages:
+        # content-level exact dedup BEFORE the (expensive) extraction
+        # stage: mirror-hosted identical payloads extract once.  Only
+        # (16-byte md5, url) crosses the shuffle; canonical survivor =
+        # min url (deterministic).  Same-url re-crawls are NOT handled
+        # here — the chunk-level anti-join + MERGE idempotency own
+        # that; this gate is for the same bytes under DIFFERENT urls,
+        # which nothing downstream would collapse (chunk_id hashes the
+        # url in).
+        payload = "html" if extract_from_html else "text"
+        winners = (
+            pages.select(F.md5(F.col(payload)).alias("_fp"), "url")
+            .groupBy("_fp")
+            .agg(F.min("url").alias("url"))
+        )
+        pages = pages.join(winners.select("url"), "url", "left_semi")
     d()
 
     # ---- one extraction pass ------------------------------------------------

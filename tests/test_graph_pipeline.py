@@ -235,3 +235,36 @@ class TestCatalogMaintenance:
         manifests = g.glob(os.path.join(catalog._tdir("t_exp"), "m*.json"))
         assert len(manifests) == 2
         assert catalog.read(spark, "t_exp").count() == 5  # current snapshot intact
+
+
+class TestDedupPages:
+    def test_mirrored_payloads_extract_once(self, spark, tmp_path):
+        """Identical payloads under different urls (mirror hosting)
+        collapse to the min-url copy before extraction; the resulting
+        graph is identical to running on the originals alone."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+        from pyspark.sql import functions as F
+
+        pages = datagen.pages_df(spark, 20)
+        mirrored = pages.withColumn("url", F.concat(F.lit("zz-mirror/"), F.col("url")))
+
+        cat_a = ParquetCatalog(str(tmp_path / "a"))
+        ra = pipeline.run_pipeline(spark, pages, cat_a, extract_from_html=True)
+
+        cat_b = ParquetCatalog(str(tmp_path / "b"))
+        rb = pipeline.run_pipeline(
+            spark,
+            pages.unionByName(mirrored),
+            cat_b,
+            extract_from_html=True,
+            dedup_pages=True,
+        )
+        assert rb.pages == ra.pages == 20
+        for t in ["nodes", "edges", "triples"]:
+            a = sorted(tuple(r) for r in cat_a.read(spark, t).collect())
+            b = sorted(tuple(r) for r in cat_b.read(spark, t).collect())
+            assert a == b, t
