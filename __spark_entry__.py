@@ -618,6 +618,36 @@ def q_rel_json_extract(spark, sf_dir):
     )
 
 
+def q_rel_range_join(spark, sf_dir):
+    """Point-in-interval range join: per-user maintenance windows
+    (deterministic synthetic intervals derived from the events table)
+    matched to the events falling inside them.  The bucketed
+    equi-join composition — never a nested-loop — with the oracle as
+    a plain BETWEEN join."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # one interval per user: [min_ts + 10%, min_ts + 40%] of their span
+    span = e.groupBy("user_id").agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    # integer µs division (`div`): (lo*9+hi)/10 in double space exceeds
+    # 2^53 and the last-ulp floor could differ from DuckDB's
+    iv = span.select(
+        "user_id",
+        F.timestamp_micros(
+            F.expr("(unix_micros(cast(lo as timestamp)) * 9 + unix_micros(cast(hi as timestamp))) div 10")
+        ).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(
+            F.expr("(unix_micros(cast(lo as timestamp)) * 6 + unix_micros(cast(hi as timestamp)) * 4) div 10")
+        ).cast("timestamp_ntz").alias("end_ts"),
+    )
+    joined = ev.range_join(
+        e.select("event_id", "ts", "user_id"), iv, key_col="user_id", bucket_seconds=600
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_in_window")
+    ).orderBy("user_id")
+
+
 def q_rel_rollup(spark, sf_dir):
     """GROUP BY ROLLUP(event_type, cohort): per-group rows, per-type
     subtotals, grand total — the grouping-sets surface the reference
@@ -844,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "rel_tpch_q7": q_rel_tpch_q7,
         "rel_json_extract": q_rel_json_extract,
+        "rel_range_join": q_rel_range_join,
         "rel_null_audit": q_rel_null_audit,
         "rel_coalesce_projection": q_rel_coalesce_projection,
         "rel_evidence_truncation": q_rel_evidence_truncation,
@@ -1136,6 +1167,16 @@ JOIN nation n1 ON n1.n_nationkey = s_nationkey
 JOIN nation n2 ON n2.n_nationkey = c_nationkey
 WHERE n1.n_name < n2.n_name
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "rel_range_join": """
+WITH span AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events GROUP BY user_id),
+iv AS (SELECT user_id,
+  make_timestamp((epoch_us(lo) * 9 + epoch_us(hi)) // 10) AS start_ts,
+  make_timestamp((epoch_us(lo) * 6 + epoch_us(hi) * 4) // 10) AS end_ts
+  FROM span)
+SELECT e.user_id, COUNT(*) AS n_in_window
+FROM events e JOIN iv ON e.user_id = iv.user_id
+  AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+GROUP BY e.user_id ORDER BY e.user_id""",
         "rel_json_extract": """
 SELECT event_type,
   COUNT(*) AS cnt,

@@ -178,3 +178,57 @@ def tumbling_rollup(
             F.round(F.avg(value_col), 6).alias("avg_value"),
         )
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key_col: str | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= ts <= end`` (inclusive both ends), optionally also
+    matching on ``key_col``.
+
+    Spark has no native range join; the naive ``ON ts BETWEEN s AND e``
+    plans a BroadcastNestedLoop/cartesian — |points| x |intervals| work.
+    Scale shape here: quantize time into ``bucket_seconds`` buckets,
+    EXPLODE each interval over the buckets it covers, equi-join points
+    to interval fragments on (bucket [, key]), then apply the exact
+    range predicate.  Cost is |points| + sum(interval_len/bucket)
+    through a hash join — linear, skew bounded by how many intervals
+    overlap one bucket.  Pick ``bucket_seconds`` near the median
+    interval length: too small explodes long intervals, too large
+    piles unrelated intervals into each bucket."""
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports how='inner' or 'left'")
+    us = bucket_seconds * 1_000_000
+    p = points.withColumn("_b", F.floor(_micros(F.col(ts_col)) / us))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col(start_col)) / us),
+                F.floor(_micros(F.col(end_col)) / us),
+            )
+        ),
+    )
+    on = ["_b"] + ([key_col] if key_col else [])
+    exact = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    if how == "inner":
+        return p.join(iv, on).where(exact).drop("_b")
+    # left: keep unmatched points with null interval columns — join
+    # inner first, then union the unmatched remainder back in
+    matched = p.join(iv, on).where(exact).drop("_b")
+    keep = [c for c in matched.columns]
+    missing = p.drop("_b").join(
+        matched.select(*points.columns).distinct(), on=points.columns, how="left_anti"
+    )
+    for c in keep:
+        if c not in missing.columns:
+            missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(missing.select(*keep))

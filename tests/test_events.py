@@ -191,3 +191,71 @@ class TestStreamingSessions:
         out2 = list(fn((1,), iter([]), st))
         assert out2[0]["n_events"].tolist() == [1]
         assert not st.exists
+
+
+class TestRangeJoin:
+    def _data(self, spark):
+        from datetime import datetime
+
+        pts = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, 0, 0, i), i % 2) for i in range(50)],
+            "pid long, ts timestamp, k long",
+        )
+        ivs = spark.createDataFrame(
+            [
+                (100, datetime(2024, 1, 1, 0, 0, 5), datetime(2024, 1, 1, 0, 0, 20), 0),
+                (101, datetime(2024, 1, 1, 0, 0, 15), datetime(2024, 1, 1, 0, 0, 40), 1),
+                (102, datetime(2024, 1, 1, 0, 0, 45), datetime(2024, 1, 1, 0, 0, 49), 0),
+            ],
+            "iid long, start_ts timestamp, end_ts timestamp, k long",
+        )
+        return pts, ivs
+
+    def test_inner_equals_naive_between(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+        pts, ivs = self._data(spark)
+        got = ev.range_join(pts, ivs.drop("k"), bucket_seconds=7)
+        naive = pts.join(
+            ivs.drop("k"),
+            (pts.ts >= ivs.start_ts) & (pts.ts <= ivs.end_ts),
+        )
+        assert sorted((r["pid"], r["iid"]) for r in got.collect()) == sorted(
+            (r["pid"], r["iid"]) for r in naive.collect()
+        )
+
+    def test_keyed_inner(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+        pts, ivs = self._data(spark)
+        got = ev.range_join(pts, ivs, key_col="k", bucket_seconds=7)
+        naive = pts.alias("p").join(
+            ivs.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("p.ts") <= F.col("i.end_ts")),
+        )
+        assert sorted((r["pid"], r["iid"]) for r in got.collect()) == sorted(
+            (r["pid"], r["iid"]) for r in naive.collect()
+        )
+
+    def test_left_keeps_unmatched_points(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+        pts, ivs = self._data(spark)
+        got = ev.range_join(pts, ivs.drop("k"), bucket_seconds=7, how="left")
+        matched_pids = {
+            r["pid"] for r in ev.range_join(pts, ivs.drop("k"), bucket_seconds=7).collect()
+        }
+        rows = got.collect()
+        assert {r["pid"] for r in rows} == set(range(50))  # every point kept
+        for r in rows:
+            if r["pid"] not in matched_pids:
+                assert r["iid"] is None
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+        pts, ivs = self._data(spark)
+        plan = ev.range_join(pts, ivs.drop("k"), bucket_seconds=7)._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
