@@ -618,6 +618,30 @@ def q_rel_json_extract(spark, sf_dir):
     )
 
 
+def q_rel_sliding_window(spark, sf_dir):
+    """Sliding-window rollup (60 s window, 30 s slide) per event type:
+    each event lands in window/slide overlapping windows."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.sliding_rollup(
+        e, window_seconds=60, slide_seconds=30, group_cols=["event_type"]
+    ).orderBy("window_start", "event_type")
+
+
+def q_rel_except(spark, sf_dir):
+    """Set-operator coverage: users with events but no high-value
+    purchase (EXCEPT DISTINCT) — the anti-join-as-set-op formulation."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    all_u = e.select("user_id")
+    big_buyers = e.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep multiset
+    # remainders — users with more events than purchases)
+    return all_u.subtract(big_buyers).orderBy("user_id")
+
+
 def q_rel_range_join(spark, sf_dir):
     """Point-in-interval range join: per-user maintenance windows
     (deterministic synthetic intervals derived from the events table)
@@ -875,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q7": q_rel_tpch_q7,
         "rel_json_extract": q_rel_json_extract,
         "rel_range_join": q_rel_range_join,
+        "rel_sliding_window": q_rel_sliding_window,
+        "rel_except": q_rel_except,
         "rel_null_audit": q_rel_null_audit,
         "rel_coalesce_projection": q_rel_coalesce_projection,
         "rel_evidence_truncation": q_rel_evidence_truncation,
@@ -1167,6 +1193,21 @@ JOIN nation n1 ON n1.n_nationkey = s_nationkey
 JOIN nation n2 ON n2.n_nationkey = c_nationkey
 WHERE n1.n_name < n2.n_name
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "rel_sliding_window": """
+WITH ex AS (
+  SELECT event_type,
+    make_timestamp(k * 30000000) AS window_start
+  FROM events,
+    unnest(range(epoch_us(ts) // 30000000 - 1, epoch_us(ts) // 30000000 + 1)) AS t(k)
+  WHERE epoch_us(ts) >= k * 30000000 AND epoch_us(ts) < k * 30000000 + 60000000
+)
+SELECT window_start, event_type, COUNT(*) AS cnt
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
+        "rel_except": """
+SELECT DISTINCT user_id FROM events
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+ORDER BY user_id""",
         "rel_range_join": """
 WITH span AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events GROUP BY user_id),
 iv AS (SELECT user_id,

@@ -232,3 +232,32 @@ def range_join(
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
     return matched.unionByName(missing.select(*keep))
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    slide_seconds: int = 1800,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window aggregate: each event contributes to
+    window/slide overlapping windows (``F.window`` with a slide —
+    Spark explodes the event into its windows before the groupBy, so
+    the shuffle carries window/slide copies of each row's grouping
+    key; keep the pre-agg projection narrow)."""
+    group_cols = group_cols or []
+    w = F.window(
+        F.col(ts_col).cast("timestamp"),
+        f"{window_seconds} seconds",
+        f"{slide_seconds} seconds",
+    )
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            *group_cols,
+            "cnt",
+        )
+    )

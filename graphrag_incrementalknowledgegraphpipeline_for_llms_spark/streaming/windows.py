@@ -36,21 +36,29 @@ def stream_tumbling_counts(
     ts_col: str = "ts",
     group_cols: list[str] | None = None,
     value_col: str = "value",
+    slide_seconds: int | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregate over an event stream.
+    """Watermarked tumbling- (or, with ``slide_seconds``, sliding-)
+    window aggregate over an event stream.
 
     Output rows (window_start, *group_cols, cnt, sum_value) appear in
     append mode only once the watermark (max event time seen minus
     ``watermark_seconds``) passes the window end; later-than-watermark
     events are dropped, exactly the late-data contract the batch
     ``events.tumbling_rollup`` doesn't need (bounded input) but an
-    unbounded stream does."""
+    unbounded stream does.  A sliding window multiplies state by
+    window/slide (each event lives in that many open windows)."""
     group_cols = group_cols or []
     ts = F.col(ts_col).cast("timestamp")
+    win = F.window(
+        F.col("_ts"),
+        f"{window_seconds} seconds",
+        f"{slide_seconds or window_seconds} seconds",
+    )
     return (
         events.withColumn("_ts", ts)
         .withWatermark("_ts", f"{watermark_seconds} seconds")
-        .groupBy(F.window("_ts", f"{window_seconds} seconds").alias("w"), *group_cols)
+        .groupBy(win.alias("w"), *group_cols)
         .agg(F.count("*").alias("cnt"), F.round(F.sum(value_col), 6).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
