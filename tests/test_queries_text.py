@@ -111,5 +111,10 @@ def test_multimodal_decode_is_stubbed():
 
 def test_frame_sample_plan(spark):
     pages = datagen.pages_df(spark, 5)
-    rows = multimodal.frame_sample_plan(pages, every_n=1).groupBy("url").count().collect()
+    rows = (
+        multimodal.frame_sample_plan(pages, every_n=1, payload_col="html")
+        .groupBy("url")
+        .count()
+        .collect()
+    )
     assert all(r["count"] >= 1 for r in rows)
