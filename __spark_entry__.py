@@ -384,6 +384,44 @@ def q_kg_group_results(spark, sf_dir):
     )
 
 
+def q_kg_neighbors_2hop(spark, sf_dir):
+    """2-hop undirected neighborhood of 'apache_spark' with min_hops —
+    the multi-hop extension of Q4."""
+    cid = purecore.concept_id("apache_spark")
+    pairs = q_kg_pairs(spark, sf_dir)
+    und = (
+        pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr"))
+        .unionByName(pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr")))
+        .distinct()
+    )
+    h1 = und.where(F.col("cid") == cid).select("nbr").distinct()
+    h2 = (
+        und.join(h1.withColumnRenamed("nbr", "cid"), "cid")
+        .select("nbr")
+        .distinct()
+        .where(F.col("nbr") != cid)
+        .join(h1, "nbr", "left_anti")
+    )
+    out = h1.withColumn("min_hops", F.lit(1)).unionByName(
+        h2.withColumn("min_hops", F.lit(2))
+    )
+    return out.select(F.col("nbr").alias("neighbor_id"), "min_hops").orderBy(
+        "min_hops", "neighbor_id"
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the co-occurrence concept graph (10 iterations,
+    d=0.85), top 20 — deterministic; exact numpy oracle in
+    tests/test_graph_queries.py (rows-only at the driver: iterative
+    float recursion isn't expressible as one DuckDB query)."""
+    pairs = q_kg_pairs(spark, sf_dir)
+    und = pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")).unionByName(
+        pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
+    )
+    return q.pagerank_und(und, iters=10, top_k=20)
+
+
 def q_kg_connected_components(spark, sf_dir):
     """Connected components over a chain graph (consecutive vec_ids
     within each embedding label) — CC(chain) must equal the per-label
@@ -885,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_evidence": q_kg_evidence,
         "kg_neighbors": q_kg_neighbors,
         "kg_group_results": q_kg_group_results,
+        "kg_neighbors_2hop": q_kg_neighbors_2hop,
+        "kg_pagerank": q_kg_pagerank,
         "kg_connected_components": q_kg_connected_components,
         "rel_tpch_q1": q_rel_tpch_q1,
         "rel_tpch_q3": q_rel_tpch_q3,
@@ -1007,6 +1047,18 @@ nb AS (SELECT DISTINCT nbr FROM und WHERE cid = substr(sha256('apache_spark'), 1
 SELECT nb.nbr AS neighbor_id, l.lemma
 FROM nb JOIN lem l ON nb.nbr = l.concept_id
 ORDER BY neighbor_id, lemma LIMIT 20""",
+        "kg_neighbors_2hop": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr FROM pairs UNION SELECT b_id, a_id FROM pairs),
+h1 AS (SELECT DISTINCT nbr FROM und WHERE cid = substr(sha256('apache_spark'), 1, 16)),
+h2 AS (
+  SELECT DISTINCT u.nbr FROM und u JOIN h1 ON u.cid = h1.nbr
+  WHERE u.nbr <> substr(sha256('apache_spark'), 1, 16)
+    AND u.nbr NOT IN (SELECT nbr FROM h1)
+)
+SELECT nbr AS neighbor_id, 1 AS min_hops FROM h1
+UNION ALL
+SELECT nbr, 2 FROM h2
+ORDER BY min_hops, neighbor_id""",
         "kg_group_results": f"""WITH {MENTIONS_CTE},
 lem AS (SELECT DISTINCT concept_id, lemma FROM mentions)
 SELECT string_split(lemma, '_')[1] AS group_key, COUNT(*) AS n

@@ -135,3 +135,81 @@ def group_results(results: DataFrame, lemma_col: str = "lemma") -> DataFrame:
         F.count("*").alias("n"),
         F.sort_array(F.collect_list(lemma_col)).alias("members"),
     )
+
+
+def concept_neighbors_2hop(
+    nodes: DataFrame, edges: DataFrame, concept_id: str, top_k: int = 50
+) -> DataFrame:
+    """2-hop undirected concept neighborhood: (nbr_id, min_hops) with
+    min_hops in {1, 2}; the start node and 1-hop nodes are excluded
+    from the 2-hop ring.  Two self-joins of the (narrow) undirected
+    edge view — at 100 TB both joins shuffle on concept id, and the
+    1-hop frontier is tiny so the second hop's probe side broadcasts."""
+    und = undirected_concept_edges(edges).select("cid", "nbr_id").distinct()
+    h1 = und.where(F.col("cid") == concept_id).select("nbr_id").distinct()
+    h2 = (
+        und.join(h1.withColumnRenamed("nbr_id", "cid"), "cid")
+        .select("nbr_id")
+        .distinct()
+        .where(F.col("nbr_id") != concept_id)
+        .join(h1, "nbr_id", "left_anti")
+    )
+    out = h1.withColumn("min_hops", F.lit(1)).unionByName(
+        h2.withColumn("min_hops", F.lit(2))
+    )
+    return out.orderBy("min_hops", "nbr_id").limit(top_k)
+
+
+def concept_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """PageRank over the undirected concept graph after a FIXED number
+    of iterations — deterministic, so pytest pins it against a numpy
+    oracle.  Join-shaped power iteration: ranks live in a (id, rank)
+    table, one shuffle per iteration on the edge src; contributions
+    aggregate map-side.  Dangling nodes can't exist in the undirected
+    view (every node has out-degree >= 1).  localCheckpoint truncates
+    the lineage each iteration like connected_components."""
+    und = undirected_concept_edges(edges).select("cid", "nbr_id").distinct()
+    return pagerank_und(und, damping=damping, iters=iters, top_k=top_k)
+
+
+def pagerank_und(
+    und: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Power iteration over an undirected (cid, nbr_id) edge view —
+    the engine behind :func:`concept_pagerank`, reusable for any
+    pre-built adjacency (e.g. the co-occurrence pair table)."""
+    und = und.select("cid", "nbr_id").distinct()
+    nodes_v = und.select(F.col("cid").alias("id")).distinct()
+    n = nodes_v.count()
+    deg = und.groupBy("cid").agg(F.count("*").alias("deg"))
+    ranks = nodes_v.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            und.join(ranks.withColumnRenamed("id", "cid"), "cid")
+            .join(deg, "cid")
+            .select(F.col("nbr_id").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes_v.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", 8).alias("rank")).orderBy(
+        F.desc("rank"), "id"
+    ).limit(top_k)

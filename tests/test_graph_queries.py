@@ -1,0 +1,76 @@
+"""Multi-hop neighborhood and PageRank: exact numpy oracle."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries
+
+
+def _und_df(spark, edges):
+    sym = edges + [(b, a) for a, b in edges]
+    return spark.createDataFrame(sym, "cid string, nbr_id string")
+
+
+def _np_pagerank(edges, damping=0.85, iters=10):
+    sym = set(edges) | {(b, a) for a, b in edges}
+    nodes = sorted({a for a, _ in sym})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in sym:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for a, b in sym:
+            inflow[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - damping) / n + damping * inflow
+    return {v: r[idx[v]] for v in nodes}
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+    ("d", "e"), ("e", "f"), ("f", "g"), ("c", "g"),
+]
+
+
+class TestPagerank:
+    def test_matches_numpy_oracle(self, spark):
+        got = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(_und_df(spark, EDGES), iters=10, top_k=100).collect()
+        }
+        want = _np_pagerank(EDGES, iters=10)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - round(want[v], 8)) < 1e-8, v
+
+    def test_ranks_sum_to_one(self, spark):
+        got = queries.pagerank_und(_und_df(spark, EDGES), iters=10, top_k=100).agg(
+            F.sum("rank")
+        ).collect()[0][0]
+        assert abs(got - 1.0) < 1e-6
+
+    def test_hub_outranks_leaf(self, spark):
+        ranks = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(_und_df(spark, EDGES), top_k=100).collect()
+        }
+        assert ranks["c"] > ranks["e"]  # degree-4 hub beats degree-2 chain node
+
+
+class TestTwoHop:
+    def test_rings(self, spark):
+        nodes = spark.createDataFrame(
+            [(v, "Concept", v, v, "NER") for v in "abcdefg"],
+            "id string, label string, lemma string, surface string, origin string",
+        )
+        edges = spark.createDataFrame(
+            [(a, b, "Concept", "Concept", "RELATED_TO", 0.9, "") for a, b in EDGES],
+            "src_id string, dst_id string, src_label string, dst_label string, rel string, confidence double, evidence string",
+        )
+        out = {
+            (r["nbr_id"], r["min_hops"])
+            for r in queries.concept_neighbors_2hop(nodes, edges, "a").collect()
+        }
+        assert out == {("b", 1), ("c", 1), ("d", 2), ("g", 2)}
