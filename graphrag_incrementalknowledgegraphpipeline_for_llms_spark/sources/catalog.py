@@ -158,17 +158,30 @@ class ParquetCatalog:
             return []
         return [d for d in m if os.path.basename(d).startswith("e")]
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, name: str, merge_schema: bool = False
+    ) -> DataFrame | None:
+        """Current snapshot.  ``merge_schema=True`` unions the schemas
+        of all data dirs (Iceberg-style add-column evolution: an append
+        with new columns null-fills older rows).  Off by default — the
+        merged-footer scan costs a metadata pass per read, and
+        homogeneous tables (every table the pipeline writes) don't need
+        it."""
         dirs = self.data_dirs(name)
         if not dirs:
             return None
         mor = self.mor_spec(name)
         deltas = self._delta_entries(name) if mor else []
         if not deltas:
-            return spark.read.parquet(*dirs)
+            r = spark.read
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
+            return r.parquet(*dirs)
         return self._resolve_mor(spark, name, mor)
 
-    def _resolve_mor(self, spark: SparkSession, name: str, mor: dict) -> DataFrame:
+    def _resolve_mor(
+        self, spark: SparkSession, name: str, mor: dict, manifest=None
+    ) -> DataFrame:
         """Merge-on-read reconciliation: base rows + delta rows compete
         per key.  ``resolution="replace"`` orders primarily by delta
         sequence (base = 0), so the newest delta wins — last-write-wins
@@ -176,8 +189,13 @@ class ParquetCatalog:
         ranks by (tiebreak..., rid) alone, so the resolved table is
         independent of how rows were split across delta batches."""
         t = self._tdir(name)
-        m = self._manifest(name, self.current_version(name))
+        m = (
+            manifest
+            if manifest is not None
+            else self._manifest(name, self.current_version(name))
+        )
         base = [d for d in m if not os.path.basename(d).startswith("e")]
+        deltas = [d for d in m if os.path.basename(d).startswith("e")]
         parts = []
         if base:
             parts.append(
@@ -185,7 +203,7 @@ class ParquetCatalog:
                     "_seq", F.lit(0)
                 )
             )
-        for d in self._delta_entries(name):
+        for d in deltas:
             seq = int(os.path.basename(d)[1:6])
             parts.append(
                 spark.read.parquet(os.path.join(t, d)).withColumn("_seq", F.lit(seq))
@@ -201,6 +219,36 @@ class ParquetCatalog:
         # drop _seq BEFORE hashing so an identical row in base and a
         # delta collapses to one rid instead of competing by sequence
         return _winner_dedup(pool.select(*cols), mor["keys"], tb)
+
+    def read_as_of(self, spark: SparkSession, name: str, version: int) -> DataFrame | None:
+        """Time travel: the table exactly as snapshot ``version`` saw it
+        (Iceberg ``VERSION AS OF``).  Works for any manifest the
+        snapshot-retention policy still holds (see expire_snapshots);
+        merge-on-read deltas present at that version are resolved with
+        the same read-time rules as the current read."""
+        if version < 1 or version > self.current_version(name):
+            raise KeyError(f"table {name!r} has no snapshot {version}")
+        m = self._manifest(name, version)
+        t = self._tdir(name)
+        paths = [os.path.join(t, p) for p in self._manifest_paths(m)]
+        if not paths:
+            return None
+        mor = self.mor_spec(name)
+        if mor and not isinstance(m, dict) and any(
+            os.path.basename(d).startswith("e") for d in m
+        ):
+            return self._resolve_mor(spark, name, mor, manifest=m)
+        return spark.read.parquet(*paths)
+
+    def is_append_version(self, name: str, version: int) -> bool:
+        """True iff snapshot ``version`` only ADDED data dirs (a
+        fast-append): every dir of version-1 is still referenced.  An
+        overwrite/compact/merge drops or replaces dirs — its
+        read_version_delta is a rewritten dir, NOT a row-level delta
+        (incremental consumers must rebuild)."""
+        cur = self._manifest_dirs(self._manifest(name, version))
+        prev = self._manifest_dirs(self._manifest(name, version - 1)) if version > 1 else set()
+        return prev <= cur
 
     def read_version_delta(self, spark: SparkSession, name: str, version: int) -> DataFrame | None:
         """Rows ADDED by snapshot ``version`` (its newest data dir) —
