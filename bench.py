@@ -92,6 +92,10 @@ def main():
         "sim_ivf_topk",
         "txt_stats",
         "mm_features",
+        "dd_kmv_distinct",
+        "kg_pagerank",
+        "rel_range_join",
+        "rel_sliding_window",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
