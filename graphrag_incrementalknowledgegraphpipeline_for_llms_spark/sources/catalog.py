@@ -308,11 +308,26 @@ class ParquetCatalog:
             if os.path.basename(d) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
 
-    def overwrite(self, df: DataFrame, name: str) -> int:
+    @staticmethod
+    def _apply_sort(df: DataFrame, sort_cols: list[str] | None) -> DataFrame:
+        """Write sort order (Iceberg ``write.sort-order`` analog):
+        range-partition + sort by the columns so each output file's
+        row-group min/max spans a narrow, mostly disjoint value range.
+        Parquet readers then skip whole row groups on range predicates
+        — the data-skipping layer on top of partition pruning.  Costs
+        one range-exchange at write time; worth it for tables queried
+        by time/key ranges (events, snapshots)."""
+        if not sort_cols:
+            return df
+        n = df.sparkSession.sparkContext.defaultParallelism
+        cols = [F.col(c) for c in sort_cols]
+        return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+    def overwrite(self, df: DataFrame, name: str, sort_cols: list[str] | None = None) -> int:
         spec = self.bucket_spec(name)
         if spec is not None:
             return self._commit_bucketed(name, df, spec, replace_all=True)
-        return self._commit(name, df, mode="overwrite")
+        return self._commit(name, self._apply_sort(df, sort_cols), mode="overwrite")
 
     # -- bucketed layout (Iceberg: bucket(n, keys) partition transform) -------
     def _bucket_col(self, spec: dict):
@@ -416,13 +431,16 @@ class ParquetCatalog:
                 removed.append(v)
         return sorted(removed)
 
-    def append(self, spark: SparkSession, df: DataFrame, name: str) -> int:
+    def append(
+        self, spark: SparkSession, df: DataFrame, name: str, sort_cols: list[str] | None = None
+    ) -> int:
         spec = self.bucket_spec(name)
         if spec is not None:
             # bucketed tables keep one dir per bucket — an append is a
             # key-novel merge (callers guarantee novelty, e.g. the
             # placeholder backfill's anti-join)
             return self.merge_upsert(spark, name, df, keys=spec["keys"], resolution="deterministic")
+        df = self._apply_sort(df, sort_cols)
         if not self.exists(name):
             return self._commit(name, df, mode="overwrite")
         return self._commit(name, df, mode="append")

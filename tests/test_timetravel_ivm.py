@@ -98,3 +98,50 @@ class TestIvm:
         ivm.refresh(spark, cat, "facts", "by_k", ["k"], "v")
         got = {(r["k"], r["cnt"]) for r in ivm.read_view(spark, cat, "by_k").collect()}
         assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+class TestWriteSortOrder:
+    def test_sorted_write_gives_disjoint_file_ranges(self, spark, tmp_path):
+        """sort_cols range-partitions + sorts the write so file-level
+        min/max stats are narrow and (mostly) disjoint — the parquet
+        row-group skipping precondition.  Asserted from the footers."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        df = spark.range(100_000).select(
+            (F.col("id") * 37 % 100_000).alias("k"), F.col("id").alias("v")
+        )
+        cat = ParquetCatalog(str(tmp_path))
+        cat.overwrite(df, "plain")
+        cat.overwrite(df, "sorted", sort_cols=["k"])
+
+        def ranges(table):
+            out = []
+            for d in cat.data_dirs(table):
+                for f in _glob.glob(f"{d}/*.parquet"):
+                    md = pq.ParquetFile(f).metadata
+                    for rg in range(md.num_row_groups):
+                        col = md.row_group(rg).column(0)  # k
+                        out.append((col.statistics.min, col.statistics.max))
+            return out
+
+        def overlap_frac(rs):
+            rs = sorted(rs)
+            ov = sum(1 for (a, b), (c, d) in zip(rs, rs[1:]) if c <= b)
+            return ov / max(1, len(rs) - 1)
+
+        assert overlap_frac(ranges("sorted")) == 0.0  # disjoint ranges
+        assert overlap_frac(ranges("plain")) > 0.5  # hash layout overlaps
+        # narrow range predicate touches exactly one sorted file range
+        lo, hi = 500, 600
+        touched = [r for r in ranges("sorted") if not (r[1] < lo or r[0] > hi)]
+        assert len(touched) == 1
+        # and the data is unchanged
+        assert cat.read(spark, "sorted").where(
+            (F.col("k") >= lo) & (F.col("k") <= hi)
+        ).count() == df.where((F.col("k") >= lo) & (F.col("k") <= hi)).count()
