@@ -384,6 +384,15 @@ def q_kg_group_results(spark, sf_dir):
     )
 
 
+def q_kg_text_search(spark, sf_dir):
+    """Inverted-index AND search over chunk text: chunks containing
+    both query terms, ranked by summed term frequency."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    postings = textsearch.build_postings(_chunks(spark, sf_dir))
+    return textsearch.search_all_terms(postings, ["spark", "data"], limit=20)
+
+
 def q_kg_neighbors_2hop(spark, sf_dir):
     """2-hop undirected neighborhood of 'apache_spark' with min_hops —
     the multi-hop extension of Q4."""
@@ -924,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbors": q_kg_neighbors,
         "kg_group_results": q_kg_group_results,
         "kg_neighbors_2hop": q_kg_neighbors_2hop,
+        "kg_text_search": q_kg_text_search,
         "kg_pagerank": q_kg_pagerank,
         "kg_connected_components": q_kg_connected_components,
         "rel_tpch_q1": q_rel_tpch_q1,
@@ -1047,6 +1057,20 @@ nb AS (SELECT DISTINCT nbr FROM und WHERE cid = substr(sha256('apache_spark'), 1
 SELECT nb.nbr AS neighbor_id, l.lemma
 FROM nb JOIN lem l ON nb.nbr = l.concept_id
 ORDER BY neighbor_id, lemma LIMIT 20""",
+        "kg_text_search": f"""WITH {MENTIONS_CTE},
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src
+),
+post AS (SELECT term, chunk_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+hits AS (
+  SELECT chunk_id, COUNT(DISTINCT term) AS nt, SUM(tf) AS score
+  FROM post WHERE term IN ('data', 'spark') GROUP BY 1
+)
+SELECT chunk_id, CAST(score AS BIGINT) AS score
+FROM hits WHERE nt = 2
+ORDER BY score DESC, chunk_id LIMIT 20""",
         "kg_neighbors_2hop": f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr FROM pairs UNION SELECT b_id, a_id FROM pairs),
 h1 AS (SELECT DISTINCT nbr FROM und WHERE cid = substr(sha256('apache_spark'), 1, 16)),
