@@ -17,8 +17,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# direct `python tools/run_job.py` runs (no --py-files) find the
+# package from the repo root; under spark-submit the zip wins anyway
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -28,6 +33,12 @@ def main():
     ap.add_argument("--no-incremental", action="store_true")
     ap.add_argument("--from-html", action="store_true", default=True)
     ap.add_argument("--scan-partitions", type=int, default=None)
+    ap.add_argument(
+        "--conf",
+        default=None,
+        help="reference-shaped application.conf (HOCON subset); maps "
+        "concept/relation/flink keys onto engine parameters",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,6 +54,16 @@ def main():
         ParquetCatalog,
     )
 
+    kwargs = {}
+    if args.conf:
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import (
+            config as C,
+        )
+
+        kwargs = C.pipeline_kwargs(C.load_config(args.conf))
+    if args.scan_partitions is not None:
+        kwargs["scan_partitions"] = args.scan_partitions
+
     pages = spark.read.parquet(args.pages)
     t0 = time.monotonic()
     res = run_pipeline(
@@ -51,7 +72,7 @@ def main():
         ParquetCatalog(args.catalog),
         incremental=not args.no_incremental,
         extract_from_html=args.from_html,
-        scan_partitions=args.scan_partitions,
+        **kwargs,
     )
     dt = time.monotonic() - t0
     print(
