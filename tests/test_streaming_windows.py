@@ -224,3 +224,55 @@ class TestStreamStaticEnrich:
             for r in spark.createDataFrame(rows, "ts timestamp, user_id long, value double").collect()
         )
         assert got == want
+
+
+class TestStreamIntervalJoin:
+    def test_attribution_matches_in_range_only(self, spark, tmp_path):
+        """Impressions joined to clicks within [0, 60s] after them on
+        the same user; out-of-range and wrong-key clicks don't match."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.streaming import (
+            joins as sj,
+        )
+
+        imp_dir = str(tmp_path / "imp")
+        clk_dir = str(tmp_path / "clk")
+        os.makedirs(imp_dir)
+        os.makedirs(clk_dir)
+        _write_batch(
+            spark,
+            os.path.join(imp_dir, "b1.parquet"),
+            [
+                (_utc("2024-01-01 10:00:00"), 1, 100.0),  # imp A
+                (_utc("2024-01-01 10:05:00"), 2, 200.0),  # imp B
+            ],
+            time.time(),
+        )
+        _write_batch(
+            spark,
+            os.path.join(clk_dir, "b1.parquet"),
+            [
+                (_utc("2024-01-01 10:00:30"), 1, 1.0),  # in range of A
+                (_utc("2024-01-01 10:02:00"), 1, 2.0),  # beyond 60s -> no match
+                (_utc("2024-01-01 10:05:10"), 2, 3.0),  # in range of B
+                (_utc("2024-01-01 10:05:20"), 9, 4.0),  # wrong key
+            ],
+            time.time(),
+        )
+        schema = "ts timestamp, user_id long, value double"
+        imp = spark.readStream.schema(schema).parquet(imp_dir)
+        clk = spark.readStream.schema(schema).parquet(clk_dir)
+        out = sj.stream_interval_join(
+            imp, clk, key="user_id", upper_seconds=60, watermark_seconds=600
+        )
+        got = []
+        q = (
+            out.writeStream.foreachBatch(lambda b, e: got.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None
+        pairs = sorted((r["user_id"], r["l_value"], r["r_value"]) for r in got)
+        assert pairs == [(1, 100.0, 1.0), (2, 200.0, 3.0)]
