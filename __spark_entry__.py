@@ -812,6 +812,28 @@ def q_dd_curation_funnel(spark, sf_dir):
     return curation.curation_funnel(_docs_with_dups(spark, sf_dir))
 
 
+def q_dd_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5-prefix bucket of
+    the key — membership is a pure function of the row, so reruns and
+    incremental batches agree (df.sample() cannot give that)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return sampling.split_by_hash(d).orderBy("doc_id")
+
+
+def q_dd_pack(spark, sf_dir):
+    """Sequence packing: contiguous docs (doc_id order) share a bin
+    while the exclusive running token sum stays inside the budget —
+    the streaming-concat batch shaping LLM pretraining uses."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tf.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(d, budget_tokens=512).orderBy("doc_id")
+
+
 def q_dd_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per source.  With per-group distinct
     text counts below k the sketch IS the distinct set, so the
@@ -959,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_curation": q_dd_curation,
         "dd_curation_funnel": q_dd_curation_funnel,
         "dd_kmv_distinct": q_dd_kmv_distinct,
+        "dd_split": q_dd_split,
+        "dd_pack": q_dd_pack,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_embed_near_dup": q_dd_embed_near_dup,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -1269,6 +1293,18 @@ JOIN nation n1 ON n1.n_nationkey = s_nationkey
 JOIN nation n2 ON n2.n_nationkey = c_nationkey
 WHERE n1.n_name < n2.n_name
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "dd_split": """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+        "dd_pack": """
+SELECT doc_id,
+  length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+  CAST(COALESCE(SUM(length(regexp_extract_all(text, '\\S+')))
+    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin_id
+FROM documents ORDER BY doc_id""",
         "rel_sliding_window": """
 WITH ex AS (
   SELECT event_type,

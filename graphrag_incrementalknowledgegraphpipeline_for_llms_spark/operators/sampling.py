@@ -1,0 +1,93 @@
+"""Deterministic sampling, split assignment, and sequence packing for
+training-data pipelines.
+
+All three are hash- or prefix-sum-driven — NO RNG, so membership is a
+pure function of the row: reruns, backfills and incremental batches
+assign identically (the property `df.sample()` cannot give you), and
+every operator has an exact ANSI-SQL twin for the oracle.
+
+* split_by_hash — train/val/test assignment from a hash of a stable
+  key.  Narrow per-row work; the split survives reshuffling,
+  repartitioning and incremental arrival.
+* sample_by_hash — deterministic Bernoulli-style sampling at rate p
+  by hash threshold; at 100 TB the predicate is pushed into the scan.
+* pack_sequences — greedy contiguous packing of documents into
+  token-budget bins (LLM pretraining batch shaping): bin id = floor
+  of the EXCLUSIVE running token sum / budget in a stable order.
+  One window pass per partition key; at corpus scale partition by a
+  shard column so each shard packs independently (the window is a
+  single-partition sort otherwise — fine per shard, wrong globally).
+
+Packing note: contiguous-cumsum packing can split a bin boundary
+mid-document (a doc whose span crosses the boundary lands in the bin
+where it STARTED — bins can overflow by at most one document).  That
+is the standard streaming-concat packing used in LLM pipelines, not
+best-fit bin packing (NP-hard, and order-destroying).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_prefix(col):
+    """First 8 lowercase-hex chars of md5(key) — md5 so the DuckDB
+    oracle computes the identical value (xxhash64 is Spark-only).
+    Thresholding compares HEX STRINGS: lexicographic order on
+    fixed-width lowercase hex equals numeric order, which sidesteps
+    engine-specific hex-to-int conversion entirely."""
+    return F.substring(F.md5(col.cast("string")), 1, 8)
+
+
+def _frac_hex(frac: float) -> str:
+    """The hex-string threshold below which ~frac of uniform 32-bit
+    hashes fall."""
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add ``split`` in {train, val, test, ...} by hash bucket of the
+    key.  ``weights`` maps split name -> fraction (must sum to ~1);
+    boundaries are cumulative over the dict's insertion order."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = _hash_prefix(F.col(key_col))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = h < _frac_hex(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def sample_by_hash(df: DataFrame, p: float, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~p-fraction sample by hash threshold."""
+    return df.where(_hash_prefix(F.col(key_col)) < _frac_hex(p))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each document a ``bin_id``: contiguous docs (in
+    ``order_col`` order, per shard) whose exclusive running token sum
+    falls in the same ``budget_tokens`` window share a bin."""
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(token_col).over(w) - F.col(token_col)  # exclusive prefix
+    return df.withColumn("bin_id", F.floor(running / budget_tokens).cast("long"))

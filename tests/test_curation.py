@@ -51,3 +51,50 @@ def test_funnel_matches_curate_count(spark):
         curation.curation_funnel(df).collect()[0]["after_dedup"]
         == curation.curate_corpus(df).count()
     )
+
+
+class TestSampling:
+    def test_split_deterministic_and_disjoint(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in sampling.split_by_hash(d).collect()}
+        b = {r["doc_id"]: r["split"] for r in sampling.split_by_hash(d.repartition(7)).collect()}
+        assert a == b  # partitioning-independent
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert abs(c["train"] / 2000 - 0.8) < 0.05
+        assert abs(c["val"] / 2000 - 0.1) < 0.03
+
+    def test_sample_rate(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.range(5000).withColumnRenamed("id", "doc_id")
+        n = sampling.sample_by_hash(d, 0.25).count()
+        assert abs(n / 5000 - 0.25) < 0.03
+        # subset property: p=0.1 sample is contained in p=0.25 sample
+        s10 = {r["doc_id"] for r in sampling.sample_by_hash(d, 0.10).collect()}
+        s25 = {r["doc_id"] for r in sampling.sample_by_hash(d, 0.25).collect()}
+        assert s10 <= s25
+
+    def test_pack_bins_respect_budget(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.createDataFrame(
+            [(i, 100) for i in range(10)], "doc_id long, n_tokens long"
+        )
+        rows = sampling.pack_sequences(d, budget_tokens=250).orderBy("doc_id").collect()
+        # exclusive prefix: docs 0,1,2 start below 250; 3,4 below 500...
+        assert [r["bin_id"] for r in rows] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+    def test_pack_per_shard(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.createDataFrame(
+            [(s, i, 100) for s in (0, 1) for i in range(4)],
+            "shard long, doc_id long, n_tokens long",
+        )
+        rows = sampling.pack_sequences(d, budget_tokens=200, shard_col="shard").collect()
+        for r in rows:
+            assert r["bin_id"] == r["doc_id"] // 2  # each shard packs from 0
