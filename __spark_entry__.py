@@ -431,6 +431,18 @@ def q_kg_pagerank(spark, sf_dir):
     return q.pagerank_und(und, iters=10, top_k=20)
 
 
+def q_kg_bfs(spark, sf_dir):
+    """BFS distances from 'apache_spark' over the co-occurrence graph,
+    max 3 hops — frontier-expansion joins vs the oracle's recursive
+    CTE with min-dist aggregation."""
+    cid = purecore.concept_id("apache_spark")
+    pairs = q_kg_pairs(spark, sf_dir)
+    und = pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")).unionByName(
+        pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
+    )
+    return q.bfs_distances(und, cid, max_hops=3)
+
+
 def q_kg_connected_components(spark, sf_dir):
     """Connected components over a chain graph (consecutive vec_ids
     within each embedding label) — CC(chain) must equal the per-label
@@ -956,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_results": q_kg_group_results,
         "kg_neighbors_2hop": q_kg_neighbors_2hop,
         "kg_text_search": q_kg_text_search,
+        "kg_bfs": q_kg_bfs,
         "kg_pagerank": q_kg_pagerank,
         "kg_connected_components": q_kg_connected_components,
         "rel_tpch_q1": q_rel_tpch_q1,
@@ -1095,6 +1108,14 @@ hits AS (
 SELECT chunk_id, CAST(score AS BIGINT) AS score
 FROM hits WHERE nt = 2
 ORDER BY score DESC, chunk_id LIMIT 20""",
+        "kg_bfs": f"""WITH RECURSIVE {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr FROM pairs UNION SELECT b_id, a_id FROM pairs),
+walk(id, dist) AS (
+  SELECT substr(sha256('apache_spark'), 1, 16), 0
+  UNION
+  SELECT u.nbr, w.dist + 1 FROM walk w JOIN und u ON u.cid = w.id WHERE w.dist < 3
+)
+SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id ORDER BY dist, id""",
         "kg_neighbors_2hop": f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr FROM pairs UNION SELECT b_id, a_id FROM pairs),
 h1 AS (SELECT DISTINCT nbr FROM und WHERE cid = substr(sha256('apache_spark'), 1, 16)),

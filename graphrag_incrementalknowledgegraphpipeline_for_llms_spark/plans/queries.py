@@ -228,3 +228,37 @@ def pagerank_und(
     return ranks.select("id", F.round("rank", 8).alias("rank")).orderBy(
         F.desc("rank"), "id"
     ).limit(top_k)
+
+
+def bfs_distances(
+    und: DataFrame, source_id: str, max_hops: int = 6
+) -> DataFrame:
+    """Breadth-first distances from ``source_id`` over an undirected
+    (cid, nbr_id) edge view: (id, dist) for every node within
+    ``max_hops``.  Frontier-expansion joins — each round shuffles only
+    the CURRENT frontier against the adjacency, and visited nodes are
+    pruned with an anti-join, so per-round cost tracks the frontier,
+    not the graph.  The adjacency is materialized once (same reasoning
+    as pagerank_und); rounds end early when a frontier empties."""
+    sc = und.sparkSession
+    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    n_edges = und.count()
+    parts = max(1, min(sc.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    und = und.coalesce(parts)
+    visited = sc.createDataFrame([(source_id, 0)], "id string, dist int").coalesce(1)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("id", "cid"), "cid")
+            .select(F.col("nbr_id").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).coalesce(parts).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.orderBy("dist", "id")

@@ -74,3 +74,24 @@ class TestTwoHop:
             for r in queries.concept_neighbors_2hop(nodes, edges, "a").collect()
         }
         assert out == {("b", 1), ("c", 1), ("d", 2), ("g", 2)}
+
+
+class TestBfs:
+    def test_distances_on_chain_graph(self, spark):
+        got = {
+            (r["id"], r["dist"])
+            for r in queries.bfs_distances(_und_df(spark, EDGES), "a", max_hops=6).collect()
+        }
+        # a-b-c 1 hop; d,g via c = 2; e via d = 3; f via e or g = 3
+        assert got == {
+            ("a", 0), ("b", 1), ("c", 1), ("d", 2), ("g", 2), ("e", 3), ("f", 3)
+        }
+
+    def test_max_hops_truncates(self, spark):
+        got = {r["id"] for r in queries.bfs_distances(_und_df(spark, EDGES), "a", max_hops=1).collect()}
+        assert got == {"a", "b", "c"}
+
+    def test_early_exit_on_component_boundary(self, spark):
+        edges = EDGES + [("x", "y")]  # disconnected pair
+        got = {r["id"] for r in queries.bfs_distances(_und_df(spark, edges), "x", max_hops=6).collect()}
+        assert got == {"x", "y"}
