@@ -199,7 +199,7 @@ def pagerank_und(
     sc = und.sparkSession.sparkContext
     und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
     n_edges = und.count()
-    parts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
     nodes_v = und.select(F.col("cid").alias("id")).distinct()
     n = nodes_v.count()
