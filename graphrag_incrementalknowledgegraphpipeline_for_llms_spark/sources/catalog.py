@@ -334,13 +334,21 @@ class ParquetCatalog:
         return F.pmod(F.xxhash64(*spec["keys"]), F.lit(spec["n"])).cast("int")
 
     def _commit_bucketed(
-        self, name: str, df: DataFrame, spec: dict, replace_all: bool = False
+        self,
+        name: str,
+        df: DataFrame,
+        spec: dict,
+        replace_all: bool = False,
+        drop_buckets: list[int] | None = None,
     ) -> int:
         """Write ``df`` partitioned by bucket into a new data dir and
         update the bucket->dir manifest: buckets present in ``df`` now
         point at the new dir; other buckets keep their previous dir
         (untouched — zero IO).  ``replace_all`` drops prior buckets
-        entirely (overwrite semantics)."""
+        entirely (overwrite semantics).  ``drop_buckets``: bucket ids
+        whose manifest entry must NOT survive if ``df`` writes no rows
+        for them (a delete that empties a bucket would otherwise leave
+        the old dir referenced and resurrect the deleted rows)."""
         cur = self.current_version(name)
         v = cur + 1
         ddir = f"d{v:05d}"
@@ -364,6 +372,9 @@ class ParquetCatalog:
             else {}
         )
         prev.update(written)
+        for b in drop_buckets or []:
+            if str(b) not in written:
+                prev.pop(str(b), None)
         manifest = {"buckets": prev}
         with open(self._manifest_path(name, v), "w") as f:
             json.dump(manifest, f)
@@ -399,6 +410,52 @@ class ParquetCatalog:
             f.write(str(v))
         os.replace(tmp, self._pointer(name))
         return v
+
+    # -- row-level DELETE (Iceberg DELETE FROM, copy-on-write) ----------------
+    def delete_where(self, spark: SparkSession, name: str, condition) -> int:
+        """``DELETE FROM name WHERE condition`` — copy-on-write: rows
+        NOT matching are rewritten into a new snapshot (full rewrite;
+        an arbitrary predicate can touch any file).  Returns the new
+        version.  Readers are unaffected mid-delete (atomic pointer
+        flip); time travel still sees the deleted rows in older
+        snapshots until expire."""
+        df = self.read(spark, name)
+        if df is None:
+            raise KeyError(f"no such table: {name!r}")
+        kept = df.where(~condition)
+        spec = self.bucket_spec(name)
+        if spec is not None:
+            return self._commit_bucketed(name, kept, spec, replace_all=True)
+        return self._commit(name, kept, mode="overwrite")
+
+    def delete_keys(self, spark: SparkSession, name: str, keys_df: DataFrame) -> int:
+        """Key-based delete: remove rows whose key columns match any
+        row of ``keys_df``.  On a bucketed table only buckets
+        containing delete keys are read and rewritten (the
+        MERGE-style file-pruning path — O(touched buckets), not
+        O(table)); unbucketed tables fall back to a full anti-join
+        rewrite."""
+        keys = keys_df.columns
+        spec = self.bucket_spec(name)
+        if spec is not None and list(spec["keys"]) == keys:
+            kdf = keys_df.withColumn("_ub", self._bucket_col(spec))
+            touched = sorted(r["_ub"] for r in kdf.select("_ub").distinct().collect())
+            dirs = self.data_dirs(name, buckets=touched)
+            if not dirs:
+                return self.current_version(name)
+            existing = spark.read.parquet(*dirs)
+            kept = existing.join(keys_df, on=keys, how="left_anti")
+            # rewrite ONLY the touched buckets; others keep their dirs;
+            # a bucket fully emptied by the delete must leave the
+            # manifest (drop_buckets), not keep its old dir
+            return self._commit_bucketed(name, kept, spec, drop_buckets=touched)
+        df = self.read(spark, name)
+        if df is None:
+            raise KeyError(f"no such table: {name!r}")
+        kept = df.join(keys_df, on=keys, how="left_anti")
+        if spec is not None:
+            return self._commit_bucketed(name, kept, spec, replace_all=True)
+        return self._commit(name, kept, mode="overwrite")
 
     # -- table statistics (ANALYZE TABLE ... COMPUTE STATISTICS analog) -------
     def analyze(self, spark: SparkSession, name: str, columns: list[str] | None = None) -> dict:
