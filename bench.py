@@ -100,7 +100,7 @@ def main():
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
     # min-of-repeats reports the code's cost, not the host lottery
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in bench_queries:
         best, n = None, None
         for _ in range(repeats):
