@@ -208,17 +208,25 @@ class ParquetCatalog:
             parts.append(
                 spark.read.parquet(os.path.join(t, d)).withColumn("_seq", F.lit(seq))
             )
+        # equality-delete tombstones: older parts predate the __del
+        # column — default false
+        parts = [
+            p if "__del" in p.columns else p.withColumn("__del", F.lit(False))
+            for p in parts
+        ]
         pool = parts[0]
         for p in parts[1:]:
             pool = pool.unionByName(p)
         tb = [F.col(c) for c in mor.get("tiebreak", [])]
-        cols = [c for c in pool.columns if c != "_seq"]
+        cols = [c for c in pool.columns if c not in ("_seq", "__del")]
         if mor["resolution"] == "replace":
-            return _winner_dedup(pool, mor["keys"], [F.col("_seq")] + tb).select(*cols)
+            won = _winner_dedup(pool, mor["keys"], [F.col("_seq")] + tb)
+            return won.where(~F.col("__del")).select(*cols)
         # deterministic: arrival order must not influence the outcome —
         # drop _seq BEFORE hashing so an identical row in base and a
         # delta collapses to one rid instead of competing by sequence
-        return _winner_dedup(pool.select(*cols), mor["keys"], tb)
+        # (tombstones require replace resolution and can't appear here)
+        return _winner_dedup(pool.drop("_seq", "__del"), mor["keys"], tb)
 
     def read_as_of(self, spark: SparkSession, name: str, version: int) -> DataFrame | None:
         """Time travel: the table exactly as snapshot ``version`` saw it
@@ -594,6 +602,36 @@ class ParquetCatalog:
         if not self.exists(name):
             return self._commit(name, deduped, mode="overwrite")
         return self._commit(name, deduped, mode="append", prefix="e")
+
+    def delete_keys_mor(self, spark: SparkSession, name: str, keys_df: DataFrame) -> int:
+        """Merge-on-read equality delete: an O(batch) tombstone delta
+        (Iceberg equality-delete analog).  ``read`` hides tombstoned
+        keys at resolution time; ``compact`` purges them physically.
+        Requires ``resolution="replace"`` (a tombstone must beat older
+        data by arrival order; deterministic resolution has no arrival
+        order).  A later upsert of the same key beats the tombstone —
+        delete-then-reinsert works."""
+        mor = self.mor_spec(name)
+        if mor is None or not self.exists(name):
+            raise KeyError(f"table {name!r} is not a merge-on-read table")
+        if mor["resolution"] != "replace":
+            raise ValueError(
+                "tombstone deletes need resolution='replace'; deterministic "
+                "resolution has no arrival order for a tombstone to win by"
+            )
+        if sorted(keys_df.columns) != sorted(mor["keys"]):
+            raise ValueError(f"delete keys must be exactly {mor['keys']}")
+        base_schema = self.read(spark, name).schema
+        cols = []
+        for f in base_schema.fields:
+            if f.name in mor["keys"]:
+                cols.append(F.col(f.name))
+            elif f.name == "__del":
+                continue
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        tomb = keys_df.select(*cols).withColumn("__del", F.lit(True))
+        return self._commit(name, tomb, mode="append", prefix="e")
 
     # -- MERGE INTO emulation, copy-on-write mode -----------------------------
     def merge_upsert(

@@ -151,3 +151,38 @@ class TestDelete:
         cat.delete_keys(spark, "t", spark.createDataFrame([(2,)], "k long"))
         rd = cat.read(spark, "t")
         assert rd is None or rd.count() == 0
+
+
+class TestMorTombstones:
+    def test_delete_hides_then_reinsert_resurrects(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5), (2, "b", 0.5)]), keys=["k"])
+        cat.delete_keys_mor(spark, "t", spark.createDataFrame([(1,)], "k long"))
+        assert _rows(cat.read(spark, "t")) == [(2, "b", 0.5)]
+        # O(batch): the delete landed as a delta, base untouched
+        assert len(cat._delta_entries("t")) == 1
+        # a NEWER upsert of the same key beats the tombstone
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a2", 0.9)]), keys=["k"])
+        assert _rows(cat.read(spark, "t")) == [(1, "a2", 0.9), (2, "b", 0.5)]
+
+    def test_compact_purges_tombstones(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5), (2, "b", 0.5)]), keys=["k"])
+        cat.delete_keys_mor(spark, "t", spark.createDataFrame([(2,)], "k long"))
+        cat.compact(spark, "t")
+        assert _rows(cat.read(spark, "t")) == [(1, "a", 0.5)]
+        assert cat._delta_entries("t") == []
+        assert "__del" not in cat.read(spark, "t").columns
+        assert cat.count("t") == 1  # physically gone
+
+    def test_rejects_deterministic_tables_and_bad_keys(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(
+            spark, "t", _mk(spark, [(1, "a", 0.5)]), keys=["k"], resolution="deterministic"
+        )
+        with pytest.raises(ValueError, match="replace"):
+            cat.delete_keys_mor(spark, "t", spark.createDataFrame([(1,)], "k long"))
+        cat2 = ParquetCatalog(str(tmp_path / "r"))
+        cat2.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5)]), keys=["k"])
+        with pytest.raises(ValueError, match="exactly"):
+            cat2.delete_keys_mor(spark, "t", spark.createDataFrame([("x",)], "val string"))
