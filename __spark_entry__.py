@@ -731,6 +731,23 @@ def q_rel_range_join(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_rel_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group — the sort-based
+    aggregate path (hash aggregation can't buffer an exact percentile;
+    at 100 TB prefer the KMV/k-min sketches or approx_percentile, this
+    is the exact baseline)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_rel_rollup(spark, sf_dir):
     """GROUP BY ROLLUP(event_type, cohort): per-group rows, per-type
     subtotals, grand total — the grouping-sets surface the reference
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
         "rel_except": q_rel_except,
+        "rel_percentile": q_rel_percentile,
         "rel_null_audit": q_rel_null_audit,
         "rel_coalesce_projection": q_rel_coalesce_projection,
         "rel_evidence_truncation": q_rel_evidence_truncation,
@@ -1336,6 +1354,12 @@ WITH ex AS (
 )
 SELECT window_start, event_type, COUNT(*) AS cnt
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
+        "rel_percentile": """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type""",
         "rel_except": """
 SELECT DISTINCT user_id FROM events
 EXCEPT
