@@ -182,6 +182,7 @@ def pagerank_und(
     damping: float = 0.85,
     iters: int = 10,
     top_k: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Power iteration over an undirected (cid, nbr_id) edge view —
     the engine behind :func:`concept_pagerank`, reusable for any
@@ -195,21 +196,30 @@ def pagerank_und(
     count: materializing a tiny rank table at the session's full
     shuffle-partition count makes task scheduling the dominant cost
     (measured 22 s -> 7.5 s for 10 iterations on a 10k-edge graph);
-    at billions of edges the same formula keeps full parallelism."""
+    at billions of edges the same formula keeps full parallelism.
+
+    ``weight_col``: edge-weighted PageRank — each neighbor receives
+    rank * w(u,v) / strength(u) where strength = sum of u's edge
+    weights (e.g. co-occurrence frequency); None = uniform."""
     sc = und.sparkSession.sparkContext
-    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    wcols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
+    und = und.select(*wcols).distinct().localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
     nodes_v = und.select(F.col("cid").alias("id")).distinct()
     n = nodes_v.count()
-    deg = und.groupBy("cid").agg(F.count("*").alias("deg"))
+    w_expr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    deg = und.groupBy("cid").agg(F.sum(w_expr).alias("deg"))
     ranks = nodes_v.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contribs = (
             und.join(ranks.withColumnRenamed("id", "cid"), "cid")
             .join(deg, "cid")
-            .select(F.col("nbr_id").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("nbr_id").alias("id"),
+                (F.col("rank") * (w_expr if weight_col else F.lit(1.0)) / F.col("deg")).alias("c"),
+            )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )

@@ -95,3 +95,44 @@ class TestBfs:
         edges = EDGES + [("x", "y")]  # disconnected pair
         got = {r["id"] for r in queries.bfs_distances(_und_df(spark, edges), "x", max_hops=6).collect()}
         assert got == {"x", "y"}
+
+
+class TestWeightedPagerank:
+    def test_matches_numpy_weighted_oracle(self, spark):
+        w_edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("c", "d", 5.0)]
+        sym = w_edges + [(b, a, w) for a, b, w in w_edges]
+        df = spark.createDataFrame(sym, "cid string, nbr_id string, w double")
+        got = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(df, iters=10, top_k=100, weight_col="w").collect()
+        }
+
+        nodes = sorted({a for a, _, _ in sym})
+        idx = {v: i for i, v in enumerate(nodes)}
+        import numpy as np
+
+        strength = np.zeros(len(nodes))
+        for a, _, w in sym:
+            strength[idx[a]] += w
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(10):
+            inflow = np.zeros(len(nodes))
+            for a, b, w in sym:
+                inflow[idx[b]] += r[idx[a]] * w / strength[idx[a]]
+            r = 0.15 / len(nodes) + 0.85 * inflow
+        for v in nodes:
+            assert abs(got[v] - round(r[idx[v]], 8)) < 1e-8, v
+        # weights matter: the ranking differs from the unweighted run
+        unw = {
+            r2["id"]: r2["rank"]
+            for r2 in queries.pagerank_und(
+                df.drop("w"), iters=10, top_k=100
+            ).collect()
+        }
+        assert got != unw
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        df = _und_df(spark, EDGES).withColumn("w", F.lit(1.0))
+        a = {r["id"]: r["rank"] for r in queries.pagerank_und(df, top_k=100, weight_col="w").collect()}
+        b = {r["id"]: r["rank"] for r in queries.pagerank_und(_und_df(spark, EDGES), top_k=100).collect()}
+        assert a == b
