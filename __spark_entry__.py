@@ -4,13 +4,23 @@
 documents table end-to-end (extraction -> graph -> search).
 
 ``queries()``/``oracle_sql()`` cover the operator inventory of
-SURVEY.md §2 plus the training-data-pipeline operators.  Every oracle
-mirrors the Spark semantics exactly; the per-doc text is derived with
-an identical regexp_replace chain in both engines because the raw
+SURVEY.md §2 plus the training-data-pipeline operators: 52 queries —
+KG construction/search/graph algorithms (mentions, pairs, PMI,
+triples, search, evidence, neighbors, 2-hop, BFS, PageRank, connected
+components, text search), relational/event coverage (TPC-H Q1/3/5/7/9,
+windows, rollup, percentiles, sessionization, as-of/range joins,
+sliding windows, EXCEPT, JSON), and dedup/similarity/curation
+(exact/minhash/simhash/Jaccard, SRP+IVF ANN, curation funnel, KMV
+sketch, split/sample/pack, multimodal features).  Every oracle mirrors
+the Spark semantics exactly; the per-doc text is derived with an
+identical regexp_replace chain in both engines because the raw
 ``documents.text`` is all-lowercase (no extraction branch would fire
-on it).  Keys without an oracle entry are genuinely non-SQL ops
-(LSH/minhash/simhash internals, multimodal UDF features) — the driver
-records rows-only checks for those.
+on it).  The 6 keys without an oracle entry are genuinely
+non-one-SQL-statement ops (LSH/minhash/simhash internals, iterative
+PageRank, multimodal UDF features) — the driver records rows-only
+checks, and each has an EXACT pure-Python/numpy pytest oracle
+(tests/test_rowsonly_oracles.py, test_dedup_similarity.py,
+test_graph_queries.py).
 """
 
 from __future__ import annotations
