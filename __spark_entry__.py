@@ -873,6 +873,26 @@ def q_dd_pack(spark, sf_dir):
     return sampling.pack_sequences(d, budget_tokens=512).orderBy("doc_id")
 
 
+def q_dd_pack_concat(spark, sf_dir):
+    """Materialized packed training rows: concatenated text per token
+    bin with member-id boundary metadata."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", tf.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        sampling.pack_concat(d, budget_tokens=512)
+        .select(
+            "bin_id",
+            "packed_text",
+            "member_ids",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 def q_dd_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per source.  With per-group distinct
     text counts below k the sketch IS the distinct set, so the
@@ -1024,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_kmv_distinct": q_dd_kmv_distinct,
         "dd_split": q_dd_split,
         "dd_pack": q_dd_pack,
+        "dd_pack_concat": q_dd_pack_concat,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_embed_near_dup": q_dd_embed_near_dup,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -1364,6 +1385,19 @@ WITH ex AS (
 )
 SELECT window_start, event_type, COUNT(*) AS cnt
 FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
+        "dd_pack_concat": """
+WITH p AS (
+  SELECT doc_id, text,
+    length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    CAST(COALESCE(SUM(length(regexp_extract_all(text, '\\S+')))
+      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT bin_id,
+  string_agg(text, chr(10) ORDER BY doc_id) AS packed_text,
+  list(doc_id ORDER BY doc_id) AS member_ids,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM p GROUP BY bin_id ORDER BY bin_id""",
         "rel_percentile": """
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -91,3 +91,34 @@ def pack_sequences(
     )
     running = F.sum(token_col).over(w) - F.col(token_col)  # exclusive prefix
     return df.withColumn("bin_id", F.floor(running / budget_tokens).cast("long"))
+
+
+def pack_concat(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize packed training rows from :func:`pack_sequences`:
+    one row per bin with the concatenated text (in order), the member
+    doc ids (the boundary metadata a loss-masking dataloader needs)
+    and the token total.  The groupBy collects one bin's documents —
+    bounded by budget_tokens, so the agg buffer is bounded too."""
+    packed = pack_sequences(df, budget_tokens, token_col, order_col, shard_col)
+    parts = ([F.col(shard_col)] if shard_col else []) + [F.col("bin_id")]
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return (
+        packed.groupBy(*parts)
+        .agg(
+            F.array_join(
+                F.transform(sorted_structs, lambda s: s["t"]), sep
+            ).alias("packed_text"),
+            F.sort_array(F.collect_list(order_col)).alias("member_ids"),
+            F.sum(token_col).alias("total_tokens"),
+        )
+    )

@@ -98,3 +98,15 @@ class TestSampling:
         rows = sampling.pack_sequences(d, budget_tokens=200, shard_col="shard").collect()
         for r in rows:
             assert r["bin_id"] == r["doc_id"] // 2  # each shard packs from 0
+
+    def test_pack_concat_boundaries(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.createDataFrame(
+            [(i, f"t{i}", 100) for i in range(5)], "doc_id long, text string, n_tokens long"
+        )
+        rows = sampling.pack_concat(d, budget_tokens=250, sep="|").orderBy("bin_id").collect()
+        assert [(r["bin_id"], r["packed_text"], list(r["member_ids"]), r["total_tokens"]) for r in rows] == [
+            (0, "t0|t1|t2", [0, 1, 2], 300),
+            (1, "t3|t4", [3, 4], 200),
+        ]
