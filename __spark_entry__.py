@@ -893,6 +893,32 @@ def q_dd_pack_concat(spark, sf_dir):
     )
 
 
+def q_dd_training_export(spark, sf_dir):
+    """The whole training-data prep chain composed end-to-end:
+    curate (quality/lang gates + dedup) -> deterministic train split
+    -> token-budget sequence packing -> per-bin manifest.  One oracle
+    pins the composition, not just the pieces."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        curation,
+        sampling,
+    )
+
+    kept = curation.curate_corpus(_docs_with_dups(spark, sf_dir))
+    train = sampling.split_by_hash(kept, key_col="id").where(F.col("split") == "train")
+    packed = sampling.pack_sequences(
+        train, budget_tokens=1024, token_col="n_tokens", order_col="id"
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("id").alias("first_id"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 def q_dd_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per source.  With per-group distinct
     text counts below k the sketch IS the distinct set, so the
@@ -1045,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_split": q_dd_split,
         "dd_pack": q_dd_pack,
         "dd_pack_concat": q_dd_pack_concat,
+        "dd_training_export": q_dd_training_export,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_embed_near_dup": q_dd_embed_near_dup,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -1398,6 +1425,24 @@ SELECT bin_id,
   list(doc_id ORDER BY doc_id) AS member_ids,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM p GROUP BY bin_id ORDER BY bin_id""",
+        "dd_training_export": f"""
+WITH {_CURATION_FEATS_CTE},
+kept AS (
+  SELECT g.id, g.n_tokens FROM gated g
+  JOIN (SELECT fp, min(id) AS id FROM gated GROUP BY fp) w
+    ON g.fp = w.fp AND g.id = w.id
+),
+train AS (
+  SELECT id, n_tokens FROM kept
+  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 8) < 'cccccccc'
+),
+packed AS (
+  SELECT id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS BIGINT) AS bin_id
+  FROM train
+)
+SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MIN(id) AS first_id
+FROM packed GROUP BY bin_id ORDER BY bin_id""",
         "rel_percentile": """
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS p50,
