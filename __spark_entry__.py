@@ -432,8 +432,8 @@ def q_kg_neighbors_2hop(spark, sf_dir):
 def q_kg_pagerank(spark, sf_dir):
     """PageRank over the co-occurrence concept graph (10 iterations,
     d=0.85), top 20 — deterministic; exact numpy oracle in
-    tests/test_graph_queries.py (rows-only at the driver: iterative
-    float recursion isn't expressible as one DuckDB query)."""
+    tests/test_graph_queries.py, and a DuckDB oracle with the 10
+    iterations unrolled as chained CTEs."""
     pairs = q_kg_pairs(spark, sf_dir)
     und = pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")).unionByName(
         pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
@@ -875,7 +875,9 @@ def q_dd_pack(spark, sf_dir):
 
 def q_dd_pack_concat(spark, sf_dir):
     """Materialized packed training rows: concatenated text per token
-    bin with member-id boundary metadata."""
+    bin with member-id boundary metadata.  ``member_ids`` is emitted
+    comma-joined (the array itself is pytest-pinned in TestSampling —
+    the driver's canonicalizer hashes scalar columns only)."""
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
 
     d = _docs(spark, sf_dir).select(
@@ -886,7 +888,9 @@ def q_dd_pack_concat(spark, sf_dir):
         .select(
             "bin_id",
             "packed_text",
-            "member_ids",
+            F.array_join(
+                F.transform("member_ids", lambda x: x.cast("string")), ","
+            ).alias("member_ids"),
             F.col("total_tokens").cast("long").alias("total_tokens"),
         )
         .orderBy("bin_id")
@@ -942,6 +946,18 @@ def q_dd_embed_near_dup(spark, sf_dir):
     )
 
 
+def q_dd_embed_near_dup_srp(spark, sf_dir):
+    """The PRODUCTION default path of embedding near-dup: SRP-LSH
+    bucket co-membership candidates + exact cosine verify (no group
+    bound).  The oracle replays the full path — the seed-42 hyperplanes
+    are embedded as SQL literals, so DuckDB recomputes the sign bits,
+    band buckets, candidate pairs and verification identically."""
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_near_dups(emb, threshold=0.30, dim=64).orderBy(
+        "a_id", "b_id"
+    )
+
+
 def q_sim_bruteforce_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -965,17 +981,29 @@ def q_txt_stats(spark, sf_dir):
 # -- rows-only (non-SQL-expressible internals) --------------------------------
 
 def q_dd_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH with the md5 hash family so the ENTIRE chain —
+    signatures, banding, bucket co-membership, jaccard estimate — is
+    recomputed by the DuckDB oracle (xxh64 stays the engine default;
+    the banding/bucketing logic under test is family-independent)."""
     # cache: sigs feeds the LSH self-join (2 refs) AND both sides of
     # the jaccard-estimate join (2 more) — 4 recomputes without it
-    sigs = dedup.minhash_signatures(_docs_with_dups(spark, sf_dir)).cache()
-    cands = dedup.minhash_lsh_candidates(sigs)
+    sigs = dedup.minhash_signatures(
+        _docs_with_dups(spark, sf_dir), hash_family="md5"
+    ).cache()
+    cands = dedup.minhash_lsh_candidates(sigs, hash_family="md5")
     return dedup.minhash_jaccard_estimate(sigs, cands).where(F.col("est_jaccard") >= 0.5)
 
 
 def q_dd_simhash(spark, sf_dir):
+    """SimHash near-dup candidates with the md5 hash family — the
+    oracle rebuilds the fingerprints nibble-by-nibble from md5 hex and
+    replays the prefix-bucket + hamming check (xxh64 stays the engine
+    default)."""
     # cache: the bucketed self-join references fps twice
-    fps = dedup.simhash(_docs_with_dups(spark, sf_dir)).cache()
-    return dedup.simhash_candidates(fps, max_hamming=3)
+    fps = dedup.simhash(_docs_with_dups(spark, sf_dir), hash_family="md5").cache()
+    return dedup.simhash_candidates(fps, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_sim_ann_topk(spark, sf_dir):
@@ -989,7 +1017,9 @@ def q_sim_ivf_topk(spark, sf_dir):
     sample), literal-centroid assignment, nprobe-list probe + exact
     re-rank.  Exact numpy oracle in tests/test_dedup_similarity.py."""
     emb = _emb(spark, sf_dir)
-    cent = similarity.ivf_train_centroids(emb, dim=64, n_lists=8, sample=256)
+    cent = similarity.ivf_train_centroids(
+        emb, dim=64, n_lists=8, sample=256, sample_frac=0.5
+    )
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
     return similarity.ivf_topk(emb, qv, cent, nprobe=3, k=10)
 
@@ -1082,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
+        "dd_embed_near_dup_srp": q_dd_embed_near_dup_srp,
     }
 
 
@@ -1129,7 +1160,72 @@ feats AS (
   FROM docs_dup
 ),
 gated AS (SELECT * FROM feats WHERE n_tokens >= 5 AND quality_score >= 0.5 AND lang IN ('en'))"""
+    # kg_pagerank: the 10 power iterations of plans/queries.pagerank_und
+    # unrolled as chained CTEs.  (1.0 - 0.85) is written as the same
+    # double SUBTRACTION the Spark driver performs (≠ a 0.15 literal in
+    # the last ulp); round(…, 8) absorbs sum-order noise.
+    _pr_iters = "".join(
+        f""",
+c{k} AS (SELECT u.nbr_id AS id, SUM(r.rank / dg.deg) AS inflow
+         FROM und u JOIN r{k - 1} r ON u.cid = r.id JOIN deg dg ON dg.cid = u.cid
+         GROUP BY u.nbr_id),
+r{k} AS (SELECT n.id, ((1.0 - 0.85) / nn.n) + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+         FROM nodes n CROSS JOIN nn LEFT JOIN c{k} c ON c.id = n.id)"""
+        for k in range(1, 11)
+    )
+    # SRP-LSH oracles: the seed-42 hyperplanes (similarity._hyperplanes
+    # — deterministic numpy) embedded as a SQL list-of-lists literal so
+    # DuckDB replays sign bits -> band buckets -> candidates -> exact
+    # verify.  Dot products fold the 64 elements in index order on both
+    # engines, so the sign bits are bit-identical.
+    _planes = similarity._hyperplanes(64, 16)
+    _planes_sql = (
+        "[" + ",".join("[" + ",".join(repr(float(w)) for w in p) + "]" for p in _planes) + "]"
+    )
+    _dotq = (
+        "list_sum(list_transform(list_zip(p, v), z -> z[1] * z[2]))"
+    )
+    _srp_base = f"""
+base AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+bits AS (SELECT id, v,
+                list_transform({_planes_sql}, p -> CASE WHEN {_dotq} >= 0 THEN '1' ELSE '0' END) AS bits
+         FROM base),
+bands AS (SELECT id, k AS band, array_to_string(bits[k * 4 + 1 : k * 4 + 4], '') AS bucket
+          FROM bits CROSS JOIN range(4) bnd(k))"""
+    _cos_ab = (
+        "list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))"
+        " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+    )
+    _srp_near_dup_sql = f"""WITH {_srp_base},
+cand AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+SELECT c.a_id, c.b_id, ROUND({_cos_ab}, 6) AS cosine
+FROM cand c JOIN base a ON a.id = c.a_id JOIN base b ON b.id = c.b_id
+WHERE ROUND({_cos_ab}, 6) >= 0.30"""
+    _ann_topk_sql = f"""WITH {_srp_base},
+qb AS (SELECT band, bucket FROM bands WHERE id = 0),
+cand AS (SELECT DISTINCT b.id FROM bands b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket),
+qv AS (SELECT v FROM base WHERE id = 0)
+SELECT a.id AS vec_id,
+       ROUND(list_sum(list_transform(list_zip(a.v, qv.v), z -> z[1] * z[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv.v, x -> x * x)))), 6) AS cosine
+FROM base a JOIN cand ON a.id = cand.id CROSS JOIN qv
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+    _pagerank_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT cid AS id FROM und),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){_pr_iters}
+SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
     return {
+        "kg_pagerank": _pagerank_sql,
+        "dd_embed_near_dup_srp": _srp_near_dup_sql,
+        "sim_ann_topk": _ann_topk_sql,
         "kg_mentions": f"WITH {MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions",
         "kg_mentions_nlp": f"WITH {MENTIONS_CTE}, {NLP_MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM nlp_mentions",
         "kg_cooccur_pairs": f"WITH {PAIRS_CTE} SELECT window_id, a_id, b_id, freq FROM pairs",
@@ -1422,7 +1518,7 @@ WITH p AS (
 )
 SELECT bin_id,
   string_agg(text, chr(10) ORDER BY doc_id) AS packed_text,
-  list(doc_id ORDER BY doc_id) AS member_ids,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM p GROUP BY bin_id ORDER BY bin_id""",
         "dd_training_export": f"""
@@ -1443,6 +1539,59 @@ packed AS (
 )
 SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MIN(id) AS first_id
 FROM packed GROUP BY bin_id ORDER BY bin_id""",
+        # minhash+LSH, md5 family: identical signature/banding math as
+        # operators/dedup.py (minhash_signatures/minhash_lsh_candidates
+        # /minhash_jaccard_estimate with hash_family="md5") — hex-string
+        # MIN == numeric MIN on fixed-width lowercase hex
+        "dd_minhash_lsh": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+norm AS (SELECT doc_id AS id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         FROM d),
+elig AS (SELECT id, toks, length(toks) AS nt FROM norm WHERE length(toks) >= 3),
+sh AS (SELECT id, array_to_string(toks[i:i+2], ' ') AS s
+       FROM elig, unnest(range(1, nt - 1)) AS t(i)),
+sig AS (SELECT id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+        FROM sh CROSS JOIN range(32) hf(i) GROUP BY id, i),
+bands AS (SELECT id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+          FROM sig GROUP BY id, i // 4),
+cand AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+est AS (SELECT c.a_id, c.b_id,
+               CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.id = c.a_id
+        JOIN sig sb ON sb.id = c.b_id AND sb.i = sa.i
+        GROUP BY c.a_id, c.b_id)
+SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5""",
+        # simhash, md5 family: token hash = first 16 hex chars of md5
+        # as a 64-bit value, rebuilt nibble-by-nibble (bit b lives in
+        # hex char (63-b)//4+1 at in-nibble position b%4); fingerprints
+        # as UBIGINT so >> is a logical shift — bucket grouping and
+        # xor/bit_count are representation-independent
+        "dd_simhash": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+norm AS (SELECT doc_id AS id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         FROM d WHERE length(trim(text)) > 0),
+th AS (SELECT id, md5(t) AS h FROM (SELECT id, unnest(toks) AS t FROM norm)),
+bits AS (
+  SELECT id, b,
+    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, (63 - b) // 4 + 1, 1)) - 1) >> (b % 4)) & 1 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(64) bb(b)
+  GROUP BY id, b
+),
+fp AS (SELECT id, bit_or(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM bits GROUP BY id),
+bk AS (SELECT id, fp, fp >> 48 AS bucket FROM fp)
+SELECT l.id AS a_id, r.id AS b_id, CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
+WHERE bit_count(xor(l.fp, r.fp)) <= 3""",
         "rel_percentile": """
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -64,10 +64,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
     g_i(shingle).  Computed entirely JVM-side with array lambdas: no
     UDF, no shuffle (per-row work).
+
+    ``hash_family``: ``"xxh64"`` (default, fastest — the two-hash
+    rotate-combine family below) or ``"md5"`` — g_i(s) =
+    md5(f"{i}:" + s) compared AS A HEX STRING (fixed-width lowercase
+    hex orders lexicographically == numerically), so an external SQL
+    engine (DuckDB oracle) can recompute the identical signature.
+    md5 costs k digests per shingle vs 2 for xxh64; it exists for
+    cross-engine verification, not production.
 
     Hash family: g_i(s) = h1(s) XOR rotl(h2(s), i), with h1 =
     xxhash64(s) and h2 = xxhash64(1, h1) — the two-hash construction
@@ -88,6 +97,8 @@ def minhash_signatures(
     staged form evaluates each stage once (9.2 s -> 0.37 s on the
     same input).  Keep multi-referenced non-cheap aliases (_h1) out
     of single-select + where combinations."""
+    if hash_family not in ("xxh64", "md5"):
+        raise ValueError(f"hash_family must be 'xxh64' or 'md5', got {hash_family!r}")
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     # docs with zero shingles (< shingle_n tokens) carry no signature:
     # an all-null sig would LSH-hash every short doc into ONE bucket —
@@ -99,6 +110,16 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         _word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
+    if hash_family == "md5":
+        # closure, NOT a default-arg lambda: pyspark passes the array
+        # index to any binary lambda, shadowing a captured default
+        def _md5_min(prefix: str):
+            return F.array_min(
+                F.transform("_sh", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+            )
+
+        sig = F.array(*[_md5_min(f"{i}:") for i in range(num_hashes)])
+        return lvl1.select("id", sig.alias("sig"))
     lvl2 = lvl1.select("id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_h1"))
     lvl3 = lvl2.select(
         "id", "_h1", F.transform("_h1", lambda h: F.xxhash64(F.lit(1), h)).alias("_h2")
@@ -125,23 +146,32 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
     """Band the signature, hash each band to a bucket, equi-join within
     (band, bucket): candidate pairs (a_id, b_id) with a_id < b_id.
     This is the scale path — the join key is (band_idx, bucket_hash) so
-    skew is bounded by true near-dup cluster sizes."""
+    skew is bounded by true near-dup cluster sizes.
+
+    ``hash_family="md5"`` pairs with md5-family signatures (string
+    elements): bucket = md5 of the '|'-joined band slice, so the DuckDB
+    oracle reproduces the bucketing bit-for-bit."""
+
+    def _bucket(b: int):
+        elems = [F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("|", *elems))
+        return F.xxhash64(*elems)
+
     banded = signatures.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -170,19 +200,42 @@ def minhash_jaccard_estimate(signatures: DataFrame, candidates: DataFrame) -> Da
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxh64",
+) -> DataFrame:
     """64-bit SimHash over word tokens: bit b of the fingerprint is the
-    sign of sum over tokens of (+1 if bit b of xxhash64(token) else -1).
+    sign of sum over tokens of (+1 if bit b of hash64(token) else -1).
     Pure array math per row — no UDF, no shuffle.
+
+    ``hash_family``: ``"xxh64"`` (default) or ``"md5"`` — the token
+    hash becomes the first 16 hex chars of md5(token) read as a
+    big-endian 64-bit value (reassembled from conv() on a 1+15 hex
+    split, since a 16-digit conv can exceed the signed-long cast under
+    ANSI).  A SQL oracle recomputes the same bits nibble-by-nibble;
+    see __spark_entry__.oracle_sql()["dd_simhash"].
 
     Plan shape: the token-hash array is STAGED into its own projection
     so the 64 per-bit aggregates consume an attribute; inlining the
     split+hash expression into each bit_sum re-tokenizes and re-hashes
     the text 64x per row (same pathology as minhash_signatures)."""
+    if hash_family not in ("xxh64", "md5"):
+        raise ValueError(f"hash_family must be 'xxh64' or 'md5', got {hash_family!r}")
+
+    def _tok_hash(t):
+        if hash_family == "xxh64":
+            return F.xxhash64(t)
+        h = F.md5(t)
+        top = F.conv(F.substring(h, 1, 1), 16, 10).cast("long")  # bits 63..60
+        rest = F.conv(F.substring(h, 2, 15), 16, 10).cast("long")  # bits 59..0
+        return F.shiftleft(top, 60).bitwiseOR(rest)
+
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     staged = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs"),
+        F.transform(toks, lambda t: _tok_hash(t)).alias("_hs"),
     )
     bit_sum = lambda b: F.aggregate(  # noqa: E731
         F.col("_hs"),
