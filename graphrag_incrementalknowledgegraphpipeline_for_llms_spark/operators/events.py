@@ -222,12 +222,22 @@ def range_join(
     if how == "inner":
         return p.join(iv, on).where(exact).drop("_b")
     # left: keep unmatched points with null interval columns — join
-    # inner first, then union the unmatched remainder back in
+    # inner first, then union the unmatched remainder back in.  The
+    # anti-join condition is eqNullSafe PER COLUMN: plain equality is
+    # not null-safe, so a matched point row carrying a NULL in any
+    # column would never equal itself in the anti-join and be emitted
+    # twice (matched + spuriously "missing").  Point rows identical in
+    # every column are indistinguishable and share one match verdict.
     matched = p.join(iv, on).where(exact).drop("_b")
     keep = [c for c in matched.columns]
-    missing = p.drop("_b").join(
-        matched.select(*points.columns).distinct(), on=points.columns, how="left_anti"
-    )
+    msel = matched.select(
+        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+    ).distinct()
+    anti_cond = None
+    for c in points.columns:
+        term = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    missing = p.drop("_b").join(msel, anti_cond, "left_anti")
     for c in keep:
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))

@@ -153,11 +153,13 @@ def batch_edges(mentions: DataFrame, triples: DataFrame, updated_at) -> DataFram
       so the rid semi-join broadcast is tiny."""
     m = mention_edges(mentions, updated_at).dropDuplicates(["src_id", "dst_id"])
     r = relation_edges(triples, updated_at)
-    cols = r.columns
-    salted = []
-    for i, c in enumerate(cols):
-        salted += [F.lit(i), F.col(c)]
-    r2 = r.withColumn("_rid", F.xxhash64(*salted))
+    # rid MUST be catalog.content_rid: the catalog's cross-batch merge
+    # breaks residual ties with the same function, and incremental ≡
+    # full (max(max(A), B) == max(A ∪ B)) only holds when both levels
+    # use ONE total order
+    from ..sources.catalog import content_rid
+
+    r2 = r.withColumn("_rid", content_rid(r.columns))
     okey = F.struct(F.col("updated_at"), F.col("confidence"), F.col("_rid"))
     winners = (
         r2.select("src_id", "rel", "dst_id", "updated_at", "confidence", "_rid")

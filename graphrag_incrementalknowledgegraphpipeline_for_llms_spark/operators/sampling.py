@@ -73,17 +73,40 @@ def sample_by_hash(df: DataFrame, p: float, key_col: str = "doc_id") -> DataFram
     return df.where(_hash_prefix(F.col(key_col)) < _frac_hex(p))
 
 
+GLOBAL_PACK_MAX_ROWS = 10_000_000
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int = 2048,
     token_col: str = "n_tokens",
     order_col: str = "doc_id",
     shard_col: str | None = None,
+    max_global_rows: int | None = GLOBAL_PACK_MAX_ROWS,
 ) -> DataFrame:
     """Assign each document a ``bin_id``: contiguous docs (in
     ``order_col`` order, per shard) whose exclusive running token sum
-    falls in the same ``budget_tokens`` window share a bin."""
+    falls in the same ``budget_tokens`` window share a bin.
+
+    SCALE GUARD: with ``shard_col=None`` the prefix sum is an empty
+    partitionBy — Spark moves EVERY row through one task.  That is the
+    semantics the global-bin oracle needs, but it must not silently
+    ship at corpus scale, so the global path refuses above
+    ``max_global_rows`` (bounded probe via limit+count, not a full
+    count) and tells the caller to shard.  Pass ``shard_col`` (e.g.
+    the ``split`` column or ``hash_shard_col``'s prefix bucket) for
+    per-shard independent packing — one window per shard, full
+    parallelism, bin_id unique per (shard, bin).  ``max_global_rows=
+    None`` skips the probe for callers that know the input is small."""
     part = [shard_col] if shard_col else []
+    if shard_col is None and max_global_rows is not None:
+        probed = df.limit(max_global_rows + 1).count()
+        if probed > max_global_rows:
+            raise ValueError(
+                f"pack_sequences(shard_col=None) on >{max_global_rows} rows "
+                "would run the whole prefix sum in ONE task; pass shard_col "
+                "(e.g. from hash_shard_col) or raise max_global_rows"
+            )
     w = (
         Window.partitionBy(*part)
         .orderBy(order_col)
@@ -91,6 +114,17 @@ def pack_sequences(
     )
     running = F.sum(token_col).over(w) - F.col(token_col)  # exclusive prefix
     return df.withColumn("bin_id", F.floor(running / budget_tokens).cast("long"))
+
+
+def hash_shard_col(order_col: str = "doc_id", n_shards: int = 256):
+    """A deterministic shard column for :func:`pack_sequences` at
+    corpus scale: the md5-prefix bucket of the order key (same hash
+    family as split_by_hash, so the DuckDB oracle can recompute it).
+    Documents stay contiguous WITHIN a shard; bins never span shards —
+    the standard sharded-packing contract for LLM pretraining (each
+    shard is an independent stream of bins)."""
+    bucket = F.conv(F.substring(F.md5(F.col(order_col).cast("string")), 1, 4), 16, 10)
+    return F.pmod(bucket.cast("long"), F.lit(n_shards)).alias("shard")
 
 
 def pack_concat(

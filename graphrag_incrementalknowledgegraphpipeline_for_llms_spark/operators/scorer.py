@@ -119,44 +119,129 @@ def llm_available(endpoint: str | None) -> bool:
         return False
 
 
-def make_llm_scorer_udf(endpoint: str, model: str = "tinyllama:latest"):
+def parse_verdict(response: str, fallback_evidence: str) -> tuple[str, float, str]:
+    """Parse an LLM response into (predicate, confidence, evidence)
+    with the reference's two-stage semantics:
+
+    1. JSON path (RelationScorer.scala:92-109): first ``\\{[^}]+\\}``
+       blob (else the whole response) as JSON; predicate validated
+       against the predicate set else ``related_to``; confidence
+       clamped to [0, 1].
+    2. Regex fallback on parse failure (RelationScorer.scala:129-152):
+       ``predicate[:\\s]+([a-z_]+)`` else ``related_to``;
+       ``confidence[:\\s]+([0-9.]+)`` else 0.5;
+       ``evidence[:\\s]+"([^"]+)"`` else the candidate evidence
+       truncated to 100 UTF-16 code units."""
     import json
-    import re as _re
+    import re
+
+    fallback_ev = purecore.utf16_take(fallback_evidence or "", 100)
+    try:
+        blob = re.search(r"\{[^}]+\}", response)
+        v = json.loads(blob.group(0) if blob else response)
+        p = v.get("predicate", "related_to")
+        pred = p if p in purecore.PREDICATE_SET else "related_to"
+        conf = max(0.0, min(1.0, float(v.get("confidence", 0.5))))
+        ev = str(v.get("evidence", fallback_ev))
+        return pred, conf, ev
+    except Exception:
+        m = re.search(r"predicate[:\s]+([a-z_]+)", response)
+        pred = m.group(1) if m else "related_to"
+        m = re.search(r"confidence[:\s]+([0-9.]+)", response)
+        try:
+            conf = float(m.group(1)) if m else 0.5
+        except ValueError:
+            conf = 0.5
+        m = re.search(r'evidence[:\s]+"([^"]+)"', response)
+        ev = m.group(1) if m else fallback_ev
+        return pred, conf, ev
+
+
+def ollama_generate(
+    endpoint: str,
+    model: str,
+    prompt: str,
+    retries: int = 3,
+    backoff_s: float = 1.0,
+    timeout_s: float = 60.0,
+) -> str:
+    """POST /api/generate with the reference's retry loop
+    (OllamaClient.scala:78-112): <= ``retries`` attempts with a
+    linear-increasing ``sleep(backoff_s * attempt)`` between failures;
+    the last error propagates."""
+    import json
+    import time
     import urllib.request
 
+    last: Exception | None = None
+    for attempt in range(1, retries + 1):
+        try:
+            req = urllib.request.Request(
+                f"{endpoint}/api/generate",
+                data=json.dumps(
+                    {"model": model, "prompt": prompt, "stream": False,
+                     "options": {"temperature": 0.0}}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return json.loads(r.read())["response"]
+        except Exception as e:  # noqa: PERF203 — retry loop
+            last = e
+            if attempt < retries and backoff_s > 0:
+                time.sleep(backoff_s * attempt)
+    raise last  # type: ignore[misc]
+
+
+def build_prompt(a_lemma: str, b_lemma: str, evidence: str) -> str:
+    """Prompt template (RelationScorer.scala:34-62 shape)."""
+    return (
+        "You are a knowledge graph relation extractor. "
+        f"Concept A: {a_lemma}\nConcept B: {b_lemma}\n"
+        f'Context: "{evidence}"\n'
+        'Respond as JSON {"predicate": ..., "confidence": ..., "evidence": ...}'
+    )
+
+
+def make_llm_scorer_udf(
+    endpoint: str,
+    model: str = "tinyllama:latest",
+    retries: int = 3,
+    backoff_s: float = 1.0,
+    timeout_s: float = 60.0,
+):
+    """Iterator pandas UDF scoring (a_lemma, b_lemma, evidence) rows
+    via an Ollama-protocol endpoint: one HTTP round per row, batched
+    per Arrow batch, retry + parse semantics per the reference.  A
+    request that exhausts its retries degrades to the deterministic
+    fallback verdict (related_to / 0.5 / evidence[:100]) instead of
+    dropping the record (the reference drops silently,
+    GraphRagJob.scala:353-356 — we keep the row so the pipeline stays
+    lossless; the confidence threshold filters it like any other)."""
+
     @F.pandas_udf(VERDICT_SCHEMA)
-    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def _score(it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        # multi-arg iterator pandas UDF: each element is a TUPLE of
+        # Series (one per argument), not a named DataFrame
+        for a_ser, b_ser, ev_ser in it:
             preds, confs, evs = [], [], []
-            for a_lemma, b_lemma, evidence in zip(
-                pdf["a_lemma"], pdf["b_lemma"], pdf["evidence"]
-            ):
-                pred, conf, ev = "related_to", 0.5, purecore.utf16_take(evidence, 100)
+            for a_lemma, b_lemma, evidence in zip(a_ser, b_ser, ev_ser):
                 try:
-                    prompt = (
-                        "You are a knowledge graph relation extractor. "
-                        f"Concept A: {a_lemma}\nConcept B: {b_lemma}\n"
-                        f'Context: "{evidence}"\n'
-                        "Respond as JSON {\"predicate\": ..., \"confidence\": ..., \"evidence\": ...}"
+                    response = ollama_generate(
+                        endpoint,
+                        model,
+                        build_prompt(a_lemma, b_lemma, evidence),
+                        retries=retries,
+                        backoff_s=backoff_s,
+                        timeout_s=timeout_s,
                     )
-                    req = urllib.request.Request(
-                        f"{endpoint}/api/generate",
-                        data=json.dumps(
-                            {"model": model, "prompt": prompt, "stream": False,
-                             "options": {"temperature": 0.0}}
-                        ).encode(),
-                        headers={"Content-Type": "application/json"},
-                    )
-                    with urllib.request.urlopen(req, timeout=60) as r:
-                        response = json.loads(r.read())["response"]
-                    blob = _re.search(r"\{[^}]+\}", response)
-                    v = json.loads(blob.group(0) if blob else response)
-                    p = v.get("predicate", "related_to")
-                    pred = p if p in purecore.PREDICATE_SET else "related_to"
-                    conf = max(0.0, min(1.0, float(v.get("confidence", 0.5))))
-                    ev = str(v.get("evidence", ev))
+                    pred, conf, ev = parse_verdict(response, evidence)
                 except Exception:
-                    pass  # deterministic fallback already set
+                    pred, conf, ev = (
+                        "related_to",
+                        0.5,
+                        purecore.utf16_take(evidence, 100),
+                    )
                 preds.append(pred)
                 confs.append(conf)
                 evs.append(ev)

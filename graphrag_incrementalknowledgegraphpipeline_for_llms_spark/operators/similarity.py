@@ -161,13 +161,28 @@ def ivf_train_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_frac: float | None = None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over a bounded driver-side sample
-    (first ``sample`` rows by id — deterministic, no RNG over data;
-    init = seeded gaussian).  Returns (n_lists, dim) float64."""
-    rows = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
-    )
+    (deterministic, no RNG over data; init = seeded gaussian).
+    Returns (n_lists, dim) float64.
+
+    ``sample_frac``: hash-rate pre-filter (sampling.sample_by_hash)
+    applied BEFORE the ordered limit.  Without it the limit is a
+    TakeOrderedAndProject over the WHOLE corpus — every vector scanned
+    and heap-compared to sample 10k rows.  With it the scan still reads
+    the id column but only ~frac of the VECTORS survive the (cheap,
+    hash-on-id) filter into the top-k heap; at 100 TB pick frac so
+    frac * corpus ≈ 2-4x ``sample``.  Membership is a pure function of
+    the id, so the sample — and therefore the trained centroids — is
+    identical across reruns, partitionings and incremental growth of
+    the tail (ids hash in, never shift in)."""
+    pool = embeddings.select(id_col, vec_col)
+    if sample_frac is not None:
+        from .sampling import sample_by_hash
+
+        pool = sample_by_hash(pool, sample_frac, key_col=id_col)
+    rows = pool.orderBy(id_col).limit(sample).collect()
     x = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]

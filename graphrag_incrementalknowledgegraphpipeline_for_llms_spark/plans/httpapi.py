@@ -116,13 +116,48 @@ class GraphApiService:
             "totalMentions": len(chunks),
         }
 
-    def neighbors(self, concept_id: str, limit: int = 20) -> dict:
-        """ExploreResponse (Neo4jQueryService.scala:201-295)."""
+    def neighbors(
+        self,
+        concept_id: str,
+        limit: int = 20,
+        depth: int = 1,
+        direction: str = "both",
+        edge_types: list[str] | None = None,
+    ) -> dict:
+        """ExploreResponse (Neo4jQueryService.scala:201-295).
+
+        The reference PARSES direction/depth/edgeTypes and ignores them
+        (ExploreRoute.scala:25-31); here they are honored: ``direction``
+        restricts the edge view (out = src->dst, in = dst->src, both =
+        undirected), ``edge_types`` filters relation types, and
+        ``depth=2`` returns the 2-hop ring via the library's
+        concept_neighbors_2hop (relations listing stays 1-hop, matching
+        the reference's response shape)."""
         c = self._concept_row(concept_id)
         if c is None:
             raise KeyError(f"Concept not found: {concept_id}")
-        nbrs = q.concept_neighbors(self.nodes, self.edges, concept_id, top_k=limit).collect()
-        rels = q.neighbor_edges(self.edges, concept_id, top_k=limit).collect()
+        edges = self.edges
+        if edge_types:
+            edges = edges.where(F.col("rel").isin(list(edge_types)))
+        if direction == "out":
+            edges = edges.where(F.col("src_id") == concept_id)
+        elif direction == "in":
+            edges = edges.where(F.col("dst_id") == concept_id)
+        if depth >= 2:
+            ring = q.concept_neighbors_2hop(
+                self.nodes, edges, concept_id, top_k=limit
+            ).select("nbr_id")
+            concepts = self.nodes.where(F.col("label") == "Concept").select(
+                F.col("id").alias("nbr_id"), "lemma", "surface", "origin"
+            )
+            nbrs = (
+                ring.join(concepts, "nbr_id").orderBy("nbr_id").limit(limit).collect()
+            )
+        else:
+            nbrs = q.concept_neighbors(
+                self.nodes, edges, concept_id, top_k=limit
+            ).collect()
+        rels = q.neighbor_edges(edges, concept_id, top_k=limit).collect()
 
         def node(r, id_key):
             return {
@@ -344,9 +379,20 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
                 if path.startswith("/v1/graph/concept/") and path.endswith("/neighbors"):
                     cid = path[len("/v1/graph/concept/"):-len("/neighbors")]
+                    # ExploreRoute.scala:25-31 parameter surface
+                    # (direction/depth/edgeTypes) — parsed there,
+                    # ignored there; honored here
+                    et = qs.get("edgeTypes")
                     try:
                         return self._send(
-                            200, service.neighbors(cid, int(qs.get("limit", "20")))
+                            200,
+                            service.neighbors(
+                                cid,
+                                int(qs.get("limit", "20")),
+                                depth=int(qs.get("depth", "1")),
+                                direction=qs.get("direction", "both"),
+                                edge_types=et.split(",") if et else None,
+                            ),
                         )
                     except KeyError as e:
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))

@@ -65,6 +65,15 @@ def refresh(
     if last == cur:
         return 0
 
+    if catalog.mor_spec(source) is not None:
+        # merge-on-read sources append DELTA dirs whose rows REPLACE or
+        # tombstone existing keys — a manifest-append there is not a
+        # row-level insert delta, and folding it as one overcounts
+        # (tombstones would even add cnt with null sums).  The correct
+        # O(delta) rule for MOR needs retraction deltas the catalog
+        # doesn't expose; recompute from the resolved table instead.
+        return _rebuild(spark, catalog, source, view, group_cols, value_col, cur)
+
     state = catalog.read(spark, _state_table(view)) if last > 0 else None
     folded = 0
     if state is None:

@@ -30,6 +30,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def content_rid(cols: list[str]):
+    """128-bit content fingerprint of a row (two independently-seeded
+    xxhash64 halves in a struct): a single 64-bit rid makes collisions
+    statistically certain at the 10^12-row target, and a collision
+    admits a LOSER row through the winner semi-join.  Field ordinals
+    are interleaved so value-shifts between adjacent nullable columns
+    can't collide.  This is THE residual tiebreak order for every
+    winner selection in the engine — per-batch pre-dedups (e.g.
+    graph.batch_edges) MUST use the same function, or max(max(A), B)
+    under one order stops equaling max(A ∪ B) under the other and
+    incremental runs diverge from full runs."""
+    salted = []
+    for i, c in enumerate(cols):
+        salted += [F.lit(i), F.col(c)]
+    return F.struct(
+        F.xxhash64(F.lit(0), *salted).alias("h0"),
+        F.xxhash64(F.lit(1), *salted).alias("h1"),
+    )
+
+
 def _winner_dedup(pool: DataFrame, keys: list[str], tb_exprs: list) -> DataFrame:
     """One winner row per key under the total order (tiebreaks..., rid).
 
@@ -41,12 +61,7 @@ def _winner_dedup(pool: DataFrame, keys: list[str], tb_exprs: list) -> DataFrame
     winner rows are fetched back by a semi-join on rid (AQE turns it
     into a broadcast join — the build side is just the winner rids)."""
     cols = pool.columns
-    salted = []
-    for i, c in enumerate(cols):
-        # interleave field ordinals so value-shifts between adjacent
-        # nullable columns can't produce rid collisions
-        salted += [F.lit(i), F.col(c)]
-    pool = pool.withColumn("_rid", F.xxhash64(*salted))
+    pool = pool.withColumn("_rid", content_rid(cols))
     narrow = pool.select(
         *keys,
         F.col("_rid"),
@@ -308,11 +323,14 @@ class ParquetCatalog:
 
     def _gc(self, name: str, manifest, cur: int) -> None:
         # retain only dirs referenced by the current or previous
-        # manifest (Iceberg: expire_snapshots)
+        # manifest (Iceberg: expire_snapshots).  Glob BOTH data-dir
+        # prefixes: base dirs are d*, merge-on-read delta dirs are e*
+        # — once compact()/overwrite supersedes a delta it must be
+        # expired like any other dir or MOR tables grow unboundedly.
         keep = self._manifest_dirs(manifest) | (
             self._manifest_dirs(self._manifest(name, cur)) if cur else set()
         )
-        for d in glob.glob(os.path.join(self._tdir(name), "d*")):
+        for d in glob.glob(os.path.join(self._tdir(name), "[de]*")):
             if os.path.basename(d) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
 

@@ -56,7 +56,11 @@ def stream_pages_dir(
         # pipeline's anti-join against committed Chunk nodes.)
         from ..plans.pipeline import CHECKPOINT_TABLE
 
-        cp = catalog.read(spark, CHECKPOINT_TABLE)
+        # merge_schema: the checkpoint table can mix pre-epoch_id dirs
+        # with new ones; with spark.sql.parquet.mergeSchema=false the
+        # inferred schema may come from an OLD footer and silently drop
+        # epoch_id, disabling this guard nondeterministically
+        cp = catalog.read(spark, CHECKPOINT_TABLE, merge_schema=True)
         if cp is not None and "epoch_id" in cp.columns:
             from pyspark.sql import functions as F
 

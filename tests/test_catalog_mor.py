@@ -86,6 +86,24 @@ class TestMorMerge:
         cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "A9", 0.9)]), keys=["k"])
         assert (1, "A9", 0.9) in _rows(cat.read(spark, "t"))
 
+    def test_gc_expires_superseded_delta_dirs(self, spark, tmp_path):
+        # regression: _gc only globbed d* — superseded e* (MOR delta)
+        # dirs were never removed, so MOR tables grew without bound
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5)]), keys=["k"])
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(2, "b", 0.5)]), keys=["k"])
+        assert glob.glob(str(tmp_path / "t" / "e*"))
+        cat.compact(spark, "t")  # deltas superseded (still in prev manifest)
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(3, "c", 0.5)]), keys=["k"])
+        cat.compact(spark, "t")  # prev manifest no longer references old e-dirs
+        cat.merge_upsert_mor(spark, "t", _mk(spark, [(4, "d", 0.5)]), keys=["k"])
+        # only the post-compaction delta survives; pre-compaction e-dirs are gone
+        live = {os.path.basename(d) for d in glob.glob(str(tmp_path / "t" / "e*"))}
+        assert live == set(cat._delta_entries("t"))
+        assert _rows(cat.read(spark, "t")) == [
+            (1, "a", 0.5), (2, "b", 0.5), (3, "c", 0.5), (4, "d", 0.5),
+        ]
+
     def test_spec_conflicts_raise(self, spark, tmp_path):
         cat = ParquetCatalog(str(tmp_path))
         cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "a", 0.5)]), keys=["k"])

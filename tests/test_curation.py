@@ -1,5 +1,6 @@
 """Corpus-curation operator: gates, dedup canonicalization, funnel."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
@@ -98,6 +99,44 @@ class TestSampling:
         rows = sampling.pack_sequences(d, budget_tokens=200, shard_col="shard").collect()
         for r in rows:
             assert r["bin_id"] == r["doc_id"] // 2  # each shard packs from 0
+
+    def test_pack_global_guard_refuses_large_input(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.createDataFrame([(i, 10) for i in range(30)], "doc_id long, n_tokens long")
+        with pytest.raises(ValueError, match="ONE task"):
+            sampling.pack_sequences(d, budget_tokens=100, max_global_rows=20)
+        # sharded path has no single-task window -> no guard needed
+        out = sampling.pack_sequences(
+            d.withColumn("shard", sampling.hash_shard_col("doc_id", 4)),
+            budget_tokens=100,
+            shard_col="shard",
+            max_global_rows=20,
+        )
+        assert out.count() == 30
+
+    def test_hash_shard_col_deterministic_and_oracle_matched(self, spark):
+        import hashlib
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        rows = d.withColumn("shard", sampling.hash_shard_col("doc_id", 8)).collect()
+        for r in rows:
+            exp = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 8
+            assert r["shard"] == exp
+        # per-shard bins start at 0 and are contiguous in order_col
+        d2 = spark.createDataFrame(
+            [(i, 100) for i in range(40)], "doc_id long, n_tokens long"
+        ).withColumn("shard", sampling.hash_shard_col("doc_id", 4))
+        packed = sampling.pack_sequences(
+            d2, budget_tokens=200, shard_col="shard"
+        ).collect()
+        by_shard: dict[int, list] = {}
+        for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+            by_shard.setdefault(r["shard"], []).append(r["bin_id"])
+        for shard, bins in by_shard.items():
+            assert bins == [i // 2 for i in range(len(bins))], (shard, bins)
 
     def test_pack_concat_boundaries(self, spark):
         from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling

@@ -192,6 +192,41 @@ class TestIvf:
         # the query vector itself must be found (its own list is probed first)
         assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
 
+    def test_ivf_sample_frac_trains_on_hash_filtered_sample(self, spark):
+        """sample_frac pre-filters centroid training by md5-hash rate
+        (no TakeOrdered over the full corpus); the sample — hence the
+        centroids — is an exact, rerun-stable function of the ids."""
+        import hashlib
+
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        frac = 0.5
+        thresh = format(min(int(frac * 2**32), 2**32 - 1), "08x")
+        rows = emb.select("vec_id", "embedding").collect()
+        kept = sorted(
+            (
+                r["vec_id"]
+                for r in rows
+                if hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:8] < thresh
+            )
+        )[:128]
+        vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+        x = np.asarray([vecs[v] for v in kept], dtype="float64")
+        rng = np.random.RandomState(42)
+        exp = x[rng.choice(len(x), size=8, replace=False)]
+        for _ in range(8):
+            d2 = ((x[:, None, :] - exp[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(8):
+                m = assign == j
+                if m.any():
+                    exp[j] = x[m].mean(axis=0)
+        got = similarity.ivf_train_centroids(
+            emb, dim=64, n_lists=8, sample=128, sample_frac=frac
+        )
+        assert np.allclose(got, exp)
+
     def test_ivf_matches_numpy_oracle(self, spark):
         """Exact replication: same centroids, same probe set, same
         cosine ranking computed in numpy."""

@@ -253,6 +253,34 @@ class TestRangeJoin:
             if r["pid"] not in matched_pids:
                 assert r["iid"] is None
 
+    def test_left_matched_null_column_emitted_once(self, spark):
+        # regression: the left-path anti-join used plain equality on
+        # all point columns; a MATCHED point row with a NULL attribute
+        # never equaled itself and was emitted twice (matched + with
+        # null interval columns).  eqNullSafe per column fixes it.
+        from collections import Counter
+        from datetime import datetime
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+        pts = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 0, 0, 10), None),   # matched, null attr
+                (2, datetime(2024, 1, 1, 0, 0, 30), 7),      # matched, non-null
+                (3, datetime(2024, 1, 1, 0, 0, 55), None),   # unmatched, null attr
+            ],
+            "pid long, ts timestamp, attr int",
+        )
+        ivs = spark.createDataFrame(
+            [(100, datetime(2024, 1, 1, 0, 0, 5), datetime(2024, 1, 1, 0, 0, 40))],
+            "iid long, start_ts timestamp, end_ts timestamp",
+        )
+        rows = ev.range_join(pts, ivs, bucket_seconds=7, how="left").collect()
+        assert Counter(r["pid"] for r in rows) == {1: 1, 2: 1, 3: 1}
+        by_pid = {r["pid"]: r for r in rows}
+        assert by_pid[1]["iid"] == 100 and by_pid[2]["iid"] == 100
+        assert by_pid[3]["iid"] is None
+
     def test_no_nested_loop_in_plan(self, spark):
         from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
 

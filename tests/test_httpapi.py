@@ -141,6 +141,35 @@ def test_evidence_and_neighbors_ok(server, spark):
         }
 
 
+def test_explore_params_honored(server, spark):
+    """direction/depth/edgeTypes (ExploreRoute.scala:25-31 parameter
+    surface — reference parses-and-ignores; we honor them)."""
+    base, svc = server
+    # pick a concept that has at least one neighbor
+    deg = (
+        svc.edges.where((F.col("src_label") == "Concept") & (F.col("dst_label") == "Concept"))
+        .groupBy("src_id").count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    cid = deg[0]["src_id"]
+    _, full = _get_raw(base, f"/v1/graph/concept/{cid}/neighbors?limit=50")
+    # edgeTypes filter: restricting to a nonexistent type empties the ring
+    _, none = _get_raw(
+        base, f"/v1/graph/concept/{cid}/neighbors?limit=50&edgeTypes=NOPE"
+    )
+    assert none["data"]["totalNeighbors"] == 0
+    # direction=out is a subset of both
+    _, out = _get_raw(
+        base, f"/v1/graph/concept/{cid}/neighbors?limit=50&direction=out"
+    )
+    both_ids = {n["conceptId"] for n in full["data"]["neighbors"]}
+    out_ids = {n["conceptId"] for n in out["data"]["neighbors"]}
+    assert out_ids <= both_ids
+    # depth=2 reaches at least as many concepts as depth=1
+    _, two = _get_raw(base, f"/v1/graph/concept/{cid}/neighbors?limit=500&depth=2")
+    _, one = _get_raw(base, f"/v1/graph/concept/{cid}/neighbors?limit=500&depth=1")
+    assert two["data"]["totalNeighbors"] >= one["data"]["totalNeighbors"]
+
+
 def test_bad_request(server):
     base, _ = server
     status, body = _post(base, "/v1/query", {"nope": 1})

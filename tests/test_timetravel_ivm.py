@@ -99,6 +99,37 @@ class TestIvm:
         got = {(r["k"], r["cnt"]) for r in ivm.read_view(spark, cat, "by_k").collect()}
         assert got == {(1, 1), (2, 1), (3, 1)}
 
+    def test_mor_source_rebuilds_not_folds(self, spark, tmp_path):
+        # regression: a merge_upsert_mor commit is a manifest-APPEND
+        # whose rows REPLACE existing keys; folding it as an insert
+        # delta double-counts the replaced rows.  MOR sources must
+        # rebuild from the resolved table.
+        cat = ParquetCatalog(str(tmp_path))
+        rows = [(1, "a", 1.0), (2, "b", 2.0)]
+        cat.merge_upsert_mor(
+            spark,
+            "m",
+            spark.createDataFrame(rows, "k long, val string, v double"),
+            keys=["k"],
+        )
+        ivm.refresh(spark, cat, "m", "by_k_mor", ["k"], "v")
+        # replace k=2 and add k=3 via a MOR delta append
+        cat.merge_upsert_mor(
+            spark,
+            "m",
+            spark.createDataFrame(
+                [(2, "B9", 9.0), (3, "c", 3.0)], "k long, val string, v double"
+            ),
+            keys=["k"],
+        )
+        ivm.refresh(spark, cat, "m", "by_k_mor", ["k"], "v")
+        got = {
+            (r["k"], r["cnt"], r["sum_value"])
+            for r in ivm.read_view(spark, cat, "by_k_mor").collect()
+        }
+        # folding-as-insert would report (2, 2, 11.0); rebuild gives the truth
+        assert got == {(1, 1, 1.0), (2, 1, 9.0), (3, 1, 3.0)}
+
 
 class TestWriteSortOrder:
     def test_sorted_write_gives_disjoint_file_ranges(self, spark, tmp_path):
