@@ -1040,10 +1040,20 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
+    """Binary feature extraction (mapInPandas over the payload).  The
+    documents text is pure ASCII, so the DuckDB oracle recomputes the
+    byte statistics from codepoints; floats round to 6 like every
+    float-emitting contract query."""
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"), F.encode("text", "utf-8").alias("payload")
     )
-    return multimodal.extract_features(d, payload_col="payload", url_col="url")
+    out = multimodal.extract_features(d, payload_col="payload", url_col="url")
+    return out.select(
+        "url", "media_type", "byte_len", "sha256", "fmt",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.round("std_byte", 6).alias("std_byte"),
+        "top_byte",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1629,6 +1639,32 @@ SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
 FROM events
 GROUP BY ROLLUP(event_type, CAST(user_id % 10 AS BIGINT))
 ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""",
+        # mm_features: the payload is utf-8 of pure-ASCII text, so
+        # byte == codepoint; mean/std from moments (round-6 absorbs the
+        # formula/order ulp noise), top byte ties break low like
+        # np.bincount().argmax()
+        "mm_features": """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents),
+ch AS (SELECT url, unicode(substr(text, CAST(i AS INT), 1)) AS b
+       FROM d, unnest(range(1, length(text) + 1)) t(i)),
+agg AS (SELECT url,
+               AVG(CAST(b AS DOUBLE)) AS mean_byte,
+               sqrt(AVG(CAST(b AS DOUBLE) * b) - AVG(CAST(b AS DOUBLE)) * AVG(CAST(b AS DOUBLE))) AS std_byte
+        FROM ch GROUP BY url),
+top AS (SELECT url, b AS top_byte FROM (
+          SELECT url, b, ROW_NUMBER() OVER (PARTITION BY url ORDER BY COUNT(*) DESC, b) AS rn
+          FROM ch GROUP BY url, b) WHERE rn = 1)
+SELECT d.url, 'binary' AS media_type,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+       sha256(d.text) AS sha256,
+       CASE WHEN substr(d.text, 1, 1) = '<' AND lower(substr(d.text, 1, 4)) IN ('<htm', '<!do') THEN 'html'
+            WHEN substr(d.text, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN substr(d.text, 1, 4) = 'RIFF' THEN 'riff'
+            ELSE 'bin' END AS fmt,
+       ROUND(COALESCE(a.mean_byte, 0.0), 6) AS mean_byte,
+       ROUND(COALESCE(a.std_byte, 0.0), 6) AS std_byte,
+       CAST(COALESCE(t.top_byte, 0) AS INT) AS top_byte
+FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN top t ON d.url = t.url""",
         "mm_frame_sample": """
 SELECT CAST(doc_id AS VARCHAR) AS url,
   unnest(range(0, greatest(octet_length(encode(text)) // 32, 1), 2)) AS frame_idx

@@ -84,73 +84,138 @@ class TestXxhashRef:
             assert r["hlong"] == spark_xxhash64(1234567890123, ("long", hs))
 
 
+def _lsh_expected(sigs: dict, bucket_fn, bands=8, rows_per_band=4, k=32):
+    buckets = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = (b, bucket_fn(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    expected = set()
+    for a, b in cands:
+        eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = eq / k
+        if est >= 0.5:
+            expected.add((a, b, est))
+    return expected
+
+
 class TestMinhashLshOracle:
-    def test_dd_minhash_lsh_exact(self, spark, docs_with_dups):
-        # mirror q_dd_minhash_lsh: defaults shingle_n=3, num_hashes=32,
-        # bands=8, rows_per_band=4, est_jaccard >= 0.5
+    def test_engine_default_xxh64_exact(self, spark, docs_with_dups):
+        """ENGINE-DEFAULT family (xxh64): the same shape the retired
+        rows-only driver entry had, now pinned against the library
+        call directly."""
+        from pyspark.sql import functions as F
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup
+
         sigs = {}
         for doc_id, text in docs_with_dups:
             sig = _signature(text, 3, 32)
             if sig is not None:
                 sigs[doc_id] = sig
-        buckets = {}
-        for doc_id, sig in sigs.items():
-            for b in range(8):
-                key = (b, spark_xxhash64(*[("long", sig[b * 4 + r]) for r in range(4)]))
-                buckets.setdefault(key, []).append(doc_id)
-        cands = set()
-        for ids in buckets.values():
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    cands.add((ids[i], ids[j]))
-        expected = set()
-        for a, b in cands:
-            eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
-            est = eq / 32
-            if est >= 0.5:
-                expected.add((a, b, est))
+        expected = _lsh_expected(
+            sigs,
+            lambda band: spark_xxhash64(*[("long", h) for h in band]),
+        )
+        sdf = dedup.minhash_signatures(E._docs_with_dups(spark, SF)).cache()
+        got = {
+            (r["a_id"], r["b_id"], r["est_jaccard"])
+            for r in dedup.minhash_jaccard_estimate(
+                sdf, dedup.minhash_lsh_candidates(sdf)
+            )
+            .where(F.col("est_jaccard") >= 0.5)
+            .collect()
+        }
+        assert got == expected and len(expected) >= 50  # >= planted dups
+
+    def test_dd_minhash_lsh_md5_exact(self, spark, docs_with_dups):
+        """The DRIVER entry (md5 family, DuckDB-oracled) against a
+        hashlib.md5 recomputation."""
+        sigs = {}
+        for doc_id, text in docs_with_dups:
+            sh = _shingles(text, 3)
+            if not sh:
+                continue
+            sigs[doc_id] = [
+                min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+                for i in range(32)
+            ]
+        expected = _lsh_expected(
+            sigs, lambda band: hashlib.md5("|".join(band).encode()).hexdigest()
+        )
         got = {
             (r["a_id"], r["b_id"], r["est_jaccard"])
             for r in E.q_dd_minhash_lsh(spark, SF).collect()
         }
-        assert got == expected and len(expected) >= 50  # >= planted dups
+        assert got == expected and len(expected) >= 50
+
+
+def _simhash_fp(text: str, tok_hash) -> int:
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    hs = [tok_hash(t) for t in toks]
+    fp = 0
+    for b in range(64):
+        s = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if s > 0:
+            fp |= 1 << b
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def _simhash_expected(fps: dict) -> set:
+    buckets = {}
+    for doc_id, fp in fps.items():
+        buckets.setdefault(fp >> (64 - 16), []).append(doc_id)
+    expected = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                if ham <= 3:
+                    expected.add((a, b, ham))
+    return expected
 
 
 class TestSimhashOracle:
-    def test_dd_simhash_exact(self, spark, docs_with_dups):
-        def simhash(text):
-            toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
-            hs = [spark_xxhash64(t) for t in toks]
-            fp = 0
-            for b in range(64):
-                s = sum(1 if (h >> b) & 1 else -1 for h in hs)
-                bit = 1 if s > 0 else 0
-                fp ^= bit << b
-            return fp - (1 << 64) if fp >= (1 << 63) else fp
+    def test_engine_default_xxh64_exact(self, spark, docs_with_dups):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup
 
         fps = {
-            doc_id: simhash(text)
+            doc_id: _simhash_fp(text, spark_xxhash64)
             for doc_id, text in docs_with_dups
             if text.strip()
         }
-        buckets = {}
-        for doc_id, fp in fps.items():
-            buckets.setdefault(fp >> (64 - 16), []).append(doc_id)
-        expected = set()
-        for ids in buckets.values():
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a, b = ids[i], ids[j]
-                    ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
-                    if ham <= 3:
-                        expected.add((a, b, ham))
+        f = dedup.simhash(E._docs_with_dups(spark, SF)).cache()
+        got = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in dedup.simhash_candidates(f, max_hamming=3).collect()
+        }
+        assert got == _simhash_expected(fps) and len(got) >= 50
+
+    def test_dd_simhash_md5_exact(self, spark, docs_with_dups):
+        """Driver entry (md5 family): token hash = first 16 hex chars
+        of md5 as a 64-bit value."""
+
+        def md5_tok(t: str) -> int:
+            return int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+
+        fps = {
+            doc_id: _simhash_fp(text, md5_tok)
+            for doc_id, text in docs_with_dups
+            if text.strip()
+        }
         got = {
             (r["a_id"], r["b_id"], r["hamming"])
             for r in E.q_dd_simhash(spark, SF).collect()
         }
-        assert got == expected and len(expected) >= 50
+        assert got == _simhash_expected(fps) and len(got) >= 50
 
 
 class TestAnnOracle:
@@ -198,15 +263,17 @@ class TestMmFeaturesOracle:
                     len(b),
                     hashlib.sha256(b).hexdigest(),
                     "bin",
-                    round(float(arr.mean()), 9) if len(arr) else 0.0,
-                    round(float(arr.std()), 9) if len(arr) else 0.0,
+                    # the contract query rounds floats to 6 (so the
+                    # DuckDB oracle's moment-formula std agrees)
+                    round(float(arr.mean()), 6) if len(arr) else 0.0,
+                    round(float(arr.std()), 6) if len(arr) else 0.0,
                     int(np.bincount(arr, minlength=256).argmax()) if len(arr) else 0,
                 )
             )
         got = {
             (
                 r["url"], r["media_type"], r["byte_len"], r["sha256"], r["fmt"],
-                round(r["mean_byte"], 9), round(r["std_byte"], 9), r["top_byte"],
+                round(r["mean_byte"], 6), round(r["std_byte"], 6), r["top_byte"],
             )
             for r in E.q_mm_features(spark, SF).collect()
         }
