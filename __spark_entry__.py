@@ -4,7 +4,7 @@
 documents table end-to-end (extraction -> graph -> search).
 
 ``queries()``/``oracle_sql()`` cover the operator inventory of
-SURVEY.md §2 plus the training-data-pipeline operators: 52 queries —
+SURVEY.md §2 plus the training-data-pipeline operators: 55 queries —
 KG construction/search/graph algorithms (mentions, pairs, PMI,
 triples, search, evidence, neighbors, 2-hop, BFS, PageRank, connected
 components, text search), relational/event coverage (TPC-H Q1/3/5/7/9,
@@ -15,12 +15,14 @@ sketch, split/sample/pack, multimodal features).  Every oracle mirrors
 the Spark semantics exactly; the per-doc text is derived with an
 identical regexp_replace chain in both engines because the raw
 ``documents.text`` is all-lowercase (no extraction branch would fire
-on it).  The 6 keys without an oracle entry are genuinely
-non-one-SQL-statement ops (LSH/minhash/simhash internals, iterative
-PageRank, multimodal UDF features) — the driver records rows-only
-checks, and each has an EXACT pure-Python/numpy pytest oracle
-(tests/test_rowsonly_oracles.py, test_dedup_similarity.py,
-test_graph_queries.py).
+on it).  54 of 55 keys carry a DuckDB oracle — including iterative
+PageRank (10 unrolled CTE iterations), minhash/simhash (md5 hash
+family recomputed in SQL), SRP-LSH ANN/near-dup (seed-42 hyperplanes
+embedded as SQL literals) and the multimodal byte features.  The one
+remaining rows-only key is ``sim_ivf_topk`` (k-means centroid init
+uses seeded numpy RNG — not SQL-expressible); it has an EXACT numpy
+pytest oracle (tests/test_dedup_similarity.py TestIvf), as do the
+oracled keys (tests/test_rowsonly_oracles.py, test_graph_queries.py).
 """
 
 from __future__ import annotations

@@ -53,17 +53,24 @@ def main():
 
     timings: dict[str, float] = {}
 
-    # ---- KG pipeline throughput ----
+    # ---- KG pipeline throughput (best-of-repeats like the queries:
+    # the first run after JVM start pays codegen JIT + Arrow worker
+    # spin-up and a shared-host draw — single-shot numbers swung
+    # 13-32 s for identical code) ----
     pages_path = os.path.join(REPO, ".cache", f"bench_pages_{N_PAGES}")
     if not os.path.isdir(pages_path):
         datagen.write_pages_parquet(spark, pages_path, N_PAGES, partitions=CPUS * 2)
-    cat_path = os.path.join(REPO, ".cache", "bench_catalog")
-    shutil.rmtree(cat_path, ignore_errors=True)
-    cat = ParquetCatalog(cat_path)
+    pipe_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPEATS", "2"))
     pages = spark.read.parquet(pages_path)
-    t0 = time.monotonic()
-    res = pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
-    kg_sec = time.monotonic() - t0
+    kg_sec, res = None, None
+    for _ in range(pipe_repeats):
+        cat_path = os.path.join(REPO, ".cache", "bench_catalog")
+        shutil.rmtree(cat_path, ignore_errors=True)
+        cat = ParquetCatalog(cat_path)
+        t0 = time.monotonic()
+        res = pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
+        dt = time.monotonic() - t0
+        kg_sec = dt if kg_sec is None else min(kg_sec, dt)
     timings["kg_pipeline"] = round(kg_sec, 3)
     docs_per_sec = round(res.pages / kg_sec, 2)
 

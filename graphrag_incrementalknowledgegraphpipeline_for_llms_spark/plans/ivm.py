@@ -13,9 +13,12 @@ cnt, sum) plus a one-row watermark table recording the last folded
 snapshot version — refresh is idempotent and resumable: replaying a
 refresh after a crash folds zero new versions.
 
-Limits (documented, not hidden): append-only sources (the snapshot
-delta of an overwrite/compact is not a row-delta — refresh detects a
-rewrite by manifest divergence and falls back to full recompute);
+Limits (documented, not hidden): the O(delta) rule applies to
+append-only sources ONLY — an overwrite/compact rewrite is detected
+by manifest divergence and falls back to full recompute, and a
+merge-on-read source always rebuilds (its delta appends REPLACE or
+tombstone keys; folding them as inserts would overcount — proper
+O(delta) there needs retraction deltas the catalog doesn't expose);
 aggregates must be decomposable (no exact distinct-count — use the
 KMV sketch for that, it merges).
 """

@@ -101,23 +101,32 @@ def main():
 
     timings: dict[str, float] = {}
 
-    # ---- pipeline throughput at N_PAGES ----
-    pages_path = os.path.join(REPO, ".cache", f"scaleup_pages_{N_PAGES}")
-    if not os.path.isdir(pages_path):
-        datagen.write_pages_parquet(spark, pages_path, N_PAGES, partitions=64)
-    cat_path = os.path.join(REPO, ".cache", "scaleup_catalog")
-    shutil.rmtree(cat_path, ignore_errors=True)
-    cat = ParquetCatalog(cat_path)
-    pages = spark.read.parquet(pages_path)
-    t0 = time.monotonic()
-    res = pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
-    kg_sec = time.monotonic() - t0
-    timings["kg_pipeline"] = round(kg_sec, 3)
+    # ---- pipeline throughput at N_PAGES (0 = skip, queries only) ----
+    res = None
+    if N_PAGES > 0:
+        pages_path = os.path.join(REPO, ".cache", f"scaleup_pages_{N_PAGES}")
+        if not os.path.isdir(pages_path):
+            datagen.write_pages_parquet(spark, pages_path, N_PAGES, partitions=64)
+        cat_path = os.path.join(REPO, ".cache", "scaleup_catalog")
+        shutil.rmtree(cat_path, ignore_errors=True)
+        cat = ParquetCatalog(cat_path)
+        pages = spark.read.parquet(pages_path)
+        t0 = time.monotonic()
+        res = pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
+        kg_sec = time.monotonic() - t0
+        timings["kg_pipeline"] = round(kg_sec, 3)
 
     # ---- expensive contract queries on the 10x corpus ----
+    # SPARK_GRAFT_SCALEUP_QUERIES: "none" skips, or a comma list
+    qsel = os.environ.get("SPARK_GRAFT_SCALEUP_QUERIES", "")
+    names = (
+        []
+        if qsel == "none"
+        else (qsel.split(",") if qsel else QUERIES)
+    )
     qs = entry.queries()
     rows = {}
-    for name in QUERIES:
+    for name in names:
         t0 = time.monotonic()
         rows[name] = qs[name](spark, big_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -125,13 +134,14 @@ def main():
     out = {
         "metric": "scale_up_bench",
         "n_pages": N_PAGES,
-        "docs_per_sec": round(res.pages / kg_sec, 2),
         "scale": SCALE,
         "queries_sec": {k: v for k, v in timings.items()},
         "rows": rows,
         "cpus": 32,
-        "stage_ms": res.stage_ms,
     }
+    if res is not None:
+        out["docs_per_sec"] = round(res.pages / kg_sec, 2)
+        out["stage_ms"] = res.stage_ms
     spark.stop()
     print(json.dumps(out))
 
