@@ -251,21 +251,59 @@ def simhash(
     return staged.select("id", fp.alias("simhash"))
 
 
-def simhash_candidates(fps: DataFrame, prefix_bits: int = 16, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    fps: DataFrame,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+    rotations: int = 1,
+) -> DataFrame:
     """Near-dup pairs: bucket on the fingerprint's top bits, compare
-    hamming distance within buckets (classic rotate-and-bucket; one
-    rotation here — add rotations for higher recall)."""
-    bucketed = fps.withColumn("bucket", F.shiftright("simhash", 64 - prefix_bits))
+    hamming distance within buckets (classic rotate-and-bucket).
+
+    ``rotations``: bucket under r rotated views of the fingerprint
+    (rotation j rotates left by j*64//r bits) and union the candidate
+    sets.  One rotation misses a pair whose differing bits fall inside
+    the prefix window; r rotations guarantee recall when max_hamming <
+    r and the differing bits are spread across windows (probabilistic
+    otherwise — the standard recall/cost dial).  Pairs surfacing from
+    several rotations dedup on (a_id, b_id); cost is r bucket
+    equi-joins, never all-pairs."""
+
+    def _rot(col, r: int):
+        r %= 64
+        if r == 0:
+            return col
+        return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+    step = 64 // rotations if rotations > 1 else 0
+    bucketed = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("rot"),
+                        F.shiftright(
+                            _rot(F.col("simhash"), j * step), 64 - prefix_bits
+                        ).alias("bucket"),
+                    )
+                    for j in range(rotations)
+                ]
+            )
+        ).alias("rb"),
+    ).select("id", "simhash", "rb.rot", "rb.bucket")
     l = bucketed.alias("l")
     r = bucketed.alias("r")
     ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (
-        l.join(r, "bucket")
+        l.join(r, ["rot", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
         .where(ham <= max_hamming)
         .select(
             F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), ham.alias("hamming")
         )
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

@@ -199,6 +199,22 @@ class TestSimhashOracle:
         }
         assert got == _simhash_expected(fps) and len(got) >= 50
 
+    def test_multi_rotation_recovers_prefix_miss(self, spark):
+        """A pair differing ONLY inside the 16-bit prefix window is
+        invisible to rotation 0 but found under a rotated view."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup
+
+        base = 0x0123456789ABCDEF
+        flipped = base ^ (1 << 60)  # bit inside the top-16 prefix
+        far = 0x7EDCBA9876543210
+        fps = spark.createDataFrame(
+            [(1, base), (2, flipped), (3, far)], "id long, simhash long"
+        )
+        one = dedup.simhash_candidates(fps, max_hamming=3, rotations=1).collect()
+        assert [(r["a_id"], r["b_id"]) for r in one] == []  # prefix differs -> missed
+        four = dedup.simhash_candidates(fps, max_hamming=3, rotations=4).collect()
+        assert [(r["a_id"], r["b_id"], r["hamming"]) for r in four] == [(1, 2, 1)]
+
     def test_dd_simhash_md5_exact(self, spark, docs_with_dups):
         """Driver entry (md5 family): token hash = first 16 hex chars
         of md5 as a 64-bit value."""
