@@ -287,6 +287,8 @@ def embedding_near_dups(
     group_col: str | None = None,
     candidates: DataFrame | None = None,
     dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate vector pairs by exact cosine.  Candidate source:
 
@@ -296,7 +298,14 @@ def embedding_near_dups(
       oracle-checkable variant).
     * neither — SRP-LSH bucket co-membership (requires ``dim``); the
       former all-pairs cross join is gone.
-    """
+
+    SRP sizing at scale: bucket count per band is 2^(n_planes/bands);
+    the default 16/4 (16 buckets) is calibrated to the sf0.01 oracle
+    corpus — at N vectors size n_planes/bands so 2^bits >> N /
+    tolerable-bucket-size, and note that band-collision recall for a
+    TRUE near-dup pair (cosine >= 0.9, angle <= 26 deg) stays high at
+    8-10 bits per band, while low thresholds like 0.3 inherently need
+    more bands (textbook SRP recall curve — the dial, not a bug)."""
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -309,7 +318,8 @@ def embedding_near_dups(
                 "for the SRP-LSH default path (all-pairs is not offered)"
             )
         candidates = srp_candidate_pairs(
-            embeddings, dim, id_col=id_col, vec_col=vec_col
+            embeddings, dim, n_planes=n_planes, bands=bands,
+            id_col=id_col, vec_col=vec_col,
         )
     if candidates is not None:
         a = base.select(F.col("id").alias("a_id"), F.col("vec").alias("vec_a"))
