@@ -183,6 +183,7 @@ def pagerank_und(
     iters: int = 10,
     top_k: int = 20,
     weight_col: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Power iteration over an undirected (cid, nbr_id) edge view —
     the engine behind :func:`concept_pagerank`, reusable for any
@@ -192,11 +193,19 @@ def pagerank_und(
     iteration's job replays the ranks lineage from its own checkpoint,
     and without this the (possibly expensive) upstream of ``und`` —
     e.g. a full extraction pass — re-executes per iteration.  Each
-    iteration's checkpoint is COALESCED to a size-derived partition
-    count: materializing a tiny rank table at the session's full
+    checkpoint is COALESCED to a size-derived partition count:
+    materializing a tiny rank table at the session's full
     shuffle-partition count makes task scheduling the dominant cost
     (measured 22 s -> 7.5 s for 10 iterations on a 10k-edge graph);
     at billions of edges the same formula keeps full parallelism.
+
+    ``checkpoint_every``: iterations per lineage truncation.  An
+    eager checkpoint EVERY iteration pays a materialize+replay round
+    trip per step; letting 2-5 join-agg rounds stay lazy between
+    truncations halved the 10-iteration wall time on a 10k-edge graph
+    (8.8 s -> 3.5 s warm) with bit-identical output.  Keep it small
+    enough that the analyzed plan between truncations stays bounded
+    (each un-truncated iteration nests two joins + an aggregate).
 
     ``weight_col``: edge-weighted PageRank — each neighbor receives
     rank * w(u,v) / strength(u) where strength = sum of u's edge
@@ -212,7 +221,7 @@ def pagerank_und(
     w_expr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     deg = und.groupBy("cid").agg(F.sum(w_expr).alias("deg"))
     ranks = nodes_v.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             und.join(ranks.withColumnRenamed("id", "cid"), "cid")
             .join(deg, "cid")
@@ -223,18 +232,15 @@ def pagerank_und(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes_v.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .coalesce(parts)
-            .localCheckpoint(eager=True)
+        ranks = nodes_v.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.coalesce(parts).localCheckpoint(eager=True)
     return ranks.select("id", F.round("rank", 8).alias("rank")).orderBy(
         F.desc("rank"), "id"
     ).limit(top_k)
