@@ -405,6 +405,19 @@ def q_kg_text_search(spark, sf_dir):
     return textsearch.search_all_terms(postings, ["spark", "data"], limit=20)
 
 
+def q_kg_text_bm25(spark, sf_dir):
+    """BM25-ranked retrieval (OR semantics) over the chunk text — the
+    scored counterpart of kg_text_search's boolean AND; fully
+    SQL-expressible, so the whole idf/tf-saturation/length-norm math
+    is DuckDB-oracled."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    chunks = _chunks(spark, sf_dir)
+    postings = textsearch.build_postings(chunks)
+    doclens = textsearch.doc_lengths(chunks)
+    return textsearch.bm25_search(postings, doclens, ["spark", "data"], limit=20)
+
+
 def q_kg_neighbors_2hop(spark, sf_dir):
     """2-hop undirected neighborhood of 'apache_spark' with min_hops —
     the multi-hop extension of Q4."""
@@ -1127,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "dd_embed_near_dup_srp": q_dd_embed_near_dup_srp,
+        "kg_text_bm25": q_kg_text_bm25,
         "sim_ivf_topk": q_sim_ivf_topk,
     }
 
@@ -1315,6 +1329,32 @@ SELECT nbr AS neighbor_id, 1 AS min_hops FROM h1
 UNION ALL
 SELECT nbr, 2 FROM h2
 ORDER BY min_hops, neighbor_id""",
+        # BM25: literals 2.2/1.2/0.25/0.75 are repr() of the exact
+        # python doubles the Spark plan embeds (k1+1, k1, 1-b, b);
+        # round-6 absorbs sum-order/avgdl ulp differences
+        "kg_text_bm25": f"""
+WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, {_cased_sql()} AS text FROM documents),
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src
+),
+post AS (SELECT term, chunk_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT chunk_id,
+              CAST(length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS BIGINT) AS dl
+       FROM src),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+          WHERE term IN ('data', 'spark') GROUP BY term),
+sc AS (SELECT p.chunk_id,
+  SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) ) AS score
+  FROM post p
+  JOIN dfreq d ON p.term = d.term
+  JOIN dl l ON p.chunk_id = l.chunk_id
+  CROSS JOIN stats s
+  GROUP BY p.chunk_id)
+SELECT chunk_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, chunk_id LIMIT 20""",
         "kg_group_results": f"""WITH {MENTIONS_CTE},
 lem AS (SELECT DISTINCT concept_id, lemma FROM mentions)
 SELECT string_split(lemma, '_')[1] AS group_key, COUNT(*) AS n

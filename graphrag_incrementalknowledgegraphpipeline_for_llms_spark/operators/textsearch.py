@@ -46,6 +46,68 @@ def build_postings(
     )
 
 
+def doc_lengths(
+    chunks: DataFrame, text_col: str = "text", id_col: str = "chunk_id"
+) -> DataFrame:
+    """(chunk_id, dl) — token count per chunk, the BM25 length norm.
+    Build it once next to the postings (same tokenize pass shape)."""
+    return chunks.select(
+        F.col(id_col).alias("chunk_id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    )
+
+
+def bm25_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+    require_all: bool = False,
+) -> DataFrame:
+    """BM25-ranked chunks for ``terms`` (OR semantics by default;
+    ``require_all`` for AND).  Lucene-style idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)) with the standard tf saturation
+    and length normalization.
+
+    Scale shape: the corpus-wide scalars (N, avgdl) are ONE tiny
+    aggregate collected to the driver and embedded as plan literals;
+    everything else is the same literal-IN prune + term-key joins as
+    :func:`search_all_terms` — only the queried terms' postings move,
+    df comes from a per-term count over those postings (broadcast
+    back), and the doc-length join keys on chunk_id.  No corpus scan
+    at query time."""
+    terms = sorted({t.lower() for t in terms})
+    stats = doclens.agg(
+        F.count("*").alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    ).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
+    hits = postings.where(F.col("term").isin(terms))
+    # one row per (term, chunk) -> count(*) IS the document frequency
+    dfreq = hits.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = hits.join(F.broadcast(dfreq), "term").join(doclens, "chunk_id")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    agg = (
+        j.select("chunk_id", "term", (idf * tf_part).alias("s"))
+        .groupBy("chunk_id")
+        .agg(F.sum("s").alias("score"), F.count_distinct("term").alias("_nt"))
+    )
+    if require_all:
+        agg = agg.where(F.col("_nt") == len(terms))
+    return (
+        agg.select("chunk_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "chunk_id")
+        .limit(limit)
+    )
+
+
 def search_all_terms(
     postings: DataFrame, terms: list[str], limit: int = 20
 ) -> DataFrame:
