@@ -4,7 +4,7 @@
 documents table end-to-end (extraction -> graph -> search).
 
 ``queries()``/``oracle_sql()`` cover the operator inventory of
-SURVEY.md §2 plus the training-data-pipeline operators: 55 queries —
+SURVEY.md §2 plus the training-data-pipeline operators: 57 queries —
 KG construction/search/graph algorithms (mentions, pairs, PMI,
 triples, search, evidence, neighbors, 2-hop, BFS, PageRank, connected
 components, text search), relational/event coverage (TPC-H Q1/3/5/7/9,
@@ -15,7 +15,7 @@ sketch, split/sample/pack, multimodal features).  Every oracle mirrors
 the Spark semantics exactly; the per-doc text is derived with an
 identical regexp_replace chain in both engines because the raw
 ``documents.text`` is all-lowercase (no extraction branch would fire
-on it).  54 of 55 keys carry a DuckDB oracle — including iterative
+on it).  56 of 57 keys carry a DuckDB oracle — including iterative
 PageRank (10 unrolled CTE iterations), minhash/simhash (md5 hash
 family recomputed in SQL), SRP-LSH ANN/near-dup (seed-42 hyperplanes
 embedded as SQL literals) and the multimodal byte features.  The one
@@ -416,6 +416,22 @@ def q_kg_text_bm25(spark, sf_dir):
     postings = textsearch.build_postings(chunks)
     doclens = textsearch.doc_lengths(chunks)
     return textsearch.bm25_search(postings, doclens, ["spark", "data"], limit=20)
+
+
+def q_kg_hybrid_search(spark, sf_dir):
+    """GraphRAG hybrid retrieval: per-chunk BM25 relevance summed onto
+    the concepts each chunk mentions — 'which graph entities does this
+    query light up'.  Composes the oracled BM25 scorer with the
+    oracled mention extraction; the oracle replays both and the join."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    chunks = _chunks(spark, sf_dir)
+    postings = textsearch.build_postings(chunks)
+    doclens = textsearch.doc_lengths(chunks)
+    mentions = _mentions(spark, sf_dir)
+    return textsearch.hybrid_concept_search(
+        postings, doclens, mentions, ["spark", "data"], limit=20
+    )
 
 
 def q_kg_neighbors_2hop(spark, sf_dir):
@@ -1141,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "dd_embed_near_dup_srp": q_dd_embed_near_dup_srp,
         "kg_text_bm25": q_kg_text_bm25,
+        "kg_hybrid_search": q_kg_hybrid_search,
         "sim_ivf_topk": q_sim_ivf_topk,
     }
 
@@ -1355,6 +1372,36 @@ sc AS (SELECT p.chunk_id,
   CROSS JOIN stats s
   GROUP BY p.chunk_id)
 SELECT chunk_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, chunk_id LIMIT 20""",
+        # hybrid: the bm25 sc CTE (unrounded) joined through the
+        # mentions CTE — per-concept sum of supporting-chunk relevance
+        "kg_hybrid_search": f"""WITH {MENTIONS_CTE},
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src
+),
+post AS (SELECT term, chunk_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT chunk_id,
+              CAST(length(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS BIGINT) AS dl
+       FROM src),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+          WHERE term IN ('data', 'spark') GROUP BY term),
+sc AS (SELECT p.chunk_id,
+  SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) ) AS score
+  FROM post p
+  JOIN dfreq d ON p.term = d.term
+  JOIN dl l ON p.chunk_id = l.chunk_id
+  CROSS JOIN stats s
+  GROUP BY p.chunk_id)
+SELECT m.concept_id,
+       ROUND(SUM(sc.score), 6) AS text_score,
+       CAST(COUNT(DISTINCT m.chunk_id) AS BIGINT) AS n_chunks
+FROM (SELECT DISTINCT chunk_id, concept_id FROM mentions) m
+JOIN sc ON m.chunk_id = sc.chunk_id
+GROUP BY m.concept_id
+ORDER BY text_score DESC, concept_id LIMIT 20""",
         "kg_group_results": f"""WITH {MENTIONS_CTE},
 lem AS (SELECT DISTINCT concept_id, lemma FROM mentions)
 SELECT string_split(lemma, '_')[1] AS group_key, COUNT(*) AS n

@@ -57,6 +57,38 @@ def doc_lengths(
     )
 
 
+def _bm25_scores(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(chunk_id, score double, _nt) — unrounded BM25 per matching
+    chunk; the shared core of bm25_search and hybrid_concept_search."""
+    terms = sorted({t.lower() for t in terms})
+    stats = doclens.agg(
+        F.count("*").alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    ).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
+    hits = postings.where(F.col("term").isin(terms))
+    # one row per (term, chunk) -> count(*) IS the document frequency
+    dfreq = hits.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = hits.join(F.broadcast(dfreq), "term").join(doclens, "chunk_id")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        j.select("chunk_id", "term", (idf * tf_part).alias("s"))
+        .groupBy("chunk_id")
+        .agg(F.sum("s").alias("score"), F.count_distinct("term").alias("_nt"))
+    )
+
+
 def bm25_search(
     postings: DataFrame,
     doclens: DataFrame,
@@ -78,32 +110,43 @@ def bm25_search(
     df comes from a per-term count over those postings (broadcast
     back), and the doc-length join keys on chunk_id.  No corpus scan
     at query time."""
-    terms = sorted({t.lower() for t in terms})
-    stats = doclens.agg(
-        F.count("*").alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-    ).collect()[0]
-    n, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
-    hits = postings.where(F.col("term").isin(terms))
-    # one row per (term, chunk) -> count(*) IS the document frequency
-    dfreq = hits.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    j = hits.join(F.broadcast(dfreq), "term").join(doclens, "chunk_id")
-    idf = F.log(
-        F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    )
-    agg = (
-        j.select("chunk_id", "term", (idf * tf_part).alias("s"))
-        .groupBy("chunk_id")
-        .agg(F.sum("s").alias("score"), F.count_distinct("term").alias("_nt"))
-    )
+    agg = _bm25_scores(postings, doclens, terms, k1, b)
     if require_all:
-        agg = agg.where(F.col("_nt") == len(terms))
+        agg = agg.where(F.col("_nt") == len({t.lower() for t in terms}))
     return (
         agg.select("chunk_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), "chunk_id")
+        .limit(limit)
+    )
+
+
+def hybrid_concept_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    mentions: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+) -> DataFrame:
+    """GraphRAG hybrid retrieval: BM25 text relevance propagated onto
+    the concept graph.  Each chunk's (unrounded) BM25 score flows to
+    every concept it mentions; a concept's text_score is the sum over
+    its supporting chunks, n_chunks the support count.  This is the
+    entry point a RAG stack actually wants — "which graph entities
+    does this query light up" — and it composes two already-bounded
+    shapes: the literal-term posting prune and a mentions equi-join
+    (never a corpus scan).  Top-k by (rounded) score, concept_id."""
+    scores = _bm25_scores(postings, doclens, terms, k1, b)
+    pairs = mentions.select("chunk_id", "concept_id").distinct()
+    return (
+        pairs.join(scores, "chunk_id")
+        .groupBy("concept_id")
+        .agg(
+            F.round(F.sum("score"), 6).alias("text_score"),
+            F.count_distinct("chunk_id").cast("long").alias("n_chunks"),
+        )
+        .orderBy(F.desc("text_score"), "concept_id")
         .limit(limit)
     )
 

@@ -88,3 +88,29 @@ class TestBm25:
         postings, doclens = corpus
         got = textsearch.bm25_search(postings, doclens, ["zzz"]).collect()
         assert got == []
+
+
+class TestHybridConceptSearch:
+    def test_scores_sum_over_supporting_chunks(self, spark, corpus):
+        postings, doclens = corpus
+        mentions = spark.createDataFrame(
+            [
+                ("a", "c_spark"), ("b", "c_spark"),  # supported by a+b
+                ("b", "c_data"),                     # b only
+                ("c", "c_other"),                    # chunk with no query hit
+                ("a", "c_spark"),                    # duplicate mention row
+            ],
+            "chunk_id string, concept_id string",
+        )
+        exp_chunks = _py_bm25(["spark", "data"])
+        got = {
+            r["concept_id"]: (r["text_score"], r["n_chunks"])
+            for r in textsearch.hybrid_concept_search(
+                postings, doclens, mentions, ["data", "spark"]
+            ).collect()
+        }
+        assert set(got) == {"c_spark", "c_data"}  # c_other has no scored chunk
+        assert got["c_data"][1] == 1
+        assert got["c_spark"][1] == 2
+        assert abs(got["c_spark"][0] - round(exp_chunks["a"] + exp_chunks["b"], 6)) < 1e-5
+        assert abs(got["c_data"][0] - exp_chunks["b"]) < 1e-5
