@@ -184,6 +184,7 @@ def upsert_graph(
     check_placeholders: bool = True,
     buckets: int | None = DEFAULT_GRAPH_BUCKETS,
     edges_unique: bool = False,
+    mode: str = "cow",
 ) -> None:
     """G2+G3+G4: MERGE nodes and edges, then backfill placeholder
     endpoint nodes for edges whose endpoints are not (yet) present.
@@ -191,7 +192,23 @@ def upsert_graph(
     Iceberg gives the same via optimistic snapshot retry).
     ``check_placeholders=False`` skips the endpoint anti-join when the
     caller guarantees the node batch covers every edge endpoint (the
-    pipeline does — edges derive from the same chunks)."""
+    pipeline does — edges derive from the same chunks).
+
+    ``mode``:
+    * ``"cow"`` (default) — bucket-pruned copy-on-write MERGE: reads
+      stay plain scans, but a merge rewrites every touched bucket, so
+      a small batch against a big graph costs O(graph/buckets-touched).
+    * ``"mor"`` — merge-on-read delta append: each batch lands in
+      O(batch) regardless of graph size (the incremental-ingest win);
+      reads pay winner resolution until ``catalog.compact``.  Node
+      completeness is materialized as a ``_complete`` column (MOR
+      tiebreaks persist in the table spec, so they must be real
+      columns); resolution is "deterministic" under the same
+      (tiebreak..., content_rid) total order as the CoW path, so
+      incremental == full still holds.  MOR tables are unbucketed —
+      pick the mode per table by write/read balance."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     # completeness tiebreak: real node rows must beat placeholder
     # (all-null-prop) rows whenever both compete for a key — the
     # catalog's residual tiebreak is a content hash, which would pick
@@ -201,27 +218,46 @@ def upsert_graph(
         F.lit(0),
     )
     if nodes is not None:
-        catalog.merge_upsert(
-            spark, nodes_table, nodes, keys=["label", "id"],
-            tiebreak=[completeness],
-            resolution="deterministic", buckets=buckets,
-        )
+        if mode == "mor":
+            catalog.merge_upsert_mor(
+                spark, nodes_table,
+                nodes.withColumn("_complete", completeness),
+                keys=["label", "id"], tiebreak=["_complete"],
+                resolution="deterministic",
+            )
+        else:
+            catalog.merge_upsert(
+                spark, nodes_table, nodes, keys=["label", "id"],
+                tiebreak=[completeness],
+                resolution="deterministic", buckets=buckets,
+            )
     if edges is not None:
         # tiebreak leads with updated_at: the reference Neo4j sink is
         # last-write-wins (Neo4jSink.scala:138-164), so a LATER re-score
         # must replace the stored edge even at lower confidence;
         # confidence only breaks same-timestamp ties (within-batch
         # determinism — the pipeline stamps one updated_at per batch)
-        catalog.merge_upsert(
-            spark,
-            edges_table,
-            edges,
-            keys=EDGE_KEY,
-            tiebreak=["updated_at", "confidence"],
-            resolution="deterministic",
-            buckets=buckets,
-            assume_unique=edges_unique,
-        )
+        if mode == "mor":
+            catalog.merge_upsert_mor(
+                spark,
+                edges_table,
+                edges,
+                keys=EDGE_KEY,
+                tiebreak=["updated_at", "confidence"],
+                resolution="deterministic",
+                assume_unique=edges_unique,
+            )
+        else:
+            catalog.merge_upsert(
+                spark,
+                edges_table,
+                edges,
+                keys=EDGE_KEY,
+                tiebreak=["updated_at", "confidence"],
+                resolution="deterministic",
+                buckets=buckets,
+                assume_unique=edges_unique,
+            )
         if not check_placeholders:
             return
         # placeholder endpoints (Neo4jSink.scala:170-173): MERGE creates
@@ -250,10 +286,19 @@ def upsert_graph(
         )
         if placeholders.limit(1).count() > 0:
             # key-novel by the anti-join, so this merge is a pure
-            # insert; routed through merge_upsert so a fresh nodes
-            # table is created with the SAME bucket spec the real
-            # node merges will use.
-            catalog.merge_upsert(
-                spark, nodes_table, placeholders, keys=["label", "id"],
-                resolution="deterministic", buckets=buckets,
-            )
+            # insert; routed through the same mode's merge so a fresh
+            # nodes table is created with the layout/spec the real
+            # node merges will use.  In mor mode a later REAL node row
+            # beats the placeholder via the _complete tiebreak.
+            if mode == "mor":
+                catalog.merge_upsert_mor(
+                    spark, nodes_table,
+                    placeholders.withColumn("_complete", F.lit(0)),
+                    keys=["label", "id"], tiebreak=["_complete"],
+                    resolution="deterministic",
+                )
+            else:
+                catalog.merge_upsert(
+                    spark, nodes_table, placeholders, keys=["label", "id"],
+                    resolution="deterministic", buckets=buckets,
+                )

@@ -93,6 +93,7 @@ def run_pipeline(
     epoch_id: int | None = None,
     extraction_strategy: str = "heuristic",
     dedup_pages: bool = False,
+    graph_mode: str = "cow",
 ) -> PipelineResult:
     """``stage_mode`` controls how the enriched (post-extraction) data
     is shared across the downstream consumers:
@@ -106,6 +107,13 @@ def run_pipeline(
       Arrow-UDF-produced rows collapses at high local thread counts
       (75 s vs 2 s for the same stats job at local[32]); kept only for
       comparison.
+
+    ``graph_mode``: how nodes/edges merge into the graph tables —
+    ``"cow"`` (bucket-pruned copy-on-write; best read performance) or
+    ``"mor"`` (merge-on-read delta appends; O(batch) incremental cost
+    regardless of graph size — measured: a +10% batch against a
+    200k-page graph cost 86% of a full rebuild under cow and ~O(batch)
+    under mor; compact periodically).  See graph.upsert_graph.
     """
     timings: dict[str, int] = {}
 
@@ -269,7 +277,7 @@ def run_pipeline(
         # from the same chunks/mentions), so the placeholder backfill
         # scan is skipped; external edge-first writers call
         # upsert_graph directly
-        graph.upsert_graph(spark, catalog, nodes=nodes, edges=None)
+        graph.upsert_graph(spark, catalog, nodes=nodes, edges=None, mode=graph_mode)
 
     # phase 1: the three table writes are independent (distinct
     # tables, all derived from the staged extraction), and the lineage
@@ -323,7 +331,7 @@ def run_pipeline(
     edges = graph.batch_edges(mentions_t, triples_t, updated_at)
     graph.upsert_graph(
         spark, catalog, nodes=None, edges=edges,
-        check_placeholders=False, edges_unique=True,
+        check_placeholders=False, edges_unique=True, mode=graph_mode,
     )
     d()
 

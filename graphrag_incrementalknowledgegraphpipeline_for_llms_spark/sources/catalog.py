@@ -577,6 +577,7 @@ class ParquetCatalog:
         keys: list[str],
         tiebreak: list[str] | None = None,
         resolution: str = "replace",
+        assume_unique: bool = False,
     ) -> int:
         """Merge-on-read MERGE: the batch is written as a DELTA dir in
         O(batch) — no base data is read or rewritten (Iceberg's
@@ -584,6 +585,12 @@ class ParquetCatalog:
         path is :meth:`merge_upsert`).  ``read`` reconciles base and
         deltas per key at scan time; :meth:`compact` folds deltas back
         into the base (the periodic rewrite job).
+
+        ``assume_unique``: skip the within-batch winner selection when
+        the caller guarantees key-unique updates (e.g. the pipeline's
+        pre-deduped edge batch) — a write-side optimization only; even
+        if violated, read-time resolution still picks one winner per
+        key under the spec's total order.
 
         Trade: writes are O(batch) regardless of table size — the
         incremental-ingest win — while reads pay a winner-resolution
@@ -616,7 +623,10 @@ class ParquetCatalog:
             )
         # within-batch dedup only (Iceberg MERGE errors on duplicate
         # source keys; we resolve them deterministically instead)
-        deduped = _winner_dedup(updates, list(keys), [F.col(t) for t in tiebreak])
+        if assume_unique:
+            deduped = updates
+        else:
+            deduped = _winner_dedup(updates, list(keys), [F.col(t) for t in tiebreak])
         if not self.exists(name):
             return self._commit(name, deduped, mode="overwrite")
         return self._commit(name, deduped, mode="append", prefix="e")

@@ -105,6 +105,38 @@ class TestPipeline:
         for t in ["nodes", "edges", "mentions", "triples"]:
             assert _table(spark, catalog, t) == _table(spark, full_cat, t), t
 
+    def test_mor_graph_mode_matches_cow(self, spark, tmp_path):
+        """graph_mode="mor" (O(batch) delta appends) resolves to the
+        same graph as cow full-rebuild: same total order (tiebreaks +
+        content_rid) on both paths, so incremental-mor == full-cow;
+        compaction folds the deltas without changing content."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        pages = datagen.pages_df(spark, 60)
+        a = pages.orderBy("warc_ts").limit(42)
+        mor_cat = ParquetCatalog(str(tmp_path / "mor"))
+        pipeline.run_pipeline(spark, a, mor_cat, extract_from_html=True, graph_mode="mor")
+        pipeline.run_pipeline(spark, pages, mor_cat, extract_from_html=True, graph_mode="mor")
+        assert mor_cat._delta_entries("edges")  # batches landed as deltas
+
+        cow_cat = ParquetCatalog(str(tmp_path / "cow"))
+        pipeline.run_pipeline(spark, pages, cow_cat, extract_from_html=True)
+
+        def rows(cat, t, drop=()):
+            df = cat.read(spark, t)
+            for c in drop:
+                df = df.drop(c)
+            return sorted(tuple(r) for r in df.collect())
+
+        assert rows(mor_cat, "nodes", drop=("_complete",)) == rows(cow_cat, "nodes")
+        assert rows(mor_cat, "edges") == rows(cow_cat, "edges")
+        before = rows(mor_cat, "edges")
+        mor_cat.compact(spark, "edges")
+        assert mor_cat._delta_entries("edges") == []
+        assert rows(mor_cat, "edges") == before
+
     def test_recrawl_identical_pages_no_duplicates(self, spark, catalog):
         """FIXTURES.md §6 re-crawl scenario: identical pages with a
         NEWER warc_ts pass the high-water-mark filter but must not
