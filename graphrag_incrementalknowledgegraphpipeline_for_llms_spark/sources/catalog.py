@@ -540,6 +540,21 @@ class ParquetCatalog:
             return self._commit_bucketed(name, df, spec, replace_all=True)
         return self._commit(name, df, mode="overwrite")
 
+    def maybe_compact(
+        self, spark: SparkSession, name: str, max_deltas: int = 16
+    ) -> int | None:
+        """Compact ``name`` iff its unresolved merge-on-read delta
+        count exceeds ``max_deltas`` — the bound that keeps read-time
+        winner resolution from degrading as small batches accumulate
+        (each delta adds a scan input + rows to the resolution
+        shuffle).  Returns the new snapshot version, or None when under
+        the bound.  Streaming sinks call this per microbatch: amortized
+        cost is one rewrite every ``max_deltas`` batches, i.e. the
+        classic LSM-style compaction cadence."""
+        if len(self._delta_entries(name)) <= max_deltas:
+            return None
+        return self.compact(spark, name)
+
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         """Drop manifests older than the newest ``keep_last`` versions
         (data dirs they exclusively referenced are already GC'd by

@@ -41,6 +41,7 @@ def stream_pages_dir(
     checkpoint_dir: str,
     extract_from_html: bool = True,
     graph_mode: str = "mor",
+    compact_every: int = 16,
 ):
     """readStream over a parquet directory of pages; each microbatch
     runs the full KG pipeline.  Returns the StreamingQuery (caller
@@ -51,8 +52,11 @@ def stream_pages_dir(
     ever-growing graph — precisely the case where copy-on-write
     merges degrade to near-full rewrites per microbatch (measured:
     a +10% batch cost 86% of a full rebuild) while merge-on-read
-    deltas stay O(batch).  Schedule ``catalog.compact`` periodically
-    to fold the deltas."""
+    deltas stay O(batch).  The sink folds deltas automatically once a
+    graph table accumulates more than ``compact_every`` of them
+    (catalog.maybe_compact — LSM-style cadence: one rewrite per
+    ``compact_every`` microbatches, so resolution cost stays bounded
+    while writes stay O(batch))."""
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
 
     def sink(batch_df, epoch_id: int):
@@ -84,6 +88,9 @@ def stream_pages_dir(
             epoch_id=epoch_id,
             graph_mode=graph_mode,
         )
+        if graph_mode == "mor" and compact_every:
+            for t in ("nodes", "edges"):
+                catalog.maybe_compact(spark, t, max_deltas=compact_every)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -86,6 +86,17 @@ class TestMorMerge:
         cat.merge_upsert_mor(spark, "t", _mk(spark, [(1, "A9", 0.9)]), keys=["k"])
         assert (1, "A9", 0.9) in _rows(cat.read(spark, "t"))
 
+    def test_maybe_compact_bounds_delta_count(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        for i in range(5):
+            cat.merge_upsert_mor(spark, "t", _mk(spark, [(i, f"v{i}", 0.5)]), keys=["k"])
+        before = _rows(cat.read(spark, "t"))
+        assert cat.maybe_compact(spark, "t", max_deltas=16) is None  # under bound
+        assert len(cat._delta_entries("t")) == 4
+        assert cat.maybe_compact(spark, "t", max_deltas=3) is not None
+        assert cat._delta_entries("t") == []
+        assert _rows(cat.read(spark, "t")) == before
+
     def test_gc_expires_superseded_delta_dirs(self, spark, tmp_path):
         # regression: _gc only globbed d* — superseded e* (MOR delta)
         # dirs were never removed, so MOR tables grew without bound
