@@ -4,7 +4,7 @@
 documents table end-to-end (extraction -> graph -> search).
 
 ``queries()``/``oracle_sql()`` cover the operator inventory of
-SURVEY.md §2 plus the training-data-pipeline operators: 57 queries —
+SURVEY.md §2 plus the training-data-pipeline operators: 59 queries —
 KG construction/search/graph algorithms (mentions, pairs, PMI,
 triples, search, evidence, neighbors, 2-hop, BFS, PageRank, connected
 components, text search), relational/event coverage (TPC-H Q1/3/5/7/9,
@@ -15,7 +15,7 @@ sketch, split/sample/pack, multimodal features).  Every oracle mirrors
 the Spark semantics exactly; the per-doc text is derived with an
 identical regexp_replace chain in both engines because the raw
 ``documents.text`` is all-lowercase (no extraction branch would fire
-on it).  56 of 57 keys carry a DuckDB oracle — including iterative
+on it).  58 of 59 keys carry a DuckDB oracle — including iterative
 PageRank (10 unrolled CTE iterations), minhash/simhash (md5 hash
 family recomputed in SQL), SRP-LSH ANN/near-dup (seed-42 hyperplanes
 embedded as SQL literals) and the multimodal byte features.  The one
@@ -928,6 +928,28 @@ def q_dd_pack_concat(spark, sf_dir):
     )
 
 
+def q_dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 8-gram
+    with a deterministic held-out 'eval set' (doc_id % 97 == 0) —
+    planted duplicates of eval docs and the eval docs themselves get
+    flagged with their distinct-overlap counts."""
+    d = _docs_with_dups(spark, sf_dir)
+    bench = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(d, bench, shingle_n=8).orderBy("id")
+
+
+def q_dd_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-source keep rates
+    (md5-threshold rule, rerun/backfill stable) — the mixture knob of
+    a training-data pipeline."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return sampling.stratified_sample_by_hash(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    ).orderBy("doc_id")
+
+
 def q_dd_training_export(spark, sf_dir):
     """The whole training-data prep chain composed end-to-end:
     curate (quality/lang gates + dedup) -> deterministic train split
@@ -1158,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_near_dup_srp": q_dd_embed_near_dup_srp,
         "kg_text_bm25": q_kg_text_bm25,
         "kg_hybrid_search": q_kg_hybrid_search,
+        "dd_decontaminate": q_dd_decontaminate,
+        "dd_mixture_sample": q_dd_mixture_sample,
         "sim_ivf_topk": q_sim_ivf_topk,
     }
 
@@ -1261,6 +1285,10 @@ SELECT a.id AS vec_id,
                 * sqrt(list_sum(list_transform(qv.v, x -> x * x)))), 6) AS cosine
 FROM base a JOIN cand ON a.id = cand.id CROSS JOIN qv
 ORDER BY cosine DESC, vec_id LIMIT 10"""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import (
+        _frac_hex,
+    )
+
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1694,6 +1722,34 @@ bk AS (SELECT id, fp, fp >> 48 AS bucket FROM fp)
 SELECT l.id AS a_id, r.id AS b_id, CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
 FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
 WHERE bit_count(xor(l.fp, r.fp)) <= 3""",
+        # decontamination: the semi-join runs on xxhash64 in Spark but
+        # membership is shingle-STRING equality, which DuckDB replays
+        # directly (a 64-bit in-doc hash collision would skew a count;
+        # none exist, and the value-hash compare would catch it)
+        "dd_decontaminate": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+bt AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+       FROM documents WHERE doc_id % 97 = 0),
+bsh AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS s
+        FROM (SELECT toks, length(toks) AS nt FROM bt WHERE length(toks) >= 8) b,
+             unnest(range(1, nt - 6)) t(i)),
+ct AS (SELECT doc_id AS id,
+              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+       FROM d),
+csh AS (SELECT DISTINCT id, array_to_string(toks[i:i+7], ' ') AS s
+        FROM (SELECT id, toks, length(toks) AS nt FROM ct WHERE length(toks) >= 8) c,
+             unnest(range(1, nt - 6)) t(i))
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM csh JOIN bsh USING (s) GROUP BY id""",
+        "dd_mixture_sample": f"""
+SELECT doc_id, source FROM documents
+WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_frac_hex(1.0)}')
+   OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_frac_hex(0.5)}')
+   OR (source = 'src2' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_frac_hex(0.25)}')
+   OR (source NOT IN ('src0', 'src1', 'src2')
+       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_frac_hex(0.1)}')
+ORDER BY doc_id""",
         "rel_percentile": """
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS p50,

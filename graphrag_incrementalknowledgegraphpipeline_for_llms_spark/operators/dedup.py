@@ -431,6 +431,54 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``shingle_n``-gram with a benchmark/eval set — the standard
+    n-gram-overlap rule (GPT-3-style 8+-token collision) that keeps
+    eval data out of the training corpus.
+
+    Scale shape: the benchmark's distinct shingle hashes are a SMALL
+    side (eval sets are thousands of docs, not billions) — broadcast
+    semi-join against the corpus' exploded shingles, then a groupBy
+    per doc.  The corpus side never shuffles its text: only (id,
+    shingle-hash) pairs move, and the broadcast prunes them map-side.
+    Returns (id, n_hits) for CONTAMINATED docs only; anti-join the ids
+    against the corpus to drop them (or keep the hit count for
+    audit-then-drop pipelines)."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.transform(
+                    _word_shingles(F.col(bench_text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    corpus = df.where(F.size(toks) >= shingle_n).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+            )
+        ).alias("h"),
+    )
+    return (
+        corpus.join(F.broadcast(bench_sh), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def ngram_jaccard_pairs_inverted(
     df: DataFrame,
     threshold: float = 0.5,

@@ -73,6 +73,34 @@ def sample_by_hash(df: DataFrame, p: float, key_col: str = "doc_id") -> DataFram
     return df.where(_hash_prefix(F.col(key_col)) < _frac_hex(p))
 
 
+def stratified_sample_by_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group sampling — the domain-mixture knob of a
+    training-data pipeline (e.g. keep 100% of books, 30% of common
+    crawl): each group samples at its ``rates`` fraction by the same
+    md5-threshold rule as :func:`sample_by_hash`, so membership is a
+    pure function of (group rate, key) — rerun/backfill stable, and an
+    upsampled rerate keeps every previously selected row (thresholds
+    only move).  Groups absent from ``rates`` sample at
+    ``default_rate``.  Pure narrow filter: no shuffle, pushable work,
+    rates compiled into one CASE expression."""
+    h = _hash_prefix(F.col(key_col))
+    expr = None
+    for g, p in sorted(rates.items()):
+        cond = (F.col(group_col) == g) & (h < F.lit(_frac_hex(p)))
+        expr = cond if expr is None else (expr | cond)
+    others = (~F.col(group_col).isin(list(rates))) & (
+        h < F.lit(_frac_hex(default_rate))
+    )
+    expr = others if expr is None else (expr | others)
+    return df.where(expr)
+
+
 GLOBAL_PACK_MAX_ROWS = 10_000_000
 
 

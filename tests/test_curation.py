@@ -138,6 +138,61 @@ class TestSampling:
         for shard, bins in by_shard.items():
             assert bins == [i // 2 for i in range(len(bins))], (shard, bins)
 
+    def test_stratified_sample_rates_and_monotonicity(self, spark):
+        import hashlib
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+        )
+        rates = {"s0": 1.0, "s1": 0.4}
+        got = {
+            (r["doc_id"], r["source"])
+            for r in sampling.stratified_sample_by_hash(d, rates, default_rate=0.2).collect()
+        }
+
+        def thresh(p):
+            return format(min(int(p * 2**32), 2**32 - 1), "08x")
+
+        exp = set()
+        for i in range(300):
+            src = f"s{i % 3}"
+            p = rates.get(src, 0.2)
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] < thresh(p):
+                exp.add((i, src))
+        assert got == exp
+        # upsampling a group keeps every previously selected row
+        low = {r["doc_id"] for r in sampling.stratified_sample_by_hash(d, {"s1": 0.3}, default_rate=0.0).collect()}
+        high = {r["doc_id"] for r in sampling.stratified_sample_by_hash(d, {"s1": 0.6}, default_rate=0.0).collect()}
+        assert low <= high
+
+    def test_decontaminate_flags_ngram_overlap(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup
+
+        bench = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # full copy: 10 tokens -> 3 distinct 8-gram overlaps
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                # one 8-gram lifted verbatim mid-sentence
+                (2, "intro words then the quick brown fox jumps over the lazy ending"),
+                # clean
+                (3, "completely unrelated text with eight or more tokens in it total"),
+                # too short for any 8-gram
+                (4, "short doc"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: r["n_hits"]
+            for r in dedup.decontaminate(corpus, bench, shingle_n=8).collect()
+        }
+        assert got == {1: 3, 2: 1}
+
     def test_pack_concat_boundaries(self, spark):
         from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
 
