@@ -1,0 +1,97 @@
+"""Property-based cross-engine parity (hypothesis).
+
+The correctness gate rests on two parity assumptions that golden
+fixtures only spot-check:
+
+1. the DuckDB oracle's RE2 regexes (``regexp_extract_all`` with ASCII
+   word boundaries) agree with purecore's ``re.ASCII``-pinned
+   extraction on arbitrary text, including the casing chain;
+2. the pure-Catalyst lemma/concept-id expressions (JVM regexp_replace
+   / lower / sha2) agree with the python reference implementation.
+
+These fuzz both over generated text mixing every extraction branch,
+separators, unicode and astral-plane characters.  (Java regex and RE2
+use ASCII \\b; python's is unicode-aware — purecore pins re.ASCII
+precisely so all three engines agree, and this test would catch any
+drift.)"""
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as E
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import purecore as p
+
+word_st = st.one_of(
+    st.from_regex(r"[A-Z][a-z]{1,8}", fullmatch=True),
+    st.from_regex(r"[A-Z][a-z]{1,4}[A-Z][a-z]{1,4}", fullmatch=True),  # CamelCase
+    st.from_regex(r"[A-Z]{2,7}", fullmatch=True),  # acronym incl. len>6 reject
+    st.from_regex(r"[a-z]{1,5}[A-Z][a-z]{1,4}", fullmatch=True),  # technicalTerm
+    st.sampled_from(
+        ["The", "And", "For", "This", "spark", "data", "window", "small", "big", "Ab"]
+    ),
+    st.from_regex(r"[a-z]{1,8}", fullmatch=True),
+    st.from_regex(r"[0-9]{1,4}", fullmatch=True),
+    st.sampled_from(["é", "Éclair", "中文", "\U0001f600", "Abcé", "naïve", "ÜberAlles"]),
+)
+sep_st = st.sampled_from([" ", "  ", ". ", ", ", "-", "_", "\n", "'", "__", ".\n\n"])
+text_st = st.lists(st.tuples(word_st, sep_st), min_size=0, max_size=30).map(
+    lambda ps: "".join(w + s for w, s in ps)
+)
+
+
+def _cased(t: str) -> str:
+    # python mirror of _cased_col/_cased_sql — ASCII \b like RE2/JVM
+    for pat, rep in E.CASE_RULES:
+        t = re.sub(pat, rep, t, flags=re.ASCII)
+    return t
+
+
+class TestDuckdbOracleParity:
+    @given(st.lists(text_st, min_size=1, max_size=12))
+    @settings(max_examples=60, deadline=None)
+    def test_mentions_cte_matches_purecore(self, texts):
+        con = duckdb.connect()
+        try:
+            con.register(
+                "documents",
+                pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+            )
+            got = {
+                tuple(r)
+                for r in con.sql(
+                    f"WITH {E.MENTIONS_CTE} "
+                    "SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions"
+                ).fetchall()
+            }
+        finally:
+            con.close()
+        expected = set()
+        for i, t in enumerate(texts):
+            for c in p.extract_concepts(_cased(t)):
+                expected.add((str(i), c.concept_id, c.lemma, c.surface, c.origin))
+        assert got == expected
+
+
+class TestCatalystParity:
+    @given(st.lists(word_st, min_size=1, max_size=40, unique=True))
+    @settings(max_examples=5, deadline=None)
+    def test_lemma_and_concept_id(self, spark, surfaces):
+        from pyspark.sql import functions as F
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+            concepts as cf,
+        )
+
+        df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+        rows = df.select(
+            "surface", cf.normalize_lemma_col(F.col("surface")).alias("lemma")
+        ).withColumn("cid", cf.concept_id_col(F.col("lemma"))).collect()
+        assert len(rows) == len(surfaces)
+        for r in rows:
+            assert r["lemma"] == p.normalize_lemma(r["surface"]), r["surface"]
+            assert r["cid"] == p.concept_id(r["lemma"]), r["surface"]
