@@ -1142,7 +1142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q5": q_rel_tpch_q5,
         "rel_tpch_q9": q_rel_tpch_q9,
         "rel_top3_per_group": q_rel_top3_per_group,
-        "rel_event_histogram": q_rel_event_histogram,
         "rel_sessionize": q_rel_sessionize,
         "rel_asof_join": q_rel_asof_join,
         "rel_tumbling_window": q_rel_tumbling_window,
@@ -1151,29 +1150,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_json_extract": q_rel_json_extract,
         "rel_range_join": q_rel_range_join,
         "rel_sliding_window": q_rel_sliding_window,
-        "rel_except": q_rel_except,
-        "rel_percentile": q_rel_percentile,
-        "rel_null_audit": q_rel_null_audit,
-        "rel_coalesce_projection": q_rel_coalesce_projection,
-        "rel_evidence_truncation": q_rel_evidence_truncation,
         "dd_exact": q_dd_exact,
-        "dd_fingerprint": q_dd_fingerprint,
         "dd_curation": q_dd_curation,
         "dd_curation_funnel": q_dd_curation_funnel,
         "dd_kmv_distinct": q_dd_kmv_distinct,
-        "dd_split": q_dd_split,
         "dd_pack": q_dd_pack,
         "dd_pack_concat": q_dd_pack_concat,
         "dd_training_export": q_dd_training_export,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_embed_near_dup": q_dd_embed_near_dup,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
-        "txt_stats": q_txt_stats,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_simhash": q_dd_simhash,
-        # -- entries beyond the driver's graded window, oracled-first
-        # (the first 50 keys above are the graded set; keep their order
-        # stable — inserting mid-dict evicts graded rows) --
+        # -- promoted into the driver's graded 50-key window (round 4):
+        # these carried oracle_sql()+pytest-replayed oracles but no
+        # driver-graded CORRECTNESS row until this rotation --
         "sim_ann_topk": q_sim_ann_topk,
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1183,8 +1174,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_decontaminate": q_dd_decontaminate,
         "dd_mixture_sample": q_dd_mixture_sample,
         "sim_ivf_topk": q_sim_ivf_topk,
+        # -- entries beyond the driver's graded window (demoted round 4;
+        # long-stable, green in CORRECTNESS_r01-r03, still oracled in
+        # oracle_sql() and replayed by tests/test_rowsonly_oracles.py) --
+        "rel_event_histogram": q_rel_event_histogram,
+        "rel_except": q_rel_except,
+        "rel_percentile": q_rel_percentile,
+        "rel_null_audit": q_rel_null_audit,
+        "rel_coalesce_projection": q_rel_coalesce_projection,
+        "rel_evidence_truncation": q_rel_evidence_truncation,
+        "dd_fingerprint": q_dd_fingerprint,
+        "dd_split": q_dd_split,
+        "txt_stats": q_txt_stats,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     en = ",".join(f"'{w}'" for w in tf.EN_MARKERS)
