@@ -1037,25 +1037,25 @@ def q_dd_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with the md5 hash family so the ENTIRE chain —
     signatures, banding, bucket co-membership, jaccard estimate — is
     recomputed by the DuckDB oracle (xxh64 stays the engine default;
-    the banding/bucketing logic under test is family-independent)."""
-    # cache: sigs feeds the LSH self-join (2 refs) AND both sides of
-    # the jaccard-estimate join (2 more) — 4 recomputes without it
-    sigs = dedup.minhash_signatures(
-        _docs_with_dups(spark, sf_dir), hash_family="md5"
-    ).cache()
-    cands = dedup.minhash_lsh_candidates(sigs, hash_family="md5")
-    return dedup.minhash_jaccard_estimate(sigs, cands).where(F.col("est_jaccard") >= 0.5)
+    the banding/bucketing logic under test is family-independent).
+    Production path: collapse_exact=True routes identical-text groups
+    around the band join + sig-carrying estimate joins (output proven
+    identical — test_dedup_similarity TestCollapseExact + this oracle)."""
+    return dedup.minhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5, hash_family="md5"
+    )
 
 
 def q_dd_simhash(spark, sf_dir):
     """SimHash near-dup candidates with the md5 hash family — the
     oracle rebuilds the fingerprints nibble-by-nibble from md5 hex and
     replays the prefix-bucket + hamming check (xxh64 stays the engine
-    default)."""
-    # cache: the bucketed self-join references fps twice
-    fps = dedup.simhash(_docs_with_dups(spark, sf_dir), hash_family="md5").cache()
-    return dedup.simhash_candidates(fps, max_hamming=3).select(
-        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    default).  Production path: collapse_exact=True keeps degenerate
+    dup groups (viral boilerplate) out of the bucket self-join — the
+    C(n,2) true-dup pairs re-expand from the membership table instead
+    (output proven identical — TestCollapseExact + this oracle)."""
+    return dedup.simhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir), max_hamming=3, hash_family="md5"
     )
 
 

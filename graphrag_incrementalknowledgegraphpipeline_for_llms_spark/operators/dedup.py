@@ -307,6 +307,152 @@ def simhash_candidates(
     )
 
 
+def collapse_exact_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, membership) for exact-text groups: one winner
+    row (min id) per distinct text, plus the (rep_id, id) long table.
+
+    This is the guard against the degenerate-dup-group candidate
+    blowup: a corpus with a viral boilerplate page repeated n times
+    makes every signature-bucket self-join emit C(n, 2) rows through
+    the whole candidate machinery (bucket join, hamming/estimate,
+    rotation dedup).  Collapsing first sends ONE row per distinct text
+    into candidate generation; the C(n, 2) true-dup pairs are
+    reconstructed afterwards by cheap (rep_id, id) joins — linear in
+    the genuine output, never in the candidate machinery.
+
+    Shuffle shape: one groupBy on md5(text) with the text column
+    pruned before the exchange (partial agg carries only the 32-char
+    key + id), one id-semi-join to fetch winner rows, one key-join for
+    membership.  No full-row struct agg (SortAggregate pathology)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col).cast("string")).alias("_gkey")
+    )
+    winners = keyed.groupBy("_gkey").agg(F.min("id").alias("rep_id"))
+    reps = df.join(
+        winners.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+    )
+    membership = keyed.join(winners, "_gkey").select("rep_id", "id")
+    return reps, membership
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, surviving_members: DataFrame, value_cols):
+    """Re-expand candidate pairs over representatives into pairs over
+    all group members: cross-group pairs via two membership joins,
+    within-group pairs via a membership self-join.  ``value_cols`` maps
+    output column name -> literal value a within-group (identical-text)
+    pair carries."""
+    mem = surviving_members
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep_id").alias("a_id"), F.col("id").alias("_x")), "a_id"
+        )
+        .join(mem.select(F.col("rep_id").alias("b_id"), F.col("id").alias("_y")), "b_id")
+        .select(
+            F.least("_x", "_y").alias("a_id"),
+            F.greatest("_x", "_y").alias("b_id"),
+            *value_cols,
+        )
+    )
+    a = mem.select("rep_id", F.col("id").alias("a_id"))
+    b = mem.select("rep_id", F.col("id").alias("b_id"))
+    schema = {f.name: f.dataType for f in cross.schema.fields}
+    within = (
+        a.join(b, "rep_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            *[
+                F.lit(_WITHIN_PAIR_VALUES[c]).cast(schema[c]).alias(c)
+                for c in cross.columns
+                if c not in ("a_id", "b_id")
+            ],
+        )
+    )
+    return cross.unionByName(within)
+
+
+# value a within-group (identical-text) pair carries per metric column
+_WITHIN_PAIR_VALUES = {
+    "hamming": 0,
+    "est_jaccard": 1.0,
+}
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxh64",
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+    rotations: int = 1,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """End-to-end SimHash near-dup pairs (a_id, b_id, hamming:int).
+
+    ``collapse_exact=True`` (default) routes exact-text groups out
+    before the bucket self-join (collapse_exact_groups) and re-expands
+    afterwards — identical output, but a viral boilerplate page costs
+    one candidate row instead of C(n, 2) through the join machinery.
+    Fingerprint/membership tables are cached: each feeds 2+ joins."""
+    if not collapse_exact:
+        fps = simhash(df, text_col, id_col, hash_family).cache()
+        pairs = simhash_candidates(fps, prefix_bits, max_hamming, rotations)
+        return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+    reps, mem = collapse_exact_groups(df, text_col, id_col)
+    fps = simhash(reps, text_col, id_col, hash_family).cache()
+    rep_pairs = simhash_candidates(fps, prefix_bits, max_hamming, rotations).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+    # groups whose text was filtered out of fingerprinting (empty text)
+    # drop out of membership the same way their representative did
+    surv = mem.join(fps.select(F.col("id").alias("rep_id")), "rep_id", "semi").cache()
+    return _expand_rep_pairs(rep_pairs, surv, [F.col("hamming")])
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    hash_family: str = "xxh64",
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pairs
+    (a_id, b_id, est_jaccard:double) with est_jaccard >= threshold.
+
+    Same collapse-first guard as simhash_near_dup_pairs: identical
+    texts share a signature, so the LSH band join and the (wide,
+    sig-carrying) jaccard-estimate joins see one row per distinct
+    text; within-group pairs re-expand to est_jaccard = 1.0 exactly
+    (all signature positions equal)."""
+    if not collapse_exact:
+        sigs = minhash_signatures(
+            df, text_col, id_col, shingle_n, num_hashes, hash_family
+        ).cache()
+        cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
+        return minhash_jaccard_estimate(sigs, cands).where(
+            F.col("est_jaccard") >= threshold
+        )
+    reps, mem = collapse_exact_groups(df, text_col, id_col)
+    sigs = minhash_signatures(
+        reps, text_col, id_col, shingle_n, num_hashes, hash_family
+    ).cache()
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
+    rep_pairs = minhash_jaccard_estimate(sigs, cands).where(
+        F.col("est_jaccard") >= threshold
+    )
+    surv = mem.join(sigs.select(F.col("id").alias("rep_id")), "rep_id", "semi").cache()
+    return _expand_rep_pairs(rep_pairs, surv, [F.col("est_jaccard")])
+
+
 def _shingle_sets(df, text_col, id_col, shingle_n, group_col=None):
     """(id [, grp], sh: sorted distinct shingle hashes, n: |sh|).
 

@@ -152,6 +152,45 @@ def ann_topk(
 # turns probes into partition pruning.
 # ---------------------------------------------------------------------------
 
+def ivf_training_pool(
+    embeddings: DataFrame,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """The (possibly hash-filtered) pool centroid training draws its
+    ordered ``sample`` from.
+
+    ``sample_frac=None`` (the default) AUTO-DERIVES the rate: a bounded
+    probe (``limit(8*sample + 1).count()`` — the pack_sequences guard
+    pattern, reads at most that many rows) decides whether the corpus
+    is small enough to skip the filter; if it isn't, a column-pruned
+    id count sizes ``frac`` so ``frac * n ~= 4 * sample`` survive into
+    the top-k heap.  Pass an explicit float to pin the rate, or
+    ``sample_frac >= 1.0`` to force the unfiltered full-corpus scan.
+
+    The filter itself is sampling.sample_by_hash — a pushed-down
+    md5-threshold predicate on the id, so membership (and therefore
+    the trained centroids) is a pure function of the id: identical
+    across reruns, partitionings and incremental growth of the tail
+    (new ids hash in, existing ids never shift out)."""
+    pool = embeddings.select(id_col, vec_col)
+    if sample_frac is None:
+        probe_cap = 8 * sample
+        probed = pool.select(id_col).limit(probe_cap + 1).count()
+        if probed > probe_cap:
+            n = pool.select(id_col).count()
+            sample_frac = min(1.0, (4.0 * sample) / max(n, 1))
+        else:
+            sample_frac = 1.0
+    if sample_frac < 1.0:
+        from .sampling import sample_by_hash
+
+        pool = sample_by_hash(pool, sample_frac, key_col=id_col)
+    return pool
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     dim: int,
@@ -167,21 +206,12 @@ def ivf_train_centroids(
     (deterministic, no RNG over data; init = seeded gaussian).
     Returns (n_lists, dim) float64.
 
-    ``sample_frac``: hash-rate pre-filter (sampling.sample_by_hash)
-    applied BEFORE the ordered limit.  Without it the limit is a
-    TakeOrderedAndProject over the WHOLE corpus — every vector scanned
-    and heap-compared to sample 10k rows.  With it the scan still reads
-    the id column but only ~frac of the VECTORS survive the (cheap,
-    hash-on-id) filter into the top-k heap; at 100 TB pick frac so
-    frac * corpus ≈ 2-4x ``sample``.  Membership is a pure function of
-    the id, so the sample — and therefore the trained centroids — is
-    identical across reruns, partitionings and incremental growth of
-    the tail (ids hash in, never shift in)."""
-    pool = embeddings.select(id_col, vec_col)
-    if sample_frac is not None:
-        from .sampling import sample_by_hash
-
-        pool = sample_by_hash(pool, sample_frac, key_col=id_col)
+    ``sample_frac``: hash-rate pre-filter (see ivf_training_pool).
+    Without it the limit is a TakeOrderedAndProject over the WHOLE
+    corpus — every vector scanned and heap-compared to sample 10k
+    rows; the None default now derives a rate from a bounded row probe
+    instead of falling back to that full scan."""
+    pool = ivf_training_pool(embeddings, sample, id_col, vec_col, sample_frac)
     rows = pool.orderBy(id_col).limit(sample).collect()
     x = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
     rng = np.random.RandomState(seed)

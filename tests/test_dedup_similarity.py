@@ -192,6 +192,49 @@ class TestIvf:
         # the query vector itself must be found (its own list is probed first)
         assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
 
+    def test_ivf_default_derives_sample_frac(self, spark):
+        """sample_frac=None no longer means a TakeOrdered over the whole
+        corpus: when the bounded probe (8*sample+1 rows) overflows, a
+        derived md5-hash-rate filter (frac*n ~= 4*sample) is pushed into
+        the training scan.  Plan assertion + exact numpy replication of
+        the derived-frac centroids."""
+        import hashlib
+
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # corpus = 500 rows > 8*32 = 256 -> filter must appear in the plan
+        pool = similarity.ivf_training_pool(emb, sample=32)
+        plan = pool._jdf.queryExecution().executedPlan().toString()
+        assert "md5" in plan, plan
+        # small corpus (500 <= 8*256): probe says skip the filter
+        pool_small = similarity.ivf_training_pool(emb, sample=256)
+        plan_small = pool_small._jdf.queryExecution().executedPlan().toString()
+        assert "md5" not in plan_small, plan_small
+
+        # exact replication of the derived-frac training sample
+        frac = min(1.0, (4.0 * 32) / 500)
+        thresh = format(min(int(frac * 2**32), 2**32 - 1), "08x")
+        rows = emb.select("vec_id", "embedding").collect()
+        kept = sorted(
+            r["vec_id"]
+            for r in rows
+            if hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:8] < thresh
+        )[:32]
+        vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+        x = np.asarray([vecs[v] for v in kept], dtype="float64")
+        rng = np.random.RandomState(42)
+        exp = x[rng.choice(len(x), size=8, replace=False)]
+        for _ in range(8):
+            d2 = ((x[:, None, :] - exp[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(8):
+                m = assign == j
+                if m.any():
+                    exp[j] = x[m].mean(axis=0)
+        got = similarity.ivf_train_centroids(emb, dim=64, n_lists=8, sample=32)
+        assert np.allclose(got, exp)
+
     def test_ivf_sample_frac_trains_on_hash_filtered_sample(self, spark):
         """sample_frac pre-filters centroid training by md5-hash rate
         (no TakeOrdered over the full corpus); the sample — hence the
@@ -255,3 +298,60 @@ class TestIvf:
         assert [g[0] for g in got] == [e[0] for e in expected[:10]]
         for (gv, gc), (ev, ec) in zip(got, expected):
             assert abs(gc - ec) < 1e-6
+
+
+class TestCollapseExact:
+    """collapse_exact=True must be output-identical to the direct
+    (uncollapsed) candidate machinery — the planted 50-dup fixture has
+    both within-group (C(n,2)) and cross-group pairs."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        import __spark_entry__ as E
+
+        return E._docs_with_dups(spark, "/root/testdata/sf0.001").cache()
+
+    def test_collapse_groups_shape(self, spark, docs):
+        reps, mem = dedup.collapse_exact_groups(docs)
+        n_docs = docs.count()
+        n_reps = reps.count()
+        assert n_reps < n_docs  # planted dups collapsed
+        assert mem.count() == n_docs  # every doc belongs to a group
+        # every rep is its own member and the min id of its group
+        bad = (
+            mem.groupBy("rep_id")
+            .agg(F.min("id").alias("lo"))
+            .where(F.col("lo") != F.col("rep_id"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_simhash_collapsed_equals_direct(self, spark, docs):
+        direct = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in dedup.simhash_near_dup_pairs(
+                docs, max_hamming=3, collapse_exact=False
+            ).collect()
+        }
+        collapsed = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in dedup.simhash_near_dup_pairs(
+                docs, max_hamming=3, collapse_exact=True
+            ).collect()
+        }
+        assert collapsed == direct and len(direct) >= 50
+
+    def test_minhash_collapsed_equals_direct(self, spark, docs):
+        direct = {
+            (r["a_id"], r["b_id"], round(r["est_jaccard"], 9))
+            for r in dedup.minhash_near_dup_pairs(
+                docs, threshold=0.5, collapse_exact=False
+            ).collect()
+        }
+        collapsed = {
+            (r["a_id"], r["b_id"], round(r["est_jaccard"], 9))
+            for r in dedup.minhash_near_dup_pairs(
+                docs, threshold=0.5, collapse_exact=True
+            ).collect()
+        }
+        assert collapsed == direct and len(direct) >= 50
