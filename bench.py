@@ -74,6 +74,59 @@ def main():
     timings["kg_pipeline"] = round(kg_sec, 3)
     docs_per_sec = round(res.pages / kg_sec, 2)
 
+    # ---- triple P/R gate vs purecore golden (BASELINE.json headline:
+    # P/R >= 0.95) — surfaced per-round as PR.json.  The distributed
+    # path (fused html->text->concepts Arrow pass, candidate pairs,
+    # scorer) runs over a deterministic chunk sample; the golden is
+    # purecore.score_triples_for_text per chunk on the driver (the
+    # same pure-Python reference the pytest gate uses). ----
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+        concepts as cfn,
+    )
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+        purecore as pc,
+    )
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        cooccur as co,
+    )
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        scorer as sc,
+    )
+
+    n_pr = int(os.environ.get("SPARK_GRAFT_PR_CHUNKS", "500"))
+    pr_pages = pages.orderBy("url").limit(n_pr)
+    pr_enriched = pipeline.chunks_from_pages(
+        cfn.enrich_pages_from_html(pr_pages),
+        extra_cols=("concepts", "evidence", "evidence100"),
+    ).persist()
+    got = {
+        (r["chunk_id"], r["subj_id"], r["predicate"], r["obj_id"], r["confidence"])
+        for r in sc.triples_from(
+            sc.score_candidates(co.candidate_pairs(pr_enriched))
+        ).collect()
+    }
+    golden = set()
+    for r in pr_enriched.select("chunk_id", "text").collect():
+        for tr in pc.score_triples_for_text(r["text"], r["chunk_id"]):
+            golden.add(
+                (tr["chunk_id"], tr["subj_id"], tr["predicate"], tr["obj_id"], tr["confidence"])
+            )
+    pr_enriched.unpersist()
+    inter = got & golden
+    precision = len(inter) / len(got) if got else 1.0
+    recall = len(inter) / len(golden) if golden else 1.0
+    pr = {
+        "precision": round(precision, 6),
+        "recall": round(recall, 6),
+        "spark_triples": len(got),
+        "golden_triples": len(golden),
+        "n_chunks": n_pr,
+        "pass": precision >= 0.95 and recall >= 0.95,
+        "gate": "BASELINE.json triple-extraction P/R >= 0.95 vs purecore golden",
+    }
+    with open(os.path.join(REPO, "PR.json"), "w") as f:
+        json.dump(pr, f, indent=2)
+
     # ---- headline query timings at SF_DIR ----
     qs = entry.queries()
     bench_queries = [
@@ -132,6 +185,7 @@ def main():
         "kg_docs_per_sec": docs_per_sec,
         "cpus": CPUS,
         "stage_ms": res.stage_ms,
+        "pr": pr,
     }
     spark.stop()
     print(json.dumps(out))

@@ -95,3 +95,83 @@ class TestCatalystParity:
         for r in rows:
             assert r["lemma"] == p.normalize_lemma(r["surface"]), r["surface"]
             assert r["cid"] == p.concept_id(r["lemma"]), r["surface"]
+
+
+class TestPairsCteParity:
+    """R1 pair canonicalization: the oracle's full-identity-tuple
+    self-join (least/greatest ids, composite-key tie-break) vs
+    purecore.cooccur_pairs on arbitrary extraction output — the
+    hand-mirrored SQL block an edge case (equal concept_ids from
+    distinct surfaces, synonym self-pairs, duplicate mentions) could
+    desync."""
+
+    @given(st.lists(text_st, min_size=1, max_size=10))
+    @settings(max_examples=40, deadline=None)
+    def test_pairs_cte_matches_purecore(self, texts):
+        con = duckdb.connect()
+        try:
+            con.register(
+                "documents",
+                pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+            )
+            got = {
+                tuple(r)
+                for r in con.sql(
+                    f"WITH {E.PAIRS_CTE} "
+                    "SELECT window_id, a_id, b_id, freq FROM pairs"
+                ).fetchall()
+            }
+        finally:
+            con.close()
+        expected = set()
+        for i, t in enumerate(texts):
+            cid = str(i)
+            for a, b, window_id, freq in p.cooccur_pairs(
+                p.extract_concepts(_cased(t)), cid
+            ):
+                expected.add((window_id, a.concept_id, b.concept_id, freq))
+        assert got == expected
+
+
+class TestTriplesCteParity:
+    """R6 scorer-rule parity: the oracle's CASE predicate/confidence
+    rules vs purecore.score_candidate over arbitrary evidence strings
+    (synonym, is_a/is_an, part_of, causes/caused_by, fallback, and
+    the 0.65 threshold).  Evidence bytes are excluded from the tuple:
+    DuckDB substr counts codepoints while the engine truncates UTF-16
+    units — a representational difference pinned separately by the
+    TestUtf16 unit oracle and moot on the (ASCII) driver corpus."""
+
+    marker_st = st.sampled_from(
+        [" is a ", " is an ", " part of ", " causes ", " caused by ", " and ", " "]
+    )
+    rich_text_st = st.lists(
+        st.tuples(word_st, marker_st), min_size=0, max_size=15
+    ).map(lambda ps: "".join(w + s for w, s in ps))
+
+    @given(st.lists(rich_text_st, min_size=1, max_size=10))
+    @settings(max_examples=40, deadline=None)
+    def test_triples_cte_matches_purecore(self, texts):
+        con = duckdb.connect()
+        try:
+            con.register(
+                "documents",
+                pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+            )
+            got = {
+                tuple(r)
+                for r in con.sql(
+                    f"WITH {E.TRIPLES_CTE} "
+                    "SELECT chunk_id, subj_id, predicate, obj_id, confidence FROM triples"
+                ).fetchall()
+            }
+        finally:
+            con.close()
+        expected = set()
+        for i, t in enumerate(texts):
+            cid = str(i)
+            for tr in p.score_triples_for_text(_cased(t), cid):
+                expected.add(
+                    (cid, tr["subj_id"], tr["predicate"], tr["obj_id"], tr["confidence"])
+                )
+        assert got == expected
