@@ -129,13 +129,38 @@ _html_enrich_udf = _make_html_enrich_udf(purecore.extract_concepts)
 _html_enrich_nlp_udf = _make_html_enrich_udf(purecore.extract_concepts_nlp)
 
 
+def _resolve_enrich_udf(strategy: str, html: bool):
+    """Strategy -> fused enrich UDF.  ``"nlp_spacy"`` (optional,
+    model-backed T4 — functions/nlp_model.py) is resolved lazily so
+    importing this module never imports spaCy; it raises a clear
+    ImportError when the dependency is absent."""
+    table = (
+        {"heuristic": _html_enrich_udf, "nlp": _html_enrich_nlp_udf}
+        if html
+        else {"heuristic": _enrich_udf, "nlp": _enrich_nlp_udf}
+    )
+    if strategy in table:
+        return table[strategy]
+    if strategy == "nlp_spacy":
+        from . import nlp_model
+
+        if not nlp_model.SPACY_AVAILABLE:
+            raise ImportError(
+                "strategy='nlp_spacy' requires spaCy (not installed); "
+                "use strategy='nlp' for the deterministic tagger"
+            )
+        maker = _make_html_enrich_udf if html else _make_enrich_udf
+        return maker(nlp_model.spacy_extractor())
+    raise KeyError(strategy)
+
+
 def enrich_pages_from_html(
     pages: DataFrame, html_col: str = "html", strategy: str = "heuristic"
 ) -> DataFrame:
     """One fused Arrow pass over raw pages: html -> text -> concepts /
     evidence / evidence100.  Returns pages with ``text``, ``concepts``,
     ``evidence``, ``evidence100`` columns added (html dropped)."""
-    udf = {"heuristic": _html_enrich_udf, "nlp": _html_enrich_nlp_udf}[strategy]
+    udf = _resolve_enrich_udf(strategy, html=True)
     return (
         pages.withColumn("_e", udf(F.col(html_col)))
         .drop(html_col)
@@ -160,7 +185,7 @@ def with_concepts(
     (application.conf:67-71): ``"heuristic"`` (default, like the
     reference's default-on heuristic pass) or ``"nlp"`` (T4,
     ConceptExtractor.scala:157-256 semantics)."""
-    udf = {"heuristic": _enrich_udf, "nlp": _enrich_nlp_udf}[strategy]
+    udf = _resolve_enrich_udf(strategy, html=False)
     return (
         chunks.withColumn("_e", udf(F.col(text_col)))
         .withColumn("concepts", F.col("_e.concepts"))
