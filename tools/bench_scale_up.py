@@ -34,19 +34,35 @@ N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 SCALE = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# the FULL bench.py query set (round-4 VERDICT item 5: every benched
+# query gets a scale-trend datapoint), in bench.py order
 QUERIES = [
     "kg_mentions",
+    "kg_mentions_nlp",
     "kg_cooccur_pairs",
+    "kg_pmi",
     "kg_triples",
     "kg_concept_search",
     "kg_connected_components",
-    "kg_pagerank",
+    "rel_tpch_q1",
+    "rel_tpch_q3",
+    "rel_tpch_q5",
+    "rel_tpch_q9",
+    "rel_top3_per_group",
+    "dd_exact",
     "dd_minhash_lsh",
     "dd_ngram_jaccard",
     "dd_simhash",
     "dd_curation",
-    "txt_stats",
+    "sim_bruteforce_topk",
     "sim_ann_topk",
+    "sim_ivf_topk",
+    "txt_stats",
+    "mm_features",
+    "dd_kmv_distinct",
+    "kg_pagerank",
+    "rel_range_join",
+    "rel_sliding_window",
 ]
 
 
@@ -98,6 +114,45 @@ def main():
         ereps.repartition(64).write.mode("overwrite").parquet(
             os.path.join(big_dir, "embeddings.parquet")
         )
+
+    # ---- relational tables for the full bench set (round 4) ----
+    # facts replicate SCALEx (key/timestamp offsets keep replicas
+    # disjoint); dimensions stay 1x — exactly how a real corpus grows.
+    if not os.path.isdir(os.path.join(big_dir, "events.parquet")):
+        ev = spark.read.parquet(f"{SRC_SF}/events.parquet")
+        span = 3_456_000  # 40 days — beyond any windowed-query horizon
+        ereps = None
+        for k in range(SCALE):
+            r = ev.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k * span} SECONDS")).alias("ts"),
+                (F.col("user_id") + F.lit(k * 1_000_000)).alias("user_id"),
+                "event_type", "value", "props",
+            )
+            ereps = r if ereps is None else ereps.unionByName(r)
+        ereps.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(big_dir, "events.parquet")
+        )
+    if not os.path.isdir(os.path.join(big_dir, "lineitem.parquet")):
+        li = spark.read.parquet(f"{SRC_SF}/lineitem.parquet")
+        od = spark.read.parquet(f"{SRC_SF}/orders.parquet")
+        lreps, oreps = None, None
+        for k in range(SCALE):
+            off = F.lit(k * 1_000_000_000)
+            lr = li.withColumn("l_orderkey", F.col("l_orderkey") + off)
+            orp = od.withColumn("o_orderkey", F.col("o_orderkey") + off)
+            lreps = lr if lreps is None else lreps.unionByName(lr)
+            oreps = orp if oreps is None else oreps.unionByName(orp)
+        lreps.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(big_dir, "lineitem.parquet")
+        )
+        oreps.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(big_dir, "orders.parquet")
+        )
+        for dim in ("customer", "supplier", "part", "nation", "region"):
+            spark.read.parquet(f"{SRC_SF}/{dim}.parquet").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(big_dir, f"{dim}.parquet"))
 
     timings: dict[str, float] = {}
 
