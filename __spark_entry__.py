@@ -861,10 +861,14 @@ def q_dd_ngram_jaccard(spark, sf_dir):
     is the default for real corpora; this synthetic corpus's ~30-word
     vocabulary makes every shared-token blocking quadratic.)"""
     d = _docs_with_dups(spark, sf_dir)
-    # cache the narrow (id, 24-long) signature table: the LSH self-join
-    # references it twice and would recompute the shingle+hash pass per
-    # branch otherwise (Spark has no automatic common-subtree reuse)
-    sigs = dedup.minhash_signatures(d, shingle_n=2, num_hashes=24).cache()
+    # stage the (id, 24-long) signature table as scratch parquet: the
+    # LSH self-join references it twice and would recompute the
+    # shingle+hash pass per branch otherwise (no automatic common-
+    # subtree reuse); parquet staging, not cache() — see
+    # dedup.stage_parquet for the measured BlockManager pathology
+    sigs = dedup.stage_parquet(
+        dedup.minhash_signatures(d, shingle_n=2, num_hashes=24), "ngj_sigs"
+    )
     cands = dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=3)
     return dedup.ngram_jaccard_pairs(
         d, threshold=0.5, shingle_n=2, candidates=cands

@@ -18,6 +18,9 @@ is deterministic with zero driver-side RNG.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -307,6 +310,43 @@ def simhash_candidates(
     )
 
 
+_SCRATCH = {"dir": None, "n": 0}
+
+
+def _scratch_dir() -> str:
+    import atexit
+    import tempfile
+
+    if _SCRATCH["dir"] is None:
+        base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+            "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        )
+        d = tempfile.mkdtemp(prefix="kg_stage_", dir=base)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH["dir"] = d
+    return _SCRATCH["dir"]
+
+
+def stage_parquet(df: DataFrame, label: str = "stage") -> DataFrame:
+    """Materialize a multiply-consumed intermediate as a scratch
+    parquet table and read it back.
+
+    This is the staging path for WIDE intermediates (signature arrays),
+    NOT ``.cache()``: on this runtime, persist() of array-heavy rows
+    through the BlockManager is pathological at every storage level
+    (measured on the 10x corpus: the 50k-row md5 signature table took
+    148.8 s to cache and 372 s under DISK_ONLY, vs ~40 s to COMPUTE
+    and write as parquet; the full LSH query ran 49 s parquet-staged
+    vs 421 s recomputed vs 150-650 s cached).  Columnar write + read
+    also survives executor loss on a real cluster, where a cached
+    block does not.  Scratch lives under $SPARK_GRAFT_SCRATCH (default
+    /dev/shm, beside spark.local.dir) and is removed at process exit."""
+    _SCRATCH["n"] += 1
+    path = os.path.join(_scratch_dir(), f"{label}_{_SCRATCH['n']:05d}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def collapse_exact_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -432,19 +472,26 @@ def minhash_near_dup_pairs(
     texts share a signature, so the LSH band join and the (wide,
     sig-carrying) jaccard-estimate joins see one row per distinct
     text; within-group pairs re-expand to est_jaccard = 1.0 exactly
-    (all signature positions equal)."""
+    (all signature positions equal).
+
+    The signature table feeds FOUR consumers (both sides of the band
+    self-join + both sides of the estimate join) and is staged as a
+    scratch parquet, not cached — see stage_parquet for the measured
+    BlockManager pathology on wide signature rows."""
     if not collapse_exact:
-        sigs = minhash_signatures(
-            df, text_col, id_col, shingle_n, num_hashes, hash_family
-        ).cache()
+        sigs = stage_parquet(
+            minhash_signatures(df, text_col, id_col, shingle_n, num_hashes, hash_family),
+            "mh_sigs",
+        )
         cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
         return minhash_jaccard_estimate(sigs, cands).where(
             F.col("est_jaccard") >= threshold
         )
     reps, mem = collapse_exact_groups(df, text_col, id_col)
-    sigs = minhash_signatures(
-        reps, text_col, id_col, shingle_n, num_hashes, hash_family
-    ).cache()
+    sigs = stage_parquet(
+        minhash_signatures(reps, text_col, id_col, shingle_n, num_hashes, hash_family),
+        "mh_sigs",
+    )
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
     rep_pairs = minhash_jaccard_estimate(sigs, cands).where(
         F.col("est_jaccard") >= threshold
