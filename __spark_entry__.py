@@ -119,10 +119,24 @@ def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENRICHED_STAGE: dict = {}
+
+
 def _enriched(spark, sf_dir):
-    # .cache() registers by canonicalized plan: every kg_* query built
-    # from the same sf_dir shares ONE extraction pass per session
-    return cf.with_concepts(_chunks(spark, sf_dir)).cache()
+    """One extraction pass per (session, sf_dir), shared by every kg_*
+    query — staged as scratch parquet and memoized, NOT .cache():
+    cached pandas-UDF-produced blocks degrade every SUBSEQUENT
+    JVM-heavy stage in the session 5-50x on this runtime (measured:
+    dd_minhash_lsh ran 22 s in a fresh session but 120-474 s after a
+    kg_* query had cached the 10x enriched table; staging to parquet
+    removes the cross-query poisoning — the round-1 pathology,
+    dedup.stage_parquet docstring)."""
+    key = (id(spark), sf_dir)
+    if key not in _ENRICHED_STAGE:
+        _ENRICHED_STAGE[key] = dedup.stage_parquet(
+            cf.with_concepts(_chunks(spark, sf_dir)), "enriched"
+        )
+    return _ENRICHED_STAGE[key]
 
 
 def _mentions(spark, sf_dir):

@@ -179,12 +179,22 @@ def main():
         if qsel == "none"
         else (qsel.split(",") if qsel else QUERIES)
     )
+    # best-of-N like bench.py: this VM's memory-heavy stages swing
+    # 3-10x draw-to-draw under host memory pressure/steal (measured:
+    # the SAME signature-write stage drew 40/49/56/138/189/474 s across
+    # probes with no code change); min-of-repeats reports the code's
+    # cost, not the host lottery
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALEUP_REPEATS", "2"))
     qs = entry.queries()
     rows = {}
     for name in names:
-        t0 = time.monotonic()
-        rows[name] = qs[name](spark, big_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            rows[name] = qs[name](spark, big_dir).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "scale_up_bench",
