@@ -515,6 +515,36 @@ def q_kg_connected_components(spark, sf_dir):
     return cc.unionByName(singles).orderBy("id")
 
 
+def _kg_cooccur_und(spark, sf_dir):
+    """Undirected (cid, nbr_id) view of the co-occurrence pair graph —
+    shared adjacency for pagerank / BFS / LPA communities."""
+    pairs = q_kg_pairs(spark, sf_dir)
+    return pairs.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
+    )
+
+
+def q_kg_communities(spark, sf_dir):
+    """GraphRAG community index: 5 rounds of synchronous label
+    propagation (majority neighbor label, ties -> min label) over the
+    co-occurrence concept graph, then (community, n_members) for the
+    50 largest.  Deterministic by construction; the DuckDB oracle
+    unrolls the 5 voting rounds as chained CTEs."""
+    labels = q.label_propagation(_kg_cooccur_und(spark, sf_dir), iters=5)
+    return q.community_sizes(labels, top_k=50)
+
+
+def q_kg_community_report(spark, sf_dir):
+    """Deterministic community reports for the 10 largest LPA
+    communities: top-5 member concepts by mention count — the
+    extractive stand-in for GraphRAG's LLM community summaries."""
+    labels = q.label_propagation(_kg_cooccur_und(spark, sf_dir), iters=5)
+    mentions = q_kg_mentions(spark, sf_dir)
+    return q.community_report(labels, mentions, top_communities=10, top_concepts=5)
+
+
 # -- relational coverage ------------------------------------------------------
 
 def q_rel_tpch_q1(spark, sf_dir):
@@ -1204,6 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fingerprint": q_dd_fingerprint,
         "dd_split": q_dd_split,
         "txt_stats": q_txt_stats,
+        # -- round-4 additions (appended at the tail: the driver grades
+        # the first 50 keys, so new entries must not evict graded rows;
+        # both are oracled below + pytest-pinned in test_graph_queries) --
+        "kg_communities": q_kg_communities,
+        "kg_community_report": q_kg_community_report,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1309,6 +1344,40 @@ ORDER BY cosine DESC, vec_id LIMIT 10"""
         _frac_hex,
     )
 
+    # kg_communities / kg_community_report: the 5 synchronous LPA
+    # voting rounds of plans/queries.label_propagation unrolled as
+    # chained CTEs — ROW_NUMBER(ORDER BY c DESC, label) rn=1 is the
+    # same argmax as Spark's min(struct(-c, label)).
+    _lpa_iters = "".join(
+        f""",
+v{k} AS (SELECT u.cid AS id, l.label, COUNT(*) AS c
+         FROM und u JOIN l{k - 1} l ON u.nbr_id = l.id GROUP BY u.cid, l.label),
+l{k} AS (SELECT id, label FROM (
+           SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+           FROM v{k}) WHERE rn = 1)"""
+        for k in range(1, 6)
+    )
+    _lpa_base = f"""und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+l0 AS (SELECT DISTINCT cid AS id, cid AS label FROM und){_lpa_iters}"""
+    _communities_sql = f"""WITH {PAIRS_CTE},
+{_lpa_base}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l5 GROUP BY label HAVING COUNT(*) >= 2
+ORDER BY n_members DESC, community LIMIT 50"""
+    _community_report_sql = f"""WITH {PAIRS_CTE},
+{_lpa_base},
+sizes AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM l5 GROUP BY label HAVING COUNT(*) >= 2
+          ORDER BY n_members DESC, community LIMIT 10),
+mcounts AS (SELECT concept_id, lemma, CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM mentions GROUP BY concept_id, lemma),
+ranked AS (SELECT s.community, s.n_members, c.concept_id, c.lemma, c.n_mentions,
+                  ROW_NUMBER() OVER (PARTITION BY s.community
+                                     ORDER BY c.n_mentions DESC, c.lemma, c.concept_id) AS rank
+           FROM mcounts c JOIN l5 l ON c.concept_id = l.id
+           JOIN sizes s ON l.label = s.community)
+SELECT community, n_members, rank, concept_id, lemma, n_mentions
+FROM ranked WHERE rank <= 5 ORDER BY n_members DESC, community, rank"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1317,6 +1386,8 @@ deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
 r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){_pr_iters}
 SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
     return {
+        "kg_communities": _communities_sql,
+        "kg_community_report": _community_report_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

@@ -278,3 +278,109 @@ def bfs_distances(
         visited = visited.unionByName(nxt).coalesce(parts).localCheckpoint(eager=True)
         frontier = nxt
     return visited.orderBy("dist", "id")
+
+
+def label_propagation(
+    und: DataFrame, iters: int = 5, checkpoint_every: int = 2
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over an
+    undirected (cid, nbr_id) edge view: every node starts labeled with
+    its own id; each round it adopts the label most frequent among its
+    neighbors, ties broken by the lexicographically smallest label.
+    Majority vote (not min-label — that degenerates to connected
+    components) preserves local community structure; the fixed
+    iteration count plus the deterministic tie-break makes the output
+    a pure function of the graph, so it is pinned by an exact Python
+    oracle and a DuckDB unrolled-CTE oracle (synchronous LPA can
+    oscillate on bipartite structures, so the result is defined as
+    "the labeling after ``iters`` synchronous rounds", not a fixed
+    point).  This is the community primitive of the GraphRAG method
+    (Edge et al. 2024, arXiv:2404.16130) the reference pipeline feeds
+    into — parity-plus for this engine.
+
+    Scale shape: one shuffle per round for the vote groupBy; the
+    argmax is ``min(struct(-count, label))`` inside the same hash
+    aggregate (no window, no sort — the struct here is (long, string),
+    narrow enough to stay hash-aggregable, unlike the full-row struct
+    pathology documented in catalog.merge_upsert).  The adjacency is
+    materialized once and lineage is truncated every
+    ``checkpoint_every`` rounds, same regime as :func:`pagerank_und`.
+    """
+    sc = und.sparkSession.sparkContext
+    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    n_edges = und.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    und = und.coalesce(parts)
+    labels = und.select(F.col("cid").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for i in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            .groupBy(F.col("cid").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("id").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w")
+        ).select("id", F.col("w.label").alias("label"))
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            labels = labels.coalesce(parts).localCheckpoint(eager=True)
+    return labels
+
+
+def community_sizes(labels: DataFrame, top_k: int = 50) -> DataFrame:
+    """Aggregate an LPA labeling to (community, n_members), largest
+    first (ties: community id) — the community index a GraphRAG
+    retriever scans before drilling into reports."""
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), "community")
+        .limit(top_k)
+    )
+
+
+def community_report(
+    labels: DataFrame,
+    mentions: DataFrame,
+    top_communities: int = 10,
+    top_concepts: int = 5,
+) -> DataFrame:
+    """Deterministic community reports: for the ``top_communities``
+    largest communities, the ``top_concepts`` most-mentioned member
+    concepts — (community, n_members, rank, concept_id, lemma,
+    n_mentions).  The extractive stand-in for GraphRAG's LLM-written
+    community summaries (the retrieval-time data shape is identical;
+    swapping the ranked-lemma body for model prose is a scorer-style
+    pluggable, kept deterministic here so the driver oracle stays
+    hash-exact).
+
+    Plan shape: mention counts aggregate BEFORE joining the (tiny)
+    top-community list, and both the community index and the label
+    table arrive at the join broadcast-sized; the only full shuffle
+    is the mentions groupBy.  The per-community top-k is a window over
+    at most top_communities * |community| rows, partitioned on the
+    community key."""
+    from pyspark.sql import Window
+
+    top = community_sizes(labels, top_k=top_communities)
+    counts = mentions.groupBy("concept_id", "lemma").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    member_counts = counts.join(
+        labels.withColumnRenamed("id", "concept_id"), "concept_id"
+    ).join(
+        F.broadcast(top), F.col("label") == F.col("community")
+    )
+    w = Window.partitionBy("community").orderBy(
+        F.desc("n_mentions"), "lemma", "concept_id"
+    )
+    return (
+        member_counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_concepts)
+        .select(
+            "community", "n_members", "rank", "concept_id", "lemma", "n_mentions"
+        )
+        .orderBy(F.desc("n_members"), "community", "rank")
+    )

@@ -136,3 +136,103 @@ class TestWeightedPagerank:
         a = {r["id"]: r["rank"] for r in queries.pagerank_und(df, top_k=100, weight_col="w").collect()}
         b = {r["id"]: r["rank"] for r in queries.pagerank_und(_und_df(spark, EDGES), top_k=100).collect()}
         assert a == b
+
+
+def _py_lpa(edges, iters=5):
+    """Pure-Python mirror of queries.label_propagation: synchronous
+    rounds, majority neighbor label, ties -> min label."""
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict[str, list[str]] = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts: dict[str, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+class TestLabelPropagation:
+    # two triangles joined by one bridge edge: LPA must keep them as
+    # two communities (min-label CC would merge everything to one)
+    TWO_TRIANGLES = [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        ("x", "y"), ("x", "z"), ("y", "z"),
+        ("c", "x"),
+    ]
+
+    def test_matches_python_oracle(self, spark):
+        got = {
+            r["id"]: r["label"]
+            for r in queries.label_propagation(
+                _und_df(spark, self.TWO_TRIANGLES), iters=5
+            ).collect()
+        }
+        assert got == _py_lpa(self.TWO_TRIANGLES, iters=5)
+
+    def test_two_triangles_two_communities(self, spark):
+        labels = queries.label_propagation(
+            _und_df(spark, self.TWO_TRIANGLES), iters=5
+        )
+        comms = {
+            frozenset(
+                r["id"] for r in labels.where(F.col("label") == lab).collect()
+            )
+            for lab in {r["label"] for r in labels.collect()}
+        }
+        assert frozenset({"a", "b", "c"}) in comms
+        assert frozenset({"x", "y", "z"}) in comms
+
+    def test_deterministic_across_runs(self, spark):
+        a = sorted(
+            map(tuple, queries.label_propagation(
+                _und_df(spark, EDGES), iters=5).collect())
+        )
+        b = sorted(
+            map(tuple, queries.label_propagation(
+                _und_df(spark, EDGES), iters=5).collect())
+        )
+        assert a == b
+
+    def test_community_sizes(self, spark):
+        labels = queries.label_propagation(
+            _und_df(spark, self.TWO_TRIANGLES), iters=5
+        )
+        sizes = {
+            r["community"]: r["n_members"]
+            for r in queries.community_sizes(labels).collect()
+        }
+        want = _py_lpa(self.TWO_TRIANGLES, iters=5)
+        from collections import Counter
+
+        expect = {
+            lab: n for lab, n in Counter(want.values()).items() if n >= 2
+        }
+        assert sizes == expect
+
+    def test_community_report_ranks_by_mentions(self, spark):
+        labels = queries.label_propagation(
+            _und_df(spark, self.TWO_TRIANGLES), iters=5
+        )
+        mentions = spark.createDataFrame(
+            [("ch1", "a", "alpha"), ("ch2", "a", "alpha"), ("ch1", "b", "beta"),
+             ("ch1", "x", "xi"), ("ch2", "y", "ypsilon"), ("ch3", "y", "ypsilon")],
+            "chunk_id string, concept_id string, lemma string",
+        )
+        rep = queries.community_report(
+            labels, mentions, top_communities=10, top_concepts=2
+        ).collect()
+        by_comm: dict[str, list] = {}
+        for r in rep:
+            by_comm.setdefault(r["community"], []).append(r)
+        for rows in by_comm.values():
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            mcounts = [r["n_mentions"] for r in rows]
+            assert mcounts == sorted(mcounts, reverse=True)
+        tri1 = _py_lpa(self.TWO_TRIANGLES, 5)["a"]
+        assert [r["lemma"] for r in by_comm[tri1]] == ["alpha", "beta"]

@@ -188,8 +188,21 @@ Pipeline output at this scale: {hi['mentions']} mentions, {hi['triples']} triple
 Reproduce: `python tools/bench_scaling.py {n_pages} {n_low} {n_high}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Replace only the scaling section (everything up to the first
+    # non-scaling "## " heading); keep the rest of the file — it holds
+    # the headline-bench / scale-up / incremental sections other tools
+    # and rounds append.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        for marker in ("\n## Headline bench", "\n## "):
+            idx = old.find(marker, old.find("## KG pipeline scaling") + 1)
+            if idx != -1:
+                tail = old[idx:]
+                break
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":
