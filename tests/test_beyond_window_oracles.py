@@ -1,0 +1,90 @@
+"""The driver's CORRECTNESS gate grades only the FIRST 50
+``__spark_entry__.queries()`` keys; everything past that window is
+invisible to the per-round hash compare.  This module closes the blind
+spot in CI: every beyond-window entry that carries an ``oracle_sql()``
+string is replayed here — Spark result vs DuckDB oracle at sf0.001,
+compared with the same normalize-sort-hash discipline as
+``tools/check_oracle.py`` (sorted columns, rounded floats, stringified
+objects, order-insensitive rows).  A demoted or newly-appended query
+therefore keeps a value-exact check even though the driver never sees
+it.  A beyond-window entry WITHOUT an oracle would only be tolerated
+for sim_ivf_topk (seeded numpy k-means init, not SQL-expressible;
+pinned by its own exact numpy pytest oracle) — currently it sits
+inside the graded window, so the rows-only list is empty and the
+inventory test guards that any future unoracled addition fails loudly.
+"""
+
+import decimal
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+GRADED_WINDOW = 50
+
+_QS = E.queries()
+_ORACLES = E.oracle_sql()
+_BEYOND = list(_QS)[GRADED_WINDOW:]
+_ORACLED = [k for k in _BEYOND if k in _ORACLES]
+_ROWS_ONLY = [k for k in _BEYOND if k not in _ORACLES]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], decimal.Decimal):
+                df[c] = df[c].astype("float64").round(6)
+            else:
+                df[c] = df[c].astype(str)
+        elif dt.startswith("float"):
+            df[c] = df[c].astype("float64").round(6)
+        elif dt.startswith(("int", "uint", "Int", "UInt")):
+            df[c] = df[c].astype("int64")
+        elif "datetime" in dt:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_window_inventory():
+    """The graded window must stay exactly 50 wide and every contract
+    key must be accounted for (oracled or deliberately rows-only)."""
+    assert len(_QS) >= GRADED_WINDOW
+    assert set(_ROWS_ONLY) <= {"sim_ivf_topk"}, (
+        "new beyond-window query without an oracle_sql entry: "
+        f"{set(_ROWS_ONLY) - {'sim_ivf_topk'}}"
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_beyond_window_oracle(name, spark, duck):
+    sdf = _QS[name](spark, SF).toPandas()
+    odf = duck.sql(_ORACLES[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns), (
+        f"{name}: spark={list(s.columns)} oracle={list(o.columns)}"
+    )
+    assert len(s) == len(o), f"{name}: spark={len(s)} oracle={len(o)} rows"
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_nonempty(name, spark):
+    assert _QS[name](spark, SF).count() > 0
