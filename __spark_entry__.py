@@ -545,6 +545,15 @@ def q_kg_community_report(spark, sf_dir):
     return q.community_report(labels, mentions, top_communities=10, top_concepts=5)
 
 
+def q_kg_global_search(spark, sf_dir):
+    """GraphRAG global search: rank LPA communities by how strongly
+    the query pattern lights up their member concepts (total matched
+    mentions; argmax lemma as the community headline)."""
+    labels = q.label_propagation(_kg_cooccur_und(spark, sf_dir), iters=5)
+    mentions = q_kg_mentions(spark, sf_dir)
+    return q.global_search(labels, mentions, pattern="a", top_k=10)
+
+
 # -- relational coverage ------------------------------------------------------
 
 def q_rel_tpch_q1(spark, sf_dir):
@@ -1239,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both are oracled below + pytest-pinned in test_graph_queries) --
         "kg_communities": q_kg_communities,
         "kg_community_report": q_kg_community_report,
+        "kg_global_search": q_kg_global_search,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1378,6 +1388,25 @@ ranked AS (SELECT s.community, s.n_members, c.concept_id, c.lemma, c.n_mentions,
            JOIN sizes s ON l.label = s.community)
 SELECT community, n_members, rank, concept_id, lemma, n_mentions
 FROM ranked WHERE rank <= 5 ORDER BY n_members DESC, community, rank"""
+    _global_search_sql = f"""WITH {PAIRS_CTE},
+{_lpa_base},
+mcounts AS (SELECT concept_id, lemma, CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM mentions WHERE contains(lemma, 'a')
+            GROUP BY concept_id, lemma),
+sizes AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM l5 GROUP BY label),
+matched AS (SELECT l.label AS community, c.lemma, c.n_mentions,
+                   ROW_NUMBER() OVER (PARTITION BY l.label
+                                      ORDER BY c.n_mentions DESC, c.lemma) AS rn
+            FROM mcounts c JOIN l5 l ON c.concept_id = l.id),
+scored AS (SELECT community,
+                  CAST(SUM(n_mentions) AS BIGINT) AS score,
+                  CAST(COUNT(*) AS BIGINT) AS n_matched,
+                  MAX(CASE WHEN rn = 1 THEN lemma END) AS top_lemma
+           FROM matched GROUP BY community)
+SELECT s.community, z.n_members, s.score, s.n_matched, s.top_lemma
+FROM scored s JOIN sizes z ON s.community = z.community
+ORDER BY s.score DESC, s.community LIMIT 10"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1388,6 +1417,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
     return {
         "kg_communities": _communities_sql,
         "kg_community_report": _community_report_sql,
+        "kg_global_search": _global_search_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

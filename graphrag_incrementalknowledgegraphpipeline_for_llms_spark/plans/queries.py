@@ -384,3 +384,60 @@ def community_report(
         )
         .orderBy(F.desc("n_members"), "community", "rank")
     )
+
+
+def global_search(
+    labels: DataFrame,
+    mentions: DataFrame,
+    pattern: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """GraphRAG GLOBAL search (Edge et al. 2024 §3.4): answer a query
+    from the community level down, not the entity level up.  The
+    extractive-deterministic version: communities are ranked by how
+    strongly the query pattern lights them up — ``score`` = total
+    mentions of member concepts whose lemma contains ``pattern``,
+    ``n_matched`` = how many distinct member concepts matched, and
+    ``top_lemma`` = the strongest matching concept (the headline the
+    community would lead its summary with).  Output: (community,
+    n_members, score, n_matched, top_lemma), score-desc, community
+    tie-break.  Complements :func:`community_report` (browse) and
+    ``hybrid_concept_search`` (entity-level/local search).
+
+    Plan shape: the lemma filter prunes the mention-count aggregate
+    BEFORE any join; the label join keys on concept_id; community
+    sizes come from one narrow groupBy over the label table; the
+    argmax lemma is ``min(struct(-n, lemma))`` inside the same hash
+    aggregate as the score sum — no window, one shuffle per groupBy,
+    nothing corpus-wide moves except matched concepts."""
+    counts = (
+        mentions.where(F.col("lemma").contains(pattern))
+        .groupBy("concept_id", "lemma")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    scored = (
+        counts.join(labels.withColumnRenamed("id", "concept_id"), "concept_id")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.sum("n_mentions").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+            F.min(
+                F.struct((-F.col("n_mentions")).alias("nm"), F.col("lemma"))
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.join(sizes, "community")
+        .select(
+            "community",
+            "n_members",
+            "score",
+            "n_matched",
+            F.col("w.lemma").alias("top_lemma"),
+        )
+        .orderBy(F.desc("score"), "community")
+        .limit(top_k)
+    )

@@ -236,3 +236,42 @@ class TestLabelPropagation:
             assert mcounts == sorted(mcounts, reverse=True)
         tri1 = _py_lpa(self.TWO_TRIANGLES, 5)["a"]
         assert [r["lemma"] for r in by_comm[tri1]] == ["alpha", "beta"]
+
+    def test_global_search_matches_python_oracle(self, spark):
+        labels = queries.label_propagation(
+            _und_df(spark, self.TWO_TRIANGLES), iters=5
+        )
+        mentions = spark.createDataFrame(
+            [("ch1", "a", "alpha"), ("ch2", "a", "alpha"), ("ch1", "b", "beta"),
+             ("ch1", "x", "xi_alt"), ("ch2", "y", "ypsilon"), ("ch3", "y", "ypsilon"),
+             ("ch3", "z", "zeta")],
+            "chunk_id string, concept_id string, lemma string",
+        )
+        got = [
+            tuple(r)
+            for r in queries.global_search(
+                labels, mentions, pattern="al", top_k=10
+            ).collect()
+        ]
+        # pure-Python mirror: pattern "al" matches alpha(x2) and xi_alt(x1)
+        lab = _py_lpa(self.TWO_TRIANGLES, 5)
+        from collections import Counter
+
+        sizes = Counter(lab.values())
+        per_comm: dict[str, list[tuple[str, int]]] = {}
+        for cid, lemma, n in [("a", "alpha", 2), ("x", "xi_alt", 1)]:
+            per_comm.setdefault(lab[cid], []).append((lemma, n))
+        expect = sorted(
+            (
+                (
+                    comm,
+                    sizes[comm],
+                    sum(n for _, n in ms),
+                    len(ms),
+                    min(ms, key=lambda t: (-t[1], t[0]))[0],
+                )
+                for comm, ms in per_comm.items()
+            ),
+            key=lambda t: (-t[2], t[0]),
+        )
+        assert got == expect
