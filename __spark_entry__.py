@@ -554,6 +554,12 @@ def q_kg_global_search(spark, sf_dir):
     return q.global_search(labels, mentions, pattern="a", top_k=10)
 
 
+def q_kg_community_hierarchy(spark, sf_dir):
+    """Two-level GraphRAG community hierarchy: LPA at level 0, then
+    weighted LPA over the contracted community graph at level 1."""
+    return q.community_hierarchy(_kg_cooccur_und(spark, sf_dir), iters=5).orderBy("id")
+
+
 # -- relational coverage ------------------------------------------------------
 
 def q_rel_tpch_q1(spark, sf_dir):
@@ -1249,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_community_report": q_kg_community_report,
         "kg_global_search": q_kg_global_search,
+        "kg_community_hierarchy": q_kg_community_hierarchy,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1358,17 +1365,26 @@ ORDER BY cosine DESC, vec_id LIMIT 10"""
     # voting rounds of plans/queries.label_propagation unrolled as
     # chained CTEs — ROW_NUMBER(ORDER BY c DESC, label) rn=1 is the
     # same argmax as Spark's min(struct(-c, label)).
-    _lpa_iters = "".join(
-        f""",
-v{k} AS (SELECT u.cid AS id, l.label, COUNT(*) AS c
-         FROM und u JOIN l{k - 1} l ON u.nbr_id = l.id GROUP BY u.cid, l.label),
-l{k} AS (SELECT id, label FROM (
+    def _lpa_cte(prefix: str, edges: str, vote: str = "COUNT(*)") -> str:
+        """Chained-CTE unroll of one 5-round synchronous LPA pass over
+        edge CTE ``edges`` (cols cid, nbr_id[, w]); ``vote`` is the
+        ballot aggregate (COUNT(*) unweighted, SUM(u.w) weighted)."""
+        rounds = "".join(
+            f""",
+{prefix}v{k} AS (SELECT u.cid AS id, l.label, {vote} AS c
+         FROM {edges} u JOIN {prefix}l{k - 1} l ON u.nbr_id = l.id GROUP BY u.cid, l.label),
+{prefix}l{k} AS (SELECT id, label FROM (
            SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
-           FROM v{k}) WHERE rn = 1)"""
-        for k in range(1, 6)
-    )
+           FROM {prefix}v{k}) WHERE rn = 1)"""
+            for k in range(1, 6)
+        )
+        return (
+            f"{prefix}l0 AS (SELECT DISTINCT cid AS id, cid AS label FROM {edges})"
+            + rounds
+        )
+
     _lpa_base = f"""und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
-l0 AS (SELECT DISTINCT cid AS id, cid AS label FROM und){_lpa_iters}"""
+{_lpa_cte("", "und")}"""
     _communities_sql = f"""WITH {PAIRS_CTE},
 {_lpa_base}
 SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
@@ -1407,6 +1423,15 @@ scored AS (SELECT community,
 SELECT s.community, z.n_members, s.score, s.n_matched, s.top_lemma
 FROM scored s JOIN sizes z ON s.community = z.community
 ORDER BY s.score DESC, s.community LIMIT 10"""
+    _hierarchy_sql = f"""WITH {PAIRS_CTE},
+{_lpa_base},
+contracted AS (SELECT la.label AS cid, lb.label AS nbr_id, COUNT(*) AS w
+               FROM und u JOIN l5 la ON u.cid = la.id
+               JOIN l5 lb ON u.nbr_id = lb.id
+               WHERE la.label <> lb.label GROUP BY la.label, lb.label),
+{_lpa_cte("h", "contracted", "SUM(u.w)")}
+SELECT l.id, l.label AS label_l0, COALESCE(h.label, l.label) AS label_l1
+FROM l5 l LEFT JOIN hl5 h ON l.label = h.id ORDER BY l.id"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1418,6 +1443,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_communities": _communities_sql,
         "kg_community_report": _community_report_sql,
         "kg_global_search": _global_search_sql,
+        "kg_community_hierarchy": _hierarchy_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

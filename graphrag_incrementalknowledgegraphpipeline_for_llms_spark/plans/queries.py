@@ -281,7 +281,10 @@ def bfs_distances(
 
 
 def label_propagation(
-    und: DataFrame, iters: int = 5, checkpoint_every: int = 2
+    und: DataFrame,
+    iters: int = 5,
+    checkpoint_every: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over an
     undirected (cid, nbr_id) edge view: every node starts labeled with
@@ -305,20 +308,31 @@ def label_propagation(
     pathology documented in catalog.merge_upsert).  The adjacency is
     materialized once and lineage is truncated every
     ``checkpoint_every`` rounds, same regime as :func:`pagerank_und`.
+
+    ``weight_col``: optional long edge-weight column — votes become
+    ``sum(weight)`` instead of edge counts (used by the hierarchy
+    level-1 pass, where the contracted graph's weights are
+    inter-community edge multiplicities).  Weights must be integral so
+    the argmax tie-break stays exact.
     """
     sc = und.sparkSession.sparkContext
-    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    cols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
+    und = und.select(*cols)
+    if not weight_col:
+        und = und.distinct()
+    und = und.localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
     labels = und.select(F.col("cid").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    vote = F.sum(weight_col) if weight_col else F.count(F.lit(1))
     for i in range(iters):
         votes = (
             und.join(labels.withColumnRenamed("id", "nbr_id"), "nbr_id")
             .groupBy(F.col("cid").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(vote.alias("c"))
         )
         labels = votes.groupBy("id").agg(
             F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w")
@@ -326,6 +340,57 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             labels = labels.coalesce(parts).localCheckpoint(eager=True)
     return labels
+
+
+def community_hierarchy(
+    und: DataFrame, iters: int = 5, checkpoint_every: int = 2
+) -> DataFrame:
+    """Two-level GraphRAG community hierarchy: (id, label_l0,
+    label_l1).  Level 0 is plain LPA; level 1 re-runs LPA on the
+    CONTRACTED graph — one node per level-0 community, edges between
+    communities weighted by inter-community edge multiplicity (the
+    Louvain/Leiden contraction step, with LPA as the per-level
+    clusterer; GraphRAG's level-C0/C1 community structure, Edge et
+    al. 2024 §3.2).  label_l1 is constant within a label_l0 group, so
+    the hierarchy is strictly nested by construction.
+
+    Scale shape: the contraction is one self-joined relabel of the
+    edge list (two broadcast-sized label joins) + a groupBy to sum
+    multiplicities; the level-1 LPA then runs on a graph no larger
+    than the community count — typically orders of magnitude smaller
+    than the input, so the second level is nearly free.  Weighted
+    votes keep the contracted multigraph's edge mass (an unweighted
+    pass would treat a 1000-edge bridge like a single edge)."""
+    l0 = label_propagation(und, iters=iters, checkpoint_every=checkpoint_every)
+    relabel = (
+        und.select("cid", "nbr_id")
+        .distinct()
+        .join(l0.withColumnRenamed("id", "cid").withColumnRenamed("label", "la"), "cid")
+        .join(l0.withColumnRenamed("id", "nbr_id").withColumnRenamed("label", "lb"), "nbr_id")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy(F.col("la").alias("cid"), F.col("lb").alias("nbr_id"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    l1 = label_propagation(
+        relabel, iters=iters, checkpoint_every=checkpoint_every, weight_col="w"
+    )
+    return (
+        l0.select("id", F.col("label").alias("label_l0"))
+        .join(
+            l1.select(
+                F.col("id").alias("label_l0"), F.col("label").alias("label_l1")
+            ),
+            "label_l0",
+            "left",
+        )
+        # isolated level-0 communities (no cross-community edge) are
+        # their own level-1 community
+        .select(
+            "id",
+            "label_l0",
+            F.coalesce("label_l1", "label_l0").alias("label_l1"),
+        )
+    )
 
 
 def community_sizes(labels: DataFrame, top_k: int = 50) -> DataFrame:

@@ -237,6 +237,50 @@ class TestLabelPropagation:
         tri1 = _py_lpa(self.TWO_TRIANGLES, 5)["a"]
         assert [r["lemma"] for r in by_comm[tri1]] == ["alpha", "beta"]
 
+    def test_hierarchy_matches_python_oracle(self, spark):
+        # four triangles in a chain — level 0 finds 4 communities,
+        # level 1 clusters the contracted 4-node path further
+        edges = []
+        tris = [("a", "b", "c"), ("d", "e", "f"), ("g", "h", "i"), ("j", "k", "l")]
+        for t in tris:
+            edges += [(t[0], t[1]), (t[0], t[2]), (t[1], t[2])]
+        edges += [("c", "d"), ("f", "g"), ("i", "j")]
+        got = {
+            r["id"]: (r["label_l0"], r["label_l1"])
+            for r in queries.community_hierarchy(
+                _und_df(spark, edges), iters=5
+            ).collect()
+        }
+        l0 = _py_lpa(edges, iters=5)
+        # contracted weighted graph
+        sym = set(edges) | {(b, a) for a, b in edges}
+        w: dict[tuple[str, str], int] = {}
+        for a, b in sym:
+            if l0[a] != l0[b]:
+                k = (l0[a], l0[b])
+                w[k] = w.get(k, 0) + 1
+        # weighted LPA over the contracted nodes that have cross edges
+        nodes1 = {a for a, _ in w}
+        lab = {v: v for v in nodes1}
+        for _ in range(5):
+            nxt = {}
+            for v in nodes1:
+                counts: dict[str, int] = {}
+                for (a, b), wt in w.items():
+                    if a == v:
+                        counts[lab[b]] = counts.get(lab[b], 0) + wt
+                nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+            lab = nxt
+        expect = {
+            n: (l0[n], lab.get(l0[n], l0[n])) for n in l0
+        }
+        assert got == expect
+        # strict nesting: label_l1 constant within each label_l0 group
+        by_l0: dict[str, set] = {}
+        for _, (a, b) in got.items():
+            by_l0.setdefault(a, set()).add(b)
+        assert all(len(s) == 1 for s in by_l0.values())
+
     def test_global_search_matches_python_oracle(self, spark):
         labels = queries.label_propagation(
             _und_df(spark, self.TWO_TRIANGLES), iters=5

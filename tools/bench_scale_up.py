@@ -61,6 +61,8 @@ QUERIES = [
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
+    "kg_communities",
+    "kg_global_search",
     "rel_range_join",
     "rel_sliding_window",
 ]
