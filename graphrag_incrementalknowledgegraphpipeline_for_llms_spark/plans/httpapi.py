@@ -196,6 +196,85 @@ class GraphApiService:
             for r in rows
         ]
 
+    # -- communities (parity-plus: no reference analog — the GraphRAG
+    # community index/report/global-search surface over the same graph) --
+
+    def _concept_und(self):
+        from pyspark.sql import functions as F
+
+        e = self.edges.where(
+            (F.col("src_label") == "Concept") & (F.col("dst_label") == "Concept")
+        )
+        a = e.select(F.col("src_id").alias("cid"), F.col("dst_id").alias("nbr_id"))
+        return a.unionByName(
+            e.select(F.col("dst_id").alias("cid"), F.col("src_id").alias("nbr_id"))
+        )
+
+    def _lpa_labels(self):
+        """Labels are a pure function of the edge set — computed once
+        per service instance (LPA is iterative; per-request recompute
+        would redo 5 shuffle rounds for an identical answer)."""
+        if getattr(self, "_labels", None) is None:
+            self._labels = q.label_propagation(self._concept_und(), iters=5)
+        return self._labels
+
+    def communities(self, top_k: int = 20, pattern: str | None = None) -> dict:
+        labels = self._lpa_labels()
+        if pattern:
+            if self.mentions is None:
+                raise KeyError("communities search requires a mentions table")
+            rows = q.global_search(
+                labels, self.mentions, pattern, top_k=top_k
+            ).collect()
+            return {
+                "pattern": pattern,
+                "communities": [
+                    {
+                        "communityId": r["community"],
+                        "memberCount": r["n_members"],
+                        "score": r["score"],
+                        "matchedConcepts": r["n_matched"],
+                        "topLemma": r["top_lemma"],
+                    }
+                    for r in rows
+                ],
+            }
+        rows = q.community_sizes(labels, top_k=top_k).collect()
+        return {
+            "communities": [
+                {"communityId": r["community"], "memberCount": r["n_members"]}
+                for r in rows
+            ]
+        }
+
+    def community_reports(self, top: int = 10, concepts: int = 5) -> dict:
+        if self.mentions is None:
+            raise KeyError("community reports require a mentions table")
+        rows = q.community_report(
+            self._lpa_labels(),
+            self.mentions,
+            top_communities=top,
+            top_concepts=concepts,
+        ).collect()
+        reports: dict[str, dict] = {}
+        for r in rows:
+            rep = reports.setdefault(
+                r["community"],
+                {
+                    "communityId": r["community"],
+                    "memberCount": r["n_members"],
+                    "topConcepts": [],
+                },
+            )
+            rep["topConcepts"].append(
+                {
+                    "conceptId": r["concept_id"],
+                    "lemma": r["lemma"],
+                    "mentionCount": r["n_mentions"],
+                }
+            )
+        return {"reports": list(reports.values())}
+
     # -- query orchestration ----------------------------------------------
 
     @staticmethod
@@ -396,6 +475,28 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         )
                     except KeyError as e:
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
+                if path == "/v1/communities/report":
+                    try:
+                        return self._send(
+                            200,
+                            service.community_reports(
+                                top=int(qs.get("top", "10")),
+                                concepts=int(qs.get("concepts", "5")),
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
+                if path == "/v1/communities":
+                    try:
+                        return self._send(
+                            200,
+                            service.communities(
+                                top_k=int(qs.get("top", "20")),
+                                pattern=qs.get("pattern"),
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
                 if path.startswith("/v1/jobs/") and path.endswith("/result"):
                     job_id = path[len("/v1/jobs/"):-len("/result")]
                     code, payload = service.job_result(job_id)

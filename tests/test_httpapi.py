@@ -21,7 +21,10 @@ def server(spark, tmp_path_factory):
     pages = datagen.pages_df(spark, 40)
     pipeline.run_pipeline(spark, pages, cat, extract_from_html=True)
     svc = httpapi.GraphApiService(
-        spark, cat.read(spark, "nodes"), cat.read(spark, "edges")
+        spark,
+        cat.read(spark, "nodes"),
+        cat.read(spark, "edges"),
+        mentions=cat.read(spark, "mentions"),
     )
     srv, port = httpapi.serve_background(svc)
     yield f"http://127.0.0.1:{port}", svc
@@ -174,3 +177,59 @@ def test_bad_request(server):
     base, _ = server
     status, body = _post(base, "/v1/query", {"nope": 1})
     assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
+
+
+def test_communities_index(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/communities?top=5")
+    assert status == 200 and body["success"] is True
+    comms = body["data"]["communities"]
+    assert comms and len(comms) <= 5
+    sizes = [c["memberCount"] for c in comms]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(c["communityId"] and c["memberCount"] >= 2 for c in comms)
+
+
+def test_communities_global_search(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/communities?pattern=data&top=5")
+    assert status == 200
+    data = body["data"]
+    assert data["pattern"] == "data"
+    for c in data["communities"]:
+        assert c["score"] >= c["matchedConcepts"] >= 1
+        assert c["topLemma"]
+    scores = [c["score"] for c in data["communities"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_community_reports(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/communities/report?top=3&concepts=2")
+    assert status == 200
+    reports = body["data"]["reports"]
+    assert reports and len(reports) <= 3
+    for rep in reports:
+        assert 1 <= len(rep["topConcepts"]) <= 2
+        counts = [c["mentionCount"] for c in rep["topConcepts"]]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_communities_without_mentions_is_400(spark):
+    svc2 = httpapi.GraphApiService(
+        spark,
+        spark.createDataFrame([], "label string, id string"),
+        spark.createDataFrame(
+            [],
+            "src_label string, src_id string, rel string, "
+            "dst_label string, dst_id string",
+        ),
+    )
+    srv, port = httpapi.serve_background(svc2)
+    try:
+        status, body = _get_raw(
+            f"http://127.0.0.1:{port}", "/v1/communities?pattern=x"
+        )
+        assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
+    finally:
+        srv.shutdown()
