@@ -560,6 +560,19 @@ def q_kg_community_hierarchy(spark, sf_dir):
     return q.community_hierarchy(_kg_cooccur_und(spark, sf_dir), iters=5).orderBy("id")
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-concept triangle counts + clustering coefficient via the
+    degree-oriented wedge join (skew-bounded: wedges enumerate only at
+    their minimum-degree apex)."""
+    return q.triangle_counts(_kg_cooccur_und(spark, sf_dir), top_k=100)
+
+
+def q_kg_related_concepts(spark, sf_dir):
+    """Link prediction over the co-occurrence graph: non-adjacent
+    concept pairs at distance 2 ranked by neighborhood Jaccard."""
+    return q.related_concepts(_kg_cooccur_und(spark, sf_dir), top_k=20, min_common=2)
+
+
 # -- relational coverage ------------------------------------------------------
 
 def q_rel_tpch_q1(spark, sf_dir):
@@ -1256,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_report": q_kg_community_report,
         "kg_global_search": q_kg_global_search,
         "kg_community_hierarchy": q_kg_community_hierarchy,
+        "kg_triangles": q_kg_triangles,
+        "kg_related_concepts": q_kg_related_concepts,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1432,6 +1447,40 @@ contracted AS (SELECT la.label AS cid, lb.label AS nbr_id, COUNT(*) AS w
 {_lpa_cte("h", "contracted", "SUM(u.w)")}
 SELECT l.id, l.label AS label_l0, COALESCE(h.label, l.label) AS label_l1
 FROM l5 l LEFT JOIN hl5 h ON l.label = h.id ORDER BY l.id"""
+    _triangles_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS lo, GREATEST(cid, nbr_id) AS hi
+      FROM und WHERE cid <> nbr_id),
+deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e) GROUP BY id),
+o AS (SELECT CASE WHEN da.degree <= db.degree THEN e.lo ELSE e.hi END AS src,
+             CASE WHEN da.degree <= db.degree THEN e.hi ELSE e.lo END AS dst
+      FROM e JOIN deg da ON e.lo = da.id JOIN deg db ON e.hi = db.id),
+w AS (SELECT o1.src, o1.dst AS d1, o2.dst AS d2
+      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+t AS (SELECT w.src, w.d1, w.d2 FROM w JOIN e ON w.d1 = e.lo AND w.d2 = e.hi),
+corners AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM
+            (SELECT src AS id FROM t UNION ALL SELECT d1 FROM t UNION ALL SELECT d2 FROM t)
+            GROUP BY id)
+SELECT deg.id, deg.degree, COALESCE(c.triangles, 0) AS triangles,
+       ROUND(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * COALESCE(c.triangles, 0) / (deg.degree * (deg.degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN corners c ON deg.id = c.id
+ORDER BY triangles DESC, deg.id LIMIT 100"""
+    _related_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
+cand AS (SELECT n1.nbr_id AS a, n2.nbr_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+         FROM adj n1 JOIN adj n2 ON n1.cid = n2.cid AND n1.nbr_id < n2.nbr_id
+         GROUP BY n1.nbr_id, n2.nbr_id HAVING COUNT(*) >= 2),
+e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS a, GREATEST(cid, nbr_id) AS b FROM adj),
+nonadj AS (SELECT c.* FROM cand c ANTI JOIN e ON c.a = e.a AND c.b = e.b),
+deg AS (SELECT cid AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY cid)
+SELECT n.a, n.b, n.common,
+       ROUND(n.common / (da.degree + db.degree - n.common), 6) AS jaccard
+FROM nonadj n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
+ORDER BY jaccard DESC, n.common DESC, n.a, n.b LIMIT 20"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1444,6 +1493,8 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_community_report": _community_report_sql,
         "kg_global_search": _global_search_sql,
         "kg_community_hierarchy": _hierarchy_sql,
+        "kg_triangles": _triangles_sql,
+        "kg_related_concepts": _related_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

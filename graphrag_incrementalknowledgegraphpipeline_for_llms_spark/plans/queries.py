@@ -400,6 +400,153 @@ def community_hierarchy(
     )
 
 
+def triangle_counts(und: DataFrame, top_k: int = 100) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected (cid, nbr_id) view — (id, degree, triangles,
+    clustering), triangles desc / id asc, top-k.  Clustering structure
+    is the standard quality probe for the co-occurrence graph the KG
+    is built from (a concept whose neighbors interconnect is a topical
+    hub, not a stopword-like hitchhiker).
+
+    Algorithm: the degree-oriented wedge join (the MapReduce-classic
+    skew bound).  Each undirected edge is oriented from its lower
+    (degree, id) endpoint to the higher; wedges are enumerated only at
+    their minimum-degree apex, so a degree-d hub produces O(d) wedges
+    when its neighbors are higher-degree instead of C(d,2) — oriented
+    out-degree is O(sqrt(m)) for any graph, which caps the self-join
+    blowup that a naive adjacency wedge join suffers on hub nodes.
+    Each triangle is counted exactly once (at its unique apex), then
+    credited to all three corners with one explode + hash aggregate.
+    Shuffles: degree groupBy, orientation join, wedge self-join on
+    apex, closing-edge equi-join, corner groupBy — all key-partitioned
+    equi-joins, no cartesian anywhere."""
+    edges = (
+        und.select(
+            F.least("cid", "nbr_id").alias("lo"),
+            F.greatest("cid", "nbr_id").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("lo").alias("id"))
+        .unionAll(edges.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("id").alias("lo"), F.col("degree").alias("dlo"))
+    db = deg.select(F.col("id").alias("hi"), F.col("degree").alias("dhi"))
+    oriented = (
+        edges.join(da, "lo")
+        .join(db, "hi")
+        .select(
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("src"),
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select("src", F.col("dst").alias("d2"))
+    wedges = o1.join(o2, "src").where(F.col("d1") < F.col("d2"))
+    tris = wedges.join(
+        edges,
+        (F.col("d1") == F.col("lo")) & (F.col("d2") == F.col("hi")),
+    ).select("src", "d1", "d2")
+    corners = (
+        tris.select(F.col("src").alias("id"))
+        .unionAll(tris.select(F.col("d1").alias("id")))
+        .unionAll(tris.select(F.col("d2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(corners, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "id")
+        .limit(top_k)
+    )
+
+
+def related_concepts(
+    und: DataFrame,
+    top_k: int = 20,
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction / related-entity suggestion: for NON-adjacent
+    concept pairs at distance 2, common-neighbor count and
+    neighborhood Jaccard — (a, b, common, jaccard), ranked jaccard
+    desc / common desc / (a, b).  This is the "you might also ask
+    about" query a GraphRAG retriever runs to widen a seed entity set
+    beyond explicit edges.
+
+    Scale shape: candidate pairs come from the wedge self-join on the
+    shared neighbor, so only distance-2 pairs are ever materialized
+    (never all-pairs); adjacency is removed with a broadcast-friendly
+    anti-join on the canonical edge; Jaccard needs only the two degree
+    scalars joined back (common / (da + db - common)).  Unlike
+    :func:`triangle_counts` the wedge middle cannot be degree-oriented
+    (every common neighbor must vote), so a viral hub produces C(d,2)
+    candidates — ``max_degree`` caps the middle (drop wedge centers
+    with degree above it) for adversarial graphs; the cap is explicit
+    and surfaced as a parameter rather than silent."""
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    if max_degree is not None:
+        middle_deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("mdeg"))
+        adj_mid = (
+            adj.join(middle_deg.where(F.col("mdeg") <= max_degree), "cid")
+            .select("cid", "nbr_id")
+        )
+    else:
+        adj_mid = adj
+    n1 = adj_mid.select("cid", F.col("nbr_id").alias("a"))
+    n2 = adj_mid.select("cid", F.col("nbr_id").alias("b"))
+    cand = (
+        n1.join(n2, "cid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    edges = adj.select(
+        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
+    ).distinct()
+    nonadj = cand.join(edges, ["a", "b"], "left_anti")
+    deg = adj.groupBy(F.col("cid").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        nonadj.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.desc("common"), "a", "b")
+        .limit(top_k)
+    )
+
+
 def community_sizes(labels: DataFrame, top_k: int = 50) -> DataFrame:
     """Aggregate an LPA labeling to (community, n_members), largest
     first (ties: community id) — the community index a GraphRAG

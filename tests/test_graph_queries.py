@@ -138,6 +138,84 @@ class TestWeightedPagerank:
         assert a == b
 
 
+class TestTriangles:
+    # kite + tail: triangles (a,b,c) and (b,c,d); e dangles off d
+    EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+
+    def _py(self):
+        import itertools
+
+        sym = set(self.EDGES) | {(b, a) for a, b in self.EDGES}
+        adj: dict[str, set] = {}
+        for x, y in sym:
+            adj.setdefault(x, set()).add(y)
+        tri = {v: 0 for v in adj}
+        for u, v, w in itertools.combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+        return {
+            v: (
+                len(adj[v]),
+                tri[v],
+                round(2.0 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)), 6)
+                if len(adj[v]) >= 2
+                else 0.0,
+            )
+            for v in adj
+        }
+
+    def test_matches_python_oracle(self, spark):
+        got = {
+            r["id"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in queries.triangle_counts(
+                _und_df(spark, self.EDGES), top_k=100
+            ).collect()
+        }
+        assert got == self._py()
+
+    def test_triangle_free_graph(self, spark):
+        star = [("hub", x) for x in ("p", "q", "r", "s")]
+        rows = queries.triangle_counts(_und_df(spark, star)).collect()
+        assert all(r["triangles"] == 0 and r["clustering"] == 0.0 for r in rows)
+
+
+class TestRelatedConcepts:
+    def test_distance2_jaccard(self, spark):
+        # p and q share neighbors m1, m2 but are not adjacent;
+        # p also touches x (degree 3), q only the middles (degree 2)
+        edges = [("p", "m1"), ("p", "m2"), ("q", "m1"), ("q", "m2"), ("p", "x")]
+        rows = queries.related_concepts(
+            _und_df(spark, edges), top_k=10, min_common=2
+        ).collect()
+        assert [(r["a"], r["b"], r["common"], r["jaccard"]) for r in rows] == [
+            ("m1", "m2", 2, 1.0),           # m1,m2 share p,q; deg 2 each
+            ("p", "q", 2, round(2 / 3, 6)),  # share m1,m2; deg 3 + 2 - 2
+        ]
+
+    def test_adjacent_pairs_excluded(self, spark):
+        # triangle: every pair is adjacent -> no candidates survive
+        rows = queries.related_concepts(
+            _und_df(spark, [("a", "b"), ("a", "c"), ("b", "c")]),
+            min_common=1,
+        ).collect()
+        assert rows == []
+
+    def test_max_degree_caps_middle(self, spark):
+        # hub h connects 4 leaves: C(4,2)=6 candidate pairs through h;
+        # capping the middle degree below 4 drops them all
+        edges = [("h", x) for x in ("l1", "l2", "l3", "l4")]
+        full = queries.related_concepts(
+            _und_df(spark, edges), min_common=1
+        ).collect()
+        assert len(full) == 6
+        capped = queries.related_concepts(
+            _und_df(spark, edges), min_common=1, max_degree=3
+        ).collect()
+        assert capped == []
+
+
 def _py_lpa(edges, iters=5):
     """Pure-Python mirror of queries.label_propagation: synchronous
     rounds, majority neighbor label, ties -> min label."""
