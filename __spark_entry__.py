@@ -573,6 +573,25 @@ def q_kg_related_concepts(spark, sf_dir):
     return q.related_concepts(_kg_cooccur_und(spark, sf_dir), top_k=20, min_common=2)
 
 
+_PPR_SEED_LEMMAS = ("apache_spark", "machine_learning")
+
+
+def _ppr_seeds():
+    import hashlib
+
+    return [
+        hashlib.sha256(s.encode()).hexdigest()[:16] for s in _PPR_SEED_LEMMAS
+    ]
+
+
+def q_kg_personalized_pagerank(spark, sf_dir):
+    """Seed-teleport PageRank from two linked entities — the GraphRAG
+    local-search expansion (rank decays with distance from seeds)."""
+    return q.personalized_pagerank(
+        _kg_cooccur_und(spark, sf_dir), seeds=_ppr_seeds(), iters=10, top_k=20
+    )
+
+
 # -- relational coverage ------------------------------------------------------
 
 def q_rel_tpch_q1(spark, sf_dir):
@@ -1271,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_hierarchy": q_kg_community_hierarchy,
         "kg_triangles": q_kg_triangles,
         "kg_related_concepts": q_kg_related_concepts,
+        "kg_personalized_pagerank": q_kg_personalized_pagerank,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1481,6 +1501,28 @@ SELECT n.a, n.b, n.common,
        ROUND(n.common / (da.degree + db.degree - n.common), 6) AS jaccard
 FROM nonadj n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
 ORDER BY jaccard DESC, n.common DESC, n.a, n.b LIMIT 20"""
+    _ppr_seeds_sql = ", ".join(
+        f"substr(sha256('{s}'), 1, 16)" for s in _PPR_SEED_LEMMAS
+    )
+    _ppr_iters = "".join(
+        f""",
+pc{k} AS (SELECT u.nbr_id AS id, SUM(r.rank / dg.deg) AS inflow
+          FROM und u JOIN pr{k - 1} r ON u.cid = r.id JOIN deg dg ON dg.cid = u.cid
+          GROUP BY u.nbr_id),
+pr{k} AS (SELECT n.id, 0.15 * n.tp + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+          FROM tnodes n LEFT JOIN pc{k} c ON c.id = n.id)"""
+        for k in range(1, 11)
+    )
+    _ppr_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT cid AS id FROM und),
+sk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM nodes WHERE id IN ({_ppr_seeds_sql})),
+tnodes AS (SELECT id, CASE WHEN id IN ({_ppr_seeds_sql}) THEN 1.0 / sk.k ELSE 0.0 END AS tp
+           FROM nodes CROSS JOIN sk),
+deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
+pr0 AS (SELECT id, tp AS rank FROM tnodes){_ppr_iters}
+SELECT id, ROUND(rank, 8) AS rank FROM pr10 WHERE rank > 0
+ORDER BY rank DESC, id LIMIT 20"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1495,6 +1537,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_community_hierarchy": _hierarchy_sql,
         "kg_triangles": _triangles_sql,
         "kg_related_concepts": _related_sql,
+        "kg_personalized_pagerank": _ppr_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

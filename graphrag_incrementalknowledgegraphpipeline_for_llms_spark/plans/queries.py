@@ -246,6 +246,77 @@ def pagerank_und(
     ).limit(top_k)
 
 
+def personalized_pagerank(
+    und: DataFrame,
+    seeds: list[str],
+    damping: float = 0.85,
+    iters: int = 10,
+    top_k: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: power iteration where the teleport mass
+    (1 - damping) returns to the SEED set instead of spreading
+    uniformly — rank concentrates around the seeds, decaying with
+    graph distance.  This is the seed-expansion primitive a GraphRAG
+    local search runs after entity linking: "given the entities the
+    query mentions, which related entities matter enough to pull into
+    context" (a ranked, walk-based generalization of the 1/2-hop
+    neighbor queries).  Seeds are restricted to nodes present in the
+    graph; teleport is uniform over that intersection; initial rank
+    equals the teleport vector.  Deterministic: fixed iteration count,
+    round(8) like :func:`pagerank_und`.
+
+    Scale shape: identical per-iteration cost to :func:`pagerank_und`
+    (adjacency materialized once, one join-agg shuffle per round,
+    coalesced lineage truncation); the teleport is a literal IN
+    predicate on the tiny seed list — no extra join."""
+    sc = und.sparkSession.sparkContext
+    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    n_edges = und.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    und = und.coalesce(parts)
+    nodes_v = und.select(F.col("cid").alias("id")).distinct()
+    present = sorted(
+        r["id"] for r in nodes_v.where(F.col("id").isin(list(seeds))).collect()
+    )
+    if not present:
+        return nodes_v.select(
+            "id", F.lit(0.0).alias("rank")
+        ).limit(0)
+    k = len(present)
+    teleport = F.when(F.col("id").isin(present), F.lit(1.0 / k)).otherwise(
+        F.lit(0.0)
+    )
+    deg = und.groupBy("cid").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ranks = nodes_v.withColumn("rank", teleport)
+    for i in range(iters):
+        contribs = (
+            und.join(ranks.withColumnRenamed("id", "cid"), "cid")
+            .join(deg, "cid")
+            .select(
+                F.col("nbr_id").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes_v.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * teleport
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.coalesce(parts).localCheckpoint(eager=True)
+    return (
+        ranks.where(F.col("rank") > 0)
+        .select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(top_k)
+    )
+
+
 def bfs_distances(
     und: DataFrame, source_id: str, max_hops: int = 6
 ) -> DataFrame:

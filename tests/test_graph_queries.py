@@ -59,6 +59,75 @@ class TestPagerank:
         assert ranks["c"] > ranks["e"]  # degree-4 hub beats degree-2 chain node
 
 
+def _np_ppr(edges, seeds, damping=0.85, iters=10):
+    sym = set(edges) | {(b, a) for a, b in edges}
+    nodes = sorted({a for a, _ in sym})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in sym:
+        deg[idx[a]] += 1
+    present = sorted(s for s in seeds if s in idx)
+    tp = np.zeros(n)
+    for s in present:
+        tp[idx[s]] = 1.0 / len(present)
+    r = tp.copy()
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for a, b in sym:
+            inflow[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - damping) * tp + damping * inflow
+    return {v: r[idx[v]] for v in nodes}
+
+
+class TestPersonalizedPagerank:
+    def test_matches_numpy_oracle(self, spark):
+        got = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                _und_df(spark, EDGES), seeds=["a", "g"], iters=10, top_k=100
+            ).collect()
+        }
+        want = {k: v for k, v in _np_ppr(EDGES, ["a", "g"]).items() if v > 0}
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - round(want[v], 8)) < 1e-8, v
+
+    def test_rank_decays_with_distance_from_seed(self, spark):
+        # chain a-b-c-d-e, seed at a: rank must be monotone decreasing
+        chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                _und_df(spark, chain), seeds=["a"], top_k=100
+            ).collect()
+        }
+        assert got["a"] > got["b"] > got["c"] > got["d"] > got["e"]
+
+    def test_absent_seed_ignored_and_all_absent_empty(self, spark):
+        und = _und_df(spark, EDGES)
+        only_a = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                und, seeds=["a", "zzz"], top_k=100
+            ).collect()
+        }
+        want = _np_ppr(EDGES, ["a"])
+        for v, rank in only_a.items():
+            assert abs(rank - round(want[v], 8)) < 1e-8, v
+        assert queries.personalized_pagerank(und, seeds=["zzz"]).count() == 0
+
+    def test_mass_conserved(self, spark):
+        total = (
+            queries.personalized_pagerank(
+                _und_df(spark, EDGES), seeds=["c"], top_k=100
+            )
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+        )
+        assert abs(total - 1.0) < 1e-6
+
+
 class TestTwoHop:
     def test_rings(self, spark):
         nodes = spark.createDataFrame(
