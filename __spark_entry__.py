@@ -592,6 +592,33 @@ def q_kg_personalized_pagerank(spark, sf_dir):
     )
 
 
+# Raw query text; entity linking normalizes + hashes these inside
+# local_search.  "quantum tunneling" is deliberately absent from the
+# corpus — absent seeds must be ignored, not crash the teleport.
+_LOCAL_SEARCH_TERMS = ("Apache Spark", "MergeSort", "quantum tunneling")
+
+
+def _local_search_lemmas() -> tuple[str, ...]:
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions.purecore import (
+        normalize_lemma,
+    )
+
+    return tuple(normalize_lemma(t) for t in _LOCAL_SEARCH_TERMS)
+
+
+def q_kg_local_search(spark, sf_dir):
+    """GraphRAG local search: link raw query terms to concept ids
+    (pure hash — no scan), expand with personalized PageRank, then
+    attach mention statistics for context assembly."""
+    return q.local_search(
+        _kg_cooccur_und(spark, sf_dir),
+        q_kg_mentions(spark, sf_dir),
+        terms=list(_LOCAL_SEARCH_TERMS),
+        iters=10,
+        top_k=20,
+    )
+
+
 # -- relational coverage ------------------------------------------------------
 
 def q_rel_tpch_q1(spark, sf_dir):
@@ -1291,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_related_concepts": q_kg_related_concepts,
         "kg_personalized_pagerank": q_kg_personalized_pagerank,
+        "kg_local_search": q_kg_local_search,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1501,28 +1529,54 @@ SELECT n.a, n.b, n.common,
        ROUND(n.common / (da.degree + db.degree - n.common), 6) AS jaccard
 FROM nonadj n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
 ORDER BY jaccard DESC, n.common DESC, n.a, n.b LIMIT 20"""
-    _ppr_seeds_sql = ", ".join(
-        f"substr(sha256('{s}'), 1, 16)" for s in _PPR_SEED_LEMMAS
-    )
-    _ppr_iters = "".join(
-        f""",
+    def _ppr_ctes(seed_lemmas: tuple[str, ...]) -> str:
+        """Unrolled personalized-PageRank CTE chain (10 iterations) over
+        the `pairs` co-occurrence CTE: seeds hashed from lemmas exactly
+        like purecore.concept_id, teleport uniform over the present
+        seeds, final relation `pr10`."""
+        seeds_sql = ", ".join(
+            f"substr(sha256('{s}'), 1, 16)" for s in seed_lemmas
+        )
+        iters = "".join(
+            f""",
 pc{k} AS (SELECT u.nbr_id AS id, SUM(r.rank / dg.deg) AS inflow
           FROM und u JOIN pr{k - 1} r ON u.cid = r.id JOIN deg dg ON dg.cid = u.cid
           GROUP BY u.nbr_id),
 pr{k} AS (SELECT n.id, 0.15 * n.tp + 0.85 * COALESCE(c.inflow, 0.0) AS rank
           FROM tnodes n LEFT JOIN pc{k} c ON c.id = n.id)"""
-        for k in range(1, 11)
-    )
-    _ppr_sql = f"""WITH {PAIRS_CTE},
-und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+            for k in range(1, 11)
+        )
+        return f"""und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
-sk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM nodes WHERE id IN ({_ppr_seeds_sql})),
-tnodes AS (SELECT id, CASE WHEN id IN ({_ppr_seeds_sql}) THEN 1.0 / sk.k ELSE 0.0 END AS tp
+sk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM nodes WHERE id IN ({seeds_sql})),
+tnodes AS (SELECT id, CASE WHEN id IN ({seeds_sql}) THEN 1.0 / sk.k ELSE 0.0 END AS tp
            FROM nodes CROSS JOIN sk),
 deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
-pr0 AS (SELECT id, tp AS rank FROM tnodes){_ppr_iters}
+pr0 AS (SELECT id, tp AS rank FROM tnodes){iters}"""
+
+    _ppr_sql = f"""WITH {PAIRS_CTE},
+{_ppr_ctes(_PPR_SEED_LEMMAS)}
 SELECT id, ROUND(rank, 8) AS rank FROM pr10 WHERE rank > 0
 ORDER BY rank DESC, id LIMIT 20"""
+    _local_lemmas = tuple(sorted(set(_local_search_lemmas())))
+    _local_seeds_sql = ", ".join(
+        f"substr(sha256('{s}'), 1, 16)" for s in _local_lemmas
+    )
+    _local_search_sql = f"""WITH {PAIRS_CTE},
+{_ppr_ctes(_local_lemmas)},
+ranked AS (SELECT id, ROUND(rank, 8) AS rank FROM pr10 WHERE rank > 0
+           ORDER BY rank DESC, id LIMIT 20),
+stats AS (SELECT concept_id AS id, MIN(lemma) AS lemma,
+                 CAST(COUNT(*) AS BIGINT) AS n_mentions,
+                 CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks
+          FROM mentions GROUP BY concept_id)
+SELECT r.id, s.lemma,
+       CAST(CASE WHEN r.id IN ({_local_seeds_sql}) THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
+       r.rank,
+       COALESCE(s.n_mentions, 0) AS n_mentions,
+       COALESCE(s.n_chunks, 0) AS n_chunks
+FROM ranked r LEFT JOIN stats s ON r.id = s.id
+ORDER BY r.rank DESC, r.id LIMIT 20"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1538,6 +1592,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_triangles": _triangles_sql,
         "kg_related_concepts": _related_sql,
         "kg_personalized_pagerank": _ppr_sql,
+        "kg_local_search": _local_search_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

@@ -22,6 +22,15 @@ Endpoints (paths and DTO field names match ApiModels.scala verbatim):
                                                plan steps, not the reference's mock
                                                (ExplainRoute.scala:23-54)
 
+Parity-plus (no reference analog — the GraphRAG search surface over
+the same graph):
+
+* ``GET /v1/communities[?pattern=&top=]``   -> community index / global search
+* ``GET /v1/communities/report``            -> extractive community reports
+* ``GET /v1/search/local?q=``               -> local search: entity-link the query
+                                               text, personalized-PageRank expansion,
+                                               mention stats per result
+
 Every response is wrapped in ApiResponse {success, data?, error?,
 traceId?} (ApiModels.scala:12-23).
 """
@@ -245,6 +254,44 @@ class GraphApiService:
                 {"communityId": r["community"], "memberCount": r["n_members"]}
                 for r in rows
             ]
+        }
+
+    def local_search(self, query: str, top_k: int = 20) -> dict:
+        """GraphRAG local search over the live graph: entity-link the
+        raw query text with the engine's OWN extraction rules (the
+        same regexes that built the graph — so a query surface links
+        iff the corpus surface did), expand with personalized
+        PageRank, attach mention statistics."""
+        if self.mentions is None:
+            raise KeyError("local search requires a mentions table")
+        from ..functions.purecore import extract_concepts
+
+        linked = extract_concepts(query)
+        if not linked:
+            return {"query": query, "linkedEntities": [], "results": []}
+        rows = q.local_search(
+            self._concept_und(),
+            self.mentions,
+            terms=[c.lemma for c in linked],
+            top_k=top_k,
+        ).collect()
+        return {
+            "query": query,
+            "linkedEntities": [
+                {"conceptId": c.concept_id, "lemma": c.lemma, "surface": c.surface}
+                for c in linked
+            ],
+            "results": [
+                {
+                    "conceptId": r["id"],
+                    "lemma": r["lemma"],
+                    "isSeed": bool(r["is_seed"]),
+                    "rank": float(r["rank"]),
+                    "mentionCount": r["n_mentions"],
+                    "chunkCount": r["n_chunks"],
+                }
+                for r in rows
+            ],
         }
 
     def community_reports(self, top: int = 10, concepts: int = 5) -> dict:
@@ -475,6 +522,20 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         )
                     except KeyError as e:
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
+                if path == "/v1/search/local":
+                    if not qs.get("q"):
+                        return self._error(
+                            400, "BAD_REQUEST", "missing required parameter: q"
+                        )
+                    try:
+                        return self._send(
+                            200,
+                            service.local_search(
+                                qs["q"], top_k=int(qs.get("top", "20"))
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
                 if path == "/v1/communities/report":
                     try:
                         return self._send(

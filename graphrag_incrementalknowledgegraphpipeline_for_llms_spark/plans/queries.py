@@ -317,6 +317,66 @@ def personalized_pagerank(
     )
 
 
+def local_search(
+    und: DataFrame,
+    mentions: DataFrame,
+    terms: list[str],
+    damping: float = 0.85,
+    iters: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """GraphRAG LOCAL search (Edge et al. 2024 §3.5): answer a query
+    from the entity level up — the complement of :func:`global_search`.
+    Three stages, all deterministic:
+
+    1. **Entity linking**: each raw query term is normalized with the
+       engine's own lemma rule and hashed to its concept id
+       (``concept_id = sha256(lemma)[:16]``).  Because ids are
+       content-derived, linking is a pure driver-side computation —
+       no corpus scan, no index lookup, O(len(terms)).
+    2. **Expansion**: :func:`personalized_pagerank` from the linked
+       seeds over the co-occurrence graph — rank decays with graph
+       distance, so the top-k is "the entities that matter to this
+       query", not just the 1-hop ring.
+    3. **Context assembly**: each surviving concept is joined to its
+       mention statistics (display lemma, mention count, distinct
+       supporting chunks) — the row a RAG stack needs to fetch
+       evidence and build the context window.
+
+    Output: (id, lemma, is_seed, rank, n_mentions, n_chunks),
+    rank-desc, id tie-break.  Seeds absent from the graph are ignored;
+    all-absent returns an empty frame (same contract as PPR).
+
+    Scale shape: the expansion is the PPR iteration (one join-agg
+    shuffle per round over the adjacency); the stats aggregate touches
+    only (chunk_id, concept_id, lemma) — never text — and joins onto a
+    top-k row set, which Spark broadcasts."""
+    from ..functions.purecore import concept_id, normalize_lemma
+
+    seeds = sorted({concept_id(normalize_lemma(t)) for t in terms})
+    ranked = personalized_pagerank(
+        und, seeds, damping=damping, iters=iters, top_k=top_k
+    )
+    stats = mentions.groupBy(F.col("concept_id").alias("id")).agg(
+        F.min("lemma").alias("lemma"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("chunk_id").cast("long").alias("n_chunks"),
+    )
+    return (
+        ranked.join(stats, "id", "left")
+        .select(
+            "id",
+            "lemma",
+            F.col("id").isin(seeds).cast("long").alias("is_seed"),
+            "rank",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        )
+        .orderBy(F.desc("rank"), "id")
+        .limit(top_k)
+    )
+
+
 def bfs_distances(
     und: DataFrame, source_id: str, max_hops: int = 6
 ) -> DataFrame:

@@ -466,3 +466,76 @@ class TestLabelPropagation:
             key=lambda t: (-t[2], t[0]),
         )
         assert got == expect
+
+
+class TestLocalSearch:
+    """local_search = entity link (hash) -> PPR -> mention stats."""
+
+    def _fixture(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions.purecore import (
+            concept_id,
+            normalize_lemma,
+        )
+
+        lemmas = ["apache_spark", "merge_sort", "table_scan", "key_value"]
+        cid = {l: concept_id(l) for l in lemmas}
+        edges = [
+            (cid["apache_spark"], cid["merge_sort"]),
+            (cid["merge_sort"], cid["table_scan"]),
+            (cid["table_scan"], cid["key_value"]),
+        ]
+        mention_rows = [
+            ("ch1", cid["apache_spark"], "apache_spark"),
+            ("ch2", cid["apache_spark"], "apache_spark"),
+            ("ch1", cid["merge_sort"], "merge_sort"),
+            ("ch3", cid["table_scan"], "table_scan"),
+            ("ch3", cid["key_value"], "key_value"),
+        ]
+        mentions = spark.createDataFrame(
+            mention_rows, "chunk_id string, concept_id string, lemma string"
+        )
+        return cid, _und_df(spark, edges), mentions, normalize_lemma
+
+    def test_links_expands_and_attaches_stats(self, spark):
+        cid, und, mentions, _norm = self._fixture(spark)
+        rows = queries.local_search(
+            und, mentions, terms=["Apache Spark", "no such entity"], top_k=10
+        ).collect()
+        by_id = {r["id"]: r for r in rows}
+        # seed flagged, ranked first, stats attached
+        seed = by_id[cid["apache_spark"]]
+        assert seed["is_seed"] == 1 and seed["lemma"] == "apache_spark"
+        assert seed["n_mentions"] == 2 and seed["n_chunks"] == 2
+        # PPR expansion pulls in non-seed neighbors; ranks match the
+        # exact numpy PPR oracle on the same graph (decay-from-seed is
+        # NOT monotone on a path: a degree-1 seed pours all its mass
+        # into its neighbor each round)
+        assert by_id[cid["merge_sort"]]["is_seed"] == 0
+        edges = [
+            (cid["apache_spark"], cid["merge_sort"]),
+            (cid["merge_sort"], cid["table_scan"]),
+            (cid["table_scan"], cid["key_value"]),
+        ]
+        want = _np_ppr(edges, [cid["apache_spark"]])
+        for r in rows:
+            assert abs(r["rank"] - round(want[r["id"]], 8)) < 1e-8, r["id"]
+
+    def test_matches_ppr_composition(self, spark):
+        cid, und, mentions, norm = self._fixture(spark)
+        terms = ["MergeSort", "Table Scan"]
+        got = {
+            r["id"]: r["rank"]
+            for r in queries.local_search(und, mentions, terms=terms, top_k=10).collect()
+        }
+        seeds = sorted({cid[norm(t)] for t in terms})
+        want = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(und, seeds, top_k=10).collect()
+        }
+        assert got == want
+
+    def test_all_terms_absent_returns_empty(self, spark):
+        _cid, und, mentions, _norm = self._fixture(spark)
+        assert (
+            queries.local_search(und, mentions, terms=["nothing here"]).count() == 0
+        )

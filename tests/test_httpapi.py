@@ -233,3 +233,30 @@ def test_communities_without_mentions_is_400(spark):
         assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
     finally:
         srv.shutdown()
+
+
+def test_local_search(server):
+    base, _ = server
+    status, body = _get_raw(
+        base, "/v1/search/local?q=How%20does%20Apache%20Spark%20work&top=10"
+    )
+    assert status == 200 and body["success"] is True
+    data = body["data"]
+    linked = data["linkedEntities"]
+    assert any(e["lemma"] == "apache_spark" for e in linked)
+    assert all(e["conceptId"] and e["surface"] for e in linked)
+    results = data["results"]
+    assert results and len(results) <= 10
+    seeds = [r for r in results if r["isSeed"]]
+    assert seeds and all(r["lemma"] for r in results)
+    assert all(r["rank"] > 0 and r["mentionCount"] >= 1 for r in results)
+
+
+def test_local_search_no_link_and_missing_q(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/search/local?q=zzz%20qqq")
+    assert status == 200
+    assert body["data"]["linkedEntities"] == []
+    assert body["data"]["results"] == []
+    status, body = _get_raw(base, "/v1/search/local")
+    assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
