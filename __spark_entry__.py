@@ -606,6 +606,15 @@ def _local_search_lemmas() -> tuple[str, ...]:
     return tuple(normalize_lemma(t) for t in _LOCAL_SEARCH_TERMS)
 
 
+def q_kg_random_walks(spark, sf_dir):
+    """DeepWalk corpus export: 1 deterministic hash-driven walk of 3
+    steps per concept node — skip-gram training data for graph
+    embeddings."""
+    return q.random_walks(
+        _kg_cooccur_und(spark, sf_dir), walks_per_node=1, walk_length=3, seed=42
+    )
+
+
 def q_kg_local_search(spark, sf_dir):
     """GraphRAG local search: link raw query terms to concept ids
     (pure hash — no scan), expand with personalized PageRank, then
@@ -1319,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_related_concepts": q_kg_related_concepts,
         "kg_personalized_pagerank": q_kg_personalized_pagerank,
         "kg_local_search": q_kg_local_search,
+        "kg_random_walks": q_kg_random_walks,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1577,6 +1587,32 @@ SELECT r.id, s.lemma,
        COALESCE(s.n_chunks, 0) AS n_chunks
 FROM ranked r LEFT JOIN stats s ON r.id = s.id
 ORDER BY r.rank DESC, r.id LIMIT 20"""
+    # 32-bit value from the first 8 hex chars of an md5 column `h`,
+    # rebuilt nibble-by-nibble (DuckDB has no hex->int conv; Spark
+    # side uses conv(substr(md5, 1, 8), 16, 10))
+    _nib32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(c.h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    _walk_steps = "".join(
+        f""",
+h{t} AS (SELECT walk_id, cur, md5('42|' || walk_id || '|{t}') AS h FROM w{t - 1}),
+w{t} AS (SELECT c.walk_id, a.nbr_id AS cur
+         FROM h{t} c JOIN deg d ON d.cid = c.cur
+         JOIN adj a ON a.cid = c.cur AND a.idx = ({_nib32}) % d.deg)"""
+        for t in range(1, 4)
+    )
+    _walks_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY nbr_id) - 1 AS idx FROM und),
+deg AS (SELECT cid, COUNT(*) AS deg FROM und GROUP BY cid),
+w0 AS (SELECT cid || '#0' AS walk_id, cid AS cur FROM deg){_walk_steps}
+SELECT walk_id, step, node FROM (
+  SELECT walk_id, 0 AS step, cur AS node FROM w0
+  UNION ALL SELECT walk_id, 1, cur FROM w1
+  UNION ALL SELECT walk_id, 2, cur FROM w2
+  UNION ALL SELECT walk_id, 3, cur FROM w3
+) ORDER BY walk_id, step"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1593,6 +1629,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_related_concepts": _related_sql,
         "kg_personalized_pagerank": _ppr_sql,
         "kg_local_search": _local_search_sql,
+        "kg_random_walks": _walks_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

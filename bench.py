@@ -156,6 +156,7 @@ def main():
         "kg_pagerank",
         "kg_communities",
         "kg_global_search",
+        "kg_local_search",
         "rel_range_join",
         "rel_sliding_window",
     ]

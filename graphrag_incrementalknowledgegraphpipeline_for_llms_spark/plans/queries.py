@@ -678,6 +678,91 @@ def related_concepts(
     )
 
 
+def random_walks(
+    und: DataFrame,
+    walks_per_node: int = 1,
+    walk_length: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the concept graph — the
+    training-data export for skip-gram graph embeddings (Perozzi et
+    al. 2014): every node starts ``walks_per_node`` walks of
+    ``walk_length`` steps; each step moves to a uniformly-chosen
+    neighbor.  "Random" is a deterministic hash: step ``t`` of walk
+    ``w`` picks neighbor index ``md5_32(seed|w|t) % degree(cur)``
+    against the neighbor list sorted by id — bit-stable across runs,
+    partitionings, and engines (the DuckDB oracle rebuilds the 32-bit
+    value nibble-by-nibble from the same md5 hex).
+
+    Output: (walk_id, step, node) with step 0..walk_length — explode
+    to (center, context) pairs downstream for skip-gram training.
+
+    Scale shape: the indexed-adjacency design moves ONE row per walk
+    per step — choose an index from the walk's (cur, degree), then
+    equi-join adjacency on (cid, idx) — so a step never fans out by
+    node degree (a hub with 10^6 neighbors costs the same as a leaf;
+    the argmin-over-neighbors formulation would shuffle the hub's
+    whole edge list per visiting walk).  Adjacency and degree tables
+    are built once and lineage-truncated; per-step cost is two
+    hash-join shuffles of walk-count rows."""
+    from pyspark.sql import Window
+
+    sc = und.sparkSession.sparkContext
+    adj = und.select("cid", "nbr_id").distinct()
+    w = Window.partitionBy("cid").orderBy("nbr_id")
+    adj_i = adj.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        adj_i.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    parts = min(sc.defaultParallelism, max(8, n_nodes // 100_000 + 1))
+    walks = deg.select(
+        F.explode(
+            F.array([F.lit(i) for i in range(walks_per_node)])
+        ).alias("w"),
+        F.col("cid").alias("cur"),
+    ).select(
+        F.concat_ws("#", "cur", "w").alias("walk_id"), "cur"
+    )
+    slices = [
+        walks.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    ]
+    for t in range(1, walk_length + 1):
+        h32 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), "walk_id", F.lit(str(t)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        walks = (
+            walks.join(deg.withColumnRenamed("cid", "cur"), "cur")
+            .select("walk_id", "cur", (h32 % F.col("deg")).alias("idx"))
+            .join(
+                adj_i.withColumnRenamed("cid", "cur"),
+                ["cur", "idx"],
+            )
+            .select("walk_id", F.col("nbr_id").alias("cur"))
+        )
+        if t % 2 == 0 or t == walk_length:
+            walks = walks.coalesce(parts).localCheckpoint(eager=True)
+        slices.append(
+            walks.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("walk_id", "step")
+
+
 def community_sizes(labels: DataFrame, top_k: int = 50) -> DataFrame:
     """Aggregate an LPA labeling to (community, n_members), largest
     first (ties: community id) — the community index a GraphRAG

@@ -539,3 +539,59 @@ class TestLocalSearch:
         assert (
             queries.local_search(und, mentions, terms=["nothing here"]).count() == 0
         )
+
+
+def _py_walks(edges, walks_per_node, walk_length, seed=42):
+    import hashlib
+
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict[str, list[str]] = {}
+    for a, b in sorted(sym):
+        adj.setdefault(a, []).append(b)
+    rows = []
+    for node in sorted(adj):
+        for w in range(walks_per_node):
+            walk_id = f"{node}#{w}"
+            cur = node
+            rows.append((walk_id, 0, node))
+            for t in range(1, walk_length + 1):
+                h = int(
+                    hashlib.md5(f"{seed}|{walk_id}|{t}".encode()).hexdigest()[:8],
+                    16,
+                )
+                cur = adj[cur][h % len(adj[cur])]
+                rows.append((walk_id, t, cur))
+    return rows
+
+
+class TestRandomWalks:
+    def test_matches_python_oracle(self, spark):
+        got = [
+            (r["walk_id"], r["step"], r["node"])
+            for r in queries.random_walks(
+                _und_df(spark, EDGES), walks_per_node=2, walk_length=5
+            ).collect()
+        ]
+        assert sorted(got) == sorted(_py_walks(EDGES, 2, 5))
+
+    def test_every_step_is_an_edge(self, spark):
+        sym = set(EDGES) | {(b, a) for a, b in EDGES}
+        rows = queries.random_walks(
+            _und_df(spark, EDGES), walks_per_node=1, walk_length=6
+        ).collect()
+        by_walk: dict[str, list] = {}
+        for r in rows:
+            by_walk.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+        for wid, steps in by_walk.items():
+            steps.sort()
+            assert [s for s, _ in steps] == list(range(7))
+            assert steps[0][1] == wid.split("#")[0]
+            for (_, a), (_, b) in zip(steps, steps[1:]):
+                assert (a, b) in sym
+    def test_deterministic_and_seed_sensitive(self, spark):
+        und = _und_df(spark, EDGES)
+        a = sorted(map(tuple, queries.random_walks(und, 1, 4, seed=42).collect()))
+        b = sorted(map(tuple, queries.random_walks(und, 1, 4, seed=42).collect()))
+        c = sorted(map(tuple, queries.random_walks(und, 1, 4, seed=7).collect()))
+        assert a == b
+        assert a != c

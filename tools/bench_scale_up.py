@@ -63,6 +63,7 @@ QUERIES = [
     "kg_pagerank",
     "kg_communities",
     "kg_global_search",
+    "kg_local_search",
     "rel_range_join",
     "rel_sliding_window",
 ]
