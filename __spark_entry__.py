@@ -615,6 +615,14 @@ def q_kg_random_walks(spark, sf_dir):
     )
 
 
+def q_kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE block sampling: fanout-(3,2) deterministic 2-hop
+    blocks from every concept node — GNN minibatch training export."""
+    return q.neighbor_sample(
+        _kg_cooccur_und(spark, sf_dir), fanouts=(3, 2), seed=42
+    )
+
+
 def q_kg_local_search(spark, sf_dir):
     """GraphRAG local search: link raw query terms to concept ids
     (pure hash — no scan), expand with personalized PageRank, then
@@ -1329,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_personalized_pagerank": q_kg_personalized_pagerank,
         "kg_local_search": q_kg_local_search,
         "kg_random_walks": q_kg_random_walks,
+        "kg_neighbor_sample": q_kg_neighbor_sample,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1613,6 +1622,21 @@ SELECT walk_id, step, node FROM (
   UNION ALL SELECT walk_id, 2, cur FROM w2
   UNION ALL SELECT walk_id, 3, cur FROM w3
 ) ORDER BY walk_id, step"""
+    _sample_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+ranked AS (SELECT cid, nbr_id,
+                  ROW_NUMBER() OVER (PARTITION BY cid
+                                     ORDER BY md5('42|' || cid || '|' || nbr_id), nbr_id) - 1 AS idx
+           FROM und),
+f0 AS (SELECT DISTINCT cid AS root, cid AS cur FROM und),
+e1 AS (SELECT f.root, 1 AS hop, f.cur AS src, r.nbr_id AS dst
+       FROM f0 f JOIN ranked r ON r.cid = f.cur AND r.idx < 3),
+f1 AS (SELECT DISTINCT root, dst AS cur FROM e1),
+e2 AS (SELECT f.root, 2 AS hop, f.cur AS src, r.nbr_id AS dst
+       FROM f1 f JOIN ranked r ON r.cid = f.cur AND r.idx < 2)
+SELECT DISTINCT root, hop, src, dst
+FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+ORDER BY root, hop, src, dst"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1630,6 +1654,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_personalized_pagerank": _ppr_sql,
         "kg_local_search": _local_search_sql,
         "kg_random_walks": _walks_sql,
+        "kg_neighbor_sample": _sample_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

@@ -763,6 +763,76 @@ def random_walks(
     return out.orderBy("walk_id", "step")
 
 
+def neighbor_sample(
+    und: DataFrame,
+    fanouts: tuple[int, ...] = (3, 2),
+    seed: int = 42,
+    roots: DataFrame | None = None,
+) -> DataFrame:
+    """GraphSAGE-style minibatch block sampling (Hamilton et al.
+    2017): for every root node keep at most ``fanouts[0]`` neighbors,
+    for each kept hop-1 node at most ``fanouts[1]`` of ITS neighbors,
+    and so on — the bounded k-hop blocks a GNN trainer consumes.
+
+    The sample is deterministic and root-independent: neighbors of
+    ``v`` are ranked once by ``md5(seed|v|nbr)`` (nbr tie-break) and
+    truncated to ``max(fanouts)``; every root reuses the same ranked
+    list, so the expensive per-node ranking happens exactly once (one
+    window shuffle over the adjacency) and is shared across the whole
+    epoch — the CacheGNN/amortized-sampling layout.  A hub with 10^6
+    neighbors contributes ``max(fanouts)`` rows after the truncation,
+    so hop joins never see raw degree.
+
+    Output: distinct (root, hop, src, dst) block edges, hop 1-based.
+    ``roots`` (a 1-column ``root`` frame) defaults to every node."""
+    from pyspark.sql import Window
+
+    adj = und.select("cid", "nbr_id").distinct()
+    ranked = (
+        adj.withColumn(
+            "h", F.md5(F.concat_ws("|", F.lit(str(seed)), "cid", "nbr_id"))
+        )
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy("h", "nbr_id")
+            )
+            - 1,
+        )
+        .where(F.col("idx") < max(fanouts))
+        .select("cid", "nbr_id", "idx")
+        .localCheckpoint(eager=True)
+    )
+    if roots is None:
+        roots = adj.select(F.col("cid").alias("root")).distinct()
+    frontier = roots.select("root", F.col("root").alias("cur"))
+    slices = []
+    for hop, fan in enumerate(fanouts, 1):
+        step = (
+            frontier.join(
+                ranked.where(F.col("idx") < fan).withColumnRenamed("cid", "cur"),
+                "cur",
+            )
+            .select(
+                "root",
+                F.lit(hop).alias("hop"),
+                F.col("cur").alias("src"),
+                F.col("nbr_id").alias("dst"),
+            )
+        )
+        slices.append(step)
+        if hop < len(fanouts):
+            frontier = (
+                step.select("root", F.col("dst").alias("cur"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("root", "hop", "src", "dst")
+
+
 def community_sizes(labels: DataFrame, top_k: int = 50) -> DataFrame:
     """Aggregate an LPA labeling to (community, n_members), largest
     first (ties: community id) — the community index a GraphRAG

@@ -595,3 +595,71 @@ class TestRandomWalks:
         c = sorted(map(tuple, queries.random_walks(und, 1, 4, seed=7).collect()))
         assert a == b
         assert a != c
+
+
+def _py_neighbor_sample(edges, fanouts, seed=42):
+    import hashlib
+
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict[str, list[str]] = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    ranked = {
+        v: sorted(
+            nbrs,
+            key=lambda n: (
+                hashlib.md5(f"{seed}|{v}|{n}".encode()).hexdigest(),
+                n,
+            ),
+        )
+        for v, nbrs in adj.items()
+    }
+    out = set()
+    for root in adj:
+        frontier = {root}
+        for hop, fan in enumerate(fanouts, 1):
+            nxt = set()
+            for src in frontier:
+                for dst in ranked[src][:fan]:
+                    out.add((root, hop, src, dst))
+                    nxt.add(dst)
+            frontier = nxt
+    return out
+
+
+class TestNeighborSample:
+    def test_matches_python_oracle(self, spark):
+        got = {
+            (r["root"], r["hop"], r["src"], r["dst"])
+            for r in queries.neighbor_sample(
+                _und_df(spark, EDGES), fanouts=(2, 2)
+            ).collect()
+        }
+        assert got == _py_neighbor_sample(EDGES, (2, 2))
+
+    def test_fanout_bounds_per_src(self, spark):
+        rows = queries.neighbor_sample(
+            _und_df(spark, EDGES), fanouts=(2, 1)
+        ).collect()
+        from collections import Counter
+
+        per = Counter((r["root"], r["hop"], r["src"]) for r in rows)
+        for (_, hop, _), n in per.items():
+            assert n <= (2 if hop == 1 else 1)
+
+    def test_large_fanout_is_full_expansion(self, spark):
+        # fanout >= max degree: hop-1 block == the full adjacency
+        rows = queries.neighbor_sample(
+            _und_df(spark, EDGES), fanouts=(100,)
+        ).collect()
+        sym = set(EDGES) | {(b, a) for a, b in EDGES}
+        got = {(r["src"], r["dst"]) for r in rows}
+        assert got == sym
+        assert all(r["root"] == r["src"] and r["hop"] == 1 for r in rows)
+
+    def test_explicit_roots(self, spark):
+        roots = spark.createDataFrame([("a",)], "root string")
+        rows = queries.neighbor_sample(
+            _und_df(spark, EDGES), fanouts=(2, 2), roots=roots
+        ).collect()
+        assert rows and all(r["root"] == "a" for r in rows)
