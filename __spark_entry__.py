@@ -623,6 +623,13 @@ def q_kg_neighbor_sample(spark, sf_dir):
     )
 
 
+def q_kg_coreness(spark, sf_dir):
+    """k-core decomposition: 8 rounds of synchronous h-index
+    iteration over the co-occurrence graph (converges to exact
+    coreness; pytest pins fixture convergence vs peeling)."""
+    return q.coreness(_kg_cooccur_und(spark, sf_dir), iters=8)
+
+
 def q_kg_local_search(spark, sf_dir):
     """GraphRAG local search: link raw query terms to concept ids
     (pure hash — no scan), expand with personalized PageRank, then
@@ -1338,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_local_search": q_kg_local_search,
         "kg_random_walks": q_kg_random_walks,
         "kg_neighbor_sample": q_kg_neighbor_sample,
+        "kg_coreness": q_kg_coreness,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1637,6 +1645,19 @@ e2 AS (SELECT f.root, 2 AS hop, f.cur AS src, r.nbr_id AS dst
 SELECT DISTINCT root, hop, src, dst
 FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
 ORDER BY root, hop, src, dst"""
+    _core_rounds = "".join(
+        f""",
+nr{k} AS (SELECT u.cid AS id,
+                 ROW_NUMBER() OVER (PARTITION BY u.cid ORDER BY v.val DESC, u.nbr_id) AS rk,
+                 v.val
+          FROM und u JOIN cv{k - 1} v ON v.id = u.nbr_id),
+cv{k} AS (SELECT id, MAX(LEAST(rk, val)) AS val FROM nr{k} GROUP BY id)"""
+        for k in range(1, 9)
+    )
+    _coreness_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+cv0 AS (SELECT cid AS id, CAST(COUNT(*) AS BIGINT) AS val FROM und GROUP BY cid){_core_rounds}
+SELECT id, CAST(val AS BIGINT) AS coreness FROM cv8 ORDER BY coreness DESC, id"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1655,6 +1676,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_local_search": _local_search_sql,
         "kg_random_walks": _walks_sql,
         "kg_neighbor_sample": _sample_sql,
+        "kg_coreness": _coreness_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

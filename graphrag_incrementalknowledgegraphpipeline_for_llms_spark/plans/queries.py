@@ -833,6 +833,52 @@ def neighbor_sample(
     return out.distinct().orderBy("root", "hop", "src", "dst")
 
 
+def coreness(und: DataFrame, iters: int = 8) -> DataFrame:
+    """k-core decomposition by synchronous h-index iteration (Lü et
+    al. 2016, "The H-index of a network node"): start every node at
+    its degree, then repeatedly replace each node's value with the
+    h-index of its neighbors' values (the largest ``h`` such that at
+    least ``h`` neighbors hold value ≥ ``h``).  The sequence is
+    monotonically non-increasing and converges to the node's coreness
+    — the largest ``k`` for which it survives k-core peeling.  Core
+    numbers locate the dense nucleus of the concept graph (the
+    entities worth a context window) and are the standard degeneracy
+    ordering for subgraph mining.
+
+    Fixed ``iters`` keeps the result deterministic and lets the DuckDB
+    oracle unroll rounds as CTEs; on small-world graphs convergence is
+    a handful of rounds (the pytest oracle pins fixture convergence to
+    exact peeling coreness).
+
+    Scale shape: one round = an equi-join of the adjacency with the
+    value table plus a per-node ``max(least(rank, value))`` window
+    aggregate — no collect_list, so a hub's neighbor values stream
+    through sort+window instead of materializing one giant array
+    row.  Values are lineage-truncated every other round."""
+    from pyspark.sql import Window
+
+    sc = und.sparkSession.sparkContext
+    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    n_edges = und.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    vals = und.groupBy(F.col("cid").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("val")
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("val"), "nbr_id")
+    for i in range(iters):
+        vals = (
+            und.join(vals.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .groupBy(F.col("cid").alias("id"))
+            .agg(F.max(F.least("rk", "val")).alias("val"))
+        )
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            vals = vals.coalesce(parts).localCheckpoint(eager=True)
+    return vals.select("id", F.col("val").alias("coreness")).orderBy(
+        F.desc("coreness"), "id"
+    )
+
+
 def community_sizes(labels: DataFrame, top_k: int = 50) -> DataFrame:
     """Aggregate an LPA labeling to (community, n_members), largest
     first (ties: community id) — the community index a GraphRAG

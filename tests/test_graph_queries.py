@@ -663,3 +663,78 @@ class TestNeighborSample:
             _und_df(spark, EDGES), fanouts=(2, 2), roots=roots
         ).collect()
         assert rows and all(r["root"] == "a" for r in rows)
+
+
+def _py_hindex_coreness(edges, iters=8):
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict[str, list[str]] = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    val = {v: len(n) for v, n in adj.items()}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in adj.items():
+            vs = sorted((val[n] for n in nbrs), reverse=True)
+            nxt[v] = max(min(r, x) for r, x in enumerate(vs, 1))
+        val = nxt
+    return val
+
+
+def _py_peel_coreness(edges):
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj: dict[str, set[str]] = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    deg = {v: len(n) for v, n in adj.items()}
+    core = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k_min = min(deg[v] for v in alive)
+        k = max(k, k_min)
+        peel = [v for v in alive if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for n in adj[v]:
+                if n in alive:
+                    deg[n] -= 1
+                    if deg[n] <= k:
+                        peel.append(n)
+    return core
+
+
+class TestCoreness:
+    # two triangles sharing a path, plus a pendant: mixed 1-core/2-core
+    G = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d"),
+        ("f", "g"),
+    ]
+
+    def test_matches_hindex_python_oracle(self, spark):
+        got = {
+            r["id"]: r["coreness"]
+            for r in queries.coreness(_und_df(spark, self.G), iters=8).collect()
+        }
+        assert got == _py_hindex_coreness(self.G, 8)
+
+    def test_converges_to_exact_peeling_coreness(self, spark):
+        got = {
+            r["id"]: r["coreness"]
+            for r in queries.coreness(_und_df(spark, self.G), iters=8).collect()
+        }
+        assert got == _py_peel_coreness(self.G)
+        # triangles are 2-core, the pendant g is 1-core
+        assert got["a"] == 2 and got["d"] == 2 and got["g"] == 1
+
+    def test_clique_coreness(self, spark):
+        k5 = [(a, b) for a in "vwxyz" for b in "vwxyz" if a < b]
+        got = {
+            r["id"]: r["coreness"]
+            for r in queries.coreness(_und_df(spark, k5), iters=6).collect()
+        }
+        assert all(v == 4 for v in got.values())
