@@ -1177,6 +1177,41 @@ def q_txt_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_txt_repetition(spark, sf_dir):
+    """Gopher-style repetition features: duplicate-line fraction +
+    dominant-bigram character mass per document."""
+    d = _docs(spark, sf_dir)
+    return tf.repetition_report(d, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_txt_pii_scrub(spark, sf_dir):
+    """PII audit + redaction.  The synthetic corpus carries no PII, so
+    the query plants a deterministic contact line per document (email
+    + IPv4 + intl phone derived from doc_id) before scrubbing — the
+    redaction path is exercised on every row; the oracle plants the
+    identical line."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    counts = tf.pii_counts(planted)
+    return d.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        F.md5(tf.scrub_pii(planted)).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
 # -- rows-only (non-SQL-expressible internals) --------------------------------
 
 def q_dd_minhash_lsh(spark, sf_dir):
@@ -1346,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_neighbor_sample": q_kg_neighbor_sample,
         "kg_coreness": q_kg_coreness,
+        "txt_repetition": q_txt_repetition,
+        "txt_pii_scrub": q_txt_pii_scrub,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1965,6 +2002,52 @@ SELECT doc_id,
     + (CASE WHEN (CASE WHEN length(regexp_extract_all(text, '\\S+')) > 0 THEN CAST(({en_hits}) AS DOUBLE) / length(regexp_extract_all(text, '\\S+')) ELSE 0.0 END) > 0.02 THEN 0.3 ELSE 0.0 END)
   AS DOUBLE), 6) AS quality_score
 FROM documents ORDER BY doc_id""",
+        "txt_repetition": r"""
+WITH base AS (
+  SELECT doc_id AS id, length(text) AS n_chars,
+         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+dlf AS (SELECT id, n_chars, len(lines) AS n_lines,
+               CASE WHEN len(lines) > 0
+                    THEN ROUND((len(lines) - len(list_distinct(lines))) / len(lines), 6)
+                    ELSE 0.0 END AS dup_line_frac,
+               toks FROM base),
+pair_counts AS (
+  SELECT dlf.id AS id,
+         toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] AS bigram,
+         COUNT(*) AS cnt
+  FROM dlf, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) r
+  GROUP BY dlf.id, bigram),
+top AS (SELECT id, bigram AS top_bigram, cnt AS bigram_count
+        FROM (SELECT id, bigram, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, bigram) AS rn
+              FROM pair_counts)
+        WHERE rn = 1)
+SELECT d.id AS doc_id, d.n_lines, d.dup_line_frac,
+       COALESCE(t.top_bigram, '') AS top_bigram,
+       CAST(COALESCE(t.bigram_count, 0) AS BIGINT) AS bigram_count,
+       ROUND(CASE WHEN d.n_chars > 0 AND t.bigram_count IS NOT NULL
+                  THEN t.bigram_count * length(t.top_bigram) / d.n_chars
+                  ELSE 0.0 END, 6) AS bigram_char_frac
+FROM dlf d LEFT JOIN top t ON d.id = t.id ORDER BY d.id""",
+        "txt_pii_scrub": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 or +1 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents)
+SELECT doc_id,
+  length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  length(regexp_extract_all(t, '\+[0-9][0-9 ()-]{6,14}[0-9]')) AS n_phone,
+  length(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\+[0-9][0-9 ()-]{6,14}[0-9]', '[PHONE]', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS scrub_md5
+FROM planted ORDER BY doc_id""",
         "dd_curation": f"""
 WITH {_CURATION_FEATS_CTE}
 SELECT g.id, g.lang, g.n_tokens, g.quality_score, g.fp

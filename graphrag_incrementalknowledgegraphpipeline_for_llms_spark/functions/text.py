@@ -77,3 +77,125 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+# -- PII scrubbing ------------------------------------------------------------
+# Patterns restricted to syntax that means the same thing in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repetition,
+# \b word boundaries.  Replacement order is fixed (email -> phone ->
+# ipv4); replacement tokens contain no digits so a later pattern can
+# never match inside an earlier redaction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,14}[0-9]", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII hit counts by type (pre-redaction audit)."""
+    return {
+        f"n_{name}": F.regexp_count(col, F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, international phone numbers, and IPv4 addresses
+    with typed placeholder tokens — the standard pre-training privacy
+    pass, as a pure Catalyst regexp_replace chain (whole-stage
+    codegen; no Python in the hot path)."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# -- repetition filters (Gopher, Rae et al. 2021 §A1.1) -----------------------
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier
+    line — the cheap per-row repetition signal (pure HOF expression,
+    no shuffle)."""
+    lines = F.filter(
+        F.split(col, r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_report(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document repetition features for Gopher-style quality
+    gating: (id, n_lines, dup_line_frac, top_bigram, bigram_count,
+    bigram_char_frac).
+
+    * ``dup_line_frac`` — duplicate non-blank lines / lines (per-row
+      HOF, computed before any shuffle).
+    * ``top_bigram`` / ``bigram_count`` — the most frequent
+      whitespace-token 2-gram (count desc, lexicographic tie-break).
+    * ``bigram_char_frac`` — ``bigram_count * len(top_bigram) /
+      n_chars``: the character mass the dominant 2-gram would cover —
+      the "top n-gram character fraction" repetition gate.
+
+    Scale shape: the only shuffle keys are (id, bigram) counts and a
+    per-id top-1; document text itself never shuffles (tokens explode
+    from the scanned row, aggregate map-side first)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\n"),
+                lambda x: F.length(F.trim(x)) > 0,
+            )
+        ).alias("n_lines"),
+        F.round(dup_line_frac(F.col(text_col)), 6).alias("dup_line_frac"),
+        toks.alias("toks"),
+    )
+    # consecutive-position self-join builds the 2-grams from narrow
+    # (id, pos, tok) rows — the exploded rows never carry the array
+    grams = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    nxt = grams.select(
+        "id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    pair_counts = (
+        grams.join(nxt, ["id", "pos"])
+        .select("id", F.concat_ws(" ", "tok", "tok2").alias("bigram"))
+        .groupBy("id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "bigram")
+    top = (
+        pair_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("bigram").alias("top_bigram"), F.col("cnt").alias("bigram_count"))
+    )
+    return (
+        base.drop("toks")
+        .join(top, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("bigram_count", F.lit(0)).cast("long").alias("bigram_count"),
+            F.round(
+                F.when(
+                    (F.col("n_chars") > 0) & F.col("bigram_count").isNotNull(),
+                    F.col("bigram_count") * F.length("top_bigram") / F.col("n_chars"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("bigram_char_frac"),
+        )
+        .orderBy("id")
+    )

@@ -118,3 +118,48 @@ def test_frame_sample_plan(spark):
         .collect()
     )
     assert all(r["count"] >= 1 for r in rows)
+
+
+def test_pii_scrub_and_counts(spark):
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk or call +44 20 7946 0958"),
+        (2, "server 192.168.1.254 and 10.0.0.1; version 1.2 is fine"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    c = tf.pii_counts(F.col("text"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["n_email"].alias("e"),
+            c["n_phone"].alias("p"),
+            c["n_ipv4"].alias("ip"),
+            tf.scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["p"], got[1]["ip"]) == (1, 1, 0)
+    assert "[EMAIL]" in got[1]["s"] and "[PHONE]" in got[1]["s"]
+    assert "jane.doe" not in got[1]["s"] and "7946" not in got[1]["s"]
+    assert got[2]["ip"] == 2 and got[2]["s"].count("[IP]") == 2
+    assert "version 1.2 is fine" in got[2]["s"]  # not an IPv4
+    assert got[3]["s"] == "no pii here at all"
+
+
+def test_repetition_report(spark):
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "once upon a time\nonce upon a time\nthe end"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: r for r in tf.repetition_report(df).collect()}
+    # "spam spam" bigram occurs 3x (overlapping), covers 3*9/19 chars
+    assert got[1]["top_bigram"] == "spam spam" and got[1]["bigram_count"] == 3
+    assert abs(got[1]["bigram_char_frac"] - round(3 * 9 / 19, 6)) < 1e-9
+    assert got[2]["n_lines"] == 3 and abs(got[2]["dup_line_frac"] - round(1 / 3, 6)) < 1e-9
+    assert got[3]["n_lines"] == 0 and got[3]["top_bigram"] == ""
