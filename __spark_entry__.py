@@ -615,6 +615,15 @@ def q_kg_random_walks(spark, sf_dir):
     )
 
 
+def q_kg_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, count) export from the DeepWalk
+    corpus — window 2 over the kg_random_walks walks."""
+    walks = q.random_walks(
+        _kg_cooccur_und(spark, sf_dir), walks_per_node=1, walk_length=3, seed=42
+    )
+    return q.skipgram_pairs(walks, window=2)
+
+
 def q_kg_neighbor_sample(spark, sf_dir):
     """GraphSAGE block sampling: fanout-(3,2) deterministic 2-hop
     blocks from every concept node — GNN minibatch training export."""
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coreness": q_kg_coreness,
         "txt_repetition": q_txt_repetition,
         "txt_pii_scrub": q_txt_pii_scrub,
+        "kg_skipgram_pairs": q_kg_skipgram_pairs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1656,17 +1666,26 @@ w{t} AS (SELECT c.walk_id, a.nbr_id AS cur
          JOIN adj a ON a.cid = c.cur AND a.idx = ({_nib32}) % d.deg)"""
         for t in range(1, 4)
     )
-    _walks_sql = f"""WITH {PAIRS_CTE},
-und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    _walk_ctes = f"""und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 adj AS (SELECT cid, nbr_id, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY nbr_id) - 1 AS idx FROM und),
 deg AS (SELECT cid, COUNT(*) AS deg FROM und GROUP BY cid),
-w0 AS (SELECT cid || '#0' AS walk_id, cid AS cur FROM deg){_walk_steps}
-SELECT walk_id, step, node FROM (
+w0 AS (SELECT cid || '#0' AS walk_id, cid AS cur FROM deg){_walk_steps},
+walks AS (
   SELECT walk_id, 0 AS step, cur AS node FROM w0
   UNION ALL SELECT walk_id, 1, cur FROM w1
   UNION ALL SELECT walk_id, 2, cur FROM w2
   UNION ALL SELECT walk_id, 3, cur FROM w3
-) ORDER BY walk_id, step"""
+)"""
+    _walks_sql = f"""WITH {PAIRS_CTE},
+{_walk_ctes}
+SELECT walk_id, step, node FROM walks ORDER BY walk_id, step"""
+    _skipgram_sql = f"""WITH {PAIRS_CTE},
+{_walk_ctes}
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY center, context
+ORDER BY n_pairs DESC, center, context"""
     _sample_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 ranked AS (SELECT cid, nbr_id,
@@ -1714,6 +1733,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_random_walks": _walks_sql,
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
+        "kg_skipgram_pairs": _skipgram_sql,
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,

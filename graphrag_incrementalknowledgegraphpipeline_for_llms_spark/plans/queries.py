@@ -763,6 +763,38 @@ def random_walks(
     return out.orderBy("walk_id", "step")
 
 
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, top_k: int | None = None
+) -> DataFrame:
+    """Skip-gram (center, context) training pairs from a random-walk
+    corpus — the word2vec-style co-occurrence aggregation DeepWalk
+    feeds to its embedding trainer.  Every ordered pair of nodes
+    within ``window`` steps on the same walk becomes one observation;
+    output is the aggregated (center, context, n_pairs), the exact
+    sufficient statistic for the skip-gram objective (counts, not raw
+    pairs — 100 TB of walks reduce to a vocabulary-sized table).
+
+    Scale shape: a self-equi-join on walk_id with a bounded step-band
+    predicate (each side of a walk row meets at most ``2*window``
+    partners), then one hash aggregate on (center, context)."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    pairs = a.join(b, "walk_id").where(
+        (F.col("s_a") != F.col("s_b"))
+        & (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+    )
+    out = (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+    )
+    return out.limit(top_k) if top_k else out
+
+
 def neighbor_sample(
     und: DataFrame,
     fanouts: tuple[int, ...] = (3, 2),

@@ -738,3 +738,33 @@ class TestCoreness:
             for r in queries.coreness(_und_df(spark, k5), iters=6).collect()
         }
         assert all(v == 4 for v in got.values())
+
+
+class TestSkipgramPairs:
+    def test_matches_python_oracle(self, spark):
+        walks = queries.random_walks(_und_df(spark, EDGES), 1, 4)
+        got = {
+            (r["center"], r["context"]): r["n_pairs"]
+            for r in queries.skipgram_pairs(walks, window=2).collect()
+        }
+        from collections import Counter
+
+        want: Counter = Counter()
+        by_walk: dict[str, dict[int, str]] = {}
+        for wid, s, n in _py_walks(EDGES, 1, 4):
+            by_walk.setdefault(wid, {})[s] = n
+        for seq in by_walk.values():
+            for i in seq:
+                for j in seq:
+                    if i != j and abs(i - j) <= 2:
+                        want[(seq[i], seq[j])] += 1
+        assert got == dict(want)
+
+    def test_symmetric_counts(self, spark):
+        walks = queries.random_walks(_und_df(spark, EDGES), 2, 4)
+        got = {
+            (r["center"], r["context"]): r["n_pairs"]
+            for r in queries.skipgram_pairs(walks, window=1).collect()
+        }
+        for (c, x), n in got.items():
+            assert got[(x, c)] == n
