@@ -615,6 +615,39 @@ def q_kg_random_walks(spark, sf_dir):
     )
 
 
+def q_kg_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution over the triple store: a
+    deterministic alias rule links lemma variants ("the_X" -> "X",
+    "X_top" -> "X" when the base lemma exists), connected components
+    pick each cluster's canonical id (min), and every triple endpoint
+    is rewritten onto its canonical concept — merged self-loops drop,
+    surviving triples aggregate (count + max confidence).  Exercises
+    canonicalize.alias_edges / canonical_concepts / rewrite_triples
+    as one pipeline."""
+    m = q_kg_mentions(spark, sf_dir)
+    lem = m.select("lemma").distinct()
+    v1 = lem.where(F.col("lemma").startswith("the_")).select(
+        F.col("lemma").alias("lemma_a"),
+        F.expr("substring(lemma, 5)").alias("lemma_b"),
+    )
+    v2 = lem.where(F.col("lemma").endswith("_top")).select(
+        F.col("lemma").alias("lemma_a"),
+        F.expr("left(lemma, length(lemma) - 4)").alias("lemma_b"),
+    )
+    alias_pairs = v1.unionByName(v2).where(F.col("lemma_b") != "")
+    cmap = canonicalize.canonical_concepts(m, alias_pairs)
+    rw = canonicalize.rewrite_triples(_triples(spark, sf_dir), cmap)
+    return (
+        rw.where(F.col("subj_id") != F.col("obj_id"))
+        .groupBy("subj_id", "predicate", "obj_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.round(F.max("confidence"), 2).alias("max_conf"),
+        )
+        .orderBy("subj_id", "predicate", "obj_id")
+    )
+
+
 def q_kg_skipgram_pairs(spark, sf_dir):
     """Skip-gram (center, context, count) export from the DeepWalk
     corpus — window 2 over the kg_random_walks walks."""
@@ -1393,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition": q_txt_repetition,
         "txt_pii_scrub": q_txt_pii_scrub,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
+        "kg_entity_resolution": q_kg_entity_resolution,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1734,6 +1768,30 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,
+        "kg_entity_resolution": f"""WITH RECURSIVE {TRIPLES_CTE},
+lem AS (SELECT DISTINCT lemma, concept_id FROM mentions),
+va AS (SELECT lemma AS lemma_a, substr(lemma, 5) AS lemma_b FROM lem WHERE starts_with(lemma, 'the_')
+       UNION ALL
+       SELECT lemma, left(lemma, length(lemma) - 4) FROM lem WHERE ends_with(lemma, '_top')),
+ae AS (SELECT DISTINCT x.concept_id AS u, y.concept_id AS v
+       FROM lem x JOIN va ON x.lemma = va.lemma_a JOIN lem y ON va.lemma_b = y.lemma
+       WHERE va.lemma_b <> ''),
+sym AS (SELECT u, v FROM ae UNION SELECT v, u FROM ae),
+reach(src, dst) AS (SELECT u, v FROM sym
+                    UNION
+                    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u WHERE s.v <> r.src),
+comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src),
+ids AS (SELECT DISTINCT concept_id FROM mentions),
+cmap AS (SELECT i.concept_id AS concept_id, COALESCE(c.component, i.concept_id) AS canonical_id
+         FROM ids i LEFT JOIN comp c ON c.id = i.concept_id),
+rw AS (SELECT COALESCE(ms.canonical_id, t.subj_id) AS subj_id, t.predicate,
+              COALESCE(mo.canonical_id, t.obj_id) AS obj_id, t.confidence
+       FROM triples t LEFT JOIN cmap ms ON ms.concept_id = t.subj_id
+                      LEFT JOIN cmap mo ON mo.concept_id = t.obj_id)
+SELECT subj_id, predicate, obj_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+       ROUND(MAX(confidence), 2) AS max_conf
+FROM rw WHERE subj_id <> obj_id
+GROUP BY subj_id, predicate, obj_id ORDER BY subj_id, predicate, obj_id""",
         "kg_pagerank": _pagerank_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,
