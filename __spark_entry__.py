@@ -1254,6 +1254,17 @@ def q_txt_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_txt_tfidf(spark, sf_dir):
+    """Sparse L2-normalized tf-idf vectors over the document corpus
+    (chunk_id = doc_id) — the classic sparse-retrieval export."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    return textsearch.tfidf_vectors(textsearch.build_postings(d))
+
+
 # -- rows-only (non-SQL-expressible internals) --------------------------------
 
 def q_dd_minhash_lsh(spark, sf_dir):
@@ -1427,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pii_scrub": q_txt_pii_scrub,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
+        "txt_tfidf": q_txt_tfidf,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1768,6 +1780,22 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,
+        "txt_tfidf": r"""
+WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src),
+post AS (SELECT term, chunk_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+nn AS (SELECT CAST(COUNT(DISTINCT chunk_id) AS DOUBLE) AS n FROM post),
+dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY term),
+w AS (SELECT p.chunk_id, p.term, p.tf * ln(nn.n / d.df) AS w
+      FROM post p JOIN dfq d ON p.term = d.term CROSS JOIN nn),
+nrm AS (SELECT chunk_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY chunk_id)
+SELECT w.chunk_id, w.term,
+       ROUND(CASE WHEN nrm.nrm > 0 THEN w.w / nrm.nrm ELSE 0.0 END, 6) AS weight
+FROM w JOIN nrm ON w.chunk_id = nrm.chunk_id
+ORDER BY w.chunk_id, w.term""",
         "kg_entity_resolution": f"""WITH RECURSIVE {TRIPLES_CTE},
 lem AS (SELECT DISTINCT lemma, concept_id FROM mentions),
 va AS (SELECT lemma AS lemma_a, substr(lemma, 5) AS lemma_b FROM lem WHERE starts_with(lemma, 'the_')

@@ -170,3 +170,41 @@ def search_all_terms(
         .orderBy(F.desc("score"), "chunk_id")
         .limit(limit)
     )
+
+
+def tfidf_vectors(postings: DataFrame, normalize: bool = True) -> DataFrame:
+    """Sparse tf-idf document vectors from the posting table:
+    (chunk_id, term, weight) with weight = tf * ln(N / df), L2-
+    normalized per document by default — the classic sparse-retrieval
+    / feature-hashing export a downstream trainer or ANN index
+    ingests.
+
+    N (documents with >=1 token) is a 1-row aggregate folded into the
+    plan as a literal (the BM25 corpus-scalar pattern); document
+    frequency joins on the posting table's own term key, so the only
+    shuffles are the df aggregate, the term join, and the per-doc norm
+    — text never moves, and nothing is broadcast that scales with
+    vocabulary."""
+    n = float(postings.select(F.count_distinct("chunk_id")).collect()[0][0])
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    w = postings.join(dfreq, "term").select(
+        "chunk_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(n) / F.col("df"))).alias("w"),
+    )
+    if normalize:
+        norms = w.groupBy("chunk_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        )
+        w = w.join(norms, "chunk_id").select(
+            "chunk_id",
+            "term",
+            F.when(F.col("nrm") > 0, F.col("w") / F.col("nrm"))
+            .otherwise(F.lit(0.0))
+            .alias("w"),
+        )
+    return w.select(
+        "chunk_id", "term", F.round("w", 6).alias("weight")
+    ).orderBy("chunk_id", "term")

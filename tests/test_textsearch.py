@@ -114,3 +114,39 @@ class TestHybridConceptSearch:
         assert got["c_spark"][1] == 2
         assert abs(got["c_spark"][0] - round(exp_chunks["a"] + exp_chunks["b"], 6)) < 1e-5
         assert abs(got["c_data"][0] - exp_chunks["b"]) < 1e-5
+
+
+def test_tfidf_vectors(spark):
+    import math
+
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch as ts
+
+    chunks = spark.createDataFrame(
+        [("d1", "cat dog cat"), ("d2", "dog fish"), ("d3", "fish fish fish")],
+        "chunk_id string, text string",
+    )
+    p = ts.build_postings(chunks)
+    got = {
+        (r["chunk_id"], r["term"]): r["weight"]
+        for r in ts.tfidf_vectors(p).collect()
+    }
+    # hand-computed: N=3; idf(cat)=ln(3), idf(dog)=ln(1.5), idf(fish)=ln(1.5)
+    w_cat, w_dog = 2 * math.log(3.0), 1 * math.log(1.5)
+    nrm = math.hypot(w_cat, w_dog)
+    assert abs(got[("d1", "cat")] - round(w_cat / nrm, 6)) < 1e-9
+    assert abs(got[("d1", "dog")] - round(w_dog / nrm, 6)) < 1e-9
+    # d3 is a single-term doc: unit weight
+    assert got[("d3", "fish")] == 1.0
+    # every document vector has unit L2 norm
+    from collections import defaultdict
+
+    sq = defaultdict(float)
+    for (c, _), w in got.items():
+        sq[c] += w * w
+    assert all(abs(v - 1.0) < 1e-6 for v in sq.values())
+    # unnormalized keeps raw tf*idf
+    raw = {
+        (r["chunk_id"], r["term"]): r["weight"]
+        for r in ts.tfidf_vectors(p, normalize=False).collect()
+    }
+    assert abs(raw[("d1", "cat")] - round(w_cat, 6)) < 1e-9
