@@ -648,6 +648,14 @@ def q_kg_entity_resolution(spark, sf_dir):
     )
 
 
+def q_kg_contrastive_pairs(spark, sf_dir):
+    """Contrastive training pairs: co-occurrence edges as positives,
+    2 hash-sampled filtered non-edges per positive as negatives."""
+    return q.contrastive_edge_pairs(
+        _kg_cooccur_und(spark, sf_dir), negatives_per_pos=2, seed=42
+    )
+
+
 def q_kg_skipgram_pairs(spark, sf_dir):
     """Skip-gram (center, context, count) export from the DeepWalk
     corpus — window 2 over the kg_random_walks walks."""
@@ -1439,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "txt_tfidf": q_txt_tfidf,
+        "kg_contrastive_pairs": q_kg_contrastive_pairs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1697,13 +1706,16 @@ SELECT r.id, s.lemma,
        COALESCE(s.n_chunks, 0) AS n_chunks
 FROM ranked r LEFT JOIN stats s ON r.id = s.id
 ORDER BY r.rank DESC, r.id LIMIT 20"""
-    # 32-bit value from the first 8 hex chars of an md5 column `h`,
+    # 32-bit value from the first 8 hex chars of an md5 column,
     # rebuilt nibble-by-nibble (DuckDB has no hex->int conv; Spark
     # side uses conv(substr(md5, 1, 8), 16, 10))
-    _nib32 = " + ".join(
-        f"(strpos('0123456789abcdef', substr(c.h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    def _nib32_expr(col: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+
+    _nib32 = _nib32_expr("c.h")
     _walk_steps = "".join(
         f""",
 h{t} AS (SELECT walk_id, cur, md5('42|' || walk_id || '|{t}') AS h FROM w{t - 1}),
@@ -1760,6 +1772,22 @@ cv{k} AS (SELECT id, MAX(LEAST(rk, val)) AS val FROM nr{k} GROUP BY id)"""
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 cv0 AS (SELECT cid AS id, CAST(COUNT(*) AS BIGINT) AS val FROM und GROUP BY cid){_core_rounds}
 SELECT id, CAST(val AS BIGINT) AS coreness FROM cv8 ORDER BY coreness DESC, id"""
+    _contrastive_sql = f"""WITH {PAIRS_CTE},
+pos AS (SELECT DISTINCT a_id AS a, b_id AS b FROM pairs),
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+nodesx AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx
+           FROM (SELECT DISTINCT cid AS id FROM und)),
+nn AS (SELECT COUNT(*) AS n FROM nodesx),
+cands AS (SELECT a, b, md5('42|' || a || '|' || b || '|0') AS h FROM pos
+          UNION ALL SELECT a, b, md5('42|' || a || '|' || b || '|1') FROM pos),
+cidx AS (SELECT c.a, c.b, ({_nib32}) % nn.n AS idx FROM cands c CROSS JOIN nn),
+negs AS (SELECT DISTINCT x.a, nd.id AS b
+         FROM cidx x JOIN nodesx nd ON nd.idx = x.idx
+         WHERE nd.id <> x.a AND nd.id <> x.b
+           AND NOT EXISTS (SELECT 1 FROM und u WHERE u.cid = x.a AND u.nbr_id = nd.id))
+SELECT a, b, 1 AS label FROM pos
+UNION ALL SELECT a, b, 0 FROM negs
+ORDER BY a, b, label"""
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -1780,6 +1808,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,
+        "kg_contrastive_pairs": _contrastive_sql,
         "txt_tfidf": r"""
 WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
 tok AS (

@@ -795,6 +795,79 @@ def skipgram_pairs(
     return out.limit(top_k) if top_k else out
 
 
+def contrastive_edge_pairs(
+    und: DataFrame, negatives_per_pos: int = 2, seed: int = 42
+) -> DataFrame:
+    """Contrastive training pairs for graph-embedding objectives:
+    every undirected edge is a positive (label 1); for each positive,
+    ``negatives_per_pos`` deterministic hash-sampled nodes become
+    negatives (label 0) after filtering accidental positives — the
+    standard negative-sampling export (word2vec/DGI style), bit-stable
+    across runs.
+
+    Negative choice reuses the indexed-trick from
+    :func:`random_walks`: a global (idx, id) node index, candidate
+    ``j`` of pair (a,b) = node at ``md5_32(seed|a|b|j) % n``.
+    Candidates equal to either endpoint or forming a real edge are
+    dropped (so per-positive negative count can be slightly under the
+    target — the standard filtered-sampling contract); surviving
+    duplicates collapse.
+
+    Scale shape: the node index is one global window over the
+    vocabulary-sized node table (tiny next to the corpus); candidates
+    equi-join it on idx, and the accidental-positive filter is a
+    left-anti equi-join against the adjacency.  Nothing fans out by
+    degree."""
+    from pyspark.sql import Window
+
+    pos = (
+        und.where(F.col("cid") < F.col("nbr_id"))
+        .select(F.col("cid").alias("a"), F.col("nbr_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("cid").alias("id"))
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("id")).cast("long") - 1
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    cands = None
+    for j in range(negatives_per_pos):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(str(seed)), "a", "b", F.lit(str(j)))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        c = pos.select("a", "b", (h % F.lit(n)).alias("idx"))
+        cands = c if cands is None else cands.unionByName(c)
+    negs = (
+        cands.join(nodes, "idx")
+        .where((F.col("id") != F.col("a")) & (F.col("id") != F.col("b")))
+        .select("a", F.col("id").alias("nbr_id"))
+        .join(
+            und.withColumnRenamed("cid", "a"),
+            ["a", "nbr_id"],
+            "left_anti",
+        )
+        .select("a", F.col("nbr_id").alias("b"))
+        .distinct()
+    )
+    out = pos.select("a", "b", F.lit(1).alias("label")).unionByName(
+        negs.select("a", "b", F.lit(0).alias("label"))
+    )
+    return out.orderBy("a", "b", "label")
+
+
 def neighbor_sample(
     und: DataFrame,
     fanouts: tuple[int, ...] = (3, 2),

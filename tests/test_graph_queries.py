@@ -768,3 +768,39 @@ class TestSkipgramPairs:
         }
         for (c, x), n in got.items():
             assert got[(x, c)] == n
+
+
+class TestContrastivePairs:
+    def test_matches_python_oracle(self, spark):
+        import hashlib
+
+        got = {
+            (r["a"], r["b"], r["label"])
+            for r in queries.contrastive_edge_pairs(
+                _und_df(spark, EDGES), negatives_per_pos=2
+            ).collect()
+        }
+        sym = set(EDGES) | {(b, a) for a, b in EDGES}
+        pos = {(a, b) for a, b in sym if a < b}
+        nodes = sorted({a for a, _ in sym})
+        want = {(a, b, 1) for a, b in pos}
+        for a, b in pos:
+            for j in range(2):
+                h = int(
+                    hashlib.md5(f"42|{a}|{b}|{j}".encode()).hexdigest()[:8], 16
+                )
+                c = nodes[h % len(nodes)]
+                if c not in (a, b) and (a, c) not in sym:
+                    want.add((a, c, 0))
+        assert got == want
+
+    def test_negatives_are_nonedges(self, spark):
+        rows = queries.contrastive_edge_pairs(
+            _und_df(spark, EDGES), negatives_per_pos=3
+        ).collect()
+        sym = set(EDGES) | {(b, a) for a, b in EDGES}
+        for r in rows:
+            if r["label"] == 0:
+                assert (r["a"], r["b"]) not in sym and r["a"] != r["b"]
+            else:
+                assert (r["a"], r["b"]) in sym
