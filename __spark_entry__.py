@@ -648,6 +648,12 @@ def q_kg_entity_resolution(spark, sf_dir):
     )
 
 
+def q_kg_graph_stats(spark, sf_dir):
+    """One-row structural summary (nodes, edges, degrees, density,
+    triangles, global clustering) of the co-occurrence graph."""
+    return q.graph_stats(_kg_cooccur_und(spark, sf_dir))
+
+
 def q_kg_contrastive_pairs(spark, sf_dir):
     """Contrastive training pairs: co-occurrence edges as positives,
     2 hash-sampled filtered non-edges per positive as negatives."""
@@ -1448,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_resolution": q_kg_entity_resolution,
         "txt_tfidf": q_txt_tfidf,
         "kg_contrastive_pairs": q_kg_contrastive_pairs,
+        "kg_graph_stats": q_kg_graph_stats,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1624,8 +1631,7 @@ contracted AS (SELECT la.label AS cid, lb.label AS nbr_id, COUNT(*) AS w
 {_lpa_cte("h", "contracted", "SUM(u.w)")}
 SELECT l.id, l.label AS label_l0, COALESCE(h.label, l.label) AS label_l1
 FROM l5 l LEFT JOIN hl5 h ON l.label = h.id ORDER BY l.id"""
-    _triangles_sql = f"""WITH {PAIRS_CTE},
-und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    _tri_ctes = """und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS lo, GREATEST(cid, nbr_id) AS hi
       FROM und WHERE cid <> nbr_id),
 deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM
@@ -1638,13 +1644,29 @@ w AS (SELECT o1.src, o1.dst AS d1, o2.dst AS d2
 t AS (SELECT w.src, w.d1, w.d2 FROM w JOIN e ON w.d1 = e.lo AND w.d2 = e.hi),
 corners AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM
             (SELECT src AS id FROM t UNION ALL SELECT d1 FROM t UNION ALL SELECT d2 FROM t)
-            GROUP BY id)
+            GROUP BY id)"""
+    _triangles_sql = f"""WITH {PAIRS_CTE},
+{_tri_ctes}
 SELECT deg.id, deg.degree, COALESCE(c.triangles, 0) AS triangles,
        ROUND(CASE WHEN deg.degree >= 2
                   THEN 2.0 * COALESCE(c.triangles, 0) / (deg.degree * (deg.degree - 1.0))
                   ELSE 0.0 END, 6) AS clustering
 FROM deg LEFT JOIN corners c ON deg.id = c.id
 ORDER BY triangles DESC, deg.id LIMIT 100"""
+    _graph_stats_sql = f"""WITH {PAIRS_CTE},
+{_tri_ctes},
+per AS (SELECT deg.id, deg.degree, COALESCE(c.triangles, 0) AS triangles
+        FROM deg LEFT JOIN corners c ON deg.id = c.id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(degree) / 2 AS BIGINT) AS n_edges,
+       CAST(MAX(degree) AS BIGINT) AS max_degree,
+       ROUND(AVG(degree), 6) AS avg_degree,
+       ROUND(SUM(degree) / (COUNT(*) * (COUNT(*) - 1.0)), 6) AS density,
+       CAST(SUM(triangles) / 3 AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN SUM(degree * (degree - 1)) > 0
+                  THEN SUM(triangles) / (SUM(degree * (degree - 1)) / 2.0)
+                  ELSE 0.0 END, 6) AS global_clustering
+FROM per"""
     _related_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 adj AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
@@ -1809,6 +1831,7 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,
         "kg_contrastive_pairs": _contrastive_sql,
+        "kg_graph_stats": _graph_stats_sql,
         "txt_tfidf": r"""
 WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
 tok AS (

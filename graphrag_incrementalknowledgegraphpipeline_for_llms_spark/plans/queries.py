@@ -614,6 +614,33 @@ def triangle_counts(und: DataFrame, top_k: int = 100) -> DataFrame:
     )
 
 
+def graph_stats(und: DataFrame) -> DataFrame:
+    """One-row structural summary of the concept graph: node/edge
+    counts, degree stats, density, triangle count, and the global
+    clustering coefficient (3T/W) — the health dashboard a graph
+    build emits after every merge.  Reuses the degree-oriented
+    triangle machinery of :func:`triangle_counts` (same skew bound),
+    then reduces everything in a single hash aggregate."""
+    tc = triangle_counts(und, top_k=2_147_483_647)
+    n = F.count(F.lit(1))
+    wedges2 = F.sum(F.col("degree") * (F.col("degree") - 1))
+    return tc.agg(
+        n.cast("long").alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.round(F.sum("degree") / (n * (n - F.lit(1.0))), 6).alias("density"),
+        (F.sum("triangles") / 3).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                wedges2 > 0,
+                F.sum("triangles") / (wedges2 / F.lit(2.0)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("global_clustering"),
+    )
+
+
 def related_concepts(
     und: DataFrame,
     top_k: int = 20,

@@ -804,3 +804,32 @@ class TestContrastivePairs:
                 assert (r["a"], r["b"]) not in sym and r["a"] != r["b"]
             else:
                 assert (r["a"], r["b"]) in sym
+
+
+class TestGraphStats:
+    def test_matches_python_oracle(self, spark):
+        r = queries.graph_stats(_und_df(spark, EDGES)).collect()[0]
+        sym = set(EDGES) | {(b, a) for a, b in EDGES}
+        nodes = sorted({a for a, _ in sym})
+        deg = {v: sum(1 for a, _ in sym if a == v) for v in nodes}
+        import itertools
+
+        tris = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in sym and (b, c) in sym and (a, c) in sym
+        )
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        n, m = len(nodes), len(sym) // 2
+        assert r["n_nodes"] == n and r["n_edges"] == m
+        assert r["max_degree"] == max(deg.values())
+        assert abs(r["avg_degree"] - round(2 * m / n, 6)) < 1e-9
+        assert abs(r["density"] - round(2 * m / (n * (n - 1)), 6)) < 1e-9
+        assert r["n_triangles"] == tris
+        assert abs(r["global_clustering"] - round(3 * tris / wedges, 6)) < 1e-9
+
+    def test_triangle_free(self, spark):
+        star = [("hub", x) for x in "abcd"]
+        r = queries.graph_stats(_und_df(spark, star)).collect()[0]
+        assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0
+        assert r["max_degree"] == 4 and r["n_edges"] == 4
