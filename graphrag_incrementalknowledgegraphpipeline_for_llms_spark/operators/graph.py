@@ -302,3 +302,89 @@ def upsert_graph(
                     spark, nodes_table, placeholders, keys=["label", "id"],
                     resolution="deterministic", buckets=buckets,
                 )
+
+
+def graph_diff(
+    spark: SparkSession,
+    catalog: ParquetCatalog,
+    version_old: int,
+    version_new: int,
+    nodes_table: str = "nodes",
+    edges_table: str = "edges",
+) -> DataFrame:
+    """Row-level diff between two graph snapshots (time travel): one
+    frame of (kind, change, key) with ``kind`` in {node, edge} and
+    ``change`` in {added, removed, changed} — the audit a downstream
+    consumer runs after an incremental merge ("what did this batch do
+    to the graph"), and the input to selective cache/index
+    invalidation.
+
+    Content equality is a per-row hash over all non-key columns, each
+    null-coalesced to a \\x00 sentinel BEFORE concatenation (Spark's
+    hash/concat_ws both skip nulls, which would make (x, null) equal
+    (null, x)); columns are joined with a \\x01 separator so adjacent
+    values cannot alias.  The comparison is one full-outer equi-join
+    per table on its merge key — the same key the catalog buckets by,
+    so at scale the join co-locates without a shuffle."""
+
+    def _prep(df: DataFrame, key_cols: list[str], alias: str) -> DataFrame:
+        others = [c for c in df.columns if c not in key_cols]
+        if others:
+            h = F.xxhash64(
+                F.concat_ws(
+                    "\x01",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in others
+                    ],
+                )
+            )
+        else:
+            h = F.lit(0).cast("long")
+        return df.select(*key_cols, h.alias(alias))
+
+    def _read_clamped(name: str, version: int) -> DataFrame | None:
+        # snapshot counters are PER TABLE (a batch can bump nodes twice
+        # — merge + placeholder upsert — while edges bumps once), so a
+        # caller passing the nodes version is clamped into each table's
+        # own valid range; version <= 0 means "before the table existed"
+        cur = catalog.current_version(name)
+        v = min(version, cur)
+        if v < 1:
+            return None
+        return catalog.read_as_of(spark, name, v)
+
+    def _diff(name: str, key_cols: list[str], kind: str) -> DataFrame:
+        old = _read_clamped(name, version_old)
+        new = _read_clamped(name, version_new)
+        if old is None and new is None:
+            return spark.createDataFrame(
+                [], "kind string, change string, key string"
+            )
+        if old is None:
+            old = new.limit(0)
+        if new is None:
+            new = old.limit(0)
+        j = _prep(old, key_cols, "h_old").join(
+            _prep(new, key_cols, "h_new"), key_cols, "full_outer"
+        )
+        change = (
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        )
+        return (
+            j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(
+                F.lit(kind).alias("kind"),
+                "change",
+                F.concat_ws("|", *key_cols).alias("key"),
+            )
+        )
+
+    return (
+        _diff(nodes_table, ["label", "id"], "node")
+        .unionByName(_diff(edges_table, EDGE_KEY, "edge"))
+        .orderBy("kind", "change", "key")
+    )

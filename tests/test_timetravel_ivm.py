@@ -197,3 +197,56 @@ class TestAnalyze:
         # staleness is detectable after another append
         cat.append(spark, spark.createDataFrame([(99, 1.0)], "k long, v double"), "t")
         assert cat.table_stats("t")["version"] < cat.current_version("t")
+
+
+class TestGraphDiff:
+    def _node(self, id_, surface):
+        return ("Concept", id_, id_, surface, "NER", None, None, None, None, None, None)
+
+    def _edge(self, a, b, conf):
+        import datetime
+
+        ts = datetime.datetime(2024, 1, 1)
+        return ("Concept", a, "RELATED_TO", "Concept", b, conf, "ev", ts)
+
+    def test_added_removed_changed(self, spark, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import graph
+
+        cat = ParquetCatalog(str(tmp_path))
+        nodes1 = spark.createDataFrame([self._node("a", "A"), self._node("b", "B")], graph.NODES_SCHEMA)
+        edges1 = spark.createDataFrame([self._edge("a", "b", 0.7)], graph.EDGES_SCHEMA)
+        graph.upsert_graph(spark, cat, nodes=nodes1, edges=edges1)
+        v1 = cat.current_version("nodes")
+        # v2: node c added, node b's surface changed, edge confidence bumped
+        nodes2 = spark.createDataFrame([self._node("b", "B2"), self._node("c", "C")], graph.NODES_SCHEMA)
+        edges2 = spark.createDataFrame(
+            [self._edge("a", "b", 0.9), self._edge("b", "c", 0.8)], graph.EDGES_SCHEMA
+        )
+        graph.upsert_graph(spark, cat, nodes=nodes2, edges=edges2)
+        v2 = cat.current_version("nodes")
+        got = {
+            (r["kind"], r["change"], r["key"])
+            for r in graph.graph_diff(spark, cat, v1, v2).collect()
+        }
+        assert ("node", "added", "Concept|c") in got
+        assert ("node", "changed", "Concept|b") in got
+        assert ("edge", "added", "Concept|b|RELATED_TO|Concept|c") in got
+        assert ("edge", "changed", "Concept|a|RELATED_TO|Concept|b") in got
+        assert not any(c == "removed" for _, c, _ in got)
+        assert not any(k == "node" and key == "Concept|a" for k, _, key in got)
+        # reverse direction flips added <-> removed
+        rev = {
+            (r["change"], r["key"])
+            for r in graph.graph_diff(spark, cat, v2, v1).collect()
+        }
+        assert ("removed", "Concept|c") in rev
+
+    def test_identical_versions_empty(self, spark, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import graph
+
+        cat = ParquetCatalog(str(tmp_path))
+        nodes1 = spark.createDataFrame([self._node("a", "A")], graph.NODES_SCHEMA)
+        edges1 = spark.createDataFrame([self._edge("a", "a2", 0.7)], graph.EDGES_SCHEMA)
+        graph.upsert_graph(spark, cat, nodes=nodes1, edges=edges1)
+        v = cat.current_version("nodes")
+        assert graph.graph_diff(spark, cat, v, v).count() == 0
