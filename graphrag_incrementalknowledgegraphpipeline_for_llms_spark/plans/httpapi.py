@@ -30,6 +30,8 @@ the same graph):
 * ``GET /v1/search/local?q=``               -> local search: entity-link the query
                                                text, personalized-PageRank expansion,
                                                mention stats per result
+* ``GET /v1/graph/stats``                   -> one-row structural summary (degrees,
+                                               density, triangles, clustering)
 
 Every response is wrapped in ApiResponse {success, data?, error?,
 traceId?} (ApiModels.scala:12-23).
@@ -255,6 +257,23 @@ class GraphApiService:
                 for r in rows
             ]
         }
+
+    def graph_stats(self) -> dict:
+        """One-row structural summary of the concept graph (cached per
+        service instance like the LPA labels — it is a pure function
+        of the edge set)."""
+        if getattr(self, "_gstats", None) is None:
+            r = q.graph_stats(self._concept_und()).collect()[0]
+            self._gstats = {
+                "nodeCount": r["n_nodes"],
+                "edgeCount": r["n_edges"],
+                "maxDegree": r["max_degree"],
+                "avgDegree": r["avg_degree"],
+                "density": r["density"],
+                "triangleCount": r["n_triangles"],
+                "globalClustering": r["global_clustering"],
+            }
+        return self._gstats
 
     def local_search(self, query: str, top_k: int = 20) -> dict:
         """GraphRAG local search over the live graph: entity-link the
@@ -522,6 +541,8 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         )
                     except KeyError as e:
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
+                if path == "/v1/graph/stats":
+                    return self._send(200, service.graph_stats())
                 if path == "/v1/search/local":
                     if not qs.get("q"):
                         return self._error(

@@ -260,3 +260,16 @@ def test_local_search_no_link_and_missing_q(server):
     assert body["data"]["results"] == []
     status, body = _get_raw(base, "/v1/search/local")
     assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
+
+
+def test_graph_stats(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/graph/stats")
+    assert status == 200 and body["success"] is True
+    d = body["data"]
+    assert d["nodeCount"] > 0 and d["edgeCount"] > 0
+    assert d["maxDegree"] >= 1 and 0.0 <= d["density"] <= 1.0
+    assert d["triangleCount"] >= 0 and 0.0 <= d["globalClustering"] <= 1.0
+    # cached: second call returns the identical payload
+    _, body2 = _get_raw(base, "/v1/graph/stats")
+    assert body2["data"] == d
