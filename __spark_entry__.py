@@ -1268,6 +1268,17 @@ def q_txt_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dd_window_chunks(spark, sf_dir):
+    """Overlapping token-window chunker (window 64, overlap 16) over
+    the document corpus — long-doc splitting for training-sequence
+    prep / RAG indexing; runs map-side inside the scan stage."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import (
+        window_chunks,
+    )
+
+    return window_chunks(_docs(spark, sf_dir), window=64, overlap=16)
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Sparse L2-normalized tf-idf vectors over the document corpus
     (chunk_id = doc_id) — the classic sparse-retrieval export."""
@@ -1455,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf": q_txt_tfidf,
         "kg_contrastive_pairs": q_kg_contrastive_pairs,
         "kg_graph_stats": q_kg_graph_stats,
+        "dd_window_chunks": q_dd_window_chunks,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1832,6 +1844,20 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         "kg_skipgram_pairs": _skipgram_sql,
         "kg_contrastive_pairs": _contrastive_sql,
         "kg_graph_stats": _graph_stats_sql,
+        "dd_window_chunks": r"""
+WITH base AS (SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+              FROM documents),
+b2 AS (SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+b3 AS (SELECT id, toks,
+              CASE WHEN n <= 64 THEN 1 ELSE CAST(CEIL((n - 64) / 48.0) AS INT) + 1 END AS nwin
+       FROM b2),
+ex AS (SELECT id, toks, CAST(k AS INT) AS chunk_idx
+       FROM b3, LATERAL (SELECT unnest(range(nwin)) AS k) r)
+SELECT id, chunk_idx,
+       array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+       CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens
+FROM ex ORDER BY id, chunk_idx""",
         "txt_tfidf": r"""
 WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
 tok AS (

@@ -184,3 +184,52 @@ def pack_concat(
             F.sum(token_col).alias("total_tokens"),
         )
     )
+
+
+def window_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    long-document chunker for training-sequence prep and RAG indexing:
+    (id, chunk_idx, chunk_text, n_tokens), stride = window - overlap,
+    window k covering tokens [k*stride, k*stride + window).  The last
+    window may be shorter; token-less documents produce no chunks.
+
+    Pure Catalyst HOFs: tokenize once per row, explode a
+    sequence(0, n_windows-1), rebuild each chunk with slice +
+    array_join — no Python, no shuffle at all (narrow projection of
+    the scan; at 100 TB this chunker runs map-side inside the same
+    stage as the parquet read)."""
+    if overlap >= window:
+        raise ValueError(f"overlap {overlap} must be < window {window}")
+    stride = window - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    ).where(F.col("n") > 0)
+    nwin = F.when(F.col("n") <= window, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - F.lit(window)) / F.lit(float(stride))).cast("int")
+        + F.lit(1)
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_idx") * stride + 1, window
+    )
+    return (
+        base.select(
+            "id", "toks",
+            F.explode(F.sequence(F.lit(0), nwin - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+        .orderBy("id", "chunk_idx")
+    )

@@ -1,5 +1,7 @@
 """Corpus-curation operator: gates, dedup canonicalization, funnel."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -204,3 +206,60 @@ class TestSampling:
             (0, "t0|t1|t2", [0, 1, 2], 300),
             (1, "t3|t4", [3, 4], 200),
         ]
+
+
+class TestWindowChunks:
+    def _py_chunks(self, text, window, overlap):
+        toks = text.split()
+        if not toks:
+            return []
+        stride = window - overlap
+        n = len(toks)
+        nwin = 1 if n <= window else 1 + math.ceil((n - window) / stride)
+        return [
+            (k, " ".join(toks[k * stride : k * stride + window]),
+             len(toks[k * stride : k * stride + window]))
+            for k in range(nwin)
+        ]
+
+    def test_matches_python_oracle(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import window_chunks
+
+        docs = [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b c"),
+            (3, ""),
+            (4, " ".join(f"w{i}" for i in range(9))),  # exact multiple
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+            for r in window_chunks(df, window=4, overlap=1).collect()
+        }
+        want = {}
+        for did, text in docs:
+            for k, ct, nt in self._py_chunks(text, 4, 1):
+                want[(did, k)] = (ct, nt)
+        assert got == want
+        assert not any(i == 3 for i, _ in got)  # empty doc -> no chunks
+
+    def test_reconstruction_covers_all_tokens(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import window_chunks
+
+        text = " ".join(f"x{i}" for i in range(301))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = window_chunks(df, window=128, overlap=32).collect()
+        seen = set()
+        for r in rows:
+            seen.update(r["chunk_text"].split())
+        assert seen == set(text.split())
+        # every full window has exactly `window` tokens; stride respected
+        idxs = sorted(r["chunk_idx"] for r in rows)
+        assert idxs == list(range(len(rows)))
+        assert all(r["n_tokens"] == 128 for r in rows if r["chunk_idx"] < len(rows) - 1)
+
+    def test_overlap_validation(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import window_chunks
+
+        with pytest.raises(ValueError):
+            window_chunks(spark.range(1), window=4, overlap=4)
