@@ -1268,6 +1268,14 @@ def q_txt_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_txt_entropy(spark, sf_dir):
+    """Per-document character-entropy (bits) — gibberish/boilerplate
+    quality signal complementing the repetition filters."""
+    return tf.char_entropy_report(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_dd_window_chunks(spark, sf_dir):
     """Overlapping token-window chunker (window 64, overlap 16) over
     the document corpus — long-doc splitting for training-sequence
@@ -1467,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_contrastive_pairs": q_kg_contrastive_pairs,
         "kg_graph_stats": q_kg_graph_stats,
         "dd_window_chunks": q_dd_window_chunks,
+        "txt_entropy": q_txt_entropy,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -1858,6 +1867,16 @@ SELECT id, chunk_idx,
        array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
        CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens
 FROM ex ORDER BY id, chunk_idx""",
+        "txt_entropy": r"""
+WITH ex AS (SELECT doc_id AS id,
+                   unnest(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0)) AS ch
+            FROM documents),
+counts AS (SELECT id, ch, COUNT(*) AS cnt FROM ex GROUP BY id, ch),
+tot AS (SELECT id, SUM(cnt) AS n FROM counts GROUP BY id)
+SELECT c.id AS doc_id, CAST(t.n AS BIGINT) AS n_chars,
+       ROUND(-SUM((c.cnt / t.n) * ln(c.cnt / t.n) / ln(2)), 6) AS char_entropy
+FROM counts c JOIN tot t ON c.id = t.id
+GROUP BY c.id, t.n ORDER BY doc_id""",
         "txt_tfidf": r"""
 WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
 tok AS (

@@ -8,6 +8,8 @@ and document fingerprinting.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -197,5 +199,42 @@ def repetition_report(
                 6,
             ).alias("bigram_char_frac"),
         )
+        .orderBy("id")
+    )
+
+
+def char_entropy_report(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document Shannon entropy of the character distribution in
+    bits — the cheap gibberish/boilerplate detector that complements
+    the repetition filters (natural prose sits ~4-4.5 bits/char;
+    base64 blobs and key-mash near log2(alphabet); repeated padding
+    near 0).  Output: (id, n_chars, char_entropy), empty documents
+    omitted.
+
+    Scale shape: chars explode from the scanned row into narrow
+    (id, char) pairs that partial-aggregate map-side to at most
+    |alphabet| rows per document before the shuffle — the exchange
+    carries counts, never text."""
+    chars = F.filter(
+        F.split(F.col(text_col), ""), lambda c: F.length(c) > 0
+    )
+    counts = (
+        df.select(F.col(id_col).alias("id"), F.explode(chars).alias("ch"))
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy("id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        counts.join(tot, "id")
+        .groupBy("id", "n")
+        .agg(
+            F.round(-F.sum(p * F.log(p) / F.lit(math.log(2.0))), 6).alias(
+                "char_entropy"
+            )
+        )
+        .select("id", F.col("n").cast("long").alias("n_chars"), "char_entropy")
         .orderBy("id")
     )

@@ -163,3 +163,23 @@ def test_repetition_report(spark):
     assert abs(got[1]["bigram_char_frac"] - round(3 * 9 / 19, 6)) < 1e-9
     assert got[2]["n_lines"] == 3 and abs(got[2]["dup_line_frac"] - round(1 / 3, 6)) < 1e-9
     assert got[3]["n_lines"] == 0 and got[3]["top_bigram"] == ""
+
+
+def test_char_entropy(spark):
+    import math
+
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: r for r in tf.char_entropy_report(df).collect()}
+    assert got[1]["char_entropy"] == 0.0
+    assert abs(got[2]["char_entropy"] - 1.0) < 1e-9
+    assert abs(got[3]["char_entropy"] - 2.0) < 1e-9
+    assert got[3]["n_chars"] == 4
+    assert 4 not in got  # empty doc omitted
+    # hand fixture with uneven distribution
+    df2 = spark.createDataFrame([(9, "aab")], "doc_id int, text string")
+    want = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    got2 = tf.char_entropy_report(df2).collect()[0]
+    assert abs(got2["char_entropy"] - round(want, 6)) < 1e-9
