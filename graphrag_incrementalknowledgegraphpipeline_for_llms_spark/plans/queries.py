@@ -253,6 +253,7 @@ def personalized_pagerank(
     iters: int = 10,
     top_k: int = 20,
     checkpoint_every: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank: power iteration where the teleport mass
     (1 - damping) returns to the SEED set instead of spreading
@@ -269,9 +270,14 @@ def personalized_pagerank(
     Scale shape: identical per-iteration cost to :func:`pagerank_und`
     (adjacency materialized once, one join-agg shuffle per round,
     coalesced lineage truncation); the teleport is a literal IN
-    predicate on the tiny seed list — no extra join."""
+    predicate on the tiny seed list — no extra join.
+
+    ``weight_col``: edge-weighted walk — a neighbor receives
+    rank * w(u,v) / strength(u) with strength = sum of u's edge
+    weights (e.g. co-occurrence frequency); None = uniform."""
     sc = und.sparkSession.sparkContext
-    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    wcols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
+    und = und.select(*wcols).distinct().localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
@@ -287,7 +293,8 @@ def personalized_pagerank(
     teleport = F.when(F.col("id").isin(present), F.lit(1.0 / k)).otherwise(
         F.lit(0.0)
     )
-    deg = und.groupBy("cid").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    deg = und.groupBy("cid").agg(F.sum(w).alias("deg"))
     ranks = nodes_v.withColumn("rank", teleport)
     for i in range(iters):
         contribs = (
@@ -295,7 +302,7 @@ def personalized_pagerank(
             .join(deg, "cid")
             .select(
                 F.col("nbr_id").alias("id"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                (F.col("rank") * w / F.col("deg")).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))

@@ -833,3 +833,56 @@ class TestGraphStats:
         r = queries.graph_stats(_und_df(spark, star)).collect()[0]
         assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0
         assert r["max_degree"] == 4 and r["n_edges"] == 4
+
+
+class TestWeightedPPR:
+    def test_matches_numpy_weighted_oracle(self, spark):
+        w_edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("c", "d", 5.0)]
+        sym = w_edges + [(b, a, w) for a, b, w in w_edges]
+        df = spark.createDataFrame(sym, "cid string, nbr_id string, w double")
+        got = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                df, seeds=["a"], top_k=100, weight_col="w"
+            ).collect()
+        }
+        nodes = sorted({a for a, _, _ in sym})
+        idx = {v: i for i, v in enumerate(nodes)}
+        strength = np.zeros(len(nodes))
+        for a, _, w in sym:
+            strength[idx[a]] += w
+        tp = np.zeros(len(nodes))
+        tp[idx["a"]] = 1.0
+        r = tp.copy()
+        for _ in range(10):
+            inflow = np.zeros(len(nodes))
+            for a, b, w in sym:
+                inflow[idx[b]] += r[idx[a]] * w / strength[idx[a]]
+            r = 0.15 * tp + 0.85 * inflow
+        for v in nodes:
+            if r[idx[v]] > 0:
+                assert abs(got[v] - round(r[idx[v]], 8)) < 1e-8, v
+        # weighting changes the answer
+        unw = {
+            r2["id"]: r2["rank"]
+            for r2 in queries.personalized_pagerank(
+                df.drop("w"), seeds=["a"], top_k=100
+            ).collect()
+        }
+        assert got != unw
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        df = _und_df(spark, EDGES).withColumn("w", F.lit(1.0))
+        a = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                df, seeds=["c"], top_k=100, weight_col="w"
+            ).collect()
+        }
+        b = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                _und_df(spark, EDGES), seeds=["c"], top_k=100
+            ).collect()
+        }
+        assert a == b
