@@ -175,3 +175,58 @@ class TestTriplesCteParity:
                     (cid, tr["subj_id"], tr["predicate"], tr["obj_id"], tr["confidence"])
                 )
         assert got == expected
+
+
+class TestPortableHashParity:
+    """The walk/negative-sampling family draws deterministic choices
+    from a 32-bit value built from md5 hex.  Three engines must agree:
+    python int(md5[:8], 16), Spark conv(substr(md5, 1, 8), 16, 10),
+    and the DuckDB nibble-sum (_nib32_expr).  Fuzz arbitrary key
+    strings through all three."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="'\\"
+                ),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_three_engine_hash32(self, spark, keys):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        py = {
+            k: int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16)
+            for k in set(keys)
+        }
+        df = spark.createDataFrame([(k,) for k in set(keys)], "k string")
+        sp = {
+            r["k"]: r["h"]
+            for r in df.select(
+                "k",
+                F.conv(F.substring(F.md5("k"), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h"),
+            ).collect()
+        }
+        assert sp == py
+        nib = " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"k": list(set(keys))}))
+        dd = dict(
+            con.execute(
+                f"SELECT k, {nib} AS v FROM (SELECT k, md5(k) AS h FROM t)"
+            ).fetchall()
+        )
+        assert dd == py
