@@ -250,3 +250,34 @@ class TestGraphDiff:
         graph.upsert_graph(spark, cat, nodes=nodes1, edges=edges1)
         v = cat.current_version("nodes")
         assert graph.graph_diff(spark, cat, v, v).count() == 0
+
+
+class TestIncrementalDegreeView:
+    """O(delta) maintenance of graph degree counts via the generic IVM
+    machinery — the incremental-graph-analytics story: after each edge
+    batch, per-node degree (and thus degree histograms / avg degree)
+    refreshes from the delta alone instead of rescanning the edge
+    table."""
+
+    def test_degree_view_tracks_appends(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        e1 = _df(spark, [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+        cat.append(spark, e1, "uedges")
+        folded = ivm.refresh(spark, cat, "uedges", "deg_view", ["src"])
+        assert folded == 1
+        deg = {r["src"]: r["cnt"] for r in ivm.read_view(spark, cat, "deg_view").collect()}
+        assert deg == {"a": 2, "b": 1}
+        # append a delta batch: only the delta folds
+        e2 = _df(spark, [("a", "d"), ("d", "e")], "src string, dst string")
+        cat.append(spark, e2, "uedges")
+        assert ivm.refresh(spark, cat, "uedges", "deg_view", ["src"]) == 1
+        deg2 = {r["src"]: r["cnt"] for r in ivm.read_view(spark, cat, "deg_view").collect()}
+        assert deg2 == {"a": 3, "b": 1, "d": 1}
+        # matches full recompute
+        full = {
+            r["src"]: r["cnt"]
+            for r in cat.read(spark, "uedges").groupBy("src").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert deg2 == full
+        # idempotent when current
+        assert ivm.refresh(spark, cat, "uedges", "deg_view", ["src"]) == 0
