@@ -208,3 +208,32 @@ def tfidf_vectors(postings: DataFrame, normalize: bool = True) -> DataFrame:
     return w.select(
         "chunk_id", "term", F.round("w", 6).alias("weight")
     ).orderBy("chunk_id", "term")
+
+
+def update_postings_index(
+    spark,
+    catalog,
+    chunks_delta: DataFrame,
+    table: str = "postings",
+    text_col: str = "text",
+    id_col: str = "chunk_id",
+    buckets: int | None = None,
+) -> int:
+    """Incremental maintenance of a catalog-stored posting index: the
+    DELTA batch's chunks are tokenized and MERGEd into ``table`` on
+    (term, chunk_id) — a new chunk appends its postings, a
+    re-ingested chunk replaces them idempotently (tf is a pure
+    function of the chunk text, so last-write-wins is exact).  At
+    corpus scale this is the difference between a per-batch index
+    rebuild and an O(batch) merge into a term-bucketed table; queries
+    keep pruning on the literal term key either way.  Returns the new
+    snapshot version."""
+    p = build_postings(chunks_delta, text_col=text_col, id_col=id_col)
+    return catalog.merge_upsert(
+        spark, table, p, keys=["term", "chunk_id"], buckets=buckets
+    )
+
+
+def read_postings_index(spark, catalog, table: str = "postings") -> DataFrame:
+    """The stored posting table (current snapshot)."""
+    return catalog.read(spark, table)

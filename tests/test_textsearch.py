@@ -150,3 +150,37 @@ def test_tfidf_vectors(spark):
         for r in ts.tfidf_vectors(p, normalize=False).collect()
     }
     assert abs(raw[("d1", "cat")] - round(w_cat, 6)) < 1e-9
+
+
+def test_incremental_postings_index(spark, tmp_path):
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch as ts
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path))
+    b1 = spark.createDataFrame(
+        [("c1", "spark joins data"), ("c2", "data data lake")],
+        "chunk_id string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("c3", "spark shuffles"), ("c2", "data data lake")],  # c2 re-ingested
+        "chunk_id string, text string",
+    )
+    ts.update_postings_index(spark, cat, b1)
+    ts.update_postings_index(spark, cat, b2)
+    got = {
+        (r["term"], r["chunk_id"]): r["tf"]
+        for r in ts.read_postings_index(spark, cat).collect()
+    }
+    # equals a full rebuild over the union corpus (c2 not double-counted)
+    full = {
+        (r["term"], r["chunk_id"]): r["tf"]
+        for r in ts.build_postings(b1.unionByName(b2).dropDuplicates(["chunk_id"])).collect()
+    }
+    assert got == full
+    assert got[("data", "c2")] == 2
+    # the stored index answers searches identically to a fresh build
+    hits = {
+        r["chunk_id"]
+        for r in ts.search_all_terms(ts.read_postings_index(spark, cat), ["spark"]).collect()
+    }
+    assert hits == {"c1", "c3"}
