@@ -1287,6 +1287,30 @@ def q_dd_window_chunks(spark, sf_dir):
     return window_chunks(_docs(spark, sf_dir), window=64, overlap=16)
 
 
+def q_kg_int_encode(spark, sf_dir):
+    """Dense-integer graph encoding (GNN / embedding-framework export,
+    graph.encode_graph_ints): the distinct (label, id) node vocabulary
+    gets contiguous int ids by (label, id) order, and the MENTIONS
+    edges are remapped onto them — the edge-list-with-dense-ids layout
+    every graph-learning toolkit ingests (export_graph materializes
+    the same two tables to parquet)."""
+    m = q_kg_mentions(spark, sf_dir)
+    nodes = (
+        _chunks(spark, sf_dir)
+        .select(F.lit("Chunk").alias("label"), F.col("chunk_id").alias("id"))
+        .unionByName(
+            m.select(
+                F.lit("Concept").alias("label"), F.col("concept_id").alias("id")
+            )
+        )
+    )
+    edges = graph.mention_edges(m, "2024-01-01 00:00:00").dropDuplicates(
+        ["src_id", "dst_id"]
+    )
+    _, int_edges = graph.encode_graph_ints(nodes, edges)
+    return int_edges.select("src", "dst", "rel").orderBy("src", "dst")
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Sparse L2-normalized tf-idf vectors over the document corpus
     (chunk_id = doc_id) — the classic sparse-retrieval export."""
@@ -1476,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": q_kg_graph_stats,
         "dd_window_chunks": q_dd_window_chunks,
         "txt_entropy": q_txt_entropy,
+        "kg_int_encode": q_kg_int_encode,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2483,4 +2508,20 @@ FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN top t ON d.url = t.url""",
 SELECT CAST(doc_id AS VARCHAR) AS url,
   unnest(range(0, greatest(octet_length(encode(text)) // 32, 1), 2)) AS frame_idx
 FROM documents ORDER BY doc_id, frame_idx""",
+        "kg_int_encode": f"""WITH {MENTIONS_CTE},
+vocab AS (
+  SELECT 'Chunk' AS label, chunk_id AS id FROM src
+  UNION
+  SELECT DISTINCT 'Concept' AS label, concept_id AS id FROM mentions
+),
+nmap AS (
+  SELECT label, id, CAST(ROW_NUMBER() OVER (ORDER BY label, id) - 1 AS BIGINT) AS int_id
+  FROM vocab
+),
+medges AS (SELECT DISTINCT chunk_id, concept_id FROM mentions)
+SELECT s.int_id AS src, d.int_id AS dst, 'MENTIONS' AS rel
+FROM medges e
+JOIN nmap s ON s.label = 'Chunk' AND s.id = e.chunk_id
+JOIN nmap d ON d.label = 'Concept' AND d.id = e.concept_id
+ORDER BY src, dst""",
     }

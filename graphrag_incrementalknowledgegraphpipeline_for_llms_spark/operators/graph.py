@@ -304,6 +304,85 @@ def upsert_graph(
                 )
 
 
+def encode_graph_ints(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-encode the graph for GNN / embedding frameworks that
+    want dense contiguous node ids: returns (node_map, int_edges)
+    where node_map = (int_id, label, id) with int_id = 0..n-1 assigned
+    by (label, id) sort order (deterministic across runs), and
+    int_edges = (src, dst, rel, confidence) with endpoints remapped.
+    Edges whose endpoint is missing from the node table are dropped
+    (inner joins) — export after placeholder backfill, which
+    upsert_graph guarantees.
+
+    Scale shape: the id assignment is ONE global window over the
+    vocabulary-sized node table (tiny next to the corpus — the same
+    trade as contrastive_edge_pairs' node index); the remap is two
+    broadcast-able equi-joins keyed on the node id."""
+    from pyspark.sql import Window
+
+    node_map = nodes.select("label", "id").distinct().withColumn(
+        "int_id",
+        F.row_number().over(Window.orderBy("label", "id")).cast("long") - 1,
+    )
+    m = F.broadcast(node_map)
+    int_edges = (
+        edges.join(
+            m.select(
+                F.col("label").alias("src_label"),
+                F.col("id").alias("src_id"),
+                F.col("int_id").alias("src"),
+            ),
+            ["src_label", "src_id"],
+        )
+        .join(
+            m.select(
+                F.col("label").alias("dst_label"),
+                F.col("id").alias("dst_id"),
+                F.col("int_id").alias("dst"),
+            ),
+            ["dst_label", "dst_id"],
+        )
+        .select("src", "dst", "rel", "confidence")
+    )
+    return node_map.select("int_id", "label", "id"), int_edges
+
+
+def export_graph(
+    spark: SparkSession,
+    catalog: ParquetCatalog,
+    out_dir: str,
+    nodes_table: str = "nodes",
+    edges_table: str = "edges",
+) -> dict:
+    """Materialize the current graph snapshot for external consumers:
+    ``{out_dir}/node_map.parquet`` (int_id, label, id, lemma) and
+    ``{out_dir}/edges_int.parquet`` (src, dst, rel, confidence) —
+    the edge-list-with-dense-ids layout every GNN/embedding toolkit
+    ingests — plus the returned summary counts.  Distributed parquet
+    writes; nothing is collected to the driver."""
+    import os
+
+    nodes = catalog.read(spark, nodes_table)
+    edges = catalog.read(spark, edges_table)
+    node_map, int_edges = encode_graph_ints(nodes, edges)
+    node_out = node_map.join(
+        nodes.select("label", "id", "lemma").distinct(), ["label", "id"], "left"
+    ).select("int_id", "label", "id", "lemma")
+    node_out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "node_map.parquet")
+    )
+    int_edges.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "edges_int.parquet")
+    )
+    return {
+        "nodes": node_out.count(),
+        "edges": int_edges.count(),
+        "out_dir": out_dir,
+    }
+
+
 def graph_diff(
     spark: SparkSession,
     catalog: ParquetCatalog,

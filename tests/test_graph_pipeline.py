@@ -300,3 +300,58 @@ class TestDedupPages:
             a = sorted(tuple(r) for r in cat_a.read(spark, t).collect())
             b = sorted(tuple(r) for r in cat_b.read(spark, t).collect())
             assert a == b, t
+
+
+class TestIntEncode:
+    def _graph(self, spark):
+        nodes = spark.createDataFrame(
+            [
+                ("Concept", "c2", "beta", "s", "o", None, None, None, None, None, None),
+                ("Concept", "c1", "alpha", "s", "o", None, None, None, None, None, None),
+                ("Chunk", "k1", None, None, None, "d1", "txt", None, None, None, None),
+            ],
+            graph.NODES_SCHEMA,
+        )
+        edges = spark.createDataFrame(
+            [
+                ("Chunk", "k1", "MENTIONS", "Concept", "c1", None, None, TS),
+                ("Concept", "c1", "IS_A", "Concept", "c2", 0.9, "ev", TS),
+                ("Concept", "c1", "IS_A", "Concept", "missing", 0.9, "ev", TS),
+            ],
+            graph.EDGES_SCHEMA,
+        )
+        return nodes, edges
+
+    def test_dense_ids_and_remap(self, spark):
+        nodes, edges = self._graph(spark)
+        node_map, int_edges = graph.encode_graph_ints(nodes, edges)
+        m = {(r["label"], r["id"]): r["int_id"] for r in node_map.collect()}
+        # contiguous 0..n-1, assigned by (label, id) sort order
+        assert sorted(m.values()) == [0, 1, 2]
+        assert m[("Chunk", "k1")] == 0  # 'Chunk' < 'Concept'
+        assert m[("Concept", "c1")] == 1 and m[("Concept", "c2")] == 2
+        got = {(r["src"], r["dst"], r["rel"]) for r in int_edges.collect()}
+        # the dangling-endpoint edge is dropped (inner join)
+        assert got == {(0, 1, "MENTIONS"), (1, 2, "IS_A")}
+
+    def test_deterministic_across_runs(self, spark):
+        nodes, edges = self._graph(spark)
+        a = graph.encode_graph_ints(nodes.repartition(5), edges)[0].collect()
+        b = graph.encode_graph_ints(nodes.coalesce(1), edges)[0].collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_export_graph_roundtrip(self, spark, catalog, tmp_path):
+        nodes, edges = self._graph(spark)
+        graph.upsert_graph(spark, catalog, nodes, edges)
+        out = str(tmp_path / "export")
+        summary = graph.export_graph(spark, catalog, out)
+        nm = spark.read.parquet(out + "/node_map.parquet")
+        ie = spark.read.parquet(out + "/edges_int.parquet")
+        # placeholder backfill added the 'missing' endpoint node, so
+        # all three edges survive the remap and ids are 0..3
+        assert summary["nodes"] == nm.count() == 4
+        assert summary["edges"] == ie.count() == 3
+        assert set(nm.columns) == {"int_id", "label", "id", "lemma"}
+        assert sorted(r["int_id"] for r in nm.collect()) == [0, 1, 2, 3]
+        lem = {r["id"]: r["lemma"] for r in nm.collect()}
+        assert lem["c1"] == "alpha" and lem["missing"] is None
