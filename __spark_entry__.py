@@ -1311,6 +1311,28 @@ def q_kg_int_encode(spark, sf_dir):
     return int_edges.select("src", "dst", "rel").orderBy("src", "dst")
 
 
+def q_kg_adamic_adar(spark, sf_dir):
+    """Adamic-Adar + resource-allocation link prediction over
+    non-adjacent distance-2 concept pairs — the degree-discounted
+    upgrade of kg_related_concepts' common-neighbor/Jaccard ranking."""
+    return q.adamic_adar(_kg_cooccur_und(spark, sf_dir), top_k=20, min_common=2)
+
+
+def q_kg_shortest_paths(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (6 Bellman-Ford rounds)
+    from the PPR seed entities over the co-occurrence graph, edge
+    weight 1/freq (frequent co-occurrence = close) — the distance
+    field a GraphRAG retriever uses to budget context expansion."""
+    pf = q_kg_pair_freq(spark, sf_dir)
+    w = (F.lit(1.0) / F.col("freq")).alias("w")
+    wund = pf.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id"), w
+    ).unionByName(
+        pf.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"), w)
+    )
+    return q.shortest_paths(wund, source_ids=_ppr_seeds(), iters=6)
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Sparse L2-normalized tf-idf vectors over the document corpus
     (chunk_id = doc_id) — the classic sparse-retrieval export."""
@@ -1501,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_window_chunks": q_dd_window_chunks,
         "txt_entropy": q_txt_entropy,
         "kg_int_encode": q_kg_int_encode,
+        "kg_adamic_adar": q_kg_adamic_adar,
+        "kg_shortest_paths": q_kg_shortest_paths,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2524,4 +2548,33 @@ FROM medges e
 JOIN nmap s ON s.label = 'Chunk' AND s.id = e.chunk_id
 JOIN nmap d ON d.label = 'Concept' AND d.id = e.concept_id
 ORDER BY src, dst""",
+        "kg_adamic_adar": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
+deg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS mdeg FROM adj GROUP BY cid),
+cand AS (SELECT n1.nbr_id AS a, n2.nbr_id AS b, CAST(COUNT(*) AS BIGINT) AS common,
+                SUM(1.0 / ln(d.mdeg)) AS aa_raw, SUM(1.0 / d.mdeg) AS ra_raw
+         FROM adj n1 JOIN adj n2 ON n1.cid = n2.cid AND n1.nbr_id < n2.nbr_id
+         JOIN deg d ON d.cid = n1.cid
+         GROUP BY n1.nbr_id, n2.nbr_id HAVING COUNT(*) >= 2),
+e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS a, GREATEST(cid, nbr_id) AS b FROM adj)
+SELECT c.a, c.b, c.common, ROUND(c.aa_raw, 6) AS aa, ROUND(c.ra_raw, 6) AS ra
+FROM cand c ANTI JOIN e ON c.a = e.a AND c.b = e.b
+ORDER BY aa DESC, common DESC, a, b LIMIT 20""",
+        "kg_shortest_paths": f"""WITH {PAIRS_CTE},
+pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),
+wund AS (SELECT a_id AS cid, b_id AS nbr_id, 1.0 / freq AS w FROM pf
+         UNION ALL SELECT b_id, a_id, 1.0 / freq FROM pf),
+d0 AS ({" UNION ".join(f"SELECT substr(sha256('{s}'), 1, 16) AS id, 0.0 AS dist" for s in _PPR_SEED_LEMMAS)})"""
+        + "".join(
+            f""",
+d{k} AS (SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT w.nbr_id AS id, d.dist + w.w AS dist FROM d{k - 1} d JOIN wund w ON w.cid = d.id
+) GROUP BY id)"""
+            for k in range(1, 7)
+        )
+        + """
+SELECT id, ROUND(dist, 6) AS dist FROM d6 ORDER BY dist, id""",
     }

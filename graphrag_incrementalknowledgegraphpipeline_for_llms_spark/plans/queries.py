@@ -1131,3 +1131,110 @@ def global_search(
         .orderBy(F.desc("score"), "community")
         .limit(top_k)
     )
+
+
+def adamic_adar(
+    und: DataFrame,
+    top_k: int = 20,
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Degree-weighted link prediction over non-adjacent distance-2
+    pairs: Adamic-Adar ``aa = sum over common neighbors w of
+    1/ln(deg(w))`` and resource-allocation ``ra = sum 1/deg(w)``
+    (Adamic & Adar 2003; Zhou et al. 2009) — the classical refinements
+    of :func:`related_concepts`' common-neighbor count that discount
+    promiscuous hubs.  Returns (a, b, common, aa, ra) ranked aa desc /
+    common desc / (a, b).
+
+    Scale shape: identical to :func:`related_concepts` — candidates
+    come only from the wedge self-join on the shared neighbor (never
+    all-pairs); the middle's degree rides along on the wedge rows so
+    the scores are plain map-side arithmetic + one aggregate; adjacency
+    removal is an anti-join on the canonical edge.  ``max_degree``
+    bounds the C(d,2) wedge blowup of viral hubs — explicit, not a
+    silent cap (hubs above it contribute to no candidate, which for
+    AA/RA is also the *least* informative evidence by construction)."""
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("mdeg"))
+    mid = adj.join(deg, "cid")
+    if max_degree is not None:
+        mid = mid.where(F.col("mdeg") <= max_degree)
+    n1 = mid.select("cid", F.col("nbr_id").alias("a"), "mdeg")
+    n2 = mid.select("cid", F.col("nbr_id").alias("b"))
+    cand = (
+        n1.join(n2, "cid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("mdeg"))).alias("aa_raw"),
+            F.sum(F.lit(1.0) / F.col("mdeg")).alias("ra_raw"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    edges = adj.select(
+        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
+    ).distinct()
+    return (
+        cand.join(edges, ["a", "b"], "left_anti")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round("aa_raw", 6).alias("aa"),
+            F.round("ra_raw", 6).alias("ra"),
+        )
+        .orderBy(F.desc("aa"), F.desc("common"), "a", "b")
+        .limit(top_k)
+    )
+
+
+def shortest_paths(
+    wund: DataFrame,
+    source_ids: list[str],
+    iters: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Hop-bounded weighted single/multi-source shortest paths over an
+    undirected weighted adjacency ``wund = (cid, nbr_id, w)``:
+    ``iters`` synchronous Bellman-Ford relaxation rounds, so the
+    result is exact for every shortest path of at most ``iters`` edges
+    — the hop-bounded formulation a GraphRAG retriever actually wants
+    (context expansion is hop-budgeted; unbounded Dijkstra is
+    inherently sequential and does not distribute).  Returns
+    (id, dist) for reached nodes, dist rounded to 6 dp.
+
+    Scale shape: each round is one equi-join of the current distance
+    relation against the edge list plus a min-aggregate — the frontier
+    never materializes more than (reached nodes + relaxed edges) rows;
+    lineage is truncated every ``checkpoint_every`` rounds exactly
+    like :func:`pagerank_und` (same measured rationale).  min() is an
+    exact comparison on IEEE doubles, so the result is bit-stable
+    across partitionings and engines."""
+    sc = wund.sparkSession.sparkContext
+    wund = (
+        wund.select("cid", "nbr_id", F.col("w").cast("double").alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = wund.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    wund = wund.coalesce(parts)
+    spark = wund.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0.0) for s in source_ids], "id string, dist double"
+    ).dropDuplicates(["id"])
+    for i in range(iters):
+        relaxed = (
+            wund.join(dist.withColumnRenamed("id", "cid"), "cid")
+            .select(F.col("nbr_id").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            dist = dist.coalesce(parts).localCheckpoint(eager=True)
+    return dist.select("id", F.round("dist", 6).alias("dist")).orderBy("dist", "id")

@@ -886,3 +886,112 @@ class TestWeightedPPR:
             ).collect()
         }
         assert a == b
+
+
+class TestAdamicAdar:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        # p and q share middles m1 (deg 2) and m2 (deg 3: also touches x)
+        edges = [("p", "m1"), ("p", "m2"), ("q", "m1"), ("q", "m2"), ("m2", "x")]
+        rows = queries.adamic_adar(
+            _und_df(spark, edges), top_k=10, min_common=2
+        ).collect()
+        got = {(r["a"], r["b"]): (r["common"], r["aa"], r["ra"]) for r in rows}
+        aa = round(1 / math.log(2) + 1 / math.log(3), 6)
+        ra = round(1 / 2 + 1 / 3, 6)
+        # (m1, m2) is also non-adjacent and shares p, q (both degree 2)
+        aa_m = round(2 / math.log(2), 6)
+        assert got == {("p", "q"): (2, aa, ra), ("m1", "m2"): (2, aa_m, 1.0)}
+
+    def test_adjacent_pairs_excluded(self, spark):
+        rows = queries.adamic_adar(
+            _und_df(spark, [("a", "b"), ("a", "c"), ("b", "c")]), min_common=1
+        ).collect()
+        assert rows == []
+
+    def test_hub_discounted_below_tight_pair(self, spark):
+        # (a, b) share a degree-2 middle; (c, d) share a degree-6 hub:
+        # same common count, but AA ranks the tight pair first
+        edges = [("a", "m"), ("b", "m")] + [
+            ("h", x) for x in ("c", "d", "e", "f", "g", "i")
+        ]
+        rows = queries.adamic_adar(
+            _und_df(spark, edges), top_k=100, min_common=1
+        ).collect()
+        pairs = [(r["a"], r["b"]) for r in rows]
+        assert pairs.index(("a", "b")) < pairs.index(("c", "d"))
+
+    def test_max_degree_caps_middle(self, spark):
+        edges = [("h", x) for x in ("l1", "l2", "l3", "l4")]
+        assert (
+            queries.adamic_adar(
+                _und_df(spark, edges), min_common=1, max_degree=3
+            ).count()
+            == 0
+        )
+
+
+class TestShortestPaths:
+    def _wund(self, spark, wedges):
+        sym = wedges + [(b, a, w) for a, b, w in wedges]
+        return spark.createDataFrame(sym, "cid string, nbr_id string, w double")
+
+    def test_weighted_beats_hop_count(self, spark):
+        # s-a-b-t costs 0.3; direct s-t edge costs 1.0
+        wedges = [("s", "a", 0.1), ("a", "b", 0.1), ("b", "t", 0.1), ("s", "t", 1.0)]
+        got = {
+            r["id"]: r["dist"]
+            for r in queries.shortest_paths(
+                self._wund(spark, wedges), ["s"], iters=6
+            ).collect()
+        }
+        assert got == {"s": 0.0, "a": 0.1, "b": 0.2, "t": round(0.3, 6)}
+
+    def test_hop_bound_truncates(self, spark):
+        # chain of 4 edges; 2 rounds reach only distance-2 nodes
+        wedges = [("n0", "n1", 1.0), ("n1", "n2", 1.0), ("n2", "n3", 1.0), ("n3", "n4", 1.0)]
+        got = {
+            r["id"]: r["dist"]
+            for r in queries.shortest_paths(
+                self._wund(spark, wedges), ["n0"], iters=2
+            ).collect()
+        }
+        assert got == {"n0": 0.0, "n1": 1.0, "n2": 2.0}
+
+    def test_multi_source_takes_min(self, spark):
+        wedges = [("s1", "m", 1.0), ("s2", "m", 0.25), ("m", "t", 1.0)]
+        got = {
+            r["id"]: r["dist"]
+            for r in queries.shortest_paths(
+                self._wund(spark, wedges), ["s1", "s2"], iters=6
+            ).collect()
+        }
+        assert got["m"] == 0.25 and got["t"] == 1.25
+        assert got["s1"] == 0.0 and got["s2"] == 0.0
+
+    def test_matches_bellman_ford_oracle(self, spark):
+        # deterministic pseudo-random graph vs a pure-python oracle
+        import itertools
+
+        nodes = [f"v{i}" for i in range(12)]
+        wedges = [
+            (a, b, ((i * 7 + 3) % 10 + 1) / 10.0)
+            for i, (a, b) in enumerate(itertools.combinations(nodes, 2))
+            if (i * 13 + 5) % 4 == 0
+        ]
+        dist = {"v0": 0.0}
+        for _ in range(6):
+            sym = wedges + [(b, a, w) for a, b, w in wedges]
+            relaxed = dict(dist)
+            for a, b, w in sym:
+                if a in dist and dist[a] + w < relaxed.get(b, float("inf")):
+                    relaxed[b] = dist[a] + w
+            dist = relaxed
+        got = {
+            r["id"]: r["dist"]
+            for r in queries.shortest_paths(
+                self._wund(spark, wedges), ["v0"], iters=6
+            ).collect()
+        }
+        assert got == {k: round(v, 6) for k, v in dist.items()}
