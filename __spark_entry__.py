@@ -212,6 +212,25 @@ scored AS (
 ),
 triples AS (SELECT * FROM scored WHERE confidence >= 0.65)"""
 
+# depth-4 is_a transitive closure, unrolled semi-naive rounds (mirrors
+# queries.taxonomy_closure: round d extends only the depth-d frontier,
+# then MIN(depth) dedups converging paths)
+_ISA_CLOSURE_CTES = (
+    """isa AS (SELECT DISTINCT subj_id AS desc_id, obj_id AS anc_id FROM triples
+       WHERE predicate = 'is_a' AND subj_id <> obj_id),
+c1 AS (SELECT desc_id, anc_id, 1 AS depth FROM isa)"""
+    + "".join(
+        f""",
+c{d + 1} AS (SELECT desc_id, anc_id, MIN(depth) AS depth FROM (
+  SELECT desc_id, anc_id, depth FROM c{d}
+  UNION ALL
+  SELECT c.desc_id, i.anc_id, {d + 1} FROM c{d} c JOIN isa i ON c.anc_id = i.desc_id
+   WHERE c.depth = {d} AND c.desc_id <> i.anc_id
+) GROUP BY desc_id, anc_id)"""
+        for d in range(1, 4)
+    )
+)
+
 
 # T4 NLP-extraction CTE (purecore.extract_concepts_nlp semantics: the
 # deterministic tagger + the reference's entity-merge / noun-gate /
@@ -1333,6 +1352,48 @@ def q_kg_shortest_paths(spark, sf_dir):
     return q.shortest_paths(wund, source_ids=_ppr_seeds(), iters=6)
 
 
+def _isa_edges(spark, sf_dir):
+    """Directed is_a taxonomy edges (child subsumes into parent) from
+    the scored triples — the subset a retriever's query-expansion and
+    the reference's IS_A edge family (RelationScorer.scala rules) feed."""
+    return (
+        _triples(spark, sf_dir)
+        .where(F.col("predicate") == "is_a")
+        .select(
+            F.col("subj_id").alias("child_id"), F.col("obj_id").alias("parent_id")
+        )
+    )
+
+
+def q_kg_taxonomy_closure(spark, sf_dir):
+    """Depth-4 transitive closure of the is_a taxonomy (desc, anc,
+    shortest depth) — broader-term expansion for retrieval."""
+    return q.taxonomy_closure(_isa_edges(spark, sf_dir), max_depth=4)
+
+
+def q_kg_taxonomy_rollup(spark, sf_dir):
+    """Mention mass rolled up the is_a hierarchy: which ancestor
+    concepts subsume the most corpus evidence (generality ranking)."""
+    closure = q.taxonomy_closure(_isa_edges(spark, sf_dir), max_depth=4)
+    mc = (
+        q_kg_mentions(spark, sf_dir)
+        .groupBy("concept_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    return q.taxonomy_rollup(closure, mc, top_k=100)
+
+
+def q_txt_unigram_logprob(spark, sf_dir):
+    """CCNet-style self-fit unigram LM quality score per document
+    (mean token log-prob + perplexity), worst documents first."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    return textsearch.unigram_logprob(d)
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Sparse L2-normalized tf-idf vectors over the document corpus
     (chunk_id = doc_id) — the classic sparse-retrieval export."""
@@ -1525,6 +1586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_int_encode": q_kg_int_encode,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_taxonomy_closure": q_kg_taxonomy_closure,
+        "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
+        "txt_unigram_logprob": q_txt_unigram_logprob,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2577,4 +2641,30 @@ d{k} AS (SELECT id, MIN(dist) AS dist FROM (
         )
         + """
 SELECT id, ROUND(dist, 6) AS dist FROM d6 ORDER BY dist, id""",
+        "kg_taxonomy_closure": f"""WITH {TRIPLES_CTE},
+{_ISA_CLOSURE_CTES}
+SELECT desc_id, anc_id, CAST(depth AS INT) AS depth FROM c4 ORDER BY desc_id, anc_id""",
+        "kg_taxonomy_rollup": f"""WITH {TRIPLES_CTE},
+{_ISA_CLOSURE_CTES},
+mc AS (SELECT concept_id, CAST(COUNT(*) AS BIGINT) AS n_mentions FROM mentions GROUP BY concept_id),
+dsc AS (SELECT c.anc_id, CAST(COUNT(*) AS BIGINT) AS n_desc,
+               CAST(SUM(COALESCE(m.n_mentions, 0)) AS BIGINT) AS desc_mentions
+        FROM c4 c LEFT JOIN mc m ON c.desc_id = m.concept_id GROUP BY c.anc_id)
+SELECT d.anc_id, d.n_desc, CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS self_mentions,
+       CAST(COALESCE(m.n_mentions, 0) + d.desc_mentions AS BIGINT) AS total_mentions
+FROM dsc d LEFT JOIN mc m ON d.anc_id = m.concept_id
+ORDER BY total_mentions DESC, anc_id LIMIT 100""",
+        "txt_unigram_logprob": r"""
+WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src),
+vocab AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+logp AS (SELECT term, ln(cnt / t.total) AS logp FROM vocab CROSS JOIN tot t),
+s AS (SELECT tk.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(l.logp) AS alp
+      FROM tok tk JOIN logp l ON tk.term = l.term GROUP BY tk.chunk_id)
+SELECT chunk_id, n_tokens, ROUND(alp, 6) AS avg_logprob, ROUND(exp(-alp), 6) AS ppl
+FROM s ORDER BY avg_logprob, chunk_id""",
     }

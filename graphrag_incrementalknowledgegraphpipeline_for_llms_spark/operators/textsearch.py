@@ -237,3 +237,51 @@ def update_postings_index(
 def read_postings_index(spark, catalog, table: str = "postings") -> DataFrame:
     """The stored posting table (current snapshot)."""
     return catalog.read(spark, table)
+
+
+def unigram_logprob(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style self-scored unigram LM quality signal: fit a
+    maximum-likelihood unigram model on the corpus itself (p(t) =
+    count(t) / total tokens), then score every document by its mean
+    token log-probability and the equivalent perplexity — the classic
+    cheap proxy that surfaces gibberish, boilerplate, and
+    non-linguistic pages for a training-data curation funnel
+    (Wenzek et al. 2020 score documents with a KenLM the same way;
+    self-fit keeps this engine dependency-free and deterministic).
+
+    Returns (chunk_id, n_tokens, avg_logprob, ppl) with ppl =
+    exp(-avg_logprob), worst (lowest avg_logprob) documents first.
+    Documents with zero tokens carry no signal and are excluded.
+
+    Scale shape: one tokenize pass feeds both the vocabulary count and
+    the per-document score; the total-token scalar is a 1-row
+    aggregate folded into the plan as a literal (the BM25
+    corpus-scalar pattern); the score join keys on the vocabulary
+    relation (vocab-cardinality, naturally broadcast-sized after
+    Zipf), so raw text never shuffles."""
+    tok = chunks.select(
+        "chunk_id", F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(vocab.select(F.sum("cnt")).collect()[0][0] or 0)
+    if total == 0:
+        return chunks.sparkSession.createDataFrame(
+            [], "chunk_id string, n_tokens bigint, avg_logprob double, ppl double"
+        )
+    logp = vocab.select(
+        "term", F.log(F.col("cnt") / F.lit(total)).alias("logp")
+    )
+    scored = (
+        tok.join(logp, "term")
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("logp").alias("alp"),
+        )
+    )
+    return scored.select(
+        "chunk_id",
+        "n_tokens",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
+    ).orderBy("avg_logprob", "chunk_id")

@@ -1238,3 +1238,94 @@ def shortest_paths(
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             dist = dist.coalesce(parts).localCheckpoint(eager=True)
     return dist.select("id", F.round("dist", 6).alias("dist")).orderBy("dist", "id")
+
+
+def taxonomy_closure(isa: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Depth-bounded transitive closure of the ``is_a`` taxonomy:
+    (desc_id, anc_id, depth) for every ancestor reachable in at most
+    ``max_depth`` hops, depth = the SHORTEST such chain — the subsumption
+    relation a retriever uses to expand a query concept to its broader
+    terms.  ``isa`` is the directed edge view (child_id, parent_id).
+
+    Semi-naive evaluation: round d extends only the depth-d frontier
+    against the (checkpointed-once) edge list, then one min-aggregate
+    dedups converging paths — the same one-join-one-agg-per-round shape
+    as :func:`shortest_paths`, so each round's shuffle is bounded by
+    (reached pairs + newly relaxed pairs), never all-pairs.  With
+    edges ascending by concept id (pair canonicalization) the input is
+    a DAG and the closure is exact once ``max_depth`` reaches the
+    longest chain."""
+    isa = (
+        isa.select(
+            F.col("child_id").cast("string").alias("desc_id"),
+            F.col("parent_id").cast("string").alias("anc_id"),
+        )
+        .where(F.col("desc_id") != F.col("anc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    clo = isa.select("desc_id", "anc_id", F.lit(1).cast("int").alias("depth"))
+    for d in range(1, max_depth):
+        step = (
+            clo.where(F.col("depth") == d)
+            .join(
+                isa.select(
+                    F.col("desc_id").alias("anc_id"),
+                    F.col("anc_id").alias("next_anc"),
+                ),
+                "anc_id",
+            )
+            .select(
+                "desc_id",
+                F.col("next_anc").alias("anc_id"),
+                F.lit(d + 1).cast("int").alias("depth"),
+            )
+            .where(F.col("desc_id") != F.col("anc_id"))
+        )
+        clo = (
+            clo.unionByName(step)
+            .groupBy("desc_id", "anc_id")
+            .agg(F.min("depth").alias("depth"))
+        )
+    return clo.orderBy("desc_id", "anc_id")
+
+
+def taxonomy_rollup(
+    closure: DataFrame, mention_counts: DataFrame, top_k: int = 100
+) -> DataFrame:
+    """Roll mention mass up the taxonomy: for every ancestor concept,
+    how many distinct descendants it subsumes (within the closure's
+    depth bound) and the total mentions of itself plus those
+    descendants — the generality/coverage score that ranks which
+    broader concepts dominate a corpus.  ``mention_counts`` is
+    (concept_id, n_mentions).  Returns (anc_id, n_desc, self_mentions,
+    total_mentions) ranked total desc / anc_id.
+
+    Scale shape: closure joins mention_counts on the descendant key
+    (concept-cardinality relation, not corpus-cardinality), one hash
+    aggregate per ancestor, then a broadcast-sized top-k — text and
+    chunks never enter the plan."""
+    mc = mention_counts.select(
+        F.col("concept_id").cast("string"), F.col("n_mentions").cast("long")
+    )
+    desc = (
+        closure.join(mc, closure["desc_id"] == mc["concept_id"], "left")
+        .groupBy("anc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.sum(F.coalesce("n_mentions", F.lit(0))).alias("desc_mentions"),
+        )
+    )
+    return (
+        desc.join(mc.withColumnRenamed("concept_id", "anc_id"), "anc_id", "left")
+        .select(
+            "anc_id",
+            "n_desc",
+            F.coalesce("n_mentions", F.lit(0)).alias("self_mentions"),
+            (
+                F.coalesce("n_mentions", F.lit(0)) + F.col("desc_mentions")
+            ).alias("total_mentions"),
+        )
+        .orderBy(F.desc("total_mentions"), "anc_id")
+        .limit(top_k)
+    )

@@ -995,3 +995,59 @@ class TestShortestPaths:
             ).collect()
         }
         assert got == {k: round(v, 6) for k, v in dist.items()}
+
+
+def _isa_df(spark, edges):
+    return spark.createDataFrame(edges, "child_id string, parent_id string")
+
+
+class TestTaxonomyClosure:
+    def _clo(self, spark, edges, depth=4):
+        rows = queries.taxonomy_closure(_isa_df(spark, edges), max_depth=depth).collect()
+        return {(r["desc_id"], r["anc_id"]): r["depth"] for r in rows}
+
+    def test_chain_full_closure(self, spark):
+        got = self._clo(spark, [("a", "b"), ("b", "c"), ("c", "d")], depth=3)
+        assert got == {
+            ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+            ("b", "c"): 1, ("b", "d"): 2, ("c", "d"): 1,
+        }
+
+    def test_converging_paths_min_depth(self, spark):
+        # diamond: both a->b->d and a->c->d reach d; plus a direct a->d
+        # shortcut wins with depth 1
+        got = self._clo(
+            spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]
+        )
+        assert got[("a", "d")] == 1
+        assert got[("b", "d")] == 1 and got[("a", "b")] == 1
+
+    def test_depth_bound_truncates(self, spark):
+        got = self._clo(
+            spark, [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4")], depth=2
+        )
+        assert ("n0", "n2") in got and ("n0", "n3") not in got
+
+    def test_self_loops_dropped(self, spark):
+        got = self._clo(spark, [("a", "a"), ("a", "b")])
+        assert got == {("a", "b"): 1}
+
+
+class TestTaxonomyRollup:
+    def test_hand_computed(self, spark):
+        clo = queries.taxonomy_closure(
+            _isa_df(spark, [("a", "c"), ("b", "c"), ("c", "r")]), max_depth=4
+        )
+        mc = spark.createDataFrame(
+            [("a", 5), ("b", 2), ("c", 3)], "concept_id string, n_mentions long"
+        )
+        rows = queries.taxonomy_rollup(clo, mc).collect()
+        got = {
+            r["anc_id"]: (r["n_desc"], r["self_mentions"], r["total_mentions"])
+            for r in rows
+        }
+        # c subsumes a, b (3 + 5 + 2 = 10); r subsumes a, b, c but has
+        # no mentions of its own (0 + 10 = 10)
+        assert got == {"c": (2, 3, 10), "r": (3, 0, 10)}
+        # deterministic tie-break: anc_id ascending at equal total
+        assert [r["anc_id"] for r in rows] == ["c", "r"]

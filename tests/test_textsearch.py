@@ -184,3 +184,36 @@ def test_incremental_postings_index(spark, tmp_path):
         for r in ts.search_all_terms(ts.read_postings_index(spark, cat), ["spark"]).collect()
     }
     assert hits == {"c1", "c3"}
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        chunks = spark.createDataFrame(
+            [("d1", "aa bb aa"), ("d2", "aa cc")], "chunk_id string, text string"
+        )
+        rows = textsearch.unigram_logprob(chunks).collect()
+        got = {r["chunk_id"]: r for r in rows}
+        # counts: aa=3, bb=1, cc=1, total=5
+        alp1 = (math.log(0.6) + math.log(0.2) + math.log(0.6)) / 3
+        alp2 = (math.log(0.6) + math.log(0.2)) / 2
+        assert got["d1"]["n_tokens"] == 3
+        assert got["d1"]["avg_logprob"] == round(alp1, 6)
+        assert got["d1"]["ppl"] == round(math.exp(-alp1), 6)
+        assert got["d2"]["n_tokens"] == 2
+        assert got["d2"]["avg_logprob"] == round(alp2, 6)
+        # worst (most negative mean log-prob) document first
+        assert [r["chunk_id"] for r in rows] == ["d2", "d1"]
+
+    def test_tokenless_docs_excluded(self, spark):
+        chunks = spark.createDataFrame(
+            [("d1", "hello"), ("d2", "!!! ???"), ("d3", "")],
+            "chunk_id string, text string",
+        )
+        rows = textsearch.unigram_logprob(chunks).collect()
+        assert [r["chunk_id"] for r in rows] == ["d1"]
+        # single-token corpus: p = 1, logprob 0, ppl 1
+        assert rows[0]["avg_logprob"] == 0.0 and rows[0]["ppl"] == 1.0
+
+    def test_empty_corpus(self, spark):
+        chunks = spark.createDataFrame([], "chunk_id string, text string")
+        assert textsearch.unigram_logprob(chunks).count() == 0
