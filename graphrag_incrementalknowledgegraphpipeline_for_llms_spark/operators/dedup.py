@@ -148,6 +148,32 @@ def minhash_signatures(
     return lvl3.select("id", sig.alias("sig"))
 
 
+def _bucket_array(bands: int, rows_per_band: int, hash_family: str):
+    """array of per-band LSH bucket hashes over the ``sig`` column —
+    buckets[b] = hash of signature positions [b*r, (b+1)*r)."""
+
+    def _bucket(b: int):
+        elems = [F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("|", *elems))
+        return F.xxhash64(*elems)
+
+    return F.array(*[_bucket(b) for b in range(bands)])
+
+
+def _band_rows(
+    signatures: DataFrame, bands: int, rows_per_band: int, hash_family: str
+) -> DataFrame:
+    """(id, band, bucket) — one row per band per doc; the LSH join key
+    relation shared by the batch path and the incremental index."""
+    return signatures.select(
+        "id",
+        F.posexplode(_bucket_array(bands, rows_per_band, hash_family)).alias(
+            "band", "bucket"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 8,
@@ -162,24 +188,7 @@ def minhash_lsh_candidates(
     ``hash_family="md5"`` pairs with md5-family signatures (string
     elements): bucket = md5 of the '|'-joined band slice, so the DuckDB
     oracle reproduces the bucketing bit-for-bit."""
-
-    def _bucket(b: int):
-        elems = [F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-        if hash_family == "md5":
-            return F.md5(F.concat_ws("|", *elems))
-        return F.xxhash64(*elems)
-
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _band_rows(signatures, bands, rows_per_band, hash_family)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -713,3 +722,120 @@ def ngram_jaccard_pairs_inverted(
     return joined.select(
         "a_id", "b_id", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+
+
+def minhash_index_entries(
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """(id, sig, buckets) index rows for a batch — the content-addressed
+    unit the incremental dedup index stores.  One row per doc keyed on
+    id, with the band buckets as an ARRAY column: a re-ingested doc
+    replaces its whole row atomically under MERGE, so the index can
+    never hold stale band rows for changed text (the failure mode of a
+    normalized (band, bucket, id) table without a delete pass)."""
+    sig = minhash_signatures(
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        hash_family=hash_family,
+    )
+    return sig.select(
+        "id", "sig", _bucket_array(bands, rows_per_band, hash_family).alias("buckets")
+    )
+
+
+def _index_band_rows(index: DataFrame) -> DataFrame:
+    return index.select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
+    )
+
+
+def incremental_near_dup_pairs(
+    spark,
+    catalog,
+    batch: DataFrame,
+    table: str = "minhash_index",
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """Incremental cross-batch near-dup detection: dedupe a DELTA batch
+    against the already-indexed corpus plus itself, then MERGE the
+    batch into the stored index — the O(batch-vs-index) maintenance
+    loop a rolling 100 TB ingest needs instead of re-pairing the whole
+    corpus every day.  Returns (a_id, b_id, est_jaccard >= threshold)
+    with a_id < b_id, materialized BEFORE the index merge so the
+    result is a consistent pre-merge snapshot.
+
+    Union-over-batches equals the full-corpus run: a pair lands in
+    exactly one batch's output — the batch that ingested its later
+    endpoint (within-batch pairs via the batch self-join, cross pairs
+    via the batch-vs-index probe).  Re-ingesting a batch is idempotent:
+    its own ids are anti-joined out of the stored side before the
+    probe (a doc never pairs with its previous self) and the MERGE
+    replaces rows keyed on id.
+
+    Scale shape: the probe explodes the stored index's bucket arrays
+    map-side and equi-joins on (band, bucket) — skew bounded by true
+    near-dup cluster sizes exactly like the batch LSH path; signatures
+    are staged to scratch parquet (BlockManager persist is pathological
+    for wide array rows on this host); verification joins touch only
+    candidate ids.  At petabyte scale the stored index would be
+    bucketed/partitioned on the bucket key so the probe prunes files;
+    the interface boundary is this function."""
+    new_entries = stage_parquet(
+        minhash_index_entries(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            hash_family=hash_family,
+        ),
+        "inc_dedup_sig",
+    )
+    bands_new = _index_band_rows(new_entries)
+    within = (
+        bands_new.alias("l")
+        .join(bands_new.alias("r"), ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+    )
+    sigs_all = new_entries.select("id", "sig")
+    cands = within
+    if catalog.current_version(table) > 0:
+        old = catalog.read(spark, table).join(
+            new_entries.select("id"), "id", "left_anti"
+        )
+        cross = (
+            bands_new.alias("n")
+            .join(_index_band_rows(old).alias("o"), ["band", "bucket"])
+            .select(
+                F.least("n.id", "o.id").alias("a_id"),
+                F.greatest("n.id", "o.id").alias("b_id"),
+            )
+        )
+        cands = within.unionByName(cross)
+        sigs_all = sigs_all.unionByName(old.select("id", "sig"))
+    est = minhash_jaccard_estimate(sigs_all, cands.distinct())
+    pairs = stage_parquet(
+        est.where(F.col("est_jaccard") >= threshold), "inc_dedup_pairs"
+    )
+    catalog.merge_upsert(spark, table, new_entries, keys=["id"])
+    return pairs

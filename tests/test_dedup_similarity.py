@@ -355,3 +355,70 @@ class TestCollapseExact:
             ).collect()
         }
         assert collapsed == direct and len(direct) >= 50
+
+
+class TestIncrementalNearDups:
+    """Catalog-backed rolling dedup: batch-vs-index probe + MERGE."""
+
+    def _full_pairs(self, spark, docs_df, threshold):
+        sigs = dedup.minhash_signatures(docs_df, shingle_n=2, num_hashes=32)
+        cands = dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+        est = dedup.minhash_jaccard_estimate(sigs, cands)
+        return {
+            (r["a_id"], r["b_id"])
+            for r in est.where(F.col("est_jaccard") >= threshold).collect()
+        }
+
+    def _inc(self, spark, cat, batch, threshold=0.5):
+        return dedup.incremental_near_dup_pairs(
+            spark, cat, batch, threshold=threshold, shingle_n=2
+        )
+
+    def test_union_over_batches_equals_full_run(self, spark, docs, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(str(tmp_path / "cat"))
+        b1 = docs.where(F.col("doc_id") <= 3)
+        b2 = docs.where(F.col("doc_id") > 3)
+        got = {
+            (r["a_id"], r["b_id"])
+            for b in (b1, b2)
+            for r in self._inc(spark, cat, b).collect()
+        }
+        assert got == self._full_pairs(spark, docs, 0.5)
+        assert got  # fixture plants real near-dups; guard against vacuity
+
+    def test_reingest_idempotent(self, spark, docs, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(str(tmp_path / "cat"))
+        b1 = docs.where(F.col("doc_id") <= 3)
+        first = {(r["a_id"], r["b_id"]) for r in self._inc(spark, cat, b1).collect()}
+        again = {(r["a_id"], r["b_id"]) for r in self._inc(spark, cat, b1).collect()}
+        # same pairs (its own ids are excluded from the stored side —
+        # a doc never pairs with its previous self) and no index growth
+        assert again == first
+        n = cat.read(spark, "minhash_index").count()
+        assert n == b1.where(F.size(F.split("text", " ")) >= 2).count()
+
+    def test_threshold_filters(self, spark, docs, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(str(tmp_path / "cat"))
+        pairs = self._inc(spark, cat, docs, threshold=0.99).collect()
+        # shingling lowercases + collapses whitespace, so doc 3 (case/
+        # spacing variant) is signature-identical to 1 and 2 as well
+        assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
+
+    def test_cross_batch_pair_lands_in_later_batch(self, spark, docs, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(str(tmp_path / "cat"))
+        # doc 1 in batch 1; its exact dup doc 2 arrives in batch 2
+        out1 = self._inc(spark, cat, docs.where(F.col("doc_id") == 1)).collect()
+        assert out1 == []
+        out2 = {
+            (r["a_id"], r["b_id"], r["est_jaccard"])
+            for r in self._inc(spark, cat, docs.where(F.col("doc_id") == 2)).collect()
+        }
+        assert out2 == {(1, 2, 1.0)}
