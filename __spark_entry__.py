@@ -212,6 +212,31 @@ scored AS (
 ),
 triples AS (SELECT * FROM scored WHERE confidence >= 0.65)"""
 
+# HITS unrolled rounds (mirrors queries.hits: per round, in-edge hub
+# sum -> L2 normalize -> out-edge auth sum -> L2 normalize; the norm is
+# a 1-row aggregate cross-joined in, zeros filled from the node set)
+def _hits_ctes(iters: int = 8) -> str:
+    # every f-level CTE is referenced twice (value + its L2 norm) and
+    # the edge/node sets 2x per round: without MATERIALIZED, DuckDB's
+    # CTE inlining doubles the expansion per level (2^iters copies of
+    # the whole triples pipeline -> "Too many open files")
+    s = """dedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples),
+hnodes AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM hnodes)"""
+    for i in range(1, iters + 1):
+        s += f""",
+a{i}r AS (SELECT e.dst AS id, SUM(h.h) AS raw FROM dedges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst),
+a{i}f AS MATERIALIZED (SELECT n.id, COALESCE(r.raw, 0.0) AS raw FROM hnodes n LEFT JOIN a{i}r r ON n.id = r.id),
+a{i} AS (SELECT f.id, f.raw / nn.nrm AS a FROM a{i}f f CROSS JOIN (SELECT sqrt(SUM(raw * raw)) AS nrm FROM a{i}f) nn),
+h{i}r AS (SELECT e.src AS id, SUM(a.a) AS raw FROM dedges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src),
+h{i}f AS MATERIALIZED (SELECT n.id, COALESCE(r.raw, 0.0) AS raw FROM hnodes n LEFT JOIN h{i}r r ON n.id = r.id),
+h{i} AS (SELECT f.id, f.raw / nn.nrm AS h FROM h{i}f f CROSS JOIN (SELECT sqrt(SUM(raw * raw)) AS nrm FROM h{i}f) nn)"""
+    return s
+
+
+_HITS_CTES = _hits_ctes(8)
+
+
 # depth-4 is_a transitive closure, unrolled semi-naive rounds (mirrors
 # queries.taxonomy_closure: round d extends only the depth-d frontier,
 # then MIN(depth) dedups converging paths)
@@ -1383,6 +1408,18 @@ def q_kg_taxonomy_rollup(spark, sf_dir):
     return q.taxonomy_rollup(closure, mc, top_k=100)
 
 
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities over the DIRECTED triple graph — separates
+    'object many facts point at' (authority) from 'subject anchoring
+    many facts' (hub), which undirected PageRank conflates."""
+    t = _triples(spark, sf_dir)
+    return q.hits(
+        t.select(F.col("subj_id").alias("src_id"), F.col("obj_id").alias("dst_id")),
+        iters=8,
+        top_k=20,
+    )
+
+
 def q_txt_unigram_logprob(spark, sf_dir):
     """CCNet-style self-fit unigram LM quality score per document
     (mean token log-prob + perplexity), worst documents first."""
@@ -1586,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_int_encode": q_kg_int_encode,
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_hits": q_kg_hits,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "txt_unigram_logprob": q_txt_unigram_logprob,
@@ -2641,6 +2679,11 @@ d{k} AS (SELECT id, MIN(dist) AS dist FROM (
         )
         + """
 SELECT id, ROUND(dist, 6) AS dist FROM d6 ORDER BY dist, id""",
+        "kg_hits": f"""WITH {TRIPLES_CTE},
+{_HITS_CTES}
+SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
+FROM a8 a JOIN h8 h ON a.id = h.id
+ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_taxonomy_closure": f"""WITH {TRIPLES_CTE},
 {_ISA_CLOSURE_CTES}
 SELECT desc_id, anc_id, CAST(depth AS INT) AS depth FROM c4 ORDER BY desc_id, anc_id""",

@@ -1329,3 +1329,78 @@ def taxonomy_rollup(
         .orderBy(F.desc("total_mentions"), "anc_id")
         .limit(top_k)
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 8,
+    top_k: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    view ``(src_id, dst_id)`` — the natural centrality for the triple
+    graph, where PageRank's undirected view can't separate "concept
+    many facts point AT" (authority: the object of is_a/part_of
+    chains) from "concept that points at many" (hub: the subject that
+    anchors them).  Per round: auth(v) = Σ hub(u) over in-edges, L2-
+    normalize; hub(u) = Σ auth(v) over out-edges, L2-normalize.
+    Returns (id, auth, hub) rounded to 6 dp, auth desc / id, top-k.
+
+    Scale shape: identical to :func:`pagerank_und` — the edge list is
+    materialized once (localCheckpoint) and each half-round is one
+    equi-join + one hash aggregate; the L2 norm is a 1-row aggregate
+    CROSS-JOINed into the plan (broadcast, no driver round-trip per
+    iteration); lineage truncated every ``checkpoint_every`` rounds at
+    a size-derived partition count."""
+    sc = edges.sparkSession.sparkContext
+    edges = (
+        edges.select(
+            F.col("src_id").cast("string"), F.col("dst_id").cast("string")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    edges = edges.coalesce(parts)
+    nodes = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .coalesce(parts)
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        filled = nodes.join(raw, "id", "left").select(
+            "id", F.coalesce(F.col("raw"), F.lit(0.0)).alias("raw")
+        )
+        nrm = filled.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
+        return filled.crossJoin(nrm).select(
+            "id", (F.col("raw") / F.col("nrm")).alias(col)
+        )
+
+    hub = nodes.withColumn("h", F.lit(1.0))
+    auth = None
+    for i in range(iters):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("id", "src_id"), "src_id")
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        auth = _normalize(a_raw, "a")
+        h_raw = (
+            edges.join(auth.withColumnRenamed("id", "dst_id"), "dst_id")
+            .groupBy(F.col("src_id").alias("id"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hub = _normalize(h_raw, "h")
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            auth = auth.coalesce(parts).localCheckpoint(eager=True)
+            hub = hub.coalesce(parts).localCheckpoint(eager=True)
+    return (
+        auth.join(hub, "id")
+        .select("id", F.round("a", 6).alias("auth"), F.round("h", 6).alias("hub"))
+        .orderBy(F.desc("auth"), "id")
+        .limit(top_k)
+    )

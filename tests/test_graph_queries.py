@@ -1051,3 +1051,53 @@ class TestTaxonomyRollup:
         assert got == {"c": (2, 3, 10), "r": (3, 0, 10)}
         # deterministic tie-break: anc_id ascending at equal total
         assert [r["anc_id"] for r in rows] == ["c", "r"]
+
+
+class TestHits:
+    def _np_hits(self, edges, iters=8):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        h = np.ones(n)
+        a = np.zeros(n)
+        for _ in range(iters):
+            a = np.zeros(n)
+            for s, d in edges:
+                a[idx[d]] += h[idx[s]]
+            a = a / np.sqrt((a * a).sum())
+            h = np.zeros(n)
+            for s, d in edges:
+                h[idx[s]] += a[idx[d]]
+            h = h / np.sqrt((h * h).sum())
+        return {v: (a[idx[v]], h[idx[v]]) for v in nodes}
+
+    def _run(self, spark, edges, iters=8):
+        df = spark.createDataFrame(edges, "src_id string, dst_id string")
+        return {
+            r["id"]: (r["auth"], r["hub"])
+            for r in queries.hits(df, iters=iters, top_k=100).collect()
+        }
+
+    def test_matches_numpy_oracle(self, spark):
+        edges = [
+            ("a", "c"), ("b", "c"), ("d", "c"), ("c", "e"),
+            ("a", "e"), ("e", "f"), ("b", "d"),
+        ]
+        got = self._run(spark, edges)
+        want = self._np_hits(edges)
+        assert set(got) == set(want)
+        for v, (wa, wh) in want.items():
+            assert abs(got[v][0] - round(wa, 6)) < 2e-6, ("auth", v)
+            assert abs(got[v][1] - round(wh, 6)) < 2e-6, ("hub", v)
+
+    def test_pure_sink_is_authority_not_hub(self, spark):
+        # star: everyone points at 'c'; 'c' points at nothing
+        got = self._run(spark, [("a", "c"), ("b", "c"), ("d", "c")])
+        assert got["c"][0] == 1.0 and got["c"][1] == 0.0
+        assert got["a"][1] > 0 and got["a"][0] == 0.0
+
+    def test_direction_matters(self, spark):
+        fwd = self._run(spark, [("a", "b"), ("c", "b")])
+        rev = self._run(spark, [("b", "a"), ("b", "c")])
+        # reversing every edge swaps the hub and authority vectors
+        assert fwd["b"][0] == rev["b"][1] and fwd["a"][1] == rev["a"][0]
