@@ -98,3 +98,58 @@ def stream_pages_dir(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def stream_dedup_dir(
+    spark: SparkSession,
+    docs_dir: str,
+    catalog: ParquetCatalog,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    index_table: str = "minhash_index",
+    pairs_table: str = "near_dup_pairs",
+    schema: T.StructType | None = None,
+    shingle_n: int = 3,
+):
+    """Streaming rolling dedup: readStream over a parquet directory of
+    documents; each microbatch probes + maintains the stored MinHash
+    index (:func:`operators.dedup.incremental_near_dup_pairs`) and
+    MERGEs the discovered near-dup pairs into ``pairs_table`` keyed on
+    (a_id, b_id).  The continuous version of the batch dedup funnel:
+    at any instant the pairs table equals the full-corpus LSH run over
+    everything ingested so far.
+
+    Exactly-once effect without an epoch ledger: the index MERGE is
+    content-addressed (keys on id; sig/buckets are pure functions of
+    text), the probe anti-joins the batch's own ids out of the stored
+    side, and the pairs MERGE is keyed — so a replayed microbatch
+    recomputes identical rows into idempotent upserts."""
+    stream = spark.readStream.schema(schema or DOCS_SCHEMA).parquet(docs_dir)
+
+    def sink(batch_df, epoch_id: int):
+        from ..operators import dedup
+
+        pairs = dedup.incremental_near_dup_pairs(
+            spark,
+            catalog,
+            batch_df,
+            table=index_table,
+            threshold=threshold,
+            shingle_n=shingle_n,
+        )
+        catalog.merge_upsert(spark, pairs_table, pairs, keys=["a_id", "b_id"])
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

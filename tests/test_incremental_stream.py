@@ -32,3 +32,50 @@ def test_stream_matches_batch(spark, catalog, tmp_path):
         a = sorted(tuple(r) for r in da.collect())
         b = sorted(tuple(r) for r in batch_cat.read(spark, t).collect())
         assert a == b, t
+
+
+def test_stream_dedup_matches_full_corpus_run(spark, tmp_path):
+    """Two file drops through stream_dedup_dir == one full-corpus LSH
+    run; second stream start consumes only the new files."""
+    from pyspark.sql import functions as F
+
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely different content about spark execution engines today"),
+        (5, "spark execution engines process columnar batches with codegen"),
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    full.where(F.col("doc_id") <= 3).write.mode("append").parquet(docs_dir)
+    incremental.stream_dedup_dir(
+        spark, docs_dir, cat, ckpt, threshold=0.5, shingle_n=2
+    ).awaitTermination(300)
+    full.where(F.col("doc_id") > 3).write.mode("append").parquet(docs_dir)
+    incremental.stream_dedup_dir(
+        spark, docs_dir, cat, ckpt, threshold=0.5, shingle_n=2
+    ).awaitTermination(300)
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in cat.read(spark, "near_dup_pairs").collect()
+    }
+    sigs = dedup.minhash_signatures(full, shingle_n=2)
+    est = dedup.minhash_jaccard_estimate(
+        sigs, dedup.minhash_lsh_candidates(sigs)
+    )
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in est.where(F.col("est_jaccard") >= 0.5).collect()
+    }
+    assert got == want and got
+    assert cat.read(spark, "minhash_index").count() == 5
