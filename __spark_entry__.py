@@ -1420,6 +1420,15 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_kg_fastrp(spark, sf_dir):
+    """FastRP structural node embeddings over the co-occurrence graph
+    (hash-Rademacher init, 3 neighbor-mean + L2-normalize levels,
+    weighted sum) — the no-GNN embedding export."""
+    return q.fastrp_embeddings(
+        _kg_cooccur_und(spark, sf_dir), dims=8, weights=(0.3, 0.5, 1.0)
+    )
+
+
 def q_txt_unigram_logprob(spark, sf_dir):
     """CCNet-style self-fit unigram LM quality score per document
     (mean token log-prob + perplexity), worst documents first."""
@@ -1624,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_hits": q_kg_hits,
+        "kg_fastrp": q_kg_fastrp,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "txt_unigram_logprob": q_txt_unigram_logprob,
@@ -1908,6 +1918,43 @@ ORDER BY r.rank DESC, r.id LIMIT 20"""
             f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
             for i in range(8)
         )
+
+    # FastRP unrolled levels (mirrors queries.fastrp_embeddings):
+    # hash-Rademacher init, then per level neighbor-mean -> per-node
+    # L2 normalize.  MATERIALIZED throughout — each level is referenced
+    # twice (value + norm), which DuckDB's CTE inlining would expand
+    # exponentially (the kg_hits lesson).
+    _fastrp_weights = (0.3, 0.5, 1.0)
+    _fastrp_ctes = f"""fund AS MATERIALIZED (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+fadj AS MATERIALIZED (SELECT cid, nbr_id FROM fund WHERE cid <> nbr_id),
+fdeg AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS deg FROM fadj GROUP BY cid),
+fnodes AS MATERIALIZED (SELECT DISTINCT cid AS id FROM fadj),
+fdims AS (SELECT unnest(range(0, 8)) AS j),
+fh0 AS (SELECT n.id, d.j, md5('fastrp|' || n.id || '|' || CAST(d.j AS VARCHAR)) AS h
+        FROM fnodes n CROSS JOIN fdims d),
+fx0 AS MATERIALIZED (SELECT id, j,
+        CASE WHEN ({_nib32_expr("h")}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS x FROM fh0)""" + "".join(
+        f""",
+fs{l} AS MATERIALIZED (SELECT a.cid AS id, x.j, SUM(x.x) / dg.deg AS x
+  FROM fadj a JOIN fx{l - 1} x ON a.nbr_id = x.id JOIN fdeg dg ON dg.cid = a.cid
+  GROUP BY a.cid, x.j, dg.deg),
+fn{l} AS MATERIALIZED (SELECT id, sqrt(SUM(x * x)) AS nrm FROM fs{l} GROUP BY id),
+fx{l} AS MATERIALIZED (SELECT s.id, s.j, CASE WHEN n.nrm > 0 THEN s.x / n.nrm ELSE 0.0 END AS x
+  FROM fs{l} s JOIN fn{l} n ON s.id = n.id)"""
+        for l in range(1, len(_fastrp_weights) + 1)
+    )
+    _fastrp_val = " + ".join(
+        f"{w} * x{l}.x" for l, w in enumerate(_fastrp_weights, 1)
+    )
+    _fastrp_joins = " ".join(
+        f"JOIN fx{l} x{l} ON x1.id = x{l}.id AND x1.j = x{l}.j"
+        for l in range(2, len(_fastrp_weights) + 1)
+    )
+    _fastrp_sql = f"""WITH {PAIRS_CTE},
+{_fastrp_ctes}
+SELECT x1.id, x1.j, ROUND({_fastrp_val}, 6) AS val
+FROM fx1 x1 {_fastrp_joins}
+ORDER BY x1.id, x1.j"""
 
     _nib32 = _nib32_expr("c.h")
     _walk_steps = "".join(
@@ -2679,6 +2726,7 @@ d{k} AS (SELECT id, MIN(dist) AS dist FROM (
         )
         + """
 SELECT id, ROUND(dist, 6) AS dist FROM d6 ORDER BY dist, id""",
+        "kg_fastrp": _fastrp_sql,
         "kg_hits": f"""WITH {TRIPLES_CTE},
 {_HITS_CTES}
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub

@@ -1404,3 +1404,83 @@ def hits(
         .orderBy(F.desc("auth"), "id")
         .limit(top_k)
     )
+
+
+def fastrp_embeddings(
+    und: DataFrame,
+    dims: int = 8,
+    weights: tuple = (0.3, 0.5, 1.0),
+    seed: str = "fastrp",
+) -> DataFrame:
+    """FastRP-style node embeddings (Chen et al. 2019: very sparse
+    random projection + iterated neighbor averaging) over an
+    undirected (cid, nbr_id) view, fully deterministic: the random
+    init is a hash Rademacher vector (±1 from md5 parity of
+    (seed, node, dim)), each level l computes the neighbor MEAN of the
+    previous level then L2-normalizes per node, and the embedding is
+    the weights-weighted sum of the normalized levels — the cheap
+    structural-embedding export that feeds downstream similarity /
+    clustering without a GNN.  Returns (id, j, val) exploded rows,
+    val rounded to 6 dp, ordered (id, j).
+
+    Scale shape: everything lives in the exploded (id, dim, value)
+    relation — per level one equi-join against the adjacency + one
+    hash aggregate on (node, dim), then a per-node norm aggregate; no
+    array UDFs, no driver round-trips, and dims multiplies row count,
+    not shuffle count.  Hash init means no RNG state to distribute —
+    any executor recomputes any entry standalone (the same property
+    the random-walk/negative-sampling exports rely on)."""
+    adj = (
+        und.select("cid", "nbr_id")
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = adj.select(F.col("cid").alias("id")).distinct()
+    dimcol = F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("j")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col("id"), F.col("j"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    x = nodes.select("id", dimcol).select(
+        "id", "j", F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("x")
+    )
+    levels = []
+    for w in weights:
+        s = (
+            adj.join(x.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            .groupBy(F.col("cid").alias("id"), "j")
+            .agg(F.sum("x").alias("sx"))
+            .join(deg.withColumnRenamed("cid", "id"), "id")
+            .select("id", "j", (F.col("sx") / F.col("deg")).alias("x"))
+        )
+        nrm = s.groupBy("id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        x = (
+            s.join(nrm, "id")
+            .select(
+                "id",
+                "j",
+                F.when(F.col("nrm") > 0, F.col("x") / F.col("nrm"))
+                .otherwise(F.lit(0.0))
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        levels.append(
+            x.select("id", "j", (F.lit(float(w)) * F.col("x")).alias(f"wx{len(levels)}"))
+        )
+    # fixed left-to-right combine (a join, not a union+sum): double
+    # addition is order-sensitive in the last ulp, and a groupBy sum
+    # would combine in partition order — this keeps the value
+    # bit-reproducible across runs and engines
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.join(lv, ["id", "j"])
+    val = F.col("wx0")
+    for i in range(1, len(levels)):
+        val = val + F.col(f"wx{i}")
+    return out.select("id", "j", F.round(val, 6).alias("val")).orderBy("id", "j")

@@ -1101,3 +1101,56 @@ class TestHits:
         rev = self._run(spark, [("b", "a"), ("b", "c")])
         # reversing every edge swaps the hub and authority vectors
         assert fwd["b"][0] == rev["b"][1] and fwd["a"][1] == rev["a"][0]
+
+
+class TestFastRP:
+    def _np_fastrp(self, edges, dims=8, weights=(0.3, 0.5, 1.0), seed="fastrp"):
+        import hashlib
+
+        sym = sorted(set(edges) | {(b, a) for a, b in edges})
+        nodes = sorted({a for a, _ in sym})
+        nbrs = {v: sorted(b for a, b in sym if a == v and b != v) for v in nodes}
+
+        def h32(v, j):
+            return int(hashlib.md5(f"{seed}|{v}|{j}".encode()).hexdigest()[:8], 16)
+
+        x = {v: np.array([1.0 if h32(v, j) % 2 == 0 else -1.0 for j in range(dims)])
+             for v in nodes}
+        out = {v: np.zeros(dims) for v in nodes}
+        for w in weights:
+            nx = {v: sum(x[u] for u in nbrs[v]) / len(nbrs[v]) for v in nodes}
+            for v in nodes:
+                nrm = np.sqrt((nx[v] ** 2).sum())
+                nx[v] = nx[v] / nrm if nrm > 0 else nx[v] * 0.0
+            x = nx
+            for v in nodes:
+                out[v] = out[v] + w * x[v]
+        return out
+
+    def test_matches_numpy_oracle(self, spark):
+        got = {}
+        for r in queries.fastrp_embeddings(_und_df(spark, EDGES), dims=8).collect():
+            got.setdefault(r["id"], {})[r["j"]] = r["val"]
+        want = self._np_fastrp(EDGES)
+        assert set(got) == set(want)
+        for v, vec in want.items():
+            for j in range(8):
+                assert abs(got[v][j] - round(vec[j], 6)) < 2e-6, (v, j)
+
+    def test_deterministic_across_runs(self, spark):
+        und = _und_df(spark, EDGES)
+        a = queries.fastrp_embeddings(und, dims=4).collect()
+        b = queries.fastrp_embeddings(und, dims=4).collect()
+        assert a == b
+
+    def test_structural_twins_embed_identically_iff_same_hash_init(self, spark):
+        # two leaves hanging off the same hub get the same neighbor
+        # aggregation at every level, but their hash inits differ —
+        # level sums differ while the PROPAGATED part (levels >= 2,
+        # which only see the hub) converges; just pin the contract:
+        # every node gets dims rows and finite values
+        rows = queries.fastrp_embeddings(
+            _und_df(spark, [("h", "l1"), ("h", "l2")]), dims=4
+        ).collect()
+        assert len(rows) == 3 * 4
+        assert all(abs(r["val"]) < 10 for r in rows)
