@@ -1420,6 +1420,32 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_txt_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup over the corpus, with the
+    newline-free synthetic texts wrapped into 10-token lines first so
+    dup-family docs share real boilerplate lines."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.filter(
+            F.split(F.trim("text"), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    nwin = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda k: F.array_join(F.slice("toks", k * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    return curation.remove_duplicate_lines(
+        base.select("id", wrapped.alias("text")), text_col="text", id_col="id"
+    )
+
+
 def q_kg_fastrp(spark, sf_dir):
     """FastRP structural node embeddings over the co-occurrence graph
     (hash-Rademacher init, 3 neighbor-mean + L2-normalize levels,
@@ -1637,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "txt_unigram_logprob": q_txt_unigram_logprob,
+        "txt_line_dedup": q_txt_line_dedup,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2726,6 +2753,24 @@ d{k} AS (SELECT id, MIN(dist) AS dist FROM (
         )
         + """
 SELECT id, ROUND(dist, 6) AS dist FROM d6 ORDER BY dist, id""",
+        "txt_line_dedup": r"""
+WITH base AS (SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+              FROM documents),
+b2 AS (SELECT id, toks FROM base WHERE len(toks) > 0),
+w AS (SELECT id, CAST(k AS INT) AS idx,
+             array_to_string(toks[k * 10 + 1 : k * 10 + 10], ' ') AS line
+      FROM b2, LATERAL (SELECT unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS k) r),
+lines AS (SELECT id, idx, line, md5(line) AS lh FROM w),
+viral AS (SELECT lh FROM (SELECT lh, COUNT(DISTINCT id) AS docs FROM lines
+                          WHERE trim(line) <> '' GROUP BY lh) WHERE docs > 1),
+kept AS (SELECT l.id, l.idx, l.line FROM lines l ANTI JOIN viral v ON l.lh = v.lh),
+agg AS (SELECT id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY id),
+tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_total FROM lines GROUP BY id)
+SELECT t.id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_kept, 0) AS n_kept, t.n_total
+FROM tot t LEFT JOIN agg a ON t.id = a.id ORDER BY t.id""",
         "kg_fastrp": _fastrp_sql,
         "kg_hits": f"""WITH {TRIPLES_CTE},
 {_HITS_CTES}

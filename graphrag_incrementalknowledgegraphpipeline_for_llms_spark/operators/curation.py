@@ -88,3 +88,58 @@ def curation_funnel(
         F.count_if(g_lang).alias("pass_lang"),
         F.count_distinct(F.when(g_lang, F.col("fp"))).alias("after_dedup"),
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup (Wenzek et al. 2020 §3.1:
+    boilerplate — nav menus, cookie banners, footers — repeats line-
+    for-line across pages): drop every non-blank line whose exact text
+    appears in more than ``max_df`` documents, reassemble the rest in
+    original order.  Blank lines are structural and never counted or
+    dropped.  Returns (id, clean_text, n_kept, n_total) ordered by id.
+
+    Scale shape: the document-frequency aggregate shuffles only
+    (md5(line), doc_id) — never line text; the drop itself is an
+    anti-join against the VIRAL-LINE SET (lines with df > max_df),
+    which on real corpora is boilerplate-sized, not corpus-sized, so
+    AQE broadcasts it and the corpus never reshuffles.  Reassembly is
+    a per-document sort of (idx, line) structs inside one aggregate —
+    order restored without a window function."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).select("id", "idx", "line", F.md5("line").alias("lh"))
+    viral = (
+        lines.where(F.trim("line") != "")
+        .groupBy("lh")
+        .agg(F.count_distinct("id").alias("docs"))
+        .where(F.col("docs") > max_df)
+        .select("lh")
+    )
+    kept = lines.join(viral, "lh", "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tot.join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_total",
+        )
+        .orderBy("id")
+    )

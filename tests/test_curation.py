@@ -263,3 +263,54 @@ class TestWindowChunks:
 
         with pytest.raises(ValueError):
             window_chunks(spark.range(1), window=4, overlap=4)
+
+
+class TestLineDedup:
+    def _run(self, spark, docs, **kw):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        return {
+            r["id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+            for r in curation.remove_duplicate_lines(df, **kw).collect()
+        }
+
+    def test_boilerplate_dropped_order_kept(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("a", "unique alpha\ncookie banner\nunique beta"),
+                ("b", "cookie banner\nother content"),
+                ("c", "solo page with nothing shared"),
+            ],
+        )
+        assert got["a"] == ("unique alpha\nunique beta", 2, 3)
+        assert got["b"] == ("other content", 1, 2)
+        assert got["c"] == ("solo page with nothing shared", 1, 1)
+
+    def test_blank_lines_structural(self, spark):
+        # the blank line appears in both docs but is never viral
+        got = self._run(
+            spark, [("a", "x\n\ny"), ("b", "z\n\nw")]
+        )
+        assert got["a"] == ("x\n\ny", 3, 3)
+
+    def test_within_doc_repeat_survives(self, spark):
+        # df counts DOCUMENTS, not occurrences: a line repeated inside
+        # one doc is not boilerplate
+        got = self._run(spark, [("a", "la la\nla la"), ("b", "other")])
+        assert got["a"] == ("la la\nla la", 2, 2)
+
+    def test_all_lines_viral_yields_empty(self, spark):
+        got = self._run(spark, [("a", "same"), ("b", "same")])
+        assert got["a"] == ("", 0, 1) and got["b"] == ("", 0, 1)
+
+    def test_max_df_two_keeps_pairwise(self, spark):
+        got = self._run(
+            spark,
+            [("a", "shared"), ("b", "shared"), ("c", "shared")],
+            max_df=2,
+        )
+        assert all(v == ("", 0, 1) for v in got.values())
+        got2 = self._run(spark, [("a", "shared"), ("b", "shared")], max_df=2)
+        assert got2["a"] == ("shared", 1, 1)
