@@ -212,6 +212,31 @@ scored AS (
 ),
 triples AS (SELECT * FROM scored WHERE confidence >= 0.65)"""
 
+# the MinHash md5-family chain shared by dd_minhash_lsh and
+# dd_dup_clusters (signatures -> bands -> bucket pairs -> jaccard)
+_MH_CTES = r"""d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+norm AS (SELECT doc_id AS id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         FROM d),
+elig AS (SELECT id, toks, length(toks) AS nt FROM norm WHERE length(toks) >= 3),
+sh AS (SELECT id, array_to_string(toks[i:i+2], ' ') AS s
+       FROM elig, unnest(range(1, nt - 1)) AS t(i)),
+sig AS (SELECT id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+        FROM sh CROSS JOIN range(32) hf(i) GROUP BY id, i),
+bands AS (SELECT id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+          FROM sig GROUP BY id, i // 4),
+cand AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+est AS (SELECT c.a_id, c.b_id,
+               CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.id = c.a_id
+        JOIN sig sb ON sb.id = c.b_id AND sb.i = sa.i
+        GROUP BY c.a_id, c.b_id)"""
+
+
 # HITS unrolled rounds (mirrors queries.hits: per round, in-edge hub
 # sum -> L2 normalize -> out-edge auth sum -> L2 normalize; the norm is
 # a 1-row aggregate cross-joined in, zeros filled from the node set)
@@ -1420,6 +1445,30 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_dd_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS with a canonical survivor per cluster — the
+    decision a dedup pipeline actually acts on: LSH pairs closed into
+    connected components, keep the min doc_id.  (doc_id, cluster_id,
+    cluster_size, is_canonical)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+    pairs = dedup.minhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5, hash_family="md5"
+    )
+    cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
+    szs = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(szs, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).cast("long").alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 def q_txt_line_dedup(spark, sf_dir):
     """CCNet-style cross-document line dedup over the corpus, with the
     newline-free synthetic texts wrapped into 10-token lines first so
@@ -1664,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "txt_unigram_logprob": q_txt_unigram_logprob,
         "txt_line_dedup": q_txt_line_dedup,
+        "dd_dup_clusters": q_dd_dup_clusters,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2564,29 +2614,26 @@ FROM packed GROUP BY bin_id ORDER BY bin_id""",
         # operators/dedup.py (minhash_signatures/minhash_lsh_candidates
         # /minhash_jaccard_estimate with hash_family="md5") — hex-string
         # MIN == numeric MIN on fixed-width lowercase hex
-        "dd_minhash_lsh": """
-WITH d AS (SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
-norm AS (SELECT doc_id AS id,
-                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-         FROM d),
-elig AS (SELECT id, toks, length(toks) AS nt FROM norm WHERE length(toks) >= 3),
-sh AS (SELECT id, array_to_string(toks[i:i+2], ' ') AS s
-       FROM elig, unnest(range(1, nt - 1)) AS t(i)),
-sig AS (SELECT id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
-        FROM sh CROSS JOIN range(32) hf(i) GROUP BY id, i),
-bands AS (SELECT id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
-          FROM sig GROUP BY id, i // 4),
-cand AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id
-         FROM bands l JOIN bands r
-           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
-est AS (SELECT c.a_id, c.b_id,
-               CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-        FROM cand c
-        JOIN sig sa ON sa.id = c.a_id
-        JOIN sig sb ON sb.id = c.b_id AND sb.i = sa.i
-        GROUP BY c.a_id, c.b_id)
+        "dd_minhash_lsh": f"""WITH {_MH_CTES}
 SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5""",
+        # near-dup clusters: the same LSH pair relation closed into
+        # components by an EXACT recursive-CTE reachability (no round
+        # count to tune), canonical = min doc_id per component
+        "dd_dup_clusters": f"""WITH RECURSIVE {_MH_CTES},
+mp AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+sym AS (SELECT a_id AS id, b_id AS nbr FROM mp UNION SELECT b_id, a_id FROM mp),
+dnodes AS (SELECT DISTINCT id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM dnodes
+  UNION
+    SELECT rc.id, s.nbr FROM reach rc JOIN sym s ON rc.r = s.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+       CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM comp c JOIN szs s ON c.cluster_id = s.cluster_id
+ORDER BY c.cluster_id, doc_id""",
         # simhash, md5 family: token hash = first 16 hex chars of md5
         # as a 64-bit value, rebuilt nibble-by-nibble (bit b lives in
         # hex char (63-b)//4+1 at in-nibble position b%4); fingerprints

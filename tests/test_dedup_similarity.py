@@ -422,3 +422,22 @@ class TestIncrementalNearDups:
             for r in self._inc(spark, cat, docs.where(F.col("doc_id") == 2)).collect()
         }
         assert out2 == {(1, 2, 1.0)}
+
+
+class TestDupClusters:
+    def test_cluster_invariants_on_fixture(self, spark, docs):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+        pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5, shingle_n=2)
+        cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
+        rows = cc.collect()
+        comp = {r["id"]: r["component"] for r in rows}
+        # canonical is the min member of its own cluster
+        for cid in set(comp.values()):
+            members = [i for i, c in comp.items() if c == cid]
+            assert min(members) == cid
+        # every near-dup pair is co-clustered
+        for p in pairs.collect():
+            assert comp[p["a_id"]] == comp[p["b_id"]]
+        # the exact/norm dup family {1, 2, 3} is one cluster
+        assert comp[1] == comp[2] == comp[3] == 1
