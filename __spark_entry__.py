@@ -1445,6 +1445,23 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_rel_window_funnel(spark, sf_dir):
+    """Ordered 3-stage funnel (view -> click -> purchase within 1 h of
+    the view anchor), ClickHouse windowFunnel semantics."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.window_funnel(e, ["view", "click", "purchase"], "INTERVAL 1 HOUR")
+
+
+def q_rel_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the events table."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.cohort_retention(e, origin="2024-01-01", period_days=7)
+
+
 def q_dd_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS with a canonical survivor per cluster — the
     decision a dedup pipeline actually acts on: LSH pairs closed into
@@ -1714,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_logprob": q_txt_unigram_logprob,
         "txt_line_dedup": q_txt_line_dedup,
         "dd_dup_clusters": q_dd_dup_clusters,
+        "rel_window_funnel": q_rel_window_funnel,
+        "rel_retention": q_rel_retention,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2818,6 +2837,28 @@ tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_total FROM lines GROUP BY id)
 SELECT t.id, COALESCE(a.clean_text, '') AS clean_text,
        COALESCE(a.n_kept, 0) AS n_kept, t.n_total
 FROM tot t LEFT JOIN agg a ON t.id = a.id ORDER BY t.id""",
+        "rel_window_funnel": """
+WITH a1 AS (SELECT user_id AS u, ts AS t1 FROM events WHERE event_type = 'view'),
+s2 AS (SELECT a.u, a.t1, MIN(e.ts) AS tcur FROM a1 a JOIN events e ON e.user_id = a.u
+       WHERE e.event_type = 'click' AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 1 HOUR
+       GROUP BY a.u, a.t1),
+s3 AS (SELECT s.u, s.t1, MIN(e.ts) AS tcur FROM s2 s JOIN events e ON e.user_id = s.u
+       WHERE e.event_type = 'purchase' AND e.ts > s.tcur AND e.ts <= s.t1 + INTERVAL 1 HOUR
+       GROUP BY s.u, s.t1),
+lv AS (SELECT u, 1 AS lvl FROM (SELECT DISTINCT u FROM a1)
+       UNION ALL SELECT DISTINCT u, 2 FROM s2
+       UNION ALL SELECT DISTINCT u, 3 FROM s3),
+ul AS (SELECT u, MAX(lvl) AS level FROM lv GROUP BY u)
+SELECT CAST(level AS INT) AS level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ul GROUP BY level ORDER BY level""",
+        "rel_retention": """
+WITH act AS (SELECT DISTINCT user_id AS u,
+                    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS p
+             FROM events),
+coh AS (SELECT u, MIN(p) AS cohort FROM act GROUP BY u)
+SELECT c.cohort, a.p - c.cohort AS week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN coh c ON a.u = c.u
+GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
         "kg_fastrp": _fastrp_sql,
         "kg_hits": f"""WITH {TRIPLES_CTE},
 {_HITS_CTES}

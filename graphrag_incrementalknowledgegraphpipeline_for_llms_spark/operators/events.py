@@ -271,3 +271,84 @@ def sliding_rollup(
             "cnt",
         )
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    stages: list[str],
+    window: str = "INTERVAL 1 HOUR",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel match (ClickHouse ``windowFunnel`` semantics):
+    per user, the maximum stage L such that stage events occur in
+    order, all within ``window`` of the SAME stage-1 anchor event.
+    Greedy earliest-next-match per level is optimal here (the deadline
+    is fixed at anchor + window, so taking the min next timestamp can
+    only preserve reachability).  Returns the (level, n_users)
+    histogram over users that reached at least stage 1.
+
+    Scale shape: each level is one user-key equi-join with a range
+    residual + a min-aggregate on (user, anchor) — funnel depth many
+    shuffles on the user key, never a self-cartesian; anchors (not raw
+    events) flow between levels, so each level's relation shrinks
+    monotonically."""
+    w = F.expr(window)
+    cur = events.where(F.col(type_col) == stages[0]).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t1")
+    )
+    levels = [cur.select("u").distinct().withColumn("lvl", F.lit(1))]
+    cur = cur.withColumn("tcur", F.col("t1"))
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = events.where(F.col(type_col) == st).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("tn")
+        )
+        cur = (
+            cur.join(nxt, "u")
+            .where((F.col("tn") > F.col("tcur")) & (F.col("tn") <= F.col("t1") + w))
+            .groupBy("u", "t1")
+            .agg(F.min("tn").alias("tcur"))
+        )
+        levels.append(cur.select("u").distinct().withColumn("lvl", F.lit(i)))
+    lv = levels[0]
+    for l in levels[1:]:
+        lv = lv.unionByName(l)
+    return (
+        lv.groupBy("u")
+        .agg(F.max("lvl").alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    origin: str = "2024-01-01",
+    period_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-active
+    period (cohort), counted again in every later period they return —
+    the (cohort, week_offset, n_users) triangle every growth dashboard
+    draws.  Period index = floor(days since ``origin`` / period_days),
+    so the bucketing is calendar-stable and engine-portable (no
+    ISO-week disagreements).
+
+    Scale shape: one (user, period) distinct projection, one min
+    aggregate for the cohort, one join back on the user key, one count
+    — all hash-partitioned by user/cohort, nothing user-count-squared."""
+    per = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit(origin).cast("date"))
+        / F.lit(period_days)
+    ).cast("long")
+    act = events.select(F.col(user_col).alias("u"), per.alias("p")).distinct()
+    cohort = act.groupBy("u").agg(F.min("p").alias("cohort"))
+    return (
+        act.join(cohort, "u")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )

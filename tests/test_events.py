@@ -287,3 +287,77 @@ class TestRangeJoin:
         pts, ivs = self._data(spark)
         plan = ev.range_join(pts, ivs.drop("k"), bucket_seconds=7)._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestWindowFunnel:
+    def _run(self, spark, rows, stages=("view", "click", "purchase"), window="INTERVAL 1 HOUR"):
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id long, event_type string"
+        )
+        return {
+            r["level"]: r["n_users"]
+            for r in ev.window_funnel(df, list(stages), window).collect()
+        }
+
+    def test_full_and_partial_funnels(self, spark):
+        rows = [
+            # u1 completes all 3 in order within the hour
+            (_ts(0), 1, "view"), (_ts(5), 1, "click"), (_ts(10), 1, "purchase"),
+            # u2 reaches click only
+            (_ts(0), 2, "view"), (_ts(7), 2, "click"),
+            # u3 has view only
+            (_ts(0), 3, "view"),
+            # u4 never enters the funnel (purchase without view)
+            (_ts(0), 4, "purchase"),
+        ]
+        assert self._run(spark, rows) == {1: 1, 2: 1, 3: 1}
+
+    def test_window_anchored_at_stage_one(self, spark):
+        # click at +50, purchase at +70: purchase is past the 1 h
+        # anchor window even though it's within 1 h of the click
+        rows = [(_ts(0), 1, "view"), (_ts(50), 1, "click"), (_ts(70), 1, "purchase")]
+        assert self._run(spark, rows) == {2: 1}
+        # a later anchor rescues it: second view at +30 restarts the clock
+        rows.append((_ts(30), 1, "view"))
+        assert self._run(spark, rows) == {3: 1}
+
+    def test_order_required(self, spark):
+        # purchase BEFORE click: funnel stops at click
+        rows = [(_ts(0), 1, "view"), (_ts(10), 1, "purchase"), (_ts(20), 1, "click")]
+        assert self._run(spark, rows) == {2: 1}
+
+    def test_greedy_earliest_match(self, spark):
+        # two clicks; the earlier one leaves room for the purchase
+        rows = [
+            (_ts(0), 1, "view"), (_ts(5), 1, "click"), (_ts(59), 1, "click"),
+            (_ts(30), 1, "purchase"),
+        ]
+        assert self._run(spark, rows) == {3: 1}
+
+
+class TestCohortRetention:
+    def test_triangle(self, spark):
+        rows = [
+            # u1: first week 0, returns weeks 1 and 3
+            (_ts(0), 1), (_ts(7 * 24 * 60), 1), (_ts(21 * 24 * 60), 1),
+            # u2: first week 0 only
+            (_ts(60), 2),
+            # u3: first week 1, returns week 2
+            (_ts(8 * 24 * 60), 3), (_ts(14 * 24 * 60), 3),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        got = {
+            (r["cohort"], r["week_offset"]): r["n_users"]
+            for r in ev.cohort_retention(df, origin="2024-01-01").collect()
+        }
+        assert got == {
+            (0, 0): 2, (0, 1): 1, (0, 3): 1,
+            (1, 0): 1, (1, 1): 1,
+        }
+
+    def test_same_period_dedup(self, spark):
+        # many events inside one week count the user once
+        rows = [(_ts(i), 1) for i in range(0, 300, 60)]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        got = ev.cohort_retention(df, origin="2024-01-01").collect()
+        assert [(r["cohort"], r["week_offset"], r["n_users"]) for r in got] == [(0, 0, 1)]
