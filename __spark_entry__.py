@@ -1445,6 +1445,27 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_kg_ego_subgraph(spark, sf_dir):
+    """2-hop ego network around 'apache_spark': co-occurrence edges
+    whose BOTH endpoints are within 2 hops of the seed, with per-
+    endpoint hop distance — the context subgraph a GraphRAG prompt
+    builder or graph UI ships.  Composition: BFS reach + two
+    broadcast-sized distance joins; the pair table never expands."""
+    cid = purecore.concept_id("apache_spark")
+    pf = q_kg_pair_freq(spark, sf_dir)
+    und = pf.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")
+    ).unionByName(pf.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id")))
+    dist = q.bfs_distances(und, cid, max_hops=2)
+    da = dist.select(F.col("id").alias("a_id"), F.col("dist").alias("a_dist"))
+    db = dist.select(F.col("id").alias("b_id"), F.col("dist").alias("b_dist"))
+    return (
+        pf.join(da, "a_id").join(db, "b_id")
+        .select("a_id", "b_id", "freq", "a_dist", "b_dist")
+        .orderBy("a_id", "b_id")
+    )
+
+
 def q_rel_window_funnel(spark, sf_dir):
     """Ordered 3-stage funnel (view -> click -> purchase within 1 h of
     the view anchor), ClickHouse windowFunnel semantics."""
@@ -1731,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_logprob": q_txt_unigram_logprob,
         "txt_line_dedup": q_txt_line_dedup,
         "dd_dup_clusters": q_dd_dup_clusters,
+        "kg_ego_subgraph": q_kg_ego_subgraph,
         "rel_window_funnel": q_rel_window_funnel,
         "rel_retention": q_rel_retention,
     }
@@ -2837,6 +2859,18 @@ tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_total FROM lines GROUP BY id)
 SELECT t.id, COALESCE(a.clean_text, '') AS clean_text,
        COALESCE(a.n_kept, 0) AS n_kept, t.n_total
 FROM tot t LEFT JOIN agg a ON t.id = a.id ORDER BY t.id""",
+        "kg_ego_subgraph": f"""WITH RECURSIVE {PAIRS_CTE},
+pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),
+eund AS (SELECT DISTINCT a_id AS cid, b_id AS nbr FROM pf UNION SELECT b_id, a_id FROM pf),
+walk(id, dist) AS (
+  SELECT substr(sha256('apache_spark'), 1, 16), 0
+  UNION
+  SELECT u.nbr, w.dist + 1 FROM walk w JOIN eund u ON u.cid = w.id WHERE w.dist < 2
+),
+d AS (SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id)
+SELECT p.a_id, p.b_id, p.freq, da.dist AS a_dist, db.dist AS b_dist
+FROM pf p JOIN d da ON p.a_id = da.id JOIN d db ON p.b_id = db.id
+ORDER BY p.a_id, p.b_id""",
         "rel_window_funnel": """
 WITH a1 AS (SELECT user_id AS u, ts AS t1 FROM events WHERE event_type = 'view'),
 s2 AS (SELECT a.u, a.t1, MIN(e.ts) AS tcur FROM a1 a JOIN events e ON e.user_id = a.u
