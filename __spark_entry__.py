@@ -237,6 +237,40 @@ est AS (SELECT c.a_id, c.b_id,
         GROUP BY c.a_id, c.b_id)"""
 
 
+# sampled-source hop-bounded Brandes betweenness, unrolled (mirrors
+# queries.betweenness_sampled: forward sigma BFS, predecessor DAG,
+# backward dependency accumulation); MATERIALIZED per level — multi-
+# referenced CTEs inline exponentially in DuckDB otherwise
+def _betweenness_ctes(seeds, max_hops: int = 4) -> str:
+    src = " UNION ".join(
+        f"SELECT substr(sha256('{s}'), 1, 16) AS s" for s in sorted(set(seeds))
+    )
+    out = f"""bund AS MATERIALIZED (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+badj AS MATERIALIZED (SELECT cid, nbr_id FROM bund WHERE cid <> nbr_id),
+bsrc AS ({src}),
+bv0 AS MATERIALIZED (SELECT s, s AS v, 0 AS d, CAST(1 AS DOUBLE) AS sig FROM bsrc),
+bvis0 AS MATERIALIZED (SELECT * FROM bv0)"""
+    for k in range(1, max_hops + 1):
+        out += f""",
+bf{k} AS (SELECT x.s, a.nbr_id AS v, SUM(x.sig) AS sig FROM bv{k - 1} x JOIN badj a ON a.cid = x.v GROUP BY x.s, a.nbr_id),
+bv{k} AS MATERIALIZED (SELECT f.s, f.v, {k} AS d, f.sig FROM bf{k} f ANTI JOIN bvis{k - 1} vv ON f.s = vv.s AND f.v = vv.v),
+bvis{k} AS MATERIALIZED (SELECT * FROM bvis{k - 1} UNION ALL SELECT * FROM bv{k})"""
+    out += f""",
+bpreds AS MATERIALIZED (SELECT u.s, u.v AS pu, w.v AS pw, u.sig AS su, w.sig AS sw, w.d AS dw
+  FROM badj a JOIN bvis{max_hops} u ON a.cid = u.v
+  JOIN bvis{max_hops} w ON a.nbr_id = w.v AND w.s = u.s AND w.d = u.d + 1),
+bd{max_hops} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM bv{max_hops})"""
+    for l in range(max_hops - 1, 0, -1):
+        out += f""",
+bd{l} AS MATERIALIZED (SELECT n.s, n.v,
+    COALESCE(SUM((p.su / p.sw) * (1.0 + dn.delta)), 0.0) AS delta
+  FROM bv{l} n
+  LEFT JOIN bpreds p ON p.s = n.s AND p.pu = n.v AND p.dw = {l + 1}
+  LEFT JOIN bd{l + 1} dn ON dn.s = p.s AND dn.v = p.pw
+  GROUP BY n.s, n.v)"""
+    return out
+
+
 # HITS unrolled rounds (mirrors queries.hits: per round, in-edge hub
 # sum -> L2 normalize -> out-edge auth sum -> L2 normalize; the norm is
 # a 1-row aggregate cross-joined in, zeros filled from the node set)
@@ -1445,6 +1479,15 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_kg_betweenness(spark, sf_dir):
+    """Sampled-source hop-bounded Brandes betweenness from the PPR
+    seed entities over the co-occurrence graph — which concepts BROKER
+    the shortest connections out of the seed neighborhood."""
+    return q.betweenness_sampled(
+        _kg_cooccur_und(spark, sf_dir), _ppr_seeds(), max_hops=4, top_k=20
+    )
+
+
 def q_kg_ego_subgraph(spark, sf_dir):
     """2-hop ego network around 'apache_spark': co-occurrence edges
     whose BOTH endpoints are within 2 hops of the seed, with per-
@@ -1752,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_logprob": q_txt_unigram_logprob,
         "txt_line_dedup": q_txt_line_dedup,
         "dd_dup_clusters": q_dd_dup_clusters,
+        "kg_betweenness": q_kg_betweenness,
         "kg_ego_subgraph": q_kg_ego_subgraph,
         "rel_window_funnel": q_rel_window_funnel,
         "rel_retention": q_rel_retention,
@@ -2859,6 +2903,14 @@ tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_total FROM lines GROUP BY id)
 SELECT t.id, COALESCE(a.clean_text, '') AS clean_text,
        COALESCE(a.n_kept, 0) AS n_kept, t.n_total
 FROM tot t LEFT JOIN agg a ON t.id = a.id ORDER BY t.id""",
+        "kg_betweenness": f"""WITH {PAIRS_CTE},
+{_betweenness_ctes(_PPR_SEED_LEMMAS, 4)}
+SELECT v AS id, ROUND(SUM(delta), 6) AS bc FROM (
+  SELECT s, v, delta FROM bd4
+  UNION ALL SELECT s, v, delta FROM bd3
+  UNION ALL SELECT s, v, delta FROM bd2
+  UNION ALL SELECT s, v, delta FROM bd1
+) GROUP BY v ORDER BY bc DESC, id LIMIT 20""",
         "kg_ego_subgraph": f"""WITH RECURSIVE {PAIRS_CTE},
 pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),
 eund AS (SELECT DISTINCT a_id AS cid, b_id AS nbr FROM pf UNION SELECT b_id, a_id FROM pf),

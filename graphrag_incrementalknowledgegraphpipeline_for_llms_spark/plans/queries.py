@@ -1484,3 +1484,101 @@ def fastrp_embeddings(
     for i in range(1, len(levels)):
         val = val + F.col(f"wx{i}")
     return out.select("id", "j", F.round(val, 6).alias("val")).orderBy("id", "j")
+
+
+def betweenness_sampled(
+    und: DataFrame,
+    sources: list[str],
+    max_hops: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """Sampled-source hop-bounded betweenness centrality (Brandes 2001,
+    restricted to shortest paths of <= ``max_hops`` edges from a fixed
+    source sample — the standard approximation at corpus scale, where
+    exact betweenness is O(V*E) and unnecessary): forward BFS
+    accumulates per-(source, node) shortest-path counts sigma, the
+    backward pass accumulates the path-fraction dependencies
+    delta(u) = sum over DAG successors w of (sigma_u / sigma_w) *
+    (1 + delta(w)), and bc(v) = sum over sources of delta_s(v).
+    Returns (id, bc) rounded to 6 dp, bc desc / id, top-k.
+
+    Scale shape: ALL sources advance simultaneously — every relation
+    carries the source as a key column, so the whole sample costs one
+    join + one aggregate per BFS level each way (not |S| sequential
+    traversals); the predecessor DAG is one 3-way equi-join derived
+    from the visited relation; every per-level relation is bounded by
+    (sources x reached nodes).  Levels are unrolled to exactly
+    ``max_hops`` so the computation shape (and its SQL mirror) is
+    static."""
+    spark = und.sparkSession
+    adj = (
+        und.select("cid", "nbr_id")
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame(
+        [(s, s, 1.0) for s in sorted(set(sources))], "s string, v string, sig double"
+    )
+    levels = [frontier.withColumn("d", F.lit(0))]
+    visited = levels[0]
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["v"] == adj["cid"])
+            .groupBy("s", F.col("nbr_id").alias("nv"))
+            .agg(F.sum("sig").alias("sig"))
+            .withColumnRenamed("nv", "v")
+        )
+        frontier = (
+            nxt.join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(frontier.withColumn("d", F.lit(k)))
+        visited = visited.unionByName(levels[-1]).localCheckpoint(eager=True)
+    vu = visited.select(
+        F.col("s"), F.col("v").alias("pu"), F.col("d").alias("du"), F.col("sig").alias("su")
+    )
+    vw = visited.select(
+        F.col("s").alias("s2"), F.col("v").alias("pw"), F.col("d").alias("dw"),
+        F.col("sig").alias("sw"),
+    )
+    preds = (
+        adj.join(vu, adj["cid"] == vu["pu"])
+        .join(vw, (vw["s2"] == vu["s"]) & (adj["nbr_id"] == vw["pw"]))
+        .where(F.col("dw") == F.col("du") + 1)
+        .select("s", "pu", "pw", "su", "sw", "dw")
+        .localCheckpoint(eager=True)
+    )
+    deltas = {max_hops: levels[max_hops].select("s", "v", F.lit(0.0).alias("delta"))}
+    for l in range(max_hops - 1, 0, -1):
+        nxt_d = deltas[l + 1].select(
+            F.col("s").alias("s3"), F.col("v").alias("pw2"), F.col("delta").alias("dnext")
+        )
+        contrib = (
+            levels[l]
+            .join(
+                preds.where(F.col("dw") == l + 1).withColumnRenamed("pu", "v"),
+                ["s", "v"],
+                "left",
+            )
+            .join(
+                nxt_d,
+                (F.col("s3") == F.col("s")) & (F.col("pw2") == F.col("pw")),
+                "left",
+            )
+        )
+        deltas[l] = contrib.groupBy("s", "v").agg(
+            F.coalesce(
+                F.sum((F.col("su") / F.col("sw")) * (F.lit(1.0) + F.col("dnext"))),
+                F.lit(0.0),
+            ).alias("delta")
+        )
+    out = deltas[max_hops].select("v", "delta")
+    for l in range(1, max_hops):
+        out = out.unionByName(deltas[l].select("v", "delta"))
+    return (
+        out.groupBy(F.col("v").alias("id"))
+        .agg(F.round(F.sum("delta"), 6).alias("bc"))
+        .orderBy(F.desc("bc"), "id")
+        .limit(top_k)
+    )

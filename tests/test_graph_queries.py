@@ -1154,3 +1154,85 @@ class TestFastRP:
         ).collect()
         assert len(rows) == 3 * 4
         assert all(abs(r["val"]) < 10 for r in rows)
+
+
+class TestBetweenness:
+    def _py_brandes(self, edges, sources, max_hops=4):
+        from collections import defaultdict, deque
+
+        sym = set(edges) | {(b, a) for a, b in edges}
+        nbrs = defaultdict(set)
+        for a, b in sym:
+            if a != b:
+                nbrs[a].add(b)
+        bc = defaultdict(float)
+        for s in sources:
+            dist = {s: 0}
+            sigma = defaultdict(float)
+            sigma[s] = 1.0
+            order = []
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= max_hops:
+                    continue
+                for w in sorted(nbrs[u]):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        order.append(w)
+                        q.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            delta = defaultdict(float)
+            for w in reversed(order):
+                for u in nbrs[w]:
+                    if dist.get(u) == dist[w] - 1:
+                        delta[u] += (sigma[u] / sigma[w]) * (1 + delta[w])
+            for v in order:  # levels >= 1 only (sources excluded per-s)
+                bc[v] += delta[v]
+        return dict(bc)
+
+    def test_matches_python_brandes(self, spark):
+        edges = EDGES + [("g", "h"), ("b", "e")]
+        got = {
+            r["id"]: r["bc"]
+            for r in queries.betweenness_sampled(
+                _und_df(spark, edges), ["a", "f"], max_hops=4, top_k=100
+            ).collect()
+        }
+        want = self._py_brandes(edges, ["a", "f"])
+        assert set(got) == set(want)
+        for v, w in want.items():
+            assert abs(got[v] - round(w, 6)) < 2e-6, v
+
+    def test_chain_midpoint_dominates(self, spark):
+        # path a-b-c-d-e, sources {a, e}: c sits on every a<->e path
+        chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = {
+            r["id"]: r["bc"]
+            for r in queries.betweenness_sampled(
+                _und_df(spark, chain), ["a", "e"], max_hops=4, top_k=100
+            ).collect()
+        }
+        assert got["c"] >= got["b"] and got["c"] >= got["d"]
+        want = self._py_brandes(chain, ["a", "e"])
+        for v, w in want.items():
+            assert abs(got[v] - round(w, 6)) < 2e-6, v
+
+    def test_absent_source_contributes_nothing(self, spark):
+        got = queries.betweenness_sampled(
+            _und_df(spark, [("a", "b"), ("b", "c")]), ["zzz"], max_hops=4
+        ).collect()
+        assert got == []
+
+    def test_equal_split_across_two_geodesics(self, spark):
+        # two disjoint 2-hop routes a->m1->t and a->m2->t: each middle
+        # carries half the dependency
+        edges = [("a", "m1"), ("a", "m2"), ("m1", "t"), ("m2", "t")]
+        got = {
+            r["id"]: r["bc"]
+            for r in queries.betweenness_sampled(
+                _und_df(spark, edges), ["a"], max_hops=4, top_k=100
+            ).collect()
+        }
+        assert got["m1"] == got["m2"] == 0.5
