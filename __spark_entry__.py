@@ -1479,6 +1479,16 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_kg_drift_search(spark, sf_dir):
+    """GraphRAG DRIFT search: global community ranking picks the most
+    query-relevant community, then PPR re-seeded at its matched
+    members drills into (and may drift beyond) that community."""
+    und = _kg_cooccur_und(spark, sf_dir)
+    labels = q.label_propagation(und, iters=5)
+    mentions = q_kg_mentions(spark, sf_dir)
+    return q.drift_search(und, labels, mentions, pattern="a", iters=10, top_k=20)
+
+
 def q_kg_betweenness(spark, sf_dir):
     """Sampled-source hop-bounded Brandes betweenness from the PPR
     seed entities over the co-occurrence graph — which concepts BROKER
@@ -1795,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_logprob": q_txt_unigram_logprob,
         "txt_line_dedup": q_txt_line_dedup,
         "dd_dup_clusters": q_dd_dup_clusters,
+        "kg_drift_search": q_kg_drift_search,
         "kg_betweenness": q_kg_betweenness,
         "kg_ego_subgraph": q_kg_ego_subgraph,
         "rel_window_funnel": q_rel_window_funnel,
@@ -2048,6 +2059,43 @@ tnodes AS (SELECT id, CASE WHEN id IN ({seeds_sql}) THEN 1.0 / sk.k ELSE 0.0 END
            FROM nodes CROSS JOIN sk),
 deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
 pr0 AS (SELECT id, tp AS rank FROM tnodes){iters}"""
+
+    _drift_ppr_iters = "".join(
+        f""",
+dpc{k} AS (SELECT u.nbr_id AS id, SUM(r.rank / dg.deg) AS inflow
+           FROM und u JOIN dpr{k - 1} r ON u.cid = r.id JOIN ddeg dg ON dg.cid = u.cid
+           GROUP BY u.nbr_id),
+dpr{k} AS (SELECT n.id, 0.15 * n.tp + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+           FROM dtn n LEFT JOIN dpc{k} c ON c.id = n.id)"""
+        for k in range(1, 11)
+    )
+    _drift_sql = f"""WITH {PAIRS_CTE},
+{_lpa_base},
+mcounts AS (SELECT concept_id, lemma, CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM mentions WHERE contains(lemma, 'a')
+            GROUP BY concept_id, lemma),
+gscored AS (SELECT l.label AS community, SUM(c.n_mentions) AS score
+            FROM mcounts c JOIN l5 l ON c.concept_id = l.id GROUP BY l.label),
+topc AS (SELECT community FROM gscored ORDER BY score DESC, community LIMIT 1),
+dseeds AS MATERIALIZED (SELECT DISTINCT c.concept_id AS id
+          FROM mcounts c JOIN l5 l ON c.concept_id = l.id
+          WHERE l.label = (SELECT community FROM topc)),
+dnodes AS (SELECT DISTINCT cid AS id FROM und),
+dsk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM dnodes WHERE id IN (SELECT id FROM dseeds)),
+dtn AS MATERIALIZED (SELECT n.id, CASE WHEN n.id IN (SELECT id FROM dseeds) THEN 1.0 / s.k ELSE 0.0 END AS tp
+       FROM dnodes n CROSS JOIN dsk s),
+ddeg AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
+dpr0 AS (SELECT id, tp AS rank FROM dtn){_drift_ppr_iters},
+ranked AS (SELECT id, ROUND(rank, 8) AS rank FROM dpr10 WHERE rank > 0
+           ORDER BY rank DESC, id LIMIT 20),
+dstats AS (SELECT concept_id AS id, MIN(lemma) AS lemma,
+                  CAST(COUNT(*) AS BIGINT) AS n_mentions
+           FROM mentions GROUP BY concept_id)
+SELECT r.id, s.lemma, l.label AS community,
+       CAST(CASE WHEN r.id IN (SELECT id FROM dseeds) THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
+       r.rank, COALESCE(s.n_mentions, 0) AS n_mentions
+FROM ranked r LEFT JOIN dstats s ON r.id = s.id LEFT JOIN l5 l ON r.id = l.id
+ORDER BY r.rank DESC, r.id"""
 
     _ppr_sql = f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)}
@@ -2903,6 +2951,7 @@ tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_total FROM lines GROUP BY id)
 SELECT t.id, COALESCE(a.clean_text, '') AS clean_text,
        COALESCE(a.n_kept, 0) AS n_kept, t.n_total
 FROM tot t LEFT JOIN agg a ON t.id = a.id ORDER BY t.id""",
+        "kg_drift_search": _drift_sql,
         "kg_betweenness": f"""WITH {PAIRS_CTE},
 {_betweenness_ctes(_PPR_SEED_LEMMAS, 4)}
 SELECT v AS id, ROUND(SUM(delta), 6) AS bc FROM (

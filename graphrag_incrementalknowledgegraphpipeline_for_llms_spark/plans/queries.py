@@ -1582,3 +1582,68 @@ def betweenness_sampled(
         .orderBy(F.desc("bc"), "id")
         .limit(top_k)
     )
+
+
+def drift_search(
+    und: DataFrame,
+    labels: DataFrame,
+    mentions: DataFrame,
+    pattern: str,
+    iters: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """GraphRAG DRIFT search (Microsoft GraphRAG's global-then-local
+    drill-down), extractive-deterministic: the GLOBAL phase ranks
+    communities by query relevance (:func:`global_search`) and picks
+    the winner; the LOCAL phase re-seeds personalized PageRank at the
+    winner community's query-matched member concepts and expands their
+    neighborhood — so the answer context is anchored in the single
+    most relevant community but may drift across its boundary where
+    the graph says the evidence lives.  Returns (id, lemma, community,
+    is_seed, rank, n_mentions), rank desc / id.
+
+    Driver-side state is two bounded collects: the 1-row global winner
+    and the seed id list (query-matched members of ONE community —
+    query-relevant-sized, not corpus-sized).  Everything else is the
+    PPR plan plus two key joins."""
+    g = global_search(labels, mentions, pattern, top_k=1).collect()
+    spark = und.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "id string, lemma string, community string, is_seed long, "
+        "rank double, n_mentions bigint",
+    )
+    if not g:
+        return empty
+    top_comm = g[0]["community"]
+    matched = (
+        mentions.where(F.col("lemma").contains(pattern))
+        .select(F.col("concept_id").alias("id"))
+        .distinct()
+    )
+    seeds = sorted(
+        r["id"]
+        for r in matched.join(
+            labels.where(F.col("label") == top_comm).select("id"), "id"
+        ).collect()
+    )
+    if not seeds:
+        return empty
+    pr = personalized_pagerank(und, seeds, iters=iters, top_k=top_k)
+    stats = mentions.groupBy(F.col("concept_id").alias("id")).agg(
+        F.min("lemma").alias("lemma"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+    return (
+        pr.join(stats, "id", "left")
+        .join(labels.withColumnRenamed("label", "community"), "id", "left")
+        .select(
+            "id",
+            "lemma",
+            "community",
+            F.col("id").isin(seeds).cast("long").alias("is_seed"),
+            "rank",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+        )
+        .orderBy(F.desc("rank"), "id")
+    )

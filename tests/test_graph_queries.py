@@ -1236,3 +1236,48 @@ class TestBetweenness:
             ).collect()
         }
         assert got["m1"] == got["m2"] == 0.5
+
+
+class TestDriftSearch:
+    def _fixture(self, spark):
+        # two triangle communities (sync LPA oscillates on 2-node
+        # components, so both sides are triangles); lemmas carry the
+        # query term "zork" only in the b-side
+        edges = [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ]
+        und = _und_df(spark, edges)
+        labels = queries.label_propagation(und, iters=5)
+        mentions = spark.createDataFrame(
+            [("c1", "b1", "zork_alpha"), ("c1", "b2", "zork_beta"),
+             ("c2", "b1", "zork_alpha"), ("c3", "a1", "plain")],
+            "chunk_id string, concept_id string, lemma string",
+        )
+        return und, labels, mentions
+
+    def test_drills_into_global_winner(self, spark):
+        und, labels, mentions = self._fixture(spark)
+        rows = queries.drift_search(und, labels, mentions, "zork", top_k=10).collect()
+        ids = {r["id"] for r in rows}
+        # expansion stays in the b-community (a-side has no teleport mass)
+        assert ids == {"b1", "b2", "b3"}
+        seeds = {r["id"] for r in rows if r["is_seed"] == 1}
+        assert seeds == {"b1", "b2"}  # b3 has no matched mention
+        by_id = {r["id"]: r for r in rows}
+        assert by_id["b1"]["n_mentions"] == 2 and by_id["b1"]["lemma"] == "zork_alpha"
+
+    def test_matches_manual_composition(self, spark):
+        und, labels, mentions = self._fixture(spark)
+        rows = queries.drift_search(und, labels, mentions, "zork", top_k=10).collect()
+        pr = {
+            r["id"]: r["rank"]
+            for r in queries.personalized_pagerank(
+                und, ["b1", "b2"], iters=10, top_k=10
+            ).collect()
+        }  # seeds = matched members of the winning community
+        assert {r["id"]: r["rank"] for r in rows} == pr
+
+    def test_no_match_returns_empty(self, spark):
+        und, labels, mentions = self._fixture(spark)
+        assert queries.drift_search(und, labels, mentions, "qqqq").count() == 0
