@@ -30,6 +30,9 @@ the same graph):
 * ``GET /v1/search/local?q=``               -> local search: entity-link the query
                                                text, personalized-PageRank expansion,
                                                mention stats per result
+* ``GET /v1/search/drift?q=``               -> DRIFT search: global community ranking
+                                               picks the winner, PPR re-seeded at its
+                                               matched members drills in
 * ``GET /v1/graph/stats``                   -> one-row structural summary (degrees,
                                                density, triangles, clustering)
 
@@ -313,6 +316,46 @@ class GraphApiService:
             ],
         }
 
+    def drift_search(self, query: str, top_k: int = 20) -> dict:
+        """GraphRAG DRIFT search over the live graph: entity-link the
+        query text, rank communities by the strongest linked lemma
+        (global phase), then drill in with PPR re-seeded at the
+        winning community's matched members (local phase)."""
+        if self.mentions is None:
+            raise KeyError("drift search requires a mentions table")
+        from ..functions.purecore import extract_concepts
+
+        linked = extract_concepts(query)
+        if not linked:
+            return {"query": query, "linkedEntities": [], "pattern": None, "results": []}
+        pattern = linked[0].lemma
+        rows = q.drift_search(
+            self._concept_und(),
+            self._lpa_labels(),
+            self.mentions,
+            pattern,
+            top_k=top_k,
+        ).collect()
+        return {
+            "query": query,
+            "pattern": pattern,
+            "linkedEntities": [
+                {"conceptId": c.concept_id, "lemma": c.lemma, "surface": c.surface}
+                for c in linked
+            ],
+            "results": [
+                {
+                    "conceptId": r["id"],
+                    "lemma": r["lemma"],
+                    "community": r["community"],
+                    "isSeed": bool(r["is_seed"]),
+                    "rank": float(r["rank"]),
+                    "mentionCount": r["n_mentions"],
+                }
+                for r in rows
+            ],
+        }
+
     def community_reports(self, top: int = 10, concepts: int = 5) -> dict:
         if self.mentions is None:
             raise KeyError("community reports require a mentions table")
@@ -552,6 +595,20 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         return self._send(
                             200,
                             service.local_search(
+                                qs["q"], top_k=int(qs.get("top", "20"))
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
+                if path == "/v1/search/drift":
+                    if not qs.get("q"):
+                        return self._error(
+                            400, "BAD_REQUEST", "missing required parameter: q"
+                        )
+                    try:
+                        return self._send(
+                            200,
+                            service.drift_search(
                                 qs["q"], top_k=int(qs.get("top", "20"))
                             ),
                         )

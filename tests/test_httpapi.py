@@ -273,3 +273,28 @@ def test_graph_stats(server):
     # cached: second call returns the identical payload
     _, body2 = _get_raw(base, "/v1/graph/stats")
     assert body2["data"] == d
+
+
+def test_drift_search(server):
+    base, _ = server
+    status, body = _get_raw(
+        base, "/v1/search/drift?q=Apache%20Spark&top=10"
+    )
+    assert status == 200 and body["success"] is True
+    data = body["data"]
+    assert data["pattern"] == "apache_spark"
+    results = data["results"]
+    assert results and len(results) <= 10
+    # every result carries its community and the seeds are flagged
+    assert all(r["community"] for r in results)
+    assert any(r["isSeed"] for r in results)
+    assert all(r["rank"] > 0 for r in results)
+
+
+def test_drift_search_no_link_and_missing_q(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/search/drift?q=zzz%20qqq")
+    assert status == 200
+    assert body["data"]["results"] == [] and body["data"]["pattern"] is None
+    status, body = _get_raw(base, "/v1/search/drift")
+    assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
