@@ -487,6 +487,75 @@ def label_propagation(
     return labels
 
 
+def incremental_label_propagation(
+    base_und: DataFrame,
+    delta_und: DataFrame,
+    iters: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Incrementally refresh LPA community labels after a delta edge
+    batch, recomputing ONLY the components the delta touches — the
+    community-index half of the incremental GraphRAG story (the graph
+    itself already refreshes in O(batch) via the catalog's MOR path).
+
+    Exactness theorem: synchronous LPA seeds every node with its own
+    id and votes only over direct neighbors, so a component's final
+    labeling is a pure function of that component's edge set.  A
+    component with no delta endpoint has an identical edge set in the
+    base and merged graphs, hence identical labels — its stored labels
+    are reused verbatim.  Every component that gains an edge (or is
+    merged with another by one) is re-run on its exact merged edge
+    set, which matches the full-graph run because LPA never crosses
+    component boundaries.  Therefore the output EQUALS full-graph LPA
+    row-for-row; the driver pins this by grading the incremental plan
+    against the full-graph unrolled-CTE oracle (hash-exact).
+
+    Cost shape at 100 TB: the refresh work is one broadcast semi-join
+    of the delta endpoints against the stored component index, one
+    semi-join to carve the affected subgraph, and an LPA run sized by
+    the affected components — O(touched), not O(graph).  The component
+    index itself is the stored output of
+    :func:`canonicalize.connected_components` (deltas only ever MERGE
+    components, so it is maintainable with the same large-star pass
+    over touched components); this demo recomputes it from the base
+    edges to stay self-contained.
+
+    ``base_und`` / ``delta_und``: symmetric (cid, nbr_id) edge views;
+    the merged graph is their union.  Returns (id, label) for every
+    node of the merged graph.
+    """
+    from ..operators import canonicalize
+
+    base_und = base_und.select("cid", "nbr_id").distinct()
+    delta_und = delta_und.select("cid", "nbr_id").distinct()
+    base_labels = label_propagation(
+        base_und, iters=iters, checkpoint_every=checkpoint_every
+    )
+    # stored component index of the base graph (min-id representative)
+    base_comp = canonicalize.connected_components(base_und, src="cid", dst="nbr_id")
+    delta_nodes = delta_und.select(F.col("cid").alias("id")).distinct()
+    # components hit by any delta endpoint — small: one per touched
+    # community, broadcast back to carve the affected node set
+    affected = (
+        base_comp.join(delta_nodes, "id").select("component").distinct()
+    )
+    refresh_nodes = (
+        base_comp.join(F.broadcast(affected), "component")
+        .select("id")
+        .unionByName(delta_nodes)  # covers brand-new nodes
+        .distinct()
+    )
+    merged = base_und.unionByName(delta_und).distinct()
+    # affected components are edge-closed: filtering on cid keeps the
+    # symmetric partner row (nbr is in the same component)
+    refresh_und = merged.join(refresh_nodes.withColumnRenamed("id", "cid"), "cid")
+    refreshed = label_propagation(
+        refresh_und, iters=iters, checkpoint_every=checkpoint_every
+    )
+    untouched = base_labels.join(refresh_nodes, "id", "left_anti")
+    return untouched.unionByName(refreshed)
+
+
 def community_hierarchy(
     und: DataFrame, iters: int = 5, checkpoint_every: int = 2
 ) -> DataFrame:
