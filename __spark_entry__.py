@@ -664,6 +664,17 @@ def q_kg_incremental_communities(spark, sf_dir):
     return q.community_sizes(labels, top_k=50)
 
 
+def q_kg_modularity(spark, sf_dir):
+    """Newman modularity of the 5-round LPA partition — the quality
+    score a Louvain/Leiden loop would optimize, here the health gate
+    of the GraphRAG community index.  Assembled from exact integer
+    aggregates and divided once on a single row, so the double is
+    bit-stable across partitionings."""
+    und = _kg_cooccur_und(spark, sf_dir)
+    labels = q.label_propagation(und, iters=5)
+    return q.modularity(und, labels)
+
+
 def q_kg_community_report(spark, sf_dir):
     """Deterministic community reports for the 10 largest LPA
     communities: top-5 member concepts by mention count — the
@@ -1836,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_funnel": q_rel_window_funnel,
         "rel_retention": q_rel_retention,
         "kg_incremental_communities": q_kg_incremental_communities,
+        "kg_modularity": q_kg_modularity,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2277,6 +2289,18 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         # incremental refresh is graded against the FULL-graph LPA —
         # hash-exact equality IS the incremental==full proof
         "kg_incremental_communities": _communities_sql,
+        "kg_modularity": f"""WITH {PAIRS_CTE},
+{_lpa_base},
+b AS (SELECT la.label AS la, lb.label AS lb
+      FROM und u JOIN l5 la ON u.cid = la.id JOIN l5 lb ON u.nbr_id = lb.id),
+per_c AS (SELECT la, SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS e2, COUNT(*) AS d
+          FROM b GROUP BY la)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(SUM(d) // 2 AS BIGINT) AS m,
+       ROUND(CAST(SUM(e2) AS DOUBLE) / CAST(SUM(d) AS DOUBLE)
+             - CAST(SUM(d * d) AS DOUBLE)
+               / (CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE)), 6) AS modularity
+FROM per_c""",
         "kg_community_report": _community_report_sql,
         "kg_global_search": _global_search_sql,
         "kg_community_hierarchy": _hierarchy_sql,

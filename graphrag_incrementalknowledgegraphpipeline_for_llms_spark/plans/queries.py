@@ -487,6 +487,66 @@ def label_propagation(
     return labels
 
 
+def modularity(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community partition over the undirected
+    graph: ``Q = sum_c e_c/m - (d_c/2m)^2`` with e_c the
+    intra-community edge count, d_c the community degree mass, m the
+    undirected edge count — the quality gate a Louvain/Leiden loop
+    would optimize, surfaced here as the score of the LPA partition
+    (GraphRAG community index health).
+
+    Determinism: floating sums over a shuffled dataset are
+    order-sensitive, so Q is assembled from three EXACT integer
+    aggregates (sum_c e_c, sum_c d_c^2, m) and divided once on a
+    single row — bit-stable across partitionings and engines.  One
+    row out: (n_communities, m, modularity).
+
+    Scale shape: two label joins against the edge view (label table
+    is node-sized but the join is a plain shuffled equi-join on id),
+    one groupBy per aggregate; everything else is scalar arithmetic.
+    """
+    und = und.select("cid", "nbr_id").distinct()
+    lab = labels.select("id", "label")
+    both = (
+        und.join(lab.withColumnRenamed("id", "cid"), "cid")
+        .withColumnRenamed("label", "la")
+        .join(
+            lab.withColumnRenamed("id", "nbr_id").withColumnRenamed("label", "lb"),
+            "nbr_id",
+        )
+    )
+    # symmetric view counts every undirected edge twice — intra rows
+    # 2*e_c, degree rows 2m; the algebra below uses those directly
+    per_c = (
+        both.groupBy("la")
+        .agg(
+            F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias("e2"),
+            F.count(F.lit(1)).alias("d"),
+        )
+        .agg(
+            F.sum("e2").alias("sum_e2"),
+            # d_c^2 overflows BIGINT once d_c > ~3e9 (any 10^12-edge
+            # graph has hub communities past that) — aggregate exact
+            # in decimal(38,0), drop to double only for the one-row
+            # division where 1e-16 relative error is invisible at the
+            # 6-decimal output precision
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sum_d2"),
+            F.sum("d").alias("m2"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+    )
+    m2d = F.col("m2").cast("double")
+    return per_c.select(
+        "n_communities",
+        (F.col("m2") / 2).cast("bigint").alias("m"),
+        F.round(
+            F.col("sum_e2").cast("double") / m2d
+            - F.col("sum_d2").cast("double") / (m2d * m2d),
+            6,
+        ).alias("modularity"),
+    )
+
+
 def incremental_label_propagation(
     base_und: DataFrame,
     delta_und: DataFrame,

@@ -66,6 +66,29 @@ def test_untouched_component_labels_reused(spark):
     assert {t[0] for t in incr} == {t[0] for t in base_labels} | {"n1", "n2", "n3"}
 
 
+def test_modularity_two_triangles(spark):
+    """Two disjoint triangles with the perfect (component) partition:
+    m = 6, per community e_c = 3, d_c = 6 ->
+    Q = 6/6 - 2 * (6/12)^2 = 0.5 exactly."""
+    und = _sym(spark, BASE[:6])  # triangles A and B only
+    labels = und.sparkSession.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B")],
+        "id string, label string",
+    )
+    row = q.modularity(und, labels).collect()[0]
+    assert (row["n_communities"], row["m"], row["modularity"]) == (2, 6, 0.5)
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: Q = m/m - (2m/2m)^2 = 0."""
+    und = _sym(spark, BASE[:3])
+    labels = und.select(F.col("cid").alias("id")).distinct().withColumn(
+        "label", F.lit("X")
+    )
+    row = q.modularity(und, labels).collect()[0]
+    assert (row["n_communities"], row["m"], row["modularity"]) == (1, 3, 0.0)
+
+
 def test_empty_delta_is_identity(spark):
     base = _sym(spark, BASE)
     incr = q.incremental_label_propagation(base, base.limit(0), iters=5)
