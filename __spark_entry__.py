@@ -1291,6 +1291,28 @@ def q_dd_mixture_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dd_quality_mixture(spark, sf_dir):
+    """Quality-curriculum mixture: exact unigram-LM score terciles
+    (rank-statistic cuts, no interpolated percentiles) with
+    deterministic per-tercile keep rates — keep 10% of the worst
+    documents, half the middle, all of the best."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        sampling,
+        textsearch,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    s = textsearch.unigram_logprob(d).select("chunk_id", "avg_logprob")
+    kept = sampling.quantile_bucket_sample(
+        s, "avg_logprob", rates=[0.1, 0.5, 1.0], key_col="chunk_id"
+    )
+    return kept.select("chunk_id", "quality_bucket", "avg_logprob").orderBy(
+        "chunk_id"
+    )
+
+
 def q_dd_training_export(spark, sf_dir):
     """The whole training-data prep chain composed end-to-end:
     curate (quality/lang gates + dedup) -> deterministic train split
@@ -1848,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_retention": q_rel_retention,
         "kg_incremental_communities": q_kg_incremental_communities,
         "kg_modularity": q_kg_modularity,
+        "dd_quality_mixture": q_dd_quality_mixture,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3079,4 +3102,32 @@ s AS (SELECT tk.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(l.logp) AS a
       FROM tok tk JOIN logp l ON tk.term = l.term GROUP BY tk.chunk_id)
 SELECT chunk_id, n_tokens, ROUND(alp, 6) AS avg_logprob, ROUND(exp(-alp), 6) AS ppl
 FROM s ORDER BY avg_logprob, chunk_id""",
+        # exact rank-statistic terciles over the rounded unigram score:
+        # cut_i = smallest score whose cumulative count >= ceil((i+1)*n/3)
+        # — integer logic only, so bucket membership is engine-stable
+        "dd_quality_mixture": f"""
+WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src),
+vocab AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+logp AS (SELECT term, ln(cnt / t.total) AS logp FROM vocab CROSS JOIN tot t),
+sc AS (SELECT tk.chunk_id, ROUND(AVG(l.logp), 6) AS q
+       FROM tok tk JOIN logp l ON tk.term = l.term GROUP BY tk.chunk_id),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+dist AS (SELECT q, COUNT(*) AS c FROM sc GROUP BY q),
+cum AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cc FROM dist),
+t AS (SELECT MIN(CASE WHEN cc >= CEIL(1.0 * nn.n / 3) THEN q END) AS t0,
+             MIN(CASE WHEN cc >= CEIL(2.0 * nn.n / 3) THEN q END) AS t1
+      FROM cum CROSS JOIN nn),
+b AS (SELECT chunk_id, q AS avg_logprob,
+             CASE WHEN q <= t.t0 THEN 'q0' WHEN q <= t.t1 THEN 'q1' ELSE 'q2' END AS quality_bucket
+      FROM sc CROSS JOIN t)
+SELECT chunk_id, quality_bucket, avg_logprob FROM b
+WHERE (quality_bucket = 'q0' AND substr(md5(chunk_id), 1, 8) < '{_frac_hex(0.1)}')
+   OR (quality_bucket = 'q1' AND substr(md5(chunk_id), 1, 8) < '{_frac_hex(0.5)}')
+   OR (quality_bucket = 'q2' AND substr(md5(chunk_id), 1, 8) < '{_frac_hex(1.0)}')
+ORDER BY chunk_id""",
     }

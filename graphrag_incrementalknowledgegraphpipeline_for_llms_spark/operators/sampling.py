@@ -73,6 +73,68 @@ def sample_by_hash(df: DataFrame, p: float, key_col: str = "doc_id") -> DataFram
     return df.where(_hash_prefix(F.col(key_col)) < _frac_hex(p))
 
 
+def quantile_bucket_sample(
+    df: DataFrame,
+    score_col: str,
+    rates: list[float],
+    key_col: str = "chunk_id",
+    bucket_col: str = "quality_bucket",
+) -> DataFrame:
+    """Quality-curriculum mixture: bucket rows into ``len(rates)``
+    EXACT score quantiles (bucket ``q0`` = lowest scores) and keep a
+    deterministic hash-threshold sample of each bucket at its rate —
+    e.g. ``rates=[0.1, 0.5, 1.0]`` keeps 10% of the worst-quality
+    tercile and all of the best (the CCNet/Gopher-style
+    quality-stratified mixing step of a pretraining pipeline, driven
+    by any per-document score such as
+    :func:`textsearch.unigram_logprob`).
+
+    Exactness: interpolated percentiles (percentile_cont) mix float
+    arithmetic into the bucket BOUNDARY, which a cross-engine oracle
+    can't pin.  Instead the cut for bucket i is the smallest score
+    whose cumulative count reaches ``ceil((i+1)*n/k)`` — a rank
+    statistic over the (score -> count) relation, all integer logic on
+    already-rounded score values, so bucket membership is bit-stable
+    across engines and reruns.  The cuts are two 1-row aggregates
+    folded into the plan as literals (the BM25 corpus-scalar pattern).
+
+    Scale shape: the cumulative count runs over the DISTINCT-score
+    relation, not the corpus — bounded by the score's rounding
+    granularity (round-6 logprobs: thousands of distinct values for
+    millions of docs), so the single-partition window is a deliberate
+    small-relation exception, same class as the vocab relation in
+    unigram_logprob.  Membership itself is a narrow pushable filter.
+    At 100 TB with a score column too fine to group, swap the exact
+    cuts for approx_percentile and keep everything else.
+    """
+    import math
+
+    k = len(rates)
+    n = df.count()
+    dist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("cc", F.sum("c").over(w))
+    cuts = [math.ceil((i + 1) * n / k) for i in range(k - 1)]
+    trow = cum.agg(
+        *[
+            F.min(F.when(F.col("cc") >= c, F.col(score_col))).alias(f"t{i}")
+            for i, c in enumerate(cuts)
+        ]
+    ).collect()[0]
+    expr = None
+    for i in range(k - 1):
+        cond = F.col(score_col) <= F.lit(trow[f"t{i}"])
+        expr = F.when(cond, f"q{i}") if expr is None else expr.when(cond, f"q{i}")
+    expr = F.lit("q0") if expr is None else expr.otherwise(f"q{k - 1}")
+    b = df.withColumn(bucket_col, expr)
+    return stratified_sample_by_hash(
+        b,
+        {f"q{i}": r for i, r in enumerate(rates)},
+        group_col=bucket_col,
+        key_col=key_col,
+    )
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     rates: dict[str, float],

@@ -314,3 +314,57 @@ class TestLineDedup:
         assert all(v == ("", 0, 1) for v in got.values())
         got2 = self._run(spark, [("a", "shared"), ("b", "shared")], max_df=2)
         assert got2["a"] == ("shared", 1, 1)
+
+
+class TestQualityMixture:
+    """quantile_bucket_sample: exact rank-statistic terciles + the
+    md5-threshold keep rule."""
+
+    def _scores(self, spark, vals):
+        return spark.createDataFrame(
+            [(f"d{i:02d}", float(v)) for i, v in enumerate(vals)],
+            "chunk_id string, s double",
+        )
+
+    def test_exact_terciles_distinct_scores(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        df = self._scores(spark, range(1, 10))  # 9 distinct scores
+        out = sampling.quantile_bucket_sample(
+            df, "s", rates=[1.0, 1.0, 1.0], key_col="chunk_id"
+        ).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["quality_bucket"], set()).add(r["s"])
+        assert by_bucket == {
+            "q0": {1.0, 2.0, 3.0},
+            "q1": {4.0, 5.0, 6.0},
+            "q2": {7.0, 8.0, 9.0},
+        }
+
+    def test_tied_scores_share_bucket(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        df = self._scores(spark, [5] * 6)
+        out = sampling.quantile_bucket_sample(
+            df, "s", rates=[1.0, 1.0, 1.0], key_col="chunk_id"
+        ).collect()
+        assert len(out) == 6
+        assert {r["quality_bucket"] for r in out} == {"q0"}
+
+    def test_rates_are_hash_subset(self, spark):
+        """Sampling at lower rates must select a SUBSET of the full
+        output (hash thresholds only move) and keep all of q2 at 1.0."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        df = self._scores(spark, range(30))
+        full = sampling.quantile_bucket_sample(
+            df, "s", rates=[1.0, 1.0, 1.0], key_col="chunk_id"
+        )
+        part = sampling.quantile_bucket_sample(
+            df, "s", rates=[0.2, 0.6, 1.0], key_col="chunk_id"
+        )
+        f = {(r["chunk_id"], r["quality_bucket"]) for r in full.collect()}
+        p = {(r["chunk_id"], r["quality_bucket"]) for r in part.collect()}
+        assert p <= f
+        assert {t for t in f if t[1] == "q2"} <= p
