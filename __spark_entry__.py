@@ -1586,6 +1586,16 @@ def q_rel_window_funnel(spark, sf_dir):
     return ev.window_funnel(e, ["view", "click", "purchase"], "INTERVAL 1 HOUR")
 
 
+def q_rel_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (LAG per user ordered by ts with event_id tie-break),
+    counts + row-normalized probabilities."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.markov_transitions(e)
+
+
 def q_rel_retention(spark, sf_dir):
     """Weekly cohort retention triangle over the events table."""
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
@@ -1871,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_communities": q_kg_incremental_communities,
         "kg_modularity": q_kg_modularity,
         "dd_quality_mixture": q_dd_quality_mixture,
+        "rel_markov_transitions": q_rel_markov_transitions,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3130,4 +3141,12 @@ WHERE (quality_bucket = 'q0' AND substr(md5(chunk_id), 1, 8) < '{_frac_hex(0.1)}
    OR (quality_bucket = 'q1' AND substr(md5(chunk_id), 1, 8) < '{_frac_hex(0.5)}')
    OR (quality_bucket = 'q2' AND substr(md5(chunk_id), 1, 8) < '{_frac_hex(1.0)}')
 ORDER BY chunk_id""",
+        "rel_markov_transitions": """
+WITH seq AS (SELECT user_id, event_type,
+                    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+             FROM events),
+trans AS (SELECT src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE src IS NOT NULL GROUP BY src, event_type)
+SELECT src, dst, n, ROUND(1.0 * n / SUM(n) OVER (PARTITION BY src), 6) AS p
+FROM trans ORDER BY src, dst""",
     }

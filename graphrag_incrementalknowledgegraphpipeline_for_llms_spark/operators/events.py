@@ -352,3 +352,39 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: order each user's events by ``order_cols`` (the id
+    column breaks timestamp ties deterministically), pair every event
+    with its predecessor via LAG, and aggregate (src_type, dst_type)
+    counts plus the row-normalized transition probability — the
+    user-journey model behind next-event prediction and funnel
+    mining (ClickHouse/Amplitude-style path analytics).
+
+    Scale shape: the LAG window partitions by user — millions of
+    small per-user sorts, embarrassingly parallel, no global sort.
+    The normalization runs over the (|event types|^2)-sized count
+    relation, effectively free.  p is an integer count divided once
+    per output row: deterministic regardless of partitioning.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    trans = (
+        events.withColumn("src", F.lag(type_col).over(w))
+        .where(F.col("src").isNotNull())
+        .groupBy(F.col("src"), F.col(type_col).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("src")
+    return (
+        trans.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .orderBy("src", "dst")
+    )

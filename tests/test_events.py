@@ -361,3 +361,42 @@ class TestCohortRetention:
         df = spark.createDataFrame(rows, "ts timestamp, user_id long")
         got = ev.cohort_retention(df, origin="2024-01-01").collect()
         assert [(r["cohort"], r["week_offset"], r["n_users"]) for r in got] == [(0, 0, 1)]
+
+
+class TestMarkovTransitions:
+    def test_counts_probs_and_tiebreak(self, spark):
+        rows = [
+            # user 1: view -> click -> purchase
+            ("e1", _ts(0), 1, "view"),
+            ("e2", _ts(60), 1, "click"),
+            ("e3", _ts(120), 1, "purchase"),
+            # user 2: view -> click, view again
+            ("e4", _ts(0), 2, "view"),
+            ("e5", _ts(60), 2, "click"),
+            ("e6", _ts(120), 2, "view"),
+            # user 3: timestamp TIE at t=0 — event_id breaks it:
+            # e7 (click) before e8 (view) -> transition click->view
+            ("e7", _ts(0), 3, "click"),
+            ("e8", _ts(0), 3, "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, user_id long, event_type string"
+        )
+        got = {
+            (r["src"], r["dst"]): (r["n"], r["p"])
+            for r in ev.markov_transitions(df).collect()
+        }
+        # src=view: 2 transitions, all to click; src=click: 3 total,
+        # 1 to purchase + 2 to view (user 3's tie resolved by event_id)
+        assert got == {
+            ("view", "click"): (2, 1.0),
+            ("click", "purchase"): (1, 0.333333),
+            ("click", "view"): (2, 0.666667),
+        }
+
+    def test_single_event_users_emit_nothing(self, spark):
+        rows = [("e1", _ts(0), 1, "view"), ("e2", _ts(0), 2, "click")]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, user_id long, event_type string"
+        )
+        assert ev.markov_transitions(df).count() == 0
