@@ -100,12 +100,101 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+_BLOOM_K = 5  # probes; with ~20 bits/key the FP rate is ~5e-4
+
+
+def _bloom_h1h2(col):
+    """Split Spark's xxhash64 into the two 31-bit non-negative halves
+    of Kirsch-Mitzenmacher double hashing (h2 forced odd so probe
+    strides never collapse).  Used identically on the build side
+    (collected to the driver) and the probe side (stays in the plan),
+    so parity is by construction — no Python hash implementation."""
+    h = F.xxhash64(col)
+    mask = F.lit((1 << 31) - 1)
+    h1 = h.bitwiseAND(mask)
+    h2 = (
+        F.call_function("shiftrightunsigned", h, F.lit(32))
+        .bitwiseAND(mask)
+        .bitwiseOR(F.lit(1))
+    )
+    return h1, h2
+
+
+def bloom_lemma_filter(alias_pairs: DataFrame, bits_per_key: int = 20):
+    """Build a Bloom filter over BOTH columns of the alias dictionary
+    and return a predicate factory — the north_star's
+    Bloom-filter-backed alias lookup, explicit rather than left to the
+    optimizer (Spark's ``bloom_filter_agg`` expression is
+    optimizer-internal, not in the SQL registry, so the sketch is
+    assembled here from first principles).
+
+    Build: one pass over the (small, broadcast-sized) dictionary
+    computes (h1, h2) per key IN SPARK via ``xxhash64``; the driver
+    packs ``k`` double-hash probe positions into an int64 word array
+    sized ``bits_per_key * n`` bits.  Probe: the word array is folded
+    into the plan as an array literal (the BM25 corpus-scalar
+    pattern) and tested with pure bit arithmetic — ``element_at`` +
+    unsigned shift + AND, all whole-stage-codegen expressions, ZERO
+    join and ZERO Python in the hot path.  At 10^12 docs the mention
+    relation is pruned to (alias hits + FP rate) BEFORE its
+    distinct() shuffle.  False positives are harmless — the exact
+    broadcast join downstream re-checks equality; Bloom guarantees no
+    false negatives, so the gated output is provably identical.
+
+    Returns None when the dictionary is empty (caller skips linking).
+    """
+    keys = (
+        alias_pairs.select(F.col("lemma_a").alias("k"))
+        .unionByName(alias_pairs.select(F.col("lemma_b").alias("k")))
+        .distinct()
+    )
+    h1c, h2c = _bloom_h1h2(F.col("k"))
+    hashes = keys.select(h1c.alias("h1"), h2c.alias("h2")).collect()
+    if not hashes:
+        return None
+    m_bits = max(1024, bits_per_key * len(hashes))
+    m_bits += (-m_bits) % 64
+    words = [0] * (m_bits // 64)
+    for r in hashes:
+        for i in range(_BLOOM_K):
+            pos = (r["h1"] + i * r["h2"]) % m_bits
+            words[pos // 64] |= 1 << (pos % 64)
+    # Spark longs are signed: re-bias words with the top bit set
+    words_lit = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def gate(lemma_col):
+        h1, h2 = _bloom_h1h2(lemma_col)
+        cond = None
+        for i in range(_BLOOM_K):
+            pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+            word = F.element_at(
+                words_lit, (F.floor(pos / 64) + 1).cast("int")
+            )
+            bit = F.call_function(
+                "shiftrightunsigned", word, F.pmod(pos, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1)) == 1
+            cond = bit if cond is None else (cond & bit)
+        return cond
+
+    return gate
+
+
 def alias_edges(mentions: DataFrame, alias_pairs: DataFrame) -> DataFrame:
     """Entity-link candidate edges from an alias dictionary
     (lemma_a, lemma_b).  The dictionary is broadcast (small dim);
-    output edges are concept-id pairs."""
+    output edges are concept-id pairs.  A Bloom-filter gate built
+    from the dictionary prunes the mention relation BEFORE the
+    distinct() shuffle (see :func:`bloom_lemma_filter`); the exact
+    equi-join then discards Bloom false positives, so the output is
+    identical to the ungated plan."""
     a = F.broadcast(alias_pairs)
-    lem = mentions.select("lemma", "concept_id").distinct()
+    gate = bloom_lemma_filter(alias_pairs)
+    lem = mentions.select("lemma", "concept_id")
+    if gate is None:
+        return lem.limit(0).select(
+            F.col("concept_id").alias("u"), F.col("concept_id").alias("v")
+        )
+    lem = lem.where(gate(F.col("lemma"))).distinct()
     return (
         lem.alias("x")
         .join(a.alias("al"), F.col("x.lemma") == F.col("al.lemma_a"))

@@ -68,3 +68,67 @@ def test_rewrite_triples(spark):
     )
     rows = canonicalize.rewrite_triples(triples, cmap).collect()
     assert rows[0]["subj_id"] == "id_ml" and rows[0]["obj_id"] == "id_kg"
+
+
+class TestBloomAliasGate:
+    """bloom_lemma_filter: no false negatives (every dictionary lemma
+    passes), real pruning on non-dictionary lemmas, and gated
+    alias_edges output identical to the exact join alone."""
+
+    def _mentions(self, spark, lemmas):
+        return spark.createDataFrame(
+            [(f"c{i}", f"id_{l}", l, l, "NER") for i, l in enumerate(lemmas)],
+            "chunk_id string, concept_id string, lemma string, surface string, origin string",
+        )
+
+    def test_no_false_negatives_and_prunes(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+        aliases = spark.createDataFrame(
+            [("machine_learning", "ai"), ("knowledge_graph", "kg")],
+            "lemma_a string, lemma_b string",
+        )
+        gate = canonicalize.bloom_lemma_filter(aliases)
+        dict_lemmas = ["machine_learning", "ai", "knowledge_graph", "kg"]
+        noise = [f"noise_{i}" for i in range(500)]
+        m = self._mentions(spark, dict_lemmas + noise)
+        from pyspark.sql import functions as F
+
+        kept = {r["lemma"] for r in m.where(gate(F.col("lemma"))).collect()}
+        assert set(dict_lemmas) <= kept  # Bloom guarantees no FN
+        # 1.6M bits over 4 keys: FP rate is ~0 — expect real pruning
+        assert len(kept) < 50
+
+    def test_gated_edges_equal_exact_join(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+        from pyspark.sql import functions as F
+
+        aliases = spark.createDataFrame(
+            [("machine_learning", "ai")], "lemma_a string, lemma_b string"
+        )
+        m = self._mentions(
+            spark, ["machine_learning", "ai", "kg"] + [f"x{i}" for i in range(100)]
+        )
+        got = {
+            (r["u"], r["v"])
+            for r in canonicalize.alias_edges(m, aliases).collect()
+        }
+        # exact-join-only reference (replicates the pre-gate plan)
+        lem = m.select("lemma", "concept_id").distinct()
+        ref = {
+            (r["u"], r["v"])
+            for r in lem.alias("x")
+            .join(F.broadcast(aliases).alias("al"), F.col("x.lemma") == F.col("al.lemma_a"))
+            .join(lem.alias("y"), F.col("al.lemma_b") == F.col("y.lemma"))
+            .select(F.col("x.concept_id").alias("u"), F.col("y.concept_id").alias("v"))
+            .collect()
+        }
+        assert got == ref and got == {("id_machine_learning", "id_ai")}
+
+    def test_empty_dictionary(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+        aliases = spark.createDataFrame([], "lemma_a string, lemma_b string")
+        assert canonicalize.bloom_lemma_filter(aliases) is None
+        m = self._mentions(spark, ["a_lemma"])
+        assert canonicalize.alias_edges(m, aliases).count() == 0
