@@ -153,3 +153,48 @@ def stream_dedup_dir(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.StringType()),
+        T.StructField("nbr_id", T.StringType()),
+    ]
+)
+
+
+def stream_communities_dir(
+    spark: SparkSession,
+    edges_dir: str,
+    catalog: ParquetCatalog,
+    checkpoint_dir: str,
+    iters: int = 5,
+    schema: T.StructType | None = None,
+):
+    """Streaming community maintenance: readStream over a parquet
+    directory of co-occurrence edge batches; each microbatch folds
+    into the stored community index via
+    :func:`plans.community_index.refresh_communities` — LPA/CC re-run
+    only on delta-touched components, so per-batch cost is O(touched)
+    while the stored labels stay row-for-row equal to a full rebuild
+    (the streaming face of the incremental-GraphRAG thesis; the graph
+    tables get the same treatment from the MOR ingest sink above).
+
+    Exactly-once effect without an epoch ledger: refresh_communities
+    is a pure function of (stored state, batch edge set) and all three
+    state writes are keyed MERGEs — a replayed microbatch recomputes
+    identical rows into idempotent upserts
+    (test_community_index.test_replay_is_idempotent)."""
+    from ..plans import community_index as ci
+
+    stream = spark.readStream.schema(schema or EDGES_SCHEMA).parquet(edges_dir)
+
+    def sink(batch_df, epoch_id: int):
+        ci.refresh_communities(spark, catalog, batch_df, iters=iters)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

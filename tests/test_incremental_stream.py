@@ -79,3 +79,43 @@ def test_stream_dedup_matches_full_corpus_run(spark, tmp_path):
     }
     assert got == want and got
     assert cat.read(spark, "minhash_index").count() == 5
+
+
+def test_stream_communities_matches_full_rebuild(spark, tmp_path):
+    """Two edge-file drops through stream_communities_dir == one
+    full-graph LPA over everything ingested; the second start consumes
+    only the new files (checkpoint) and merges components."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import (
+        community_index as ci,
+    )
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    b1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+          ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    b2 = [("a3", "b1"), ("n1", "n2")]
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(b1, "cid string, nbr_id string").write.mode(
+        "append"
+    ).parquet(edges_dir)
+    incremental.stream_communities_dir(
+        spark, edges_dir, cat, ckpt, iters=5
+    ).awaitTermination(300)
+    spark.createDataFrame(b2, "cid string, nbr_id string").write.mode(
+        "append"
+    ).parquet(edges_dir)
+    incremental.stream_communities_dir(
+        spark, edges_dir, cat, ckpt, iters=5
+    ).awaitTermination(300)
+
+    sym = ci._sym(
+        spark.createDataFrame(b1 + b2, "u string, v string")
+    )
+    want = {(r["id"], r["label"]) for r in q.label_propagation(sym, iters=5).collect()}
+    got = {(r["id"], r["label"]) for r in ci.read_labels(spark, cat).collect()}
+    assert got == want and got
