@@ -27,6 +27,7 @@ the same graph):
 
 * ``GET /v1/communities[?pattern=&top=]``   -> community index / global search
 * ``GET /v1/communities/report``            -> extractive community reports
+* ``GET /v1/communities/modularity``        -> partition quality (Newman Q)
 * ``GET /v1/search/local?q=``               -> local search: entity-link the query
                                                text, personalized-PageRank expansion,
                                                mention stats per result
@@ -231,6 +232,19 @@ class GraphApiService:
         if getattr(self, "_labels", None) is None:
             self._labels = q.label_propagation(self._concept_und(), iters=5)
         return self._labels
+
+    def community_modularity(self) -> dict:
+        """Newman modularity of the LPA partition — the health score
+        of the community index (memoized like the labels: pure
+        function of the edge set)."""
+        if getattr(self, "_modularity", None) is None:
+            row = q.modularity(self._concept_und(), self._lpa_labels()).collect()[0]
+            self._modularity = {
+                "nCommunities": row["n_communities"],
+                "undirectedEdges": row["m"],
+                "modularity": row["modularity"],
+            }
+        return self._modularity
 
     def communities(self, top_k: int = 20, pattern: str | None = None) -> dict:
         labels = self._lpa_labels()
@@ -614,6 +628,8 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         )
                     except KeyError as e:
                         return self._error(400, "BAD_REQUEST", str(e))
+                if path == "/v1/communities/modularity":
+                    return self._send(200, service.community_modularity())
                 if path == "/v1/communities/report":
                     try:
                         return self._send(

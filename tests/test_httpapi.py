@@ -190,6 +190,18 @@ def test_communities_index(server):
     assert all(c["communityId"] and c["memberCount"] >= 2 for c in comms)
 
 
+def test_communities_modularity(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/communities/modularity")
+    assert status == 200 and body["success"] is True
+    d = body["data"]
+    assert d["nCommunities"] >= 1 and d["undirectedEdges"] >= 1
+    assert -1.0 <= d["modularity"] <= 1.0
+    # memoized: identical on repeat
+    status2, body2 = _get_raw(base, "/v1/communities/modularity")
+    assert status2 == 200 and body2["data"] == d
+
+
 def test_communities_global_search(server):
     base, _ = server
     status, body = _get_raw(base, "/v1/communities?pattern=data&top=5")
