@@ -675,6 +675,30 @@ def q_kg_modularity(spark, sf_dir):
     return q.modularity(und, labels)
 
 
+def q_kg_communities_weighted(spark, sf_dir):
+    """Frequency-weighted LPA: votes carry co-occurrence multiplicity
+    (a pair seen in 50 chunks outvotes one seen once) — the
+    production-quality variant of kg_communities."""
+    pairs = q_kg_pairs(spark, sf_dir)
+    w = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("w"))
+    und = w.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id"), "w"
+    ).unionByName(
+        w.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"), "w")
+    )
+    labels = q.label_propagation(und, iters=5, weight_col="w")
+    return q.community_sizes(labels, top_k=50)
+
+
+def q_kg_conductance(spark, sf_dir):
+    """Per-community conductance (cut / min(vol, 2m - vol)) of the
+    20 largest LPA communities — the boundary-quality complement to
+    kg_modularity."""
+    und = _kg_cooccur_und(spark, sf_dir)
+    labels = q.label_propagation(und, iters=5)
+    return q.conductance(und, labels, top_k=20)
+
+
 def q_kg_community_report(spark, sf_dir):
     """Deterministic community reports for the 10 largest LPA
     communities: top-5 member concepts by mention count — the
@@ -1882,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "dd_quality_mixture": q_dd_quality_mixture,
         "rel_markov_transitions": q_rel_markov_transitions,
+        "kg_communities_weighted": q_kg_communities_weighted,
+        "kg_conductance": q_kg_conductance,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2323,6 +2349,31 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
         # incremental refresh is graded against the FULL-graph LPA —
         # hash-exact equality IS the incremental==full proof
         "kg_incremental_communities": _communities_sql,
+        "kg_communities_weighted": f"""WITH {PAIRS_CTE},
+wp AS (SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY a_id, b_id),
+wund AS (SELECT a_id AS cid, b_id AS nbr_id, w FROM wp
+         UNION ALL SELECT b_id, a_id, w FROM wp),
+{_lpa_cte("", "wund", "SUM(u.w)")}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l5 GROUP BY label HAVING COUNT(*) >= 2
+ORDER BY n_members DESC, community LIMIT 50""",
+        "kg_conductance": f"""WITH {PAIRS_CTE},
+{_lpa_base},
+b AS (SELECT u.cid, la.label AS la, lb.label AS lb
+      FROM und u JOIN l5 la ON u.cid = la.id JOIN l5 lb ON u.nbr_id = lb.id),
+m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM b),
+per_c AS (SELECT la AS community,
+                 CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT) AS cut,
+                 CAST(COUNT(*) AS BIGINT) AS vol
+          FROM b GROUP BY la),
+sizes AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM l5 GROUP BY label)
+SELECT p.community, s.n_members, p.cut, p.vol,
+       CASE WHEN LEAST(p.vol, m2.m2 - p.vol) > 0
+            THEN ROUND(1.0 * p.cut / LEAST(p.vol, m2.m2 - p.vol), 6)
+            ELSE 0.0 END AS conductance
+FROM per_c p JOIN sizes s ON p.community = s.community CROSS JOIN m2
+ORDER BY s.n_members DESC, p.community LIMIT 20""",
         "kg_modularity": f"""WITH {PAIRS_CTE},
 {_lpa_base},
 b AS (SELECT la.label AS la, lb.label AS lb

@@ -547,6 +547,52 @@ def modularity(und: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def conductance(und: DataFrame, labels: DataFrame, top_k: int = 20) -> DataFrame:
+    """Per-community conductance ``phi = cut / min(vol, 2m - vol)``
+    for the ``top_k`` largest communities — the boundary-quality
+    complement to :func:`modularity` (a well-separated community has
+    few cut edges relative to its volume).  All-integer aggregates
+    (cut and volume counted on the symmetric edge view) with one
+    division per output row.
+
+    Scale shape: identical to modularity — two label joins against
+    the edge view, one groupBy; top_k communities selected by member
+    count first so the output is bounded."""
+    und = und.select("cid", "nbr_id").distinct()
+    lab = labels.select("id", "label")
+    both = (
+        und.join(lab.withColumnRenamed("id", "cid"), "cid")
+        .withColumnRenamed("label", "la")
+        .join(
+            lab.withColumnRenamed("id", "nbr_id").withColumnRenamed("label", "lb"),
+            "nbr_id",
+        )
+    )
+    m2 = both.count()  # symmetric rows = 2m
+    per_c = both.groupBy(F.col("la").alias("community")).agg(
+        F.sum(F.when(F.col("la") != F.col("lb"), 1).otherwise(0)).alias("cut"),
+        F.count(F.lit(1)).alias("vol"),
+    )
+    sizes = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    denom = F.least(F.col("vol"), F.lit(m2) - F.col("vol"))
+    return (
+        per_c.join(sizes, "community")
+        .select(
+            "community",
+            "n_members",
+            "cut",
+            "vol",
+            F.when(denom > 0, F.round(F.col("cut") / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(top_k)
+    )
+
+
 def incremental_label_propagation(
     base_und: DataFrame,
     delta_und: DataFrame,

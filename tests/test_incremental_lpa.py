@@ -89,6 +89,21 @@ def test_modularity_single_community_is_zero(spark):
     assert (row["n_communities"], row["m"], row["modularity"]) == (1, 3, 0.0)
 
 
+def test_conductance_bridged_triangles(spark):
+    """Two triangles + one bridge, perfect partition: each side has
+    cut 1, vol 7 (degrees 2+2+3), m=7 -> phi = 1/min(7,7) = 0.142857."""
+    und = _sym(spark, BASE[:6] + [("a3", "b1")])
+    labels = und.sparkSession.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B")],
+        "id string, label string",
+    )
+    rows = {
+        r["community"]: (r["n_members"], r["cut"], r["vol"], r["conductance"])
+        for r in q.conductance(und, labels, top_k=10).collect()
+    }
+    assert rows == {"A": (3, 1, 7, 0.142857), "B": (3, 1, 7, 0.142857)}
+
+
 def test_empty_delta_is_identity(spark):
     base = _sym(spark, BASE)
     incr = q.incremental_label_propagation(base, base.limit(0), iters=5)
