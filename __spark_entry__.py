@@ -1503,6 +1503,15 @@ def q_kg_adamic_adar(spark, sf_dir):
     return q.adamic_adar(_kg_cooccur_und(spark, sf_dir), top_k=20, min_common=2)
 
 
+def q_kg_link_prediction(spark, sf_dir):
+    """Full link-prediction feature table (common neighbors, Jaccard,
+    Adamic-Adar, resource allocation, preferential attachment) over
+    non-adjacent distance-2 concept pairs — the per-candidate feature
+    row a learned edge-suggestion ranker consumes, superset of
+    kg_adamic_adar's two scores."""
+    return q.link_prediction(_kg_cooccur_und(spark, sf_dir), top_k=20, min_common=2)
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Hop-bounded weighted shortest paths (6 Bellman-Ford rounds)
     from the PPR seed entities over the co-occurrence graph, edge
@@ -1908,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_markov_transitions": q_rel_markov_transitions,
         "kg_communities_weighted": q_kg_communities_weighted,
         "kg_conductance": q_kg_conductance,
+        "kg_link_prediction": q_kg_link_prediction,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3054,6 +3064,23 @@ cand AS (SELECT n1.nbr_id AS a, n2.nbr_id AS b, CAST(COUNT(*) AS BIGINT) AS comm
 e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS a, GREATEST(cid, nbr_id) AS b FROM adj)
 SELECT c.a, c.b, c.common, ROUND(c.aa_raw, 6) AS aa, ROUND(c.ra_raw, 6) AS ra
 FROM cand c ANTI JOIN e ON c.a = e.a AND c.b = e.b
+ORDER BY aa DESC, common DESC, a, b LIMIT 20""",
+        "kg_link_prediction": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
+deg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY cid),
+cand AS (SELECT n1.nbr_id AS a, n2.nbr_id AS b, CAST(COUNT(*) AS BIGINT) AS common,
+                SUM(1.0 / ln(d.deg)) AS aa_raw, SUM(1.0 / d.deg) AS ra_raw
+         FROM adj n1 JOIN adj n2 ON n1.cid = n2.cid AND n1.nbr_id < n2.nbr_id
+         JOIN deg d ON d.cid = n1.cid
+         GROUP BY n1.nbr_id, n2.nbr_id HAVING COUNT(*) >= 2),
+e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS a, GREATEST(cid, nbr_id) AS b FROM adj),
+ne AS (SELECT c.* FROM cand c ANTI JOIN e ON c.a = e.a AND c.b = e.b)
+SELECT ne.a, ne.b, ne.common,
+       ROUND(1.0 * ne.common / (da.deg + db.deg - ne.common), 6) AS jaccard,
+       ROUND(ne.aa_raw, 6) AS aa, ROUND(ne.ra_raw, 6) AS ra,
+       CAST(da.deg * db.deg AS BIGINT) AS pa
+FROM ne JOIN deg da ON da.cid = ne.a JOIN deg db ON db.cid = ne.b
 ORDER BY aa DESC, common DESC, a, b LIMIT 20""",
         "kg_shortest_paths": f"""WITH {PAIRS_CTE},
 pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),

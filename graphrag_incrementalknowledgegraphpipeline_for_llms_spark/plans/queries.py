@@ -1365,6 +1365,76 @@ def adamic_adar(
     )
 
 
+def link_prediction(
+    und: DataFrame,
+    top_k: int = 20,
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Full link-prediction feature table over non-adjacent distance-2
+    pairs: one row per candidate pair with every classical topological
+    score side by side — common-neighbor count, Jaccard of the two
+    neighborhoods, Adamic-Adar, resource allocation, and preferential
+    attachment ``deg(a)*deg(b)`` (Liben-Nowell & Kleinberg 2007's
+    feature set) — the input a downstream learned ranker or a GraphRAG
+    "suggest missing edges" surface consumes, versus
+    :func:`adamic_adar`'s two-score ranking.  Returns
+    (a, b, common, jaccard, aa, ra, pa) ranked aa desc / common desc /
+    (a, b).
+
+    Scale shape: candidates come only from the wedge self-join on the
+    shared neighbor (never all-pairs), with the middle's degree riding
+    along so AA/RA are map-side arithmetic — identical to
+    :func:`adamic_adar`.  Jaccard and PA need the *endpoint* degrees,
+    which join in AFTER the ``min_common`` gate has already shrunk the
+    candidate set, so the two extra joins touch top-k-bound rows, not
+    wedge rows.  ``max_degree`` caps the C(d,2) wedge blowup of viral
+    hubs (middles only); endpoint degrees stay exact and uncapped so
+    jaccard/pa are true values, not artifacts of the cap."""
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj.join(deg.withColumnRenamed("deg", "mdeg"), "cid")
+    if max_degree is not None:
+        mid = mid.where(F.col("mdeg") <= max_degree)
+    n1 = mid.select("cid", F.col("nbr_id").alias("a"), "mdeg")
+    n2 = mid.select("cid", F.col("nbr_id").alias("b"))
+    cand = (
+        n1.join(n2, "cid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("mdeg"))).alias("aa_raw"),
+            F.sum(F.lit(1.0) / F.col("mdeg")).alias("ra_raw"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    edges = adj.select(
+        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
+    ).distinct()
+    dega = deg.select(F.col("cid").alias("a"), F.col("deg").alias("deg_a"))
+    degb = deg.select(F.col("cid").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(edges, ["a", "b"], "left_anti")
+        .join(dega, "a")
+        .join(degb, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round("aa_raw", 6).alias("aa"),
+            F.round("ra_raw", 6).alias("ra"),
+            (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pa"),
+        )
+        .orderBy(F.desc("aa"), F.desc("common"), "a", "b")
+        .limit(top_k)
+    )
+
+
 def shortest_paths(
     wund: DataFrame,
     source_ids: list[str],

@@ -932,6 +932,59 @@ class TestAdamicAdar:
         )
 
 
+class TestLinkPrediction:
+    def test_hand_computed_feature_row(self, spark):
+        import math
+
+        # p and q share middles m1 (deg 2) and m2 (deg 3: also touches x);
+        # deg(p) = deg(q) = 2, so jaccard(p,q) = 2 / (2 + 2 - 2) = 1.0
+        edges = [("p", "m1"), ("p", "m2"), ("q", "m1"), ("q", "m2"), ("m2", "x")]
+        rows = queries.link_prediction(
+            _und_df(spark, edges), top_k=10, min_common=2
+        ).collect()
+        got = {
+            (r["a"], r["b"]): (r["common"], r["jaccard"], r["aa"], r["ra"], r["pa"])
+            for r in rows
+        }
+        aa = round(1 / math.log(2) + 1 / math.log(3), 6)
+        ra = round(1 / 2 + 1 / 3, 6)
+        aa_m = round(2 / math.log(2), 6)
+        # (m1, m2): deg(m1)=2, deg(m2)=3, common=2 -> jacc 2/3, pa 6
+        assert got == {
+            ("p", "q"): (2, 1.0, aa, ra, 4),
+            ("m1", "m2"): (2, round(2 / 3, 6), aa_m, 1.0, 6),
+        }
+
+    def test_superset_of_adamic_adar_ranking(self, spark):
+        edges = [("a", "m"), ("b", "m")] + [
+            ("h", x) for x in ("c", "d", "e", "f", "g", "i")
+        ]
+        und = _und_df(spark, edges)
+        lp = queries.link_prediction(und, top_k=100, min_common=1).collect()
+        aa = queries.adamic_adar(und, top_k=100, min_common=1).collect()
+        assert [(r["a"], r["b"], r["common"], r["aa"], r["ra"]) for r in lp] == [
+            (r["a"], r["b"], r["common"], r["aa"], r["ra"]) for r in aa
+        ]
+
+    def test_endpoint_degrees_exact_under_max_degree_cap(self, spark):
+        # hub h (deg 6) is capped as a MIDDLE, but when c,d also share a
+        # low-degree middle m their pa/jaccard must still use the TRUE
+        # endpoint degrees (deg(c)=deg(d)=2), not cap artifacts
+        edges = [("h", x) for x in ("c", "d", "e", "f", "g", "i")] + [
+            ("c", "m"),
+            ("d", "m"),
+        ]
+        rows = queries.link_prediction(
+            _und_df(spark, edges), top_k=10, min_common=1, max_degree=3
+        ).collect()
+        got = {(r["a"], r["b"]): r for r in rows}
+        assert ("c", "d") in got
+        r = got[("c", "d")]
+        assert r["common"] == 1  # only m counted (h capped out)
+        assert r["pa"] == 4  # 2 * 2: true degrees include the h edges
+        assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
+
+
 class TestShortestPaths:
     def _wund(self, spark, wedges):
         sym = wedges + [(b, a, w) for a, b, w in wedges]
