@@ -1503,6 +1503,53 @@ def q_kg_adamic_adar(spark, sf_dir):
     return q.adamic_adar(_kg_cooccur_und(spark, sf_dir), top_k=20, min_common=2)
 
 
+def q_dd_url_dedup(spark, sf_dir):
+    """URL-level dedup ahead of content dedup: canonicalize crawl
+    URLs (case/www/default-port/tracking-params/param-order/fragment/
+    trailing-slash) and keep the latest crawl per canonical URL.
+    Messy URLs are synthesized deterministically from doc_id — seven
+    spelling variants per page group, four of which must merge and
+    three of which (http scheme, extra real param, param subset) must
+    NOT — so the oracle checks both directions of the canonicalizer.
+    Pure Catalyst (weburl.canonicalize_url is Java∩RE2 regex only; no
+    UDFs); only (canonical_url, ts, url) triples shuffle."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import weburl
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = (F.col("doc_id") % 20).cast("string")
+    v = F.col("doc_id") % 7
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://Example.COM/cat/"), g, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(F.lit("https://www.example.com/cat/"), g, F.lit("/?b=2&a=1")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://example.com:443/cat/"),
+                g,
+                F.lit("?utm_source=feed&a=1&b=2#frag"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(F.lit("https://EXAMPLE.com/cat/"), g, F.lit("?b=2&utm_campaign=x&a=1")),
+        )
+        .when(v == 4, F.concat(F.lit("http://example.com/cat/"), g, F.lit("?a=1&b=2")))
+        .when(v == 5, F.concat(F.lit("https://example.com/cat/"), g, F.lit("?a=1&b=2&c=3")))
+        .otherwise(F.concat(F.lit("https://example.com/cat/"), g))
+    )
+    pages = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+    )
+    out = weburl.dedup_by_canonical_url(pages)
+    return out.select(
+        "canonical_url",
+        "n_dups",
+        F.col("doc_id").alias("survivor_id"),
+    ).orderBy("canonical_url")
+
+
 def q_kg_link_prediction(spark, sf_dir):
     """Full link-prediction feature table (common neighbors, Jaccard,
     Adamic-Adar, resource allocation, preferential attachment) over
@@ -1918,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities_weighted": q_kg_communities_weighted,
         "kg_conductance": q_kg_conductance,
         "kg_link_prediction": q_kg_link_prediction,
+        "dd_url_dedup": q_dd_url_dedup,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3082,6 +3130,44 @@ SELECT ne.a, ne.b, ne.common,
        CAST(da.deg * db.deg AS BIGINT) AS pa
 FROM ne JOIN deg da ON da.cid = ne.a JOIN deg db ON db.cid = ne.b
 ORDER BY aa DESC, common DESC, a, b LIMIT 20""",
+        "dd_url_dedup": r"""
+WITH d AS (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS g, doc_id % 7 AS v FROM documents),
+raw AS (SELECT doc_id,
+  CASE v
+    WHEN 0 THEN 'https://Example.COM/cat/' || g || '?a=1&b=2'
+    WHEN 1 THEN 'https://www.example.com/cat/' || g || '/?b=2&a=1'
+    WHEN 2 THEN 'https://example.com:443/cat/' || g || '?utm_source=feed&a=1&b=2#frag'
+    WHEN 3 THEN 'https://EXAMPLE.com/cat/' || g || '?b=2&utm_campaign=x&a=1'
+    WHEN 4 THEN 'http://example.com/cat/' || g || '?a=1&b=2'
+    WHEN 5 THEN 'https://example.com/cat/' || g || '?a=1&b=2&c=3'
+    ELSE 'https://example.com/cat/' || g END AS url
+  FROM d),
+p1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+p2 AS (SELECT doc_id, url, u,
+              lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                             '^www\.', '') AS host0,
+              regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                             '/+$', '') AS path,
+              regexp_extract(u, '\?(.*)$', 1) AS query
+       FROM p1),
+p3 AS (SELECT doc_id, url, scheme, path,
+              CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                   WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                   ELSE host0 END AS host,
+              array_to_string(
+                list_sort(list_filter(string_split(query, '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)'))),
+                '&') AS qs
+       FROM p2),
+c AS (SELECT doc_id,
+             scheme || '://' || host || path ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM p3)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MAX(doc_id) AS BIGINT) AS survivor_id
+FROM c GROUP BY canonical_url ORDER BY canonical_url""",
         "kg_shortest_paths": f"""WITH {PAIRS_CTE},
 pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),
 wund AS (SELECT a_id AS cid, b_id AS nbr_id, 1.0 / freq AS w FROM pf

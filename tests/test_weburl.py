@@ -1,0 +1,128 @@
+"""URL canonicalization + canonical-URL dedup (functions/weburl.py).
+
+The canonicalizer must merge exactly the spellings a crawler can emit
+for one fetch (case, www, default port, tracking params, param order,
+fragment, trailing slash) and must NOT merge anything a server could
+distinguish (scheme, real params, percent-encoding).
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import weburl
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.session import get_spark
+
+    s = get_spark(cpus=4)
+    yield s
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select("url", weburl.canonicalize_url(F.col("url")).alias("c")).collect()
+    return {r["url"]: r["c"] for r in rows}
+
+
+CANON = "https://example.com/a/b?k=1&z=2"
+
+
+class TestCanonicalizeUrl:
+    def test_merging_spellings(self, spark):
+        merged = [
+            "https://example.com/a/b?k=1&z=2",
+            "HTTPS://Example.COM/a/b?k=1&z=2",
+            "https://www.example.com/a/b?k=1&z=2",
+            "https://example.com:443/a/b?k=1&z=2",
+            "https://example.com/a/b/?k=1&z=2",
+            "https://example.com/a/b?z=2&k=1",
+            "https://example.com/a/b?k=1&z=2#section-3",
+            "https://example.com/a/b?utm_source=x&k=1&utm_campaign=y&z=2",
+            "https://example.com/a/b?gclid=abc&k=1&z=2&fbclid=def",
+        ]
+        got = _canon(spark, merged)
+        assert set(got.values()) == {CANON}
+
+    def test_distinguishing_spellings(self, spark):
+        distinct = [
+            "http://example.com/a/b?k=1&z=2",  # scheme
+            "https://example.com:8443/a/b?k=1&z=2",  # non-default port
+            "https://example.com/a/b?k=1&z=2&q=3",  # extra real param
+            "https://example.com/a/b?k=1",  # param subset
+            "https://example.com/a/c?k=1&z=2",  # path
+            "https://example.com/a/b%2Fc?k=1&z=2",  # percent-encoding kept
+            "https://sub.example.com/a/b?k=1&z=2",  # subdomain (not www)
+        ]
+        got = _canon(spark, distinct + [CANON])
+        assert len(set(got.values())) == len(distinct) + 1
+
+    def test_http_default_port_and_refparam(self, spark):
+        got = _canon(spark, ["http://www.Example.com:80/x/?ref=rss"])
+        assert got["http://www.Example.com:80/x/?ref=rss"] == "http://example.com/x"
+
+    def test_root_and_bare_host(self, spark):
+        got = _canon(spark, ["https://example.com/", "https://example.com"])
+        assert set(got.values()) == {"https://example.com"}
+
+    def test_refsrc_is_not_a_tracking_param(self, spark):
+        # TRACKING_PARAM_RE anchors on (=|$): 'refresh=1' and
+        # 'reference=x' must survive even though they start with 'ref'
+        got = _canon(spark, ["https://example.com/p?refresh=1&reference=x"])
+        assert got["https://example.com/p?refresh=1&reference=x"] == (
+            "https://example.com/p?reference=x&refresh=1"
+        )
+
+    def test_non_url_is_empty(self, spark):
+        got = _canon(spark, ["not a url", "/relative/path"])
+        assert set(got.values()) == {""}
+
+
+class TestDedupByCanonicalUrl:
+    def _ts(self, s):
+        return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+    def test_latest_crawl_wins_and_counts(self, spark):
+        rows = [
+            ("https://example.com/a?utm_source=x", self._ts("2025-01-01T00:00:00"), "old"),
+            ("https://www.example.com/a", self._ts("2025-01-02T00:00:00"), "new"),
+            ("https://example.com/b", self._ts("2025-01-01T00:00:00"), "only"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, body string")
+        got = {
+            r["canonical_url"]: (r["n_dups"], r["body"])
+            for r in weburl.dedup_by_canonical_url(df).collect()
+        }
+        assert got == {
+            "https://example.com/a": (2, "new"),
+            "https://example.com/b": (1, "only"),
+        }
+
+    def test_ts_tie_breaks_on_raw_url(self, spark):
+        t = self._ts("2025-01-01T00:00:00")
+        df = spark.createDataFrame(
+            [("https://example.com/a", t, "lo"), ("https://example.com/a/", t, "hi")],
+            "url string, warc_ts timestamp, body string",
+        )
+        out = weburl.dedup_by_canonical_url(df).collect()
+        assert len(out) == 1
+        # 'https://example.com/a/' > 'https://example.com/a' bytewise
+        assert out[0]["body"] == "hi"
+
+    def test_partitioning_independent(self, spark):
+        rows = [
+            (f"https://example.com/p/{i % 5}?utm_source={i}", self._ts("2025-01-01T00:00:00"))
+            for i in range(40)
+        ]
+        rows = [(u, t.replace(minute=i % 60)) for i, (u, t) in enumerate(rows)]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+        a = sorted(
+            map(tuple, weburl.dedup_by_canonical_url(df.repartition(1)).collect())
+        )
+        b = sorted(
+            map(tuple, weburl.dedup_by_canonical_url(df.repartition(16)).collect())
+        )
+        assert a == b and len(a) == 5
