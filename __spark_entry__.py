@@ -778,6 +778,16 @@ def q_kg_random_walks(spark, sf_dir):
     )
 
 
+def q_kg_node2vec(spark, sf_dir):
+    """node2vec second-order biased walk corpus (p=4, q=0.25 — the
+    binary-exact weights 0.25/1/4 keep the weighted-sampling cumsum
+    IEEE-identical across engines): 1 deterministic walk of 3 steps
+    per concept node, return-discouraged and outward-biased."""
+    return q.node2vec_walks(
+        _kg_cooccur_und(spark, sf_dir), p=4.0, q=0.25, walk_length=3, seed=42
+    )
+
+
 def q_kg_entity_resolution(spark, sf_dir):
     """End-to-end entity resolution over the triple store: a
     deterministic alias rule links lemma variants ("the_X" -> "X",
@@ -1966,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conductance": q_kg_conductance,
         "kg_link_prediction": q_kg_link_prediction,
         "dd_url_dedup": q_dd_url_dedup,
+        "kg_node2vec": q_kg_node2vec,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2344,6 +2355,53 @@ walks AS (
     _walks_sql = f"""WITH {PAIRS_CTE},
 {_walk_ctes}
 SELECT walk_id, step, node FROM walks ORDER BY walk_id, step"""
+
+    # node2vec unrolled steps (mirrors queries.node2vec_walks): per
+    # step, fan the frontier out over adjacency, weight each neighbor
+    # 0.25 (return) / 1.0 (triangle with prev) / 4.0 (outward), then
+    # pick the first neighbor (by id) whose running weight exceeds
+    # u * total with u = md5_32(seed|walk_id|t) / 2^32.  Weights are
+    # binary-exact so the cumsum sequence is IEEE-identical in both
+    # engines.  MATERIALIZED: each frontier is referenced twice
+    # (next step + final union) — the kg_hits CTE-inlining lesson.
+    def _n2v_step(t: int) -> str:
+        h = _nib32_expr("h")
+        return f""",
+n2c{t} AS MATERIALIZED (
+  SELECT f.walk_id, f.cur, u.nbr_id AS nbr,
+         CASE WHEN u.nbr_id = f.prev THEN 0.25
+              WHEN e.ea IS NOT NULL THEN 1.0
+              ELSE 4.0 END AS w
+  FROM n2f{t - 1} f JOIN n2und u ON u.cid = f.cur
+  LEFT JOIN n2eset e ON e.ea = LEAST(u.nbr_id, f.prev)
+                    AND e.eb = GREATEST(u.nbr_id, f.prev)),
+n2s{t} AS MATERIALIZED (
+  SELECT walk_id, cur, nbr, w,
+         SUM(w) OVER (PARTITION BY walk_id ORDER BY nbr ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY walk_id) AS tot,
+         md5('42|' || walk_id || '|{t}') AS h
+  FROM n2c{t}),
+n2f{t} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, nbr AS cur FROM n2s{t}
+  WHERE cumw > (({h}) / 4294967296.0) * tot
+    AND cumw - w <= (({h}) / 4294967296.0) * tot)"""
+
+    _n2v_sql = (
+        f"""WITH {PAIRS_CTE},
+n2und AS MATERIALIZED (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+n2eset AS MATERIALIZED (SELECT DISTINCT LEAST(cid, nbr_id) AS ea, GREATEST(cid, nbr_id) AS eb FROM n2und),
+n2f0 AS MATERIALIZED (SELECT cid || '#0' AS walk_id, cid AS prev, cid AS cur
+                      FROM (SELECT DISTINCT cid FROM n2und))"""
+        + "".join(_n2v_step(t) for t in range(1, 4))
+        + """,
+n2walks AS (
+  SELECT walk_id, 0 AS step, cur AS node FROM n2f0
+  UNION ALL SELECT walk_id, 1, cur FROM n2f1
+  UNION ALL SELECT walk_id, 2, cur FROM n2f2
+  UNION ALL SELECT walk_id, 3, cur FROM n2f3
+)
+SELECT walk_id, step, node FROM n2walks ORDER BY walk_id, step"""
+    )
     _skipgram_sql = f"""WITH {PAIRS_CTE},
 {_walk_ctes}
 SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -2452,6 +2510,7 @@ FROM per_c""",
         "kg_personalized_pagerank": _ppr_sql,
         "kg_local_search": _local_search_sql,
         "kg_random_walks": _walks_sql,
+        "kg_node2vec": _n2v_sql,
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

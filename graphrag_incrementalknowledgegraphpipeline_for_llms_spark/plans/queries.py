@@ -9,7 +9,7 @@ for the top-k).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -963,6 +963,111 @@ def random_walks(
             walks = walks.coalesce(parts).localCheckpoint(eager=True)
         slices.append(
             walks.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("walk_id", "step")
+
+
+def node2vec_walks(
+    und: DataFrame,
+    p: float = 4.0,
+    q: float = 0.25,
+    walk_length: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """node2vec-style second-order biased walks (Grover & Leskovec
+    2016): at each step the walk at ``cur`` having arrived from
+    ``prev`` weights each neighbor ``x`` by ``1/p`` if ``x == prev``
+    (return), ``1`` if ``x`` is adjacent to ``prev`` (triangle /
+    BFS-ish), else ``1/q`` (outward / DFS-ish), then samples
+    proportionally.  "Samples" is a deterministic hash: the walk's
+    step draw is ``u = md5_32(seed|walk_id|t) / 2^32`` and the chosen
+    neighbor is the first (by id) whose cumulative weight exceeds
+    ``u * total`` — bit-stable across runs, partitionings, and
+    engines.  The defaults ``p=4, q=0.25`` give binary-exact weights
+    (0.25 / 1.0 / 4.0) so the cumulative-sum comparison is the same
+    IEEE sequence in Spark and the DuckDB oracle.  Step 1 has no
+    prev; seeding ``prev = cur`` makes every neighbor a triangle
+    (weight 1) — exactly the uniform first step the paper prescribes.
+
+    Output: (walk_id, step, node), one walk of ``walk_length`` steps
+    per node — same shape as :func:`random_walks`, so
+    :func:`skipgram_pairs` consumes either corpus.
+
+    Scale shape: second-order bias genuinely needs the (prev, cur)
+    pair, so each step fans the frontier out by deg(cur) — one
+    equi-join against adjacency, one broadcast-shaped left join
+    against the canonical edge set for the triangle flag, one
+    walk-partitioned window (cumsum + total), one filter; per-step
+    shuffle is sum-of-degrees-over-frontier rows of four narrow
+    columns.  That is the standard distributed formulation — the
+    alias-table alternative precomputes O(sum_of_deg(v)*deg(u) over
+    edges) state, which a 100-TB graph cannot hold.  Hubs make a step
+    wide but never skew a single key: the window partitions by
+    walk_id (walk count per node is fixed), not by the hub's id."""
+    sc = und.sparkSession.sparkContext
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    adj = adj.localCheckpoint(eager=True)
+    eset = adj.select(
+        F.least("cid", "nbr_id").alias("ea"), F.greatest("cid", "nbr_id").alias("eb")
+    ).distinct()
+    n_nodes = adj.select("cid").distinct().count()
+    parts = min(sc.defaultParallelism, max(8, n_nodes // 100_000 + 1))
+    frontier = adj.select("cid").distinct().select(
+        F.concat_ws("#", "cid", F.lit("0")).alias("walk_id"),
+        F.col("cid").alias("prev"),
+        F.col("cid").alias("cur"),
+    )
+    slices = [
+        frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    ]
+    win = Window.partitionBy("walk_id").orderBy("nbr_id")
+    for t in range(1, walk_length + 1):
+        cand = frontier.join(adj.withColumnRenamed("cid", "cur"), "cur").join(
+            eset,
+            (F.least("nbr_id", "prev") == F.col("ea"))
+            & (F.greatest("nbr_id", "prev") == F.col("eb")),
+            "left",
+        )
+        w = (
+            F.when(F.col("nbr_id") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("ea").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u32 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), "walk_id", F.lit(str(t)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        scored = cand.select(
+            "walk_id",
+            "cur",
+            "nbr_id",
+            w.alias("w"),
+            F.sum(w).over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+            F.sum(w)
+            .over(Window.partitionBy("walk_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            ))
+            .alias("tot"),
+            (u32 / F.lit(4294967296.0)).alias("u"),
+        )
+        frontier = scored.where(
+            (F.col("cumw") > F.col("u") * F.col("tot"))
+            & (F.col("cumw") - F.col("w") <= F.col("u") * F.col("tot"))
+        ).select("walk_id", F.col("cur").alias("prev"), F.col("nbr_id").alias("cur"))
+        if t % 2 == 0 or t == walk_length:
+            frontier = frontier.coalesce(parts).localCheckpoint(eager=True)
+        slices.append(
+            frontier.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
             )
         )

@@ -985,6 +985,93 @@ class TestLinkPrediction:
         assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
 
 
+class TestNode2Vec:
+    def _py_walks(self, edges, p=4.0, q=0.25, walk_length=3, seed=42):
+        """Independent pure-python replay of node2vec_walks: same md5
+        draw, same binary-exact weights, same first-exceeding-cumsum
+        pick — a third engine besides Spark and the DuckDB oracle."""
+        import hashlib
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        out = []
+        for start in sorted(adj):
+            walk_id = f"{start}#0"
+            prev, cur = start, start
+            out.append((walk_id, 0, start))
+            for t in range(1, walk_length + 1):
+                cands = []
+                for x in sorted(adj[cur]):
+                    if x == prev:
+                        w = 1.0 / p
+                    elif (min(x, prev), max(x, prev)) in eset:
+                        w = 1.0
+                    else:
+                        w = 1.0 / q
+                    cands.append((x, w))
+                h = hashlib.md5(f"{seed}|{walk_id}|{t}".encode()).hexdigest()
+                u = int(h[:8], 16) / 2**32
+                r = u * sum(w for _, w in cands)
+                cum = 0.0
+                for x, w in cands:
+                    cum += w
+                    if cum > r:
+                        prev, cur = cur, x
+                        break
+                out.append((walk_id, t, cur))
+        return sorted(out)
+
+    EDGES_N2V = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # triangle
+        ("c", "d"), ("d", "e"),              # tail
+        ("b", "f"), ("f", "g"),              # branch
+    ]
+
+    def test_matches_pure_python_replay(self, spark):
+        got = sorted(
+            (r["walk_id"], r["step"], r["node"])
+            for r in queries.node2vec_walks(
+                _und_df(spark, self.EDGES_N2V), walk_length=3
+            ).collect()
+        )
+        assert got == self._py_walks(self.EDGES_N2V)
+
+    def test_every_step_is_an_edge(self, spark):
+        rows = queries.node2vec_walks(
+            _und_df(spark, self.EDGES_N2V), walk_length=3
+        ).collect()
+        eset = {(min(a, b), max(a, b)) for a, b in self.EDGES_N2V}
+        walks = {}
+        for r in rows:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        for wid, steps in walks.items():
+            assert sorted(steps) == [0, 1, 2, 3], wid
+            for t in range(3):
+                a, b = steps[t], steps[t + 1]
+                assert (min(a, b), max(a, b)) in eset, (wid, t)
+
+    def test_partitioning_independent(self, spark):
+        df = _und_df(spark, self.EDGES_N2V)
+        a = sorted(map(tuple, queries.node2vec_walks(df.repartition(1)).collect()))
+        b = sorted(map(tuple, queries.node2vec_walks(df.repartition(16)).collect()))
+        assert a == b
+
+    def test_pq_changes_the_corpus(self, spark):
+        df = _und_df(spark, self.EDGES_N2V)
+        bfs = sorted(
+            map(tuple, queries.node2vec_walks(df, p=4.0, q=4.0).collect())
+        )
+        dfs = sorted(
+            map(tuple, queries.node2vec_walks(df, p=4.0, q=0.25).collect())
+        )
+        assert bfs != dfs
+
+
 class TestShortestPaths:
     def _wund(self, spark, wedges):
         sym = wedges + [(b, a, w) for a, b, w in wedges]
