@@ -275,21 +275,26 @@ bd{l} AS MATERIALIZED (SELECT n.s, n.v,
 # sum -> L2 normalize -> out-edge auth sum -> L2 normalize; the norm is
 # a 1-row aggregate cross-joined in, zeros filled from the node set)
 def _hits_ctes(iters: int = 8) -> str:
-    # every f-level CTE is referenced twice (value + its L2 norm) and
-    # the edge/node sets 2x per round: without MATERIALIZED, DuckDB's
-    # CTE inlining doubles the expansion per level (2^iters copies of
-    # the whole triples pipeline -> "Too many open files")
+    # mirrors queries.hits: RAW propagation rounds (HITS is linear, so
+    # L2 normalization moves to the very end — raw values stay exact
+    # integers in double, see the hits() docstring), then one
+    # zero-fill + L2 normalize per vector.  MATERIALIZED throughout:
+    # each level is referenced by the next half-round and the edge/
+    # node sets once per round — without it DuckDB's CTE inlining
+    # doubles the expansion per level (2^iters copies of the whole
+    # triples pipeline -> "Too many open files")
     s = """dedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples),
 hnodes AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
 h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM hnodes)"""
     for i in range(1, iters + 1):
         s += f""",
-a{i}r AS (SELECT e.dst AS id, SUM(h.h) AS raw FROM dedges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst),
-a{i}f AS MATERIALIZED (SELECT n.id, COALESCE(r.raw, 0.0) AS raw FROM hnodes n LEFT JOIN a{i}r r ON n.id = r.id),
-a{i} AS (SELECT f.id, f.raw / nn.nrm AS a FROM a{i}f f CROSS JOIN (SELECT sqrt(SUM(raw * raw)) AS nrm FROM a{i}f) nn),
-h{i}r AS (SELECT e.src AS id, SUM(a.a) AS raw FROM dedges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src),
-h{i}f AS MATERIALIZED (SELECT n.id, COALESCE(r.raw, 0.0) AS raw FROM hnodes n LEFT JOIN h{i}r r ON n.id = r.id),
-h{i} AS (SELECT f.id, f.raw / nn.nrm AS h FROM h{i}f f CROSS JOIN (SELECT sqrt(SUM(raw * raw)) AS nrm FROM h{i}f) nn)"""
+a{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS a FROM dedges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst),
+h{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS h FROM dedges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src)"""
+    s += f""",
+af AS MATERIALIZED (SELECT n.id, COALESCE(r.a, 0.0) AS raw FROM hnodes n LEFT JOIN a{iters} r ON n.id = r.id),
+a{iters}n AS (SELECT f.id, f.raw / nn.nrm AS a FROM af f CROSS JOIN (SELECT sqrt(SUM(raw * raw)) AS nrm FROM af) nn),
+hf AS MATERIALIZED (SELECT n.id, COALESCE(r.h, 0.0) AS raw FROM hnodes n LEFT JOIN h{iters} r ON n.id = r.id),
+h{iters}n AS (SELECT f.id, f.raw / nn.nrm AS h FROM hf f CROSS JOIN (SELECT sqrt(SUM(raw * raw)) AS nrm FROM hf) nn)"""
     return s
 
 
@@ -3308,7 +3313,7 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
         "kg_hits": f"""WITH {TRIPLES_CTE},
 {_HITS_CTES}
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
-FROM a8 a JOIN h8 h ON a.id = h.id
+FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_taxonomy_closure": f"""WITH {TRIPLES_CTE},
 {_ISA_CLOSURE_CTES}
