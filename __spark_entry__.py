@@ -1691,6 +1691,16 @@ def q_rel_markov_transitions(spark, sf_dir):
     return ev.markov_transitions(e)
 
 
+def q_rel_zscore_outliers(spark, sf_dir):
+    """Per-event-type z-score anomaly sweep: events > 2.5 sample
+    standard deviations from their type's mean value.  The |types|-row
+    stats table broadcasts; the event stream never shuffles."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.zscore_outliers(e, threshold=2.5)
+
+
 def q_rel_retention(spark, sf_dir):
     """Weekly cohort retention triangle over the events table."""
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
@@ -1982,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": q_kg_link_prediction,
         "dd_url_dedup": q_dd_url_dedup,
         "kg_node2vec": q_kg_node2vec,
+        "rel_zscore_outliers": q_rel_zscore_outliers,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2516,6 +2527,13 @@ FROM per_c""",
         "kg_local_search": _local_search_sql,
         "kg_random_walks": _walks_sql,
         "kg_node2vec": _n2v_sql,
+        "rel_zscore_outliers": """
+WITH st AS (SELECT event_type, AVG(value) AS m, STDDEV(value) AS sd
+            FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value, ROUND((e.value - st.m) / st.sd, 6) AS z
+FROM events e JOIN st USING (event_type)
+WHERE st.sd IS NOT NULL AND st.sd > 0 AND ABS((e.value - st.m) / st.sd) > 2.5
+ORDER BY event_id""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

@@ -388,3 +388,43 @@ def markov_transitions(
         )
         .orderBy("src", "dst")
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    by: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose ``value_col``
+    deviates more than ``threshold`` sample standard deviations from
+    their group's mean — the first-pass outlier sweep a metrics
+    pipeline runs per event type (latency spikes, value anomalies).
+    Returns (id, group, value, z) with z rounded to 6 dp, the full
+    outlier set (no top-k — a LIMIT over float-ranked rows would make
+    the result sensitive to last-ulp aggregation order).  Groups with
+    fewer than 2 events (stddev undefined) or zero variance emit no
+    outliers.
+
+    Scale shape: one hash aggregate over the group key produces a
+    |groups|-row stats table that broadcasts into the probe-side
+    join — the event stream itself shuffles zero times; the filter
+    and z computation are map-side expressions over the joined rows.
+    """
+    stats = events.groupBy(by).agg(
+        F.avg(value_col).alias("_m"), F.stddev(value_col).alias("_sd")
+    )
+    z = (F.col(value_col) - F.col("_m")) / F.col("_sd")
+    return (
+        events.join(F.broadcast(stats), by)
+        .where(F.col("_sd").isNotNull() & (F.col("_sd") > 0))
+        .where(F.abs(z) > F.lit(threshold))
+        .select(
+            id_col,
+            by,
+            value_col,
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(id_col)
+    )

@@ -93,6 +93,7 @@ def run_pipeline(
     epoch_id: int | None = None,
     extraction_strategy: str = "heuristic",
     dedup_pages: bool = False,
+    url_dedup: bool = False,
     graph_mode: str = "cow",
 ) -> PipelineResult:
     """``stage_mode`` controls how the enriched (post-extraction) data
@@ -145,6 +146,21 @@ def run_pipeline(
         scan_partitions = spark.sparkContext.defaultParallelism * 2
     needed = ["url", "warc_ts"] + (["html"] if extract_from_html else ["text"])
     pages = pages.select(*[c for c in needed if c in pages.columns])
+    if url_dedup:
+        # URL-level dedup BEFORE extraction: collapse crawl-spelling
+        # variants (case/www/port/tracking-params/fragment/slash) of
+        # the same fetch, keeping the latest crawl.  Only
+        # (canonical_url, warc_ts, url) shuffles for winner election;
+        # page payloads ride the final semi-join once
+        # (functions/weburl.py).  This is distinct from dedup_pages
+        # (same BYTES under different urls) — url_dedup merges
+        # different SPELLINGS of the same url even when the re-crawl
+        # changed the bytes.
+        from ..functions import weburl
+
+        pages = weburl.dedup_by_canonical_url(pages).drop(
+            "canonical_url", "n_dups"
+        )
     if pages.rdd.getNumPartitions() < scan_partitions:
         pages = pages.repartition(scan_partitions, F.xxhash64("url"))
     if dedup_pages:

@@ -400,3 +400,33 @@ class TestMarkovTransitions:
             rows, "event_id string, ts timestamp, user_id long, event_type string"
         )
         assert ev.markov_transitions(df).count() == 0
+
+
+class TestZscoreOutliers:
+    def test_hand_computed_outlier(self, spark):
+        import statistics
+
+        # group 'a': nine 10.0s and one 100.0 — the 100 is the outlier
+        vals = [10.0] * 9 + [100.0]
+        rows = [(f"e{i}", "a", v) for i, v in enumerate(vals)]
+        # group 'b': constant (zero variance) -> no outliers
+        rows += [(f"b{i}", "b", 5.0) for i in range(5)]
+        # group 'c': single event (stddev undefined) -> no outliers
+        rows += [("c0", "c", 99.0)]
+        df = spark.createDataFrame(rows, "event_id string, event_type string, value double")
+        got = {
+            r["event_id"]: (r["event_type"], r["value"], r["z"])
+            for r in ev.zscore_outliers(df, threshold=2.5).collect()
+        }
+        m, sd = statistics.mean(vals), statistics.stdev(vals)
+        assert got == {"e9": ("a", 100.0, round((100.0 - m) / sd, 6))}
+
+    def test_threshold_is_exclusive_and_symmetric(self, spark):
+        # symmetric pair: both tails must flag
+        vals = [0.0] * 20 + [50.0, -50.0]
+        rows = [(f"e{i}", "a", v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "event_id string, event_type string, value double")
+        got = ev.zscore_outliers(df, threshold=2.5).collect()
+        assert {r["event_id"] for r in got} == {"e20", "e21"}
+        zs = {r["event_id"]: r["z"] for r in got}
+        assert zs["e20"] == -zs["e21"]

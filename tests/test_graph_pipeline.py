@@ -302,6 +302,59 @@ class TestDedupPages:
             assert a == b, t
 
 
+class TestUrlDedupInPipeline:
+    def test_spelling_variants_extract_once_latest_wins(self, spark, tmp_path):
+        """url_dedup=True collapses crawl-spelling variants of the same
+        fetch before extraction, keeping the LATEST crawl — the graph
+        equals running on just the winning spellings."""
+        from datetime import datetime, timezone
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import purecore
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        def row(url, day, text):
+            return (
+                url,
+                datetime(2025, 1, day, tzinfo=timezone.utc),
+                purecore.render_html(text),
+                text,
+                "en",
+            )
+
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+        # same canonical page crawled 3 ways; the day-3 re-crawl wins
+        variants = spark.createDataFrame(
+            [
+                row("https://example.com/p?utm_source=x", 1, "Apache Spark is a Query Engine."),
+                row("https://WWW.example.com/p", 3, "Apache Spark is a Data Pipeline."),
+                row("https://example.com/p/", 2, "Apache Spark is a Graph Database."),
+                row("https://example.com/other", 1, "Neural Network causes Language Model."),
+            ],
+            schema,
+        )
+        winners = spark.createDataFrame(
+            [
+                row("https://WWW.example.com/p", 3, "Apache Spark is a Data Pipeline."),
+                row("https://example.com/other", 1, "Neural Network causes Language Model."),
+            ],
+            schema,
+        )
+        cat_a = ParquetCatalog(str(tmp_path / "a"))
+        ra = pipeline.run_pipeline(
+            spark, variants, cat_a, extract_from_html=True, url_dedup=True
+        )
+        cat_b = ParquetCatalog(str(tmp_path / "b"))
+        rb = pipeline.run_pipeline(spark, winners, cat_b, extract_from_html=True)
+        assert ra.pages == rb.pages == 2
+        for t in ["nodes", "edges", "triples"]:
+            a = sorted(tuple(r) for r in cat_a.read(spark, t).collect())
+            b = sorted(tuple(r) for r in cat_b.read(spark, t).collect())
+            assert a == b, t
+
+
 class TestIntEncode:
     def _graph(self, spark):
         nodes = spark.createDataFrame(
