@@ -1691,6 +1691,15 @@ def q_rel_markov_transitions(spark, sf_dir):
     return ev.markov_transitions(e)
 
 
+def q_kg_fastrp_neighbors(spark, sf_dir):
+    """Structurally-similar entities: cosine top-5 per PPR seed over
+    the 6-dp-rounded FastRP embedding relation — the graph-ML
+    composition (embed -> similarity) a GraphRAG 'related entities'
+    surface runs."""
+    emb = q_kg_fastrp(spark, sf_dir)
+    return q.embedding_neighbors(emb, seed_ids=_ppr_seeds(), top_k=5)
+
+
 def q_rel_zscore_outliers(spark, sf_dir):
     """Per-event-type z-score anomaly sweep: events > 2.5 sample
     standard deviations from their type's mean value.  The |types|-row
@@ -1993,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_url_dedup": q_dd_url_dedup,
         "kg_node2vec": q_kg_node2vec,
         "rel_zscore_outliers": q_rel_zscore_outliers,
+        "kg_fastrp_neighbors": q_kg_fastrp_neighbors,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2349,6 +2359,28 @@ SELECT x1.id, x1.j, ROUND({_fastrp_val}, 6) AS val
 FROM fx1 x1 {_fastrp_joins}
 ORDER BY x1.id, x1.j"""
 
+    # fastrp -> cosine top-k composition (mirrors q_kg_fastrp_neighbors:
+    # both engines consume the 6-dp-ROUNDED embedding, so every product
+    # downstream starts from bit-identical inputs)
+    _frn_seeds = " UNION ALL ".join(
+        f"SELECT substr(sha256('{s}'), 1, 16) AS sid" for s in _PPR_SEED_LEMMAS
+    )
+    _frn_sql = f"""WITH {PAIRS_CTE},
+{_fastrp_ctes},
+femb AS MATERIALIZED (SELECT x1.id, x1.j, ROUND({_fastrp_val}, 6) AS val
+  FROM fx1 x1 {_fastrp_joins}),
+fseeds AS ({_frn_seeds}),
+fse AS (SELECT s.sid, e.j, e.val AS sval FROM femb e JOIN fseeds s ON e.id = s.sid),
+fdots AS (SELECT se.sid, e.id, SUM(se.sval * e.val) AS dot
+          FROM femb e JOIN fse se ON e.j = se.j WHERE e.id <> se.sid
+          GROUP BY se.sid, e.id),
+fnrm AS MATERIALIZED (SELECT id, sqrt(SUM(val * val)) AS n FROM femb GROUP BY id),
+frk AS (SELECT d.sid, d.id, ROUND(d.dot / (ns.n * no.n), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY d.sid
+                 ORDER BY ROUND(d.dot / (ns.n * no.n), 6) DESC, d.id) AS rk
+        FROM fdots d JOIN fnrm ns ON ns.id = d.sid JOIN fnrm no ON no.id = d.id)
+SELECT sid, id, cos FROM frk WHERE rk <= 5 ORDER BY sid, cos DESC, id"""
+
     _nib32 = _nib32_expr("c.h")
     _walk_steps = "".join(
         f""",
@@ -2534,6 +2566,7 @@ SELECT e.event_id, e.event_type, e.value, ROUND((e.value - st.m) / st.sd, 6) AS 
 FROM events e JOIN st USING (event_type)
 WHERE st.sd IS NOT NULL AND st.sd > 0 AND ABS((e.value - st.m) / st.sd) > 2.5
 ORDER BY event_id""",
+        "kg_fastrp_neighbors": _frn_sql,
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

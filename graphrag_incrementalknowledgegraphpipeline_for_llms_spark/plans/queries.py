@@ -1846,6 +1846,66 @@ def fastrp_embeddings(
     return out.select("id", "j", F.round(val, 6).alias("val")).orderBy("id", "j")
 
 
+def embedding_neighbors(
+    emb: DataFrame,
+    seed_ids: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Cosine top-k similar nodes per seed over an exploded embedding
+    relation ``(id, j, val)`` — the "structurally similar entities"
+    surface a GraphRAG deployment composes from
+    :func:`fastrp_embeddings` (or any embedding export in the same
+    shape).  Returns (sid, id, cos) with cos rounded to 6 dp, ranked
+    per seed by cos desc / id.  Feed the ROUNDED embedding output in
+    — 6-dp-rounded values are bit-identical across engines, so every
+    downstream product is too.
+
+    Scale shape: the seed slice is |seeds|*dims rows and broadcasts
+    into an equi-join on the dimension index — per-seed brute force,
+    which IS the scale path when seeds are a bounded query-time set
+    (the corpus-vs-corpus case goes to operators/similarity.py's
+    LSH/IVF families instead).  Norms are one hash aggregate over the
+    embedding relation; nothing ever materializes |seeds| x |nodes| x
+    dims — the dot aggregate reduces as it scans."""
+    se = (
+        emb.where(F.col("id").isin(list(seed_ids)))
+        .select(F.col("id").alias("sid"), "j", F.col("val").alias("sval"))
+    )
+    dots = (
+        emb.join(F.broadcast(se), "j")
+        .where(F.col("id") != F.col("sid"))
+        .groupBy("sid", "id")
+        .agg(F.sum(F.col("sval") * F.col("val")).alias("dot"))
+    )
+    nrm = emb.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n")
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("sn") * F.col("n")), 6
+    )
+    ranked = (
+        dots.join(
+            F.broadcast(
+                nrm.select(F.col("id").alias("sid"), F.col("n").alias("sn"))
+            ),
+            "sid",
+        )
+        .join(nrm, "id")
+        .select("sid", "id", cos.alias("cos"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("sid").orderBy(F.desc("cos"), "id")
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("rk") <= top_k)
+        .select("sid", "id", "cos")
+        .orderBy("sid", F.desc("cos"), "id")
+    )
+
+
 def betweenness_sampled(
     und: DataFrame,
     sources: list[str],

@@ -985,6 +985,44 @@ class TestLinkPrediction:
         assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
 
 
+class TestEmbeddingNeighbors:
+    def _emb(self, spark, vecs):
+        rows = [(i, j, float(v)) for i, vec in vecs.items() for j, v in enumerate(vec)]
+        return spark.createDataFrame(rows, "id string, j int, val double")
+
+    def test_hand_computed_cosine_ranking(self, spark):
+        vecs = {
+            "s": [1.0, 0.0],
+            "same": [2.0, 0.0],      # cos 1.0
+            "diag": [1.0, 1.0],      # cos 0.707107
+            "orth": [0.0, 3.0],      # cos 0.0
+            "anti": [-1.0, 0.0],     # cos -1.0
+        }
+        got = [
+            (r["sid"], r["id"], r["cos"])
+            for r in queries.embedding_neighbors(
+                self._emb(spark, vecs), seed_ids=["s"], top_k=3
+            ).collect()
+        ]
+        assert got == [
+            ("s", "same", 1.0),
+            ("s", "diag", 0.707107),
+            ("s", "orth", 0.0),
+        ]
+
+    def test_seed_excluded_and_multi_seed(self, spark):
+        vecs = {"a": [1.0, 0.0], "b": [0.0, 1.0], "c": [1.0, 1.0]}
+        rows = queries.embedding_neighbors(
+            self._emb(spark, vecs), seed_ids=["a", "b"], top_k=5
+        ).collect()
+        per_seed = {}
+        for r in rows:
+            per_seed.setdefault(r["sid"], []).append(r["id"])
+            assert r["id"] != r["sid"]
+        assert set(per_seed) == {"a", "b"}
+        assert set(per_seed["a"]) == {"b", "c"}
+
+
 class TestNode2Vec:
     def _py_walks(self, edges, p=4.0, q=0.25, walk_length=3, seed=42):
         """Independent pure-python replay of node2vec_walks: same md5
