@@ -1700,6 +1700,26 @@ def q_kg_fastrp_neighbors(spark, sf_dir):
     return q.embedding_neighbors(emb, seed_ids=_ppr_seeds(), top_k=5)
 
 
+def q_kg_context_pack(spark, sf_dir):
+    """GraphRAG last mile: token-budgeted context assembly — entity
+    link + PPR pick the top-10 entities, each contributes <=3 evidence
+    snippets, packed greedily (rank desc) until the 150-token budget
+    is spent.  The rows ARE the prompt, in prompt order."""
+    und = _kg_cooccur_und(spark, sf_dir)
+    m = q_kg_mentions(spark, sf_dir)
+    chunks = _chunks(spark, sf_dir)
+    return q.context_pack(
+        und,
+        m,
+        chunks,
+        terms=["Apache Spark", "Machine Learning"],
+        token_budget=150,
+        top_entities=10,
+        evidence_per_entity=3,
+        snippet_chars=200,
+    )
+
+
 def q_rel_zscore_outliers(spark, sf_dir):
     """Per-event-type z-score anomaly sweep: events > 2.5 sample
     standard deviations from their type's mean value.  The |types|-row
@@ -2003,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec": q_kg_node2vec,
         "rel_zscore_outliers": q_rel_zscore_outliers,
         "kg_fastrp_neighbors": q_kg_fastrp_neighbors,
+        "kg_context_pack": q_kg_context_pack,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2567,6 +2588,26 @@ FROM events e JOIN st USING (event_type)
 WHERE st.sd IS NOT NULL AND st.sd > 0 AND ABS((e.value - st.m) / st.sd) > 2.5
 ORDER BY event_id""",
         "kg_fastrp_neighbors": _frn_sql,
+        "kg_context_pack": f"""WITH {PAIRS_CTE},
+{_ppr_ctes(_PPR_SEED_LEMMAS)},
+prt AS (SELECT id, ROUND(rank, 8) AS rank FROM pr10 ORDER BY rank DESC, id LIMIT 10),
+evd AS (SELECT DISTINCT m.concept_id AS id, m.chunk_id FROM mentions m JOIN prt p ON p.id = m.concept_id),
+evr AS (SELECT id, chunk_id, ROW_NUMBER() OVER (PARTITION BY id ORDER BY chunk_id) AS erk FROM evd),
+sn AS (SELECT e.id, e.chunk_id, substr(s.text, 1, 200) AS snippet
+       FROM evr e JOIN src s ON s.chunk_id = e.chunk_id WHERE e.erk <= 3),
+tok AS (SELECT id, chunk_id, snippet,
+               CAST(len(list_filter(regexp_split_to_array(trim(snippet), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM sn),
+ord AS (SELECT ROW_NUMBER() OVER (ORDER BY p.rank DESC, t.id, t.chunk_id) AS pos,
+               t.id, t.chunk_id, p.rank, t.n_tokens,
+               SUM(t.n_tokens) OVER (ORDER BY p.rank DESC, t.id, t.chunk_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               t.snippet
+        FROM tok t JOIN prt p ON p.id = t.id)
+SELECT CAST(pos AS INT) AS pos, id, chunk_id, rank, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet
+FROM ord WHERE cum_tokens <= 150 ORDER BY pos""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

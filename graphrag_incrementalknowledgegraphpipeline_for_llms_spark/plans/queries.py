@@ -384,6 +384,79 @@ def local_search(
     )
 
 
+def context_pack(
+    und: DataFrame,
+    mentions: DataFrame,
+    chunks: DataFrame,
+    terms: list[str],
+    token_budget: int = 150,
+    top_entities: int = 10,
+    evidence_per_entity: int = 3,
+    snippet_chars: int = 200,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """The GraphRAG last mile: assemble the LLM context window for a
+    query under a token budget.  :func:`local_search`'s entity linking
+    + PPR expansion picks the ``top_entities`` query-relevant
+    concepts; each contributes up to ``evidence_per_entity`` evidence
+    snippets (first ``snippet_chars`` chars of the mentioning chunk);
+    snippets are then packed greedily in (entity rank desc, id,
+    chunk_id) order until the cumulative whitespace-token count
+    exceeds ``token_budget``.  Output: (pos, id, chunk_id, rank,
+    n_tokens, cum_tokens, snippet) — exactly the rows that go into the
+    prompt, in prompt order, with the running budget visible.
+
+    Scale shape: PPR is the only graph-sized work; everything after it
+    operates on a top_entities x evidence_per_entity bounded row set
+    (30 rows at the defaults), so the global packing window — a
+    single-partition sort, normally a red flag — is bounded by
+    construction, not by data volume.  The mention join pushes the
+    top-entity filter into the scan side before any text is touched;
+    chunk text joins against the capped evidence set (broadcast-sized
+    probe), never the full corpus."""
+    from ..functions.purecore import concept_id, normalize_lemma
+
+    seeds = sorted({concept_id(normalize_lemma(t)) for t in terms})
+    ranked = personalized_pagerank(
+        und, seeds, damping=damping, iters=iters, top_k=top_entities
+    )
+    ev = (
+        mentions.select(F.col("concept_id").alias("id"), "chunk_id")
+        .distinct()
+        .join(F.broadcast(ranked), "id")
+    )
+    per = Window.partitionBy("id").orderBy("chunk_id")
+    ev = ev.withColumn("erk", F.row_number().over(per)).where(
+        F.col("erk") <= evidence_per_entity
+    )
+    snippet = F.substring(F.col("text"), 1, snippet_chars)
+    toks = F.size(
+        F.filter(F.split(F.trim(snippet), r"\s+"), lambda x: x != "")
+    )
+    units = ev.join(chunks, "chunk_id").select(
+        "id",
+        "chunk_id",
+        "rank",
+        snippet.alias("snippet"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    order = [F.desc("rank"), F.col("id"), F.col("chunk_id")]
+    w = Window.orderBy(*order)
+    packed = units.select(
+        F.row_number().over(w).alias("pos"),
+        "id",
+        "chunk_id",
+        "rank",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_tokens"),
+        "snippet",
+    )
+    return packed.where(F.col("cum_tokens") <= token_budget).orderBy("pos")
+
+
 def bfs_distances(
     und: DataFrame, source_id: str, max_hops: int = 6
 ) -> DataFrame:

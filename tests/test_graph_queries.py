@@ -985,6 +985,76 @@ class TestLinkPrediction:
         assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
 
 
+class TestContextPack:
+    def _fixture(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions.purecore import concept_id
+
+        a, b, c = concept_id("alpha"), concept_id("beta"), concept_id("gamma")
+        und = _und_df(spark, [(a, b), (b, c)])
+        mentions = spark.createDataFrame(
+            [(a, "k1"), (a, "k2"), (a, "k3"), (a, "k4"), (b, "k1"), (c, "k5")],
+            "concept_id string, chunk_id string",
+        )
+        chunks = spark.createDataFrame(
+            [
+                ("k1", "one two three four five"),        # 5 tokens
+                ("k2", "six seven eight"),                # 3 tokens
+                ("k3", "nine ten"),                       # 2 tokens
+                ("k4", "eleven"),                         # 1 token
+                ("k5", "twelve thirteen fourteen"),       # 3 tokens
+            ],
+            "chunk_id string, text string",
+        )
+        return und, mentions, chunks, (a, b, c)
+
+    def test_budget_cap_and_order(self, spark):
+        und, mentions, chunks, (a, b, c) = self._fixture(spark)
+        rows = queries.context_pack(
+            und,
+            mentions,
+            chunks,
+            terms=["alpha"],
+            token_budget=9,
+            evidence_per_entity=3,
+        ).collect()
+        # seed 'alpha' ranks first; its first 3 chunks by id are
+        # k1(5) k2(3) k3(2): cum 5, 8, 10 -> k3 breaks the budget
+        assert [(r["pos"], r["chunk_id"], r["cum_tokens"]) for r in rows] == [
+            (1, "k1", 5),
+            (2, "k2", 8),
+        ]
+        assert all(r["id"] == a for r in rows)
+
+    def test_per_entity_evidence_cap(self, spark):
+        und, mentions, chunks, (a, b, c) = self._fixture(spark)
+        rows = queries.context_pack(
+            und,
+            mentions,
+            chunks,
+            terms=["alpha"],
+            token_budget=10_000,
+            evidence_per_entity=2,
+        ).collect()
+        per = {}
+        for r in rows:
+            per[r["id"]] = per.get(r["id"], 0) + 1
+        # alpha has 4 mentioning chunks but contributes only 2
+        assert per[a] == 2
+        # positions are contiguous prompt order and cum is a prefix sum
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+
+    def test_seed_entity_ranks_first(self, spark):
+        und, mentions, chunks, (a, b, c) = self._fixture(spark)
+        rows = queries.context_pack(
+            und, mentions, chunks, terms=["alpha"], token_budget=10_000
+        ).collect()
+        assert rows[0]["id"] == a
+
+
 class TestEmbeddingNeighbors:
     def _emb(self, spark, vecs):
         rows = [(i, j, float(v)) for i, vec in vecs.items() for j, v in enumerate(vec)]
