@@ -31,6 +31,8 @@ the same graph):
 * ``GET /v1/search/local?q=``               -> local search: entity-link the query
                                                text, personalized-PageRank expansion,
                                                mention stats per result
+* ``GET /v1/search/context?q=[&budget=&top=&per=]`` -> token-budgeted context
+  assembly: the prompt rows, in prompt order, with the running budget
 * ``GET /v1/search/drift?q=``               -> DRIFT search: global community ranking
                                                picks the winner, PPR re-seeded at its
                                                matched members drills in
@@ -330,6 +332,57 @@ class GraphApiService:
             ],
         }
 
+    def context_pack(
+        self,
+        query: str,
+        token_budget: int = 150,
+        top_entities: int = 10,
+        evidence_per_entity: int = 3,
+    ) -> dict:
+        """Token-budgeted context assembly over the live graph: the
+        rows an LLM prompt builder concatenates, in prompt order, with
+        the running budget — queries.context_pack over the stored
+        Chunk-node text (no page re-scan)."""
+        if self.mentions is None:
+            raise KeyError("context pack requires a mentions table")
+        from ..functions.purecore import extract_concepts
+
+        linked = extract_concepts(query)
+        if not linked:
+            return {"query": query, "linkedEntities": [], "context": []}
+        chunks = self.nodes.where(F.col("label") == "Chunk").select(
+            F.col("id").alias("chunk_id"), "text"
+        )
+        rows = q.context_pack(
+            self._concept_und(),
+            self.mentions,
+            chunks,
+            terms=[c.lemma for c in linked],
+            token_budget=token_budget,
+            top_entities=top_entities,
+            evidence_per_entity=evidence_per_entity,
+        ).collect()
+        return {
+            "query": query,
+            "tokenBudget": token_budget,
+            "linkedEntities": [
+                {"conceptId": c.concept_id, "lemma": c.lemma, "surface": c.surface}
+                for c in linked
+            ],
+            "context": [
+                {
+                    "pos": r["pos"],
+                    "conceptId": r["id"],
+                    "chunkId": r["chunk_id"],
+                    "rank": float(r["rank"]),
+                    "tokens": r["n_tokens"],
+                    "cumTokens": r["cum_tokens"],
+                    "snippet": r["snippet"],
+                }
+                for r in rows
+            ],
+        }
+
     def drift_search(self, query: str, top_k: int = 20) -> dict:
         """GraphRAG DRIFT search over the live graph: entity-link the
         query text, rank communities by the strongest linked lemma
@@ -624,6 +677,23 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                             200,
                             service.drift_search(
                                 qs["q"], top_k=int(qs.get("top", "20"))
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
+                if path == "/v1/search/context":
+                    if not qs.get("q"):
+                        return self._error(
+                            400, "BAD_REQUEST", "missing required parameter: q"
+                        )
+                    try:
+                        return self._send(
+                            200,
+                            service.context_pack(
+                                qs["q"],
+                                token_budget=int(qs.get("budget", "150")),
+                                top_entities=int(qs.get("top", "10")),
+                                evidence_per_entity=int(qs.get("per", "3")),
                             ),
                         )
                     except KeyError as e:

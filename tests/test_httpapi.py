@@ -274,6 +274,31 @@ def test_local_search_no_link_and_missing_q(server):
     assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
 
 
+def test_context_pack_route(server):
+    base, _ = server
+    status, body = _get_raw(
+        base, "/v1/search/context?q=How%20does%20Apache%20Spark%20work&budget=60"
+    )
+    assert status == 200 and body["success"] is True
+    data = body["data"]
+    assert data["tokenBudget"] == 60
+    assert any(e["lemma"] == "apache_spark" for e in data["linkedEntities"])
+    ctx = data["context"]
+    assert ctx, "budget 60 should admit at least one snippet"
+    cum = 0
+    for i, row in enumerate(ctx, 1):
+        assert row["pos"] == i
+        cum += row["tokens"]
+        assert row["cumTokens"] == cum and cum <= 60
+        assert row["snippet"] and row["conceptId"] and row["chunkId"]
+    # missing q -> 400
+    status, body = _get_raw(base, "/v1/search/context")
+    assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
+    # unlinkable query -> empty context
+    status, body = _get_raw(base, "/v1/search/context?q=zzz%20qqq")
+    assert status == 200 and body["data"]["context"] == []
+
+
 def test_graph_stats(server):
     base, _ = server
     status, body = _get_raw(base, "/v1/graph/stats")
