@@ -1700,6 +1700,29 @@ def q_kg_fastrp_neighbors(spark, sf_dir):
     return q.embedding_neighbors(emb, seed_ids=_ppr_seeds(), top_k=5)
 
 
+_PATH_DST_LEMMA = "the_new_york_window"  # multi-hop from apache_spark at sf0.01
+
+
+def q_kg_path_between(spark, sf_dir):
+    """Shortest weighted path WITH reconstruction from the flagship
+    seed concept to a peripheral concept (weight 1/freq) — the
+    relationship-explanation witness a GraphRAG answer cites, not
+    just the distance.  Empty when unreachable within 6 hops (the
+    sf0.001 corpus doesn't connect them; sf0.01 yields a 3-node
+    witness)."""
+    import hashlib
+
+    pf = q_kg_pair_freq(spark, sf_dir)
+    w = (F.lit(1.0) / F.col("freq")).alias("w")
+    wund = pf.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id"), w
+    ).unionByName(
+        pf.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"), w)
+    )
+    dst = hashlib.sha256(_PATH_DST_LEMMA.encode()).hexdigest()[:16]
+    return q.shortest_path_between(wund, src=_ppr_seeds()[0], dst=dst, iters=6)
+
+
 def q_kg_context_pack(spark, sf_dir):
     """GraphRAG last mile: token-budgeted context assembly — entity
     link + PPR pick the top-10 entities, each contributes <=3 evidence
@@ -2024,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_zscore_outliers": q_rel_zscore_outliers,
         "kg_fastrp_neighbors": q_kg_fastrp_neighbors,
         "kg_context_pack": q_kg_context_pack,
+        "kg_path_between": q_kg_path_between,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2608,6 +2632,39 @@ ord AS (SELECT ROW_NUMBER() OVER (ORDER BY p.rank DESC, t.id, t.chunk_id) AS pos
 SELECT CAST(pos AS INT) AS pos, id, chunk_id, rank, n_tokens,
        CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet
 FROM ord WHERE cum_tokens <= 150 ORDER BY pos""",
+        "kg_path_between": f"""WITH {PAIRS_CTE},
+pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS freq FROM pairs GROUP BY a_id, b_id),
+wund AS MATERIALIZED (SELECT a_id AS cid, b_id AS nbr_id, 1.0 / freq AS w FROM pf
+         UNION ALL SELECT b_id, a_id, 1.0 / freq FROM pf),
+pd0 AS (SELECT substr(sha256('apache_spark'), 1, 16) AS id, 0.0 AS dist,
+               CAST(NULL AS VARCHAR) AS pred)"""
+        + "".join(
+            f""",
+pd{k} AS MATERIALIZED (SELECT id, dist, pred FROM (
+  SELECT id, dist, pred,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, pred NULLS FIRST) AS rn
+  FROM (SELECT id, dist, pred FROM pd{k - 1}
+        UNION ALL
+        SELECT w.nbr_id, d.dist + w.w, d.id FROM pd{k - 1} d JOIN wund w ON w.cid = d.id)
+) WHERE rn = 1)"""
+            for k in range(1, 7)
+        )
+        + """,
+pw0 AS (SELECT id, dist, pred FROM pd6
+        WHERE id = substr(sha256('the_new_york_window'), 1, 16))"""
+        + "".join(
+            f""",
+pw{k} AS (SELECT d.id, d.dist, d.pred FROM pd6 d JOIN pw{k - 1} p ON d.id = p.pred)"""
+            for k in range(1, 7)
+        )
+        + """,
+pall AS (SELECT DISTINCT id, dist FROM (
+  SELECT id, dist FROM pw0"""
+        + "".join(f" UNION ALL SELECT id, dist FROM pw{k}" for k in range(1, 7))
+        + """))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist) - 1 AS INT) AS step, id,
+       ROUND(dist, 6) AS dist
+FROM pall ORDER BY step""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

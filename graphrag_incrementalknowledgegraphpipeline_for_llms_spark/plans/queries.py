@@ -384,6 +384,86 @@ def local_search(
     )
 
 
+def shortest_path_between(
+    wund: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Shortest weighted path BETWEEN two concepts, with the actual
+    path reconstructed — the "how are X and Y related?" explainability
+    surface a GraphRAG answer cites (:func:`shortest_paths` gives the
+    distance field; this returns the witness).  Bellman-Ford with a
+    predecessor column: each round relaxes every edge out of the
+    reached set and keeps, per node, the lexicographic minimum of
+    (dist, pred) — positive weights make the path dist-increasing, so
+    (dist, pred) is a total order and the witness is deterministic
+    (equal-length paths resolve to the smallest predecessor id; a
+    1-ulp float tie cannot flip engines because both compute each
+    path's dist by the same left-to-right addition sequence, so the
+    candidate (dist, pred) SETS are identical).  Returns (step, id,
+    dist) from src (step 0) to dst, empty if dst is unreachable within
+    ``iters`` edges.
+
+    Scale shape: the relaxation is :func:`shortest_paths` plus one
+    narrow pred column (argmin per node via a keyed window instead of
+    a min-agg); the walk-back joins a ONE-row frontier against the
+    final distance relation ``iters`` times — broadcast joins of a
+    single row, never a collect of the distance field."""
+    sc = wund.sparkSession.sparkContext
+    wund = (
+        wund.select("cid", "nbr_id", F.col("w").cast("double").alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = wund.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    wund = wund.coalesce(parts)
+    spark = wund.sparkSession
+    dist = spark.createDataFrame(
+        [(src, 0.0, None)], "id string, dist double, pred string"
+    )
+    argmin = Window.partitionBy("id").orderBy(
+        F.col("dist").asc(), F.col("pred").asc_nulls_first()
+    )
+    for k in range(1, iters + 1):
+        cand = (
+            dist.join(wund, dist["id"] == wund["cid"])
+            .select(
+                F.col("nbr_id").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                dist["id"].alias("pred"),
+            )
+        )
+        dist = (
+            dist.unionByName(cand)
+            .withColumn("_rn", F.row_number().over(argmin))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if k % checkpoint_every == 0 or k == iters:
+            dist = dist.coalesce(parts).localCheckpoint(eager=True)
+    frontier = dist.where(F.col("id") == dst)
+    path = frontier
+    for _ in range(iters):
+        want = F.broadcast(
+            frontier.where(F.col("pred").isNotNull()).select(
+                F.col("pred").alias("_want")
+            )
+        )
+        frontier = dist.join(want, dist["id"] == F.col("_want")).select(
+            "id", "dist", "pred"
+        )
+        path = path.unionByName(frontier)
+    step = F.row_number().over(Window.orderBy(F.col("dist").asc())) - 1
+    return (
+        path.distinct()
+        .select(step.alias("step"), "id", F.round("dist", 6).alias("dist"))
+        .orderBy("step")
+    )
+
+
 def context_pack(
     und: DataFrame,
     mentions: DataFrame,

@@ -985,6 +985,48 @@ class TestLinkPrediction:
         assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
 
 
+class TestShortestPathBetween:
+    def _wund(self, spark, wedges):
+        sym = wedges + [(b, a, w) for a, b, w in wedges]
+        return spark.createDataFrame(sym, "cid string, nbr_id string, w double")
+
+    def test_reconstructs_cheaper_long_path(self, spark):
+        # direct a-e costs 10; a-b-c-e costs 3
+        wund = self._wund(
+            spark,
+            [("a", "e", 10.0), ("a", "b", 1.0), ("b", "c", 1.0), ("c", "e", 1.0)],
+        )
+        rows = queries.shortest_path_between(wund, "a", "e", iters=6).collect()
+        assert [(r["step"], r["id"], r["dist"]) for r in rows] == [
+            (0, "a", 0.0),
+            (1, "b", 1.0),
+            (2, "c", 2.0),
+            (3, "e", 3.0),
+        ]
+
+    def test_equal_length_paths_pick_smallest_pred(self, spark):
+        # two 2-hop paths a-m1-z and a-m2-z with identical weights:
+        # the witness must deterministically route through m1
+        wund = self._wund(
+            spark,
+            [("a", "m1", 1.0), ("a", "m2", 1.0), ("m1", "z", 1.0), ("m2", "z", 1.0)],
+        )
+        rows = queries.shortest_path_between(wund, "a", "z", iters=4).collect()
+        assert [r["id"] for r in rows] == ["a", "m1", "z"]
+
+    def test_unreachable_is_empty(self, spark):
+        wund = self._wund(spark, [("a", "b", 1.0), ("x", "y", 1.0)])
+        assert queries.shortest_path_between(wund, "a", "y", iters=6).count() == 0
+
+    def test_hop_budget_respected(self, spark):
+        # z is 3 hops away; iters=2 cannot reach it
+        wund = self._wund(
+            spark, [("a", "b", 1.0), ("b", "c", 1.0), ("c", "z", 1.0)]
+        )
+        assert queries.shortest_path_between(wund, "a", "z", iters=2).count() == 0
+        assert queries.shortest_path_between(wund, "a", "z", iters=3).count() == 4
+
+
 class TestContextPack:
     def _fixture(self, spark):
         from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions.purecore import concept_id
