@@ -1753,6 +1753,36 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_rel_pivot(spark, sf_dir):
+    """Per-user feature-matrix export: pivot the event stream into one
+    row per user with a count column per event type plus total events
+    and summed value — the wide table a downstream model trainer or
+    cohort tool consumes.  Expressed as conditional aggregates over an
+    EXPLICIT type list rather than `.pivot()`: deterministic schema,
+    and ONE hash aggregate instead of pivot's aggregate + a second
+    totals aggregate + a join (Spark's implicit pivot also adds a
+    distinct-scan job and orders columns by observed data)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1)))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in _PIVOT_TYPES
+    ]
+    return (
+        e.groupBy("user_id")
+        .agg(
+            *counts,
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_rel_retention(spark, sf_dir):
     """Weekly cohort retention triangle over the events table."""
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
@@ -2048,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fastrp_neighbors": q_kg_fastrp_neighbors,
         "kg_context_pack": q_kg_context_pack,
         "kg_path_between": q_kg_path_between,
+        "rel_pivot": q_rel_pivot,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2665,6 +2696,16 @@ pall AS (SELECT DISTINCT id, dist FROM (
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist) - 1 AS INT) AS step, id,
        ROUND(dist, 6) AS dist
 FROM pall ORDER BY step""",
+        "rel_pivot": """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,
