@@ -1723,6 +1723,14 @@ def q_kg_path_between(spark, sf_dir):
     return q.shortest_path_between(wund, src=_ppr_seeds()[0], dst=dst, iters=6)
 
 
+def q_kg_node_features(spark, sf_dir):
+    """Per-node feature matrix (degree, coreness, PageRank, LPA
+    community) over the co-occurrence graph — the tabular export a
+    node classifier / GNN trainer consumes; ties the graph-ML family
+    into one oracle-pinned table."""
+    return q.node_features(_kg_cooccur_und(spark, sf_dir))
+
+
 def q_kg_context_pack(spark, sf_dir):
     """GraphRAG last mile: token-budgeted context assembly — entity
     link + PPR pick the top-10 entities, each contributes <=3 evidence
@@ -2079,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_context_pack": q_kg_context_pack,
         "kg_path_between": q_kg_path_between,
         "rel_pivot": q_rel_pivot,
+        "kg_node_features": q_kg_node_features,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2584,6 +2593,24 @@ nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
 r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){_pr_iters}
 SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20"""
+
+    # node-feature matrix: reuses the pagerank prelude (und/nodes/nn/
+    # deg/r0..r10), the LPA chain (l0..l5) and the coreness chain
+    # (cv0..cv8) over ONE shared `und` — the same composition the
+    # Spark side performs off one materialized adjacency
+    _node_features_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT cid AS id FROM und),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){_pr_iters},
+{_lpa_cte("", "und")},
+cv0 AS (SELECT cid AS id, CAST(COUNT(*) AS BIGINT) AS val FROM und GROUP BY cid){_core_rounds}
+SELECT n.id, CAST(dg.deg AS BIGINT) AS degree, CAST(cv.val AS BIGINT) AS coreness,
+       ROUND(r.rank, 8) AS pagerank, l.label AS community
+FROM nodes n JOIN deg dg ON dg.cid = n.id JOIN cv8 cv ON cv.id = n.id
+JOIN r10 r ON r.id = n.id JOIN l5 l ON l.id = n.id
+ORDER BY n.id"""
     return {
         "kg_communities": _communities_sql,
         # incremental refresh is graded against the FULL-graph LPA —
@@ -2706,6 +2733,7 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id""",
+        "kg_node_features": _node_features_sql,
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

@@ -241,9 +241,12 @@ def pagerank_und(
         )
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             ranks = ranks.coalesce(parts).localCheckpoint(eager=True)
-    return ranks.select("id", F.round("rank", 8).alias("rank")).orderBy(
+    out = ranks.select("id", F.round("rank", 8).alias("rank")).orderBy(
         F.desc("rank"), "id"
-    ).limit(top_k)
+    )
+    # top_k=None returns the full rank field (feature exports); a huge
+    # top_k would silently turn the sort into a k-capped TakeOrdered
+    return out if top_k is None else out.limit(top_k)
 
 
 def personalized_pagerank(
@@ -381,6 +384,52 @@ def local_search(
         )
         .orderBy(F.desc("rank"), "id")
         .limit(top_k)
+    )
+
+
+def node_features(
+    und: DataFrame,
+    pr_iters: int = 10,
+    core_iters: int = 8,
+    lpa_iters: int = 5,
+) -> DataFrame:
+    """Per-node feature matrix for downstream node classification /
+    GNN training: degree, coreness (h-index iteration), PageRank, and
+    LPA community in one row per node — the tabular export that turns
+    the graph-ML family into model inputs, exactly like
+    :func:`q_rel_pivot` does for the event stream.  Returns
+    (id, degree, coreness, pagerank, community) ordered by id.
+
+    Scale shape: one adjacency materialization feeds all four
+    computations; each is its own oracle-pinned primitive
+    (:func:`pagerank_und` with ``top_k=None`` for the full field,
+    :func:`coreness`, :func:`label_propagation`), and the final
+    assembly is three hash equi-joins on the node id — at 10^12-doc
+    scale the joins co-partition on the same key, so AQE plans them
+    as one shuffle stage each with no resort."""
+    adj = (
+        und.select("cid", "nbr_id")
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("degree"))
+    pr = pagerank_und(adj, iters=pr_iters, top_k=None)
+    core = coreness(adj, iters=core_iters)
+    labels = label_propagation(adj, iters=lpa_iters)
+    return (
+        deg.select(F.col("cid").alias("id"), "degree")
+        .join(core, "id")
+        .join(pr, "id")
+        .join(labels, "id")
+        .select(
+            "id",
+            "degree",
+            "coreness",
+            F.col("rank").alias("pagerank"),
+            F.col("label").alias("community"),
+        )
+        .orderBy("id")
     )
 
 
@@ -1907,13 +1956,17 @@ def hits(
             hub = hub.coalesce(parts).localCheckpoint(eager=True)
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # end-of-iteration L2 norm: one bounded 1-row collect folded
+        # back as a literal (the BM25/textsearch scalar pattern) — a
+        # crossJoin of the 1-row agg plans as a nested-loop join and
+        # re-executes the filled subtree for the second consumer
         filled = nodes.join(raw, "id", "left").select(
             "id", F.coalesce(F.col(col), F.lit(0.0)).alias("raw")
         )
-        nrm = filled.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
-        return filled.crossJoin(nrm).select(
-            "id", (F.col("raw") / F.col("nrm")).alias(col)
-        )
+        nrm = filled.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+        ).collect()[0]["nrm"]
+        return filled.select("id", (F.col("raw") / F.lit(nrm)).alias(col))
 
     auth = _normalize(auth, "a")
     hub = _normalize(hub, "h")

@@ -985,6 +985,31 @@ class TestLinkPrediction:
         assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
 
 
+class TestNodeFeatures:
+    def test_matches_component_queries(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+        und = _und_df(spark, edges)
+        feats = {r["id"]: r for r in queries.node_features(und).collect()}
+        deg = {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+        core = {
+            r["id"]: r["coreness"] for r in queries.coreness(und).collect()
+        }
+        pr = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(und, top_k=None).collect()
+        }
+        lab = {
+            r["id"]: r["label"]
+            for r in queries.label_propagation(und).collect()
+        }
+        assert set(feats) == set(deg)
+        for v, row in feats.items():
+            assert row["degree"] == deg[v]
+            assert row["coreness"] == core[v]
+            assert row["pagerank"] == pr[v]
+            assert row["community"] == lab[v]
+
+
 class TestShortestPathBetween:
     def _wund(self, spark, wedges):
         sym = wedges + [(b, a, w) for a, b, w in wedges]
