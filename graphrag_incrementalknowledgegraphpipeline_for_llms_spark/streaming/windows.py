@@ -103,3 +103,35 @@ def stream_static_enrich(
     the stream side stays narrow (no shuffle), which is what keeps
     enrichment viable at full ingest rate."""
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_url_dedup(
+    pages: DataFrame,
+    watermark_seconds: int = 3600,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming canonical-URL dedup for a live crawl feed: each page
+    is keyed by its CANONICAL url (functions/weburl.canonicalize_url —
+    case/www/port/tracking-params/param-order/fragment/slash all
+    collapse), and re-crawls of the same canonical page inside the
+    watermark are dropped.  The batch path keeps the LATEST crawl
+    (weburl.dedup_by_canonical_url); a stream cannot wait for "latest",
+    so the streaming contract is FIRST-sighting-wins within the state
+    window — the same bounded-state trade as :func:`stream_dedup`, and
+    safe for the same reason (the downstream graph MERGE is
+    idempotent; re-crawls with identical chunk ids collapse there).
+
+    Scale shape: dropDuplicatesWithinWatermark state is one narrow
+    (canonical_url, ts) entry per distinct page within the window —
+    the html payload is NOT in the state store; Spark keeps the
+    first-arriving ROW and stores only the key."""
+    from ..functions.weburl import canonicalize_url
+
+    return (
+        pages.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+        .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", f"{watermark_seconds} seconds")
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .drop("_ts")
+    )

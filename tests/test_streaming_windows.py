@@ -276,3 +276,67 @@ class TestStreamIntervalJoin:
         assert q.exception() is None
         pairs = sorted((r["user_id"], r["l_value"], r["r_value"]) for r in got)
         assert pairs == [(1, 100.0, 1.0), (2, 200.0, 3.0)]
+
+
+class TestStreamUrlDedup:
+    def test_canonical_spellings_collapse_across_batches(self, spark, tmp_path):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.streaming import (
+            windows as sw,
+        )
+
+        src = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        schema = "url string, warc_ts timestamp, text string"
+        emitted = []
+
+        def sink(batch_df, _epoch):
+            emitted.extend(batch_df.collect())
+
+        phases = [
+            (
+                "b1.parquet",
+                [
+                    ("https://example.com/a?utm_source=x", _utc("2024-01-01 10:00:00"), "first"),
+                    ("https://WWW.example.com/a", _utc("2024-01-01 10:00:05"), "respelled dup"),
+                    ("https://example.com/b", _utc("2024-01-01 10:00:10"), "other"),
+                ],
+            ),
+            (
+                "b2.parquet",
+                [
+                    ("https://example.com/a/", _utc("2024-01-01 10:00:20"), "recrawl dup"),
+                    ("https://example.com/c", _utc("2024-01-01 10:00:30"), "new"),
+                ],
+            ),
+        ]
+        for i, (fname, rows) in enumerate(phases):
+            # flat parquet FILE (the file source does not recurse)
+            import glob
+            import shutil
+
+            stage = os.path.join(str(tmp_path), f"stage_{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.copyfile(part, os.path.join(src, fname))
+            shutil.rmtree(stage)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                sw.stream_url_dedup(stream, watermark_seconds=3600)
+                .writeStream.foreachBatch(sink)
+                .queryName(f"urldedup_t_{i}")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            assert q.exception() is None
+        got = sorted((r["canonical_url"], r["text"]) for r in emitted)
+        assert got == [
+            ("https://example.com/a", "first"),
+            ("https://example.com/b", "other"),
+            ("https://example.com/c", "new"),
+        ]
