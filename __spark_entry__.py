@@ -1419,6 +1419,15 @@ def q_sim_bruteforce_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, list(qv), k=10)
 
 
+def q_sim_quantized_topk(spark, sf_dir):
+    """int8-quantized brute-force cosine top-10 (4x smaller scans; the
+    per-vector scales cancel, so the score is an integer dot over
+    integer norms — bit-identical across engines by construction)."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.quantized_topk(emb, list(qv), k=10)
+
+
 def q_txt_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     feats = tf.quality_features(F.col("text"))
@@ -2088,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_between": q_kg_path_between,
         "rel_pivot": q_rel_pivot,
         "kg_node_features": q_kg_node_features,
+        "sim_quantized_topk": q_sim_quantized_topk,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2734,6 +2744,25 @@ SELECT user_id,
        ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id""",
         "kg_node_features": _node_features_sql,
+        # int8 quantization twin: trunc() (toward zero, = Spark's int
+        # cast) — DuckDB's bare CAST rounds, so it must NOT be used here
+        "sim_quantized_topk": """
+WITH qd AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT v, CASE WHEN m = 0 THEN 1.0 ELSE m END AS sc
+       FROM (SELECT v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS m FROM qd)),
+qq AS (SELECT list_transform(v, x -> CAST(trunc(x / sc) AS BIGINT)) AS qv FROM qs),
+cd AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cs AS (SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m END AS sc
+       FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS m FROM cd)),
+cq AS (SELECT vec_id, list_transform(v, x -> CAST(trunc(x / sc) AS BIGINT)) AS qv FROM cs),
+sc2 AS (SELECT c.vec_id,
+               list_sum(list_transform(list_zip(c.qv, q.qv), p -> p[1] * p[2])) AS dot,
+               sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)) AS cn,
+               sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE)) AS qn
+        FROM cq c CROSS JOIN qq q)
+SELECT vec_id, ROUND(dot / (cn * qn), 6) AS qcosine
+FROM sc2 ORDER BY qcosine DESC, vec_id LIMIT 10""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

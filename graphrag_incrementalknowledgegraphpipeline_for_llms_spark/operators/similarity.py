@@ -369,3 +369,92 @@ def embedding_near_dups(
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"), sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale =
+    max(|x|)/127``, ``q_i = trunc(x_i / scale)`` (toward zero — the
+    one rounding rule Spark's int cast and DuckDB's trunc() share).
+    Returns (id, qv array<int>, scale).  At 100 TB this is the
+    difference between holding embeddings in memory and not: 4x
+    smaller than float32, and the quantized cosine needs NO
+    dequantization (scales cancel — see :func:`quantized_topk`).
+
+    Staged selects on purpose: ``scale`` is referenced by every lane
+    of the quantize transform, and a multiply-referenced non-cheap
+    alias co-defined in its consuming select gets re-expanded per
+    consumer by projection collapse (the measured minhash pathology) —
+    each derived level lives in its own select."""
+    xd = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    sc0 = xd.select(
+        id_col,
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias("m"),
+    )
+    sc = sc0.select(
+        id_col,
+        "v",
+        F.when(F.col("m") == 0, F.lit(1.0)).otherwise(F.col("m")).alias("scale"),
+    )
+    return sc.select(
+        id_col,
+        F.transform(F.col("v"), lambda x: (x / F.col("scale")).cast("int")).alias(
+            "qv"
+        ),
+        "scale",
+    )
+
+
+def _py_quantize_int8(vec) -> list[int]:
+    """Driver-side twin of :func:`quantize_int8` for literal query
+    vectors — same double math, same toward-zero truncation."""
+    v = [float(x) for x in vec]
+    m = max((abs(x) for x in v), default=0.0) / 127.0
+    s = 1.0 if m == 0 else m
+    return [int(x / s) for x in v]
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by cosine over int8-quantized vectors — the
+    memory-bound scale path for brute-force similarity (4x smaller
+    scans than :func:`brute_force_topk`; SRP/IVF bucket the CANDIDATE
+    set, this shrinks the BYTES).  The per-vector scales cancel in the
+    cosine, so the score is ``dot(qa, qb) / (||qa|| * ||qb||)`` — pure
+    INTEGER dot and norms divided once, which is bit-identical across
+    engines by construction (no float accumulation order anywhere).
+    Returns (vec_id, qcosine) ranked desc with id tie-break."""
+    q = _py_quantize_int8(query)
+    qn = sum(x * x for x in q) ** 0.5
+    qarr = F.array(*[F.lit(int(x)) for x in q])
+    qd = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), qarr, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    score = F.round(dot / (nrm * F.lit(float(qn))), 6)
+    return (
+        qd.select(F.col(id_col).alias("vec_id"), score.alias("qcosine"))
+        .orderBy(F.desc("qcosine"), "vec_id")
+        .limit(k)
+    )

@@ -441,3 +441,40 @@ class TestDupClusters:
             assert comp[p["a_id"]] == comp[p["b_id"]]
         # the exact/norm dup family {1, 2, 3} is one cluster
         assert comp[1] == comp[2] == comp[3] == 1
+
+
+class TestQuantizedTopk:
+    def test_spark_quantizer_matches_python_twin(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = similarity.quantize_int8(emb).orderBy("vec_id").limit(20).collect()
+        src = {
+            r["vec_id"]: list(r["embedding"])
+            for r in emb.orderBy("vec_id").limit(20).collect()
+        }
+        for r in rows:
+            assert list(r["qv"]) == similarity._py_quantize_int8(src[r["vec_id"]])
+            assert all(-127 <= x <= 127 for x in r["qv"])
+
+    def test_exact_on_axis_vectors(self, spark, vecs):
+        got = similarity.quantized_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        # identical vector quantizes identically -> qcosine exactly 1.0
+        assert got[0]["vec_id"] == 0 and got[0]["qcosine"] == 1.0
+        # orthogonal vectors stay orthogonal after quantization
+        assert [r["vec_id"] for r in got][:2] == [0, 1]
+
+    def test_recall_vs_exact_on_real_embeddings(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+        quant = [r["vec_id"] for r in similarity.quantized_topk(emb, q, k=10).collect()]
+        # int8 keeps ~2 decimal digits of the cosine: top-10 overlap
+        # must be high and the self-match exact
+        assert quant[0] == exact[0] == 0
+        assert len(set(exact) & set(quant)) >= 8
+
+    def test_zero_vector_is_safe(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        rows = similarity.quantize_int8(df).orderBy("vec_id").collect()
+        assert list(rows[0]["qv"]) == [0, 0] and rows[0]["scale"] == 1.0
