@@ -184,10 +184,24 @@ def pagerank_und(
     top_k: int = 20,
     weight_col: str | None = None,
     checkpoint_every: int = 3,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Power iteration over an undirected (cid, nbr_id) edge view —
     the engine behind :func:`concept_pagerank`, reusable for any
     pre-built adjacency (e.g. the co-occurrence pair table).
+
+    ``init``: optional (id, rank) warm-start vector — the INCREMENTAL
+    mode.  After a small graph delta, restarting from the previous
+    snapshot's scores converges in a fraction of the iterations a
+    cold uniform start needs (power iteration's error decays
+    geometrically from the starting distance, and yesterday's scores
+    are already close): pass the stored ranks and a small ``iters``.
+    Nodes absent from ``init`` (newly added) start at 1/n; stale
+    entries for deleted nodes are ignored (inner-join semantics via
+    the node-set left join).  The fixed-point is the same regardless
+    of the start, so warm output converges to the same scores the
+    full recompute produces — pinned by a numpy test and measured in
+    BENCH/BASELINE.md.
 
     The adjacency is materialized ONCE (localCheckpoint): every
     iteration's job replays the ranks lineage from its own checkpoint,
@@ -220,7 +234,15 @@ def pagerank_und(
     n = nodes_v.count()
     w_expr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     deg = und.groupBy("cid").agg(F.sum(w_expr).alias("deg"))
-    ranks = nodes_v.withColumn("rank", F.lit(1.0 / n))
+    if init is not None:
+        ranks = nodes_v.join(
+            init.select("id", F.col("rank").cast("double").alias("_r0")),
+            "id",
+            "left",
+        ).select("id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"))
+        ranks = ranks.coalesce(parts).localCheckpoint(eager=True)
+    else:
+        ranks = nodes_v.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
         contribs = (
             und.join(ranks.withColumnRenamed("id", "cid"), "cid")

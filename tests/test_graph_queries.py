@@ -985,6 +985,80 @@ class TestLinkPrediction:
         assert r["jaccard"] == round(1 / (2 + 2 - 1), 6)
 
 
+class TestWarmStartPagerank:
+    def _np_pr(self, edges, iters, init=None):
+        nodes = sorted({v for e in edges for v in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        sym = sorted(set(edges) | {(b, a) for a, b in edges})
+        deg = np.zeros(n)
+        for a, _ in sym:
+            deg[idx[a]] += 1
+        r = np.full(n, 1.0 / n)
+        if init:
+            for v, x in init.items():
+                if v in idx:
+                    r[idx[v]] = x
+        for _ in range(iters):
+            inflow = np.zeros(n)
+            for a, b in sym:
+                inflow[idx[b]] += r[idx[a]] / deg[idx[a]]
+            r = (1 - 0.85) / n + 0.85 * inflow
+        return {v: r[idx[v]] for v in nodes}
+
+    # skewed hub-and-spoke graph (6-hub ring, 8 leaves each): the
+    # stationary distribution is far from uniform, so a warm start
+    # from yesterday's scores has a real edge; the delta (one new
+    # leaf) is small relative to the graph — the incremental regime
+    EDGES_BASE = [(f"h{i}", f"h{(i + 1) % 6}") for i in range(6)] + [
+        (f"h{i}", f"l{i}_{j}") for i in range(6) for j in range(8)
+    ]
+    DELTA = [("h0", "lx_new")]
+
+    def test_warm_start_matches_numpy_and_beats_cold(self, spark):
+        prev = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(
+                _und_df(spark, self.EDGES_BASE), iters=10, top_k=None
+            ).collect()
+        }
+        new_edges = self.EDGES_BASE + self.DELTA
+        und2 = _und_df(spark, new_edges)
+        init = spark.createDataFrame(list(prev.items()), "id string, rank double")
+        warm = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(
+                und2, iters=3, top_k=None, init=init
+            ).collect()
+        }
+        # exact parity with the numpy replay of the same warm start
+        np_warm = self._np_pr(new_edges, 3, init=prev)
+        for v, x in np_warm.items():
+            assert abs(warm[v] - round(x, 8)) < 1e-8, v
+        # warm 3 iters is closer to the converged field than cold 3
+        ref = self._np_pr(new_edges, 50)
+        cold3 = self._np_pr(new_edges, 3)
+        err_warm = sum(abs(np_warm[v] - ref[v]) for v in ref)
+        err_cold = sum(abs(cold3[v] - ref[v]) for v in ref)
+        assert err_warm < err_cold / 3
+        assert err_warm < 0.05
+
+    def test_new_nodes_default_to_uniform(self, spark):
+        und = _und_df(spark, self.EDGES_BASE + self.DELTA)
+        empty_init = spark.createDataFrame([], "id string, rank double")
+        warm0 = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(
+                und, iters=5, top_k=None, init=empty_init
+            ).collect()
+        }
+        cold = {
+            r["id"]: r["rank"]
+            for r in queries.pagerank_und(und, iters=5, top_k=None).collect()
+        }
+        assert warm0 == cold
+
+
 class TestNodeFeatures:
     def test_matches_component_queries(self, spark):
         edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
