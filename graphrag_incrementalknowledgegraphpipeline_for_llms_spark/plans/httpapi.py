@@ -36,6 +36,8 @@ the same graph):
 * ``GET /v1/search/drift?q=``               -> DRIFT search: global community ranking
                                                picks the winner, PPR re-seeded at its
                                                matched members drills in
+* ``GET /v1/graph/features[?top=]``         -> per-node feature matrix (degree,
+  coreness, PageRank, community), PageRank-desc capped
 * ``GET /v1/graph/stats``                   -> one-row structural summary (degrees,
                                                density, triangles, clustering)
 
@@ -327,6 +329,32 @@ class GraphApiService:
                     "rank": float(r["rank"]),
                     "mentionCount": r["n_mentions"],
                     "chunkCount": r["n_chunks"],
+                }
+                for r in rows
+            ],
+        }
+
+    def graph_features(self, top: int = 50) -> dict:
+        """Per-node feature matrix (degree, coreness, PageRank, LPA
+        community) over the live concept graph — the node-classifier
+        export surfaced for inspection; rows capped at ``top`` by
+        PageRank desc for the HTTP payload (the full relation is the
+        library/driver surface, queries.node_features)."""
+        rows = (
+            q.node_features(self._concept_und())
+            .orderBy(F.desc("pagerank"), "id")
+            .limit(top)
+            .collect()
+        )
+        return {
+            "top": top,
+            "features": [
+                {
+                    "conceptId": r["id"],
+                    "degree": r["degree"],
+                    "coreness": r["coreness"],
+                    "pagerank": float(r["pagerank"]),
+                    "community": r["community"],
                 }
                 for r in rows
             ],
@@ -653,6 +681,11 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
                 if path == "/v1/graph/stats":
                     return self._send(200, service.graph_stats())
+                if path == "/v1/graph/features":
+                    return self._send(
+                        200,
+                        service.graph_features(top=int(qs.get("top", "50"))),
+                    )
                 if path == "/v1/search/local":
                     if not qs.get("q"):
                         return self._error(

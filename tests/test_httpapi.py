@@ -299,6 +299,21 @@ def test_context_pack_route(server):
     assert status == 200 and body["data"]["context"] == []
 
 
+def test_graph_features_route(server):
+    base, _ = server
+    status, body = _get_raw(base, "/v1/graph/features?top=5")
+    assert status == 200 and body["success"] is True
+    feats = body["data"]["features"]
+    assert feats and len(feats) <= 5
+    # PageRank-desc ordering and well-formed rows
+    pr = [f["pagerank"] for f in feats]
+    assert pr == sorted(pr, reverse=True)
+    for f in feats:
+        assert f["conceptId"] and f["degree"] >= 1
+        assert 1 <= f["coreness"] <= f["degree"]
+        assert f["community"]
+
+
 def test_graph_stats(server):
     base, _ = server
     status, body = _get_raw(base, "/v1/graph/stats")
