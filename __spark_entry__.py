@@ -2519,15 +2519,19 @@ n2c{t} AS MATERIALIZED (
   LEFT JOIN n2eset e ON e.ea = LEAST(u.nbr_id, f.prev)
                     AND e.eb = GREATEST(u.nbr_id, f.prev)),
 n2s{t} AS MATERIALIZED (
-  SELECT walk_id, cur, nbr, w,
+  SELECT walk_id, cur, nbr,
          SUM(w) OVER (PARTITION BY walk_id ORDER BY nbr ROWS UNBOUNDED PRECEDING) AS cumw,
          SUM(w) OVER (PARTITION BY walk_id) AS tot,
          md5('42|' || walk_id || '|{t}') AS h
   FROM n2c{t}),
+n2b{t} AS MATERIALIZED (
+  SELECT walk_id, cur, nbr, cumw, tot, h,
+         LAG(cumw, 1, 0.0) OVER (PARTITION BY walk_id ORDER BY nbr) AS lo
+  FROM n2s{t}),
 n2f{t} AS MATERIALIZED (
-  SELECT walk_id, cur AS prev, nbr AS cur FROM n2s{t}
+  SELECT walk_id, cur AS prev, nbr AS cur FROM n2b{t}
   WHERE cumw > (({h}) / 4294967296.0) * tot
-    AND cumw - w <= (({h}) / 4294967296.0) * tot)"""
+    AND lo <= (({h}) / 4294967296.0) * tot)"""
 
     _n2v_sql = (
         f"""WITH {PAIRS_CTE},
@@ -2682,7 +2686,8 @@ ORDER BY event_id""",
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},
-prt AS (SELECT id, ROUND(rank, 8) AS rank FROM pr10 ORDER BY rank DESC, id LIMIT 10),
+prt AS (SELECT id, ROUND(rank, 8) AS rank FROM pr10 WHERE rank > 0
+        ORDER BY rank DESC, id LIMIT 10),
 evd AS (SELECT DISTINCT m.concept_id AS id, m.chunk_id FROM mentions m JOIN prt p ON p.id = m.concept_id),
 evr AS (SELECT id, chunk_id, ROW_NUMBER() OVER (PARTITION BY id ORDER BY chunk_id) AS erk FROM evd),
 sn AS (SELECT e.id, e.chunk_id, substr(s.text, 1, 200) AS snippet
@@ -2762,7 +2767,7 @@ sc2 AS (SELECT c.vec_id,
                sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE)) AS qn
         FROM cq c CROSS JOIN qq q)
 SELECT vec_id, ROUND(dot / (cn * qn), 6) AS qcosine
-FROM sc2 ORDER BY qcosine DESC, vec_id LIMIT 10""",
+FROM sc2 WHERE cn > 0 ORDER BY qcosine DESC, vec_id LIMIT 10""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,

@@ -99,8 +99,17 @@ def dedup_by_canonical_url(
     row plus ``canonical_url`` and ``n_dups`` (group size).
 
     Winner election shuffles only (canonical_url, ts, url); the
-    winner's payload columns are fetched by an equi-join back against
-    the canonicalized input on the full winner key."""
+    winner's payload columns are fetched by a null-safe equi-join back
+    against the canonicalized input on the full winner key.  Rows that
+    TIE on the winner key (re-exported crawl dumps repeat identical
+    (url, ts) records, sometimes with differing payload bytes) are
+    broken by a content hash so exactly one row per canonical URL
+    survives, deterministically — the residual window runs only over
+    winner-key-matching rows (one per group plus ties), never the
+    corpus."""
+    from pyspark.sql import Window
+
+    in_cols = list(df.columns)
     canon = df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
     winners = canon.groupBy("canonical_url").agg(
         F.max(F.struct(F.col(ts_col).alias("ts"), F.col(url_col).alias("u"))).alias(
@@ -114,13 +123,21 @@ def dedup_by_canonical_url(
         F.col("w.u").alias("__win_url"),
         "n_dups",
     )
-    return (
+    joined = (
         canon.join(
             winners,
             (canon["canonical_url"] == winners["canonical_url"])
-            & (canon[ts_col] == winners["__win_ts"])
+            & canon[ts_col].eqNullSafe(winners["__win_ts"])
             & (canon[url_col] == winners["__win_url"]),
         )
         .drop(winners["canonical_url"])
         .drop("__win_ts", "__win_url")
+    )
+    tie = Window.partitionBy("canonical_url").orderBy(
+        F.desc(F.xxhash64(F.struct(*[F.col(c) for c in in_cols])))
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(tie))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

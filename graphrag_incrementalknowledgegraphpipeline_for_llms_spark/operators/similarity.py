@@ -438,8 +438,14 @@ def quantized_topk(
     Returns (vec_id, qcosine) ranked desc with id tie-break."""
     q = _py_quantize_int8(query)
     qn = sum(x * x for x in q) ** 0.5
-    qarr = F.array(*[F.lit(int(x)) for x in q])
     qd = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    if qn == 0:
+        # an all-zero query has no cosine neighborhood; 0/0 would be
+        # NaN, which Spark sorts ABOVE every real score in desc order
+        return qd.select(
+            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("qcosine")
+        ).limit(0)
+    qarr = F.array(*[F.lit(int(x)) for x in q])
     dot = F.aggregate(
         F.zip_with(F.col("qv"), qarr, lambda a, b: (a * b).cast("long")),
         F.lit(0).cast("long"),
@@ -452,9 +458,23 @@ def quantized_topk(
             lambda acc, x: acc + x,
         ).cast("double")
     )
-    score = F.round(dot / (nrm * F.lit(float(qn))), 6)
+    # staged select: dot and nrm are each referenced downstream, and a
+    # multi-referenced aggregate alias co-defined in its consuming
+    # select re-expands per consumer (projection collapse)
+    staged = qd.select(
+        F.col(id_col).alias("vec_id"), dot.alias("_dot"), nrm.alias("_n")
+    )
     return (
-        qd.select(F.col(id_col).alias("vec_id"), score.alias("qcosine"))
+        # all-zero corpus vectors (nrm 0) are excluded, not ranked:
+        # their 0/0 score is NaN and Spark's desc sort puts NaN FIRST,
+        # which would displace a real neighbor from the top-k
+        staged.where(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.round(F.col("_dot") / (F.col("_n") * F.lit(float(qn))), 6).alias(
+                "qcosine"
+            ),
+        )
         .orderBy(F.desc("qcosine"), "vec_id")
         .limit(k)
     )

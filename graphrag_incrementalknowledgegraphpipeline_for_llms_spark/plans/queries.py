@@ -185,6 +185,7 @@ def pagerank_und(
     weight_col: str | None = None,
     checkpoint_every: int = 3,
     init: DataFrame | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Power iteration over an undirected (cid, nbr_id) edge view —
     the engine behind :func:`concept_pagerank`, reusable for any
@@ -226,7 +227,11 @@ def pagerank_und(
     weights (e.g. co-occurrence frequency); None = uniform."""
     sc = und.sparkSession.sparkContext
     wcols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
-    und = und.select(*wcols).distinct().localCheckpoint(eager=True)
+    und = und.select(*wcols)
+    if not prepared:
+        # prepared=True: caller already dedup'd + checkpointed the
+        # adjacency (node_features shares ONE materialization)
+        und = und.distinct().localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
@@ -436,9 +441,9 @@ def node_features(
         .localCheckpoint(eager=True)
     )
     deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("degree"))
-    pr = pagerank_und(adj, iters=pr_iters, top_k=None)
-    core = coreness(adj, iters=core_iters)
-    labels = label_propagation(adj, iters=lpa_iters)
+    pr = pagerank_und(adj, iters=pr_iters, top_k=None, prepared=True)
+    core = coreness(adj, iters=core_iters, prepared=True)
+    labels = label_propagation(adj, iters=lpa_iters, prepared=True)
     return (
         deg.select(F.col("cid").alias("id"), "degree")
         .join(core, "id")
@@ -653,6 +658,7 @@ def label_propagation(
     iters: int = 5,
     checkpoint_every: int = 2,
     weight_col: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over an
     undirected (cid, nbr_id) edge view: every node starts labeled with
@@ -693,9 +699,11 @@ def label_propagation(
     sc = und.sparkSession.sparkContext
     cols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
     und = und.select(*cols)
-    if not weight_col:
-        und = und.distinct()
-    und = und.localCheckpoint(eager=True)
+    if not prepared:
+        # prepared=True: caller already dedup'd + checkpointed
+        if not weight_col:
+            und = und.distinct()
+        und = und.localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
@@ -1277,12 +1285,13 @@ def node2vec_walks(
             16,
             10,
         ).cast("long")
-        scored = cand.select(
+        staged = cand.select(
             "walk_id",
             "cur",
             "nbr_id",
-            w.alias("w"),
-            F.sum(w).over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+            F.sum(w)
+            .over(win.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cumw"),
             F.sum(w)
             .over(Window.partitionBy("walk_id").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
@@ -1290,9 +1299,19 @@ def node2vec_walks(
             .alias("tot"),
             (u32 / F.lit(4294967296.0)).alias("u"),
         )
+        # the interval's LEFT boundary is the PREVIOUS row's cumsum
+        # (lag), NOT cumw - w: under non-dyadic p/q the float
+        # subtraction re-derives a slightly different boundary and
+        # adjacent intervals gap (the walk silently dies) or overlap
+        # (the walk forks); lag shares the exact same double on both
+        # sides of every boundary, so the intervals partition [0, tot)
+        # for ANY weights
+        scored = staged.withColumn(
+            "lo", F.lag("cumw", 1, 0.0).over(win)
+        )
         frontier = scored.where(
             (F.col("cumw") > F.col("u") * F.col("tot"))
-            & (F.col("cumw") - F.col("w") <= F.col("u") * F.col("tot"))
+            & (F.col("lo") <= F.col("u") * F.col("tot"))
         ).select("walk_id", F.col("cur").alias("prev"), F.col("nbr_id").alias("cur"))
         if t % 2 == 0 or t == walk_length:
             frontier = frontier.coalesce(parts).localCheckpoint(eager=True)
@@ -1482,7 +1501,7 @@ def neighbor_sample(
     return out.distinct().orderBy("root", "hop", "src", "dst")
 
 
-def coreness(und: DataFrame, iters: int = 8) -> DataFrame:
+def coreness(und: DataFrame, iters: int = 8, prepared: bool = False) -> DataFrame:
     """k-core decomposition by synchronous h-index iteration (Lü et
     al. 2016, "The H-index of a network node"): start every node at
     its degree, then repeatedly replace each node's value with the
@@ -1507,7 +1526,11 @@ def coreness(und: DataFrame, iters: int = 8) -> DataFrame:
     from pyspark.sql import Window
 
     sc = und.sparkSession.sparkContext
-    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    und = und.select("cid", "nbr_id")
+    if not prepared:
+        # prepared=True: caller already dedup'd + checkpointed the
+        # adjacency (node_features shares ONE materialization)
+        und = und.distinct().localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     vals = und.groupBy(F.col("cid").alias("id")).agg(
@@ -1643,6 +1666,40 @@ def global_search(
     )
 
 
+def _wedge_candidates(
+    und: DataFrame,
+    min_common: int,
+    max_degree: int | None,
+):
+    """Shared candidate stage of :func:`adamic_adar` and
+    :func:`link_prediction`: the distance-2 wedge self-join on the
+    shared middle (never all-pairs) with AA/RA partials aggregated
+    map-side, the canonical adjacent-pair set for the anti-join, and
+    the exact (uncapped) degree table.  Returns (cand, edges, deg)."""
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj.join(deg.withColumnRenamed("deg", "mdeg"), "cid")
+    if max_degree is not None:
+        mid = mid.where(F.col("mdeg") <= max_degree)
+    n1 = mid.select("cid", F.col("nbr_id").alias("a"), "mdeg")
+    n2 = mid.select("cid", F.col("nbr_id").alias("b"))
+    cand = (
+        n1.join(n2, "cid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("mdeg"))).alias("aa_raw"),
+            F.sum(F.lit(1.0) / F.col("mdeg")).alias("ra_raw"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    edges = adj.select(
+        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
+    ).distinct()
+    return cand, edges, deg
+
+
 def adamic_adar(
     und: DataFrame,
     top_k: int = 20,
@@ -1664,28 +1721,10 @@ def adamic_adar(
     removal is an anti-join on the canonical edge.  ``max_degree``
     bounds the C(d,2) wedge blowup of viral hubs — explicit, not a
     silent cap (hubs above it contribute to no candidate, which for
-    AA/RA is also the *least* informative evidence by construction)."""
-    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
-    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("mdeg"))
-    mid = adj.join(deg, "cid")
-    if max_degree is not None:
-        mid = mid.where(F.col("mdeg") <= max_degree)
-    n1 = mid.select("cid", F.col("nbr_id").alias("a"), "mdeg")
-    n2 = mid.select("cid", F.col("nbr_id").alias("b"))
-    cand = (
-        n1.join(n2, "cid")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.sum(F.lit(1.0) / F.log(F.col("mdeg"))).alias("aa_raw"),
-            F.sum(F.lit(1.0) / F.col("mdeg")).alias("ra_raw"),
-        )
-        .where(F.col("common") >= min_common)
-    )
-    edges = adj.select(
-        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
-    ).distinct()
+    AA/RA is also the *least* informative evidence by construction).
+    The candidate stage is shared with :func:`link_prediction`
+    (:func:`_wedge_candidates`) — this is its two-score projection."""
+    cand, edges, _ = _wedge_candidates(und, min_common, max_degree)
     return (
         cand.join(edges, ["a", "b"], "left_anti")
         .select(
@@ -1725,28 +1764,9 @@ def link_prediction(
     candidate set, so the two extra joins touch top-k-bound rows, not
     wedge rows.  ``max_degree`` caps the C(d,2) wedge blowup of viral
     hubs (middles only); endpoint degrees stay exact and uncapped so
-    jaccard/pa are true values, not artifacts of the cap."""
-    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
-    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
-    mid = adj.join(deg.withColumnRenamed("deg", "mdeg"), "cid")
-    if max_degree is not None:
-        mid = mid.where(F.col("mdeg") <= max_degree)
-    n1 = mid.select("cid", F.col("nbr_id").alias("a"), "mdeg")
-    n2 = mid.select("cid", F.col("nbr_id").alias("b"))
-    cand = (
-        n1.join(n2, "cid")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.sum(F.lit(1.0) / F.log(F.col("mdeg"))).alias("aa_raw"),
-            F.sum(F.lit(1.0) / F.col("mdeg")).alias("ra_raw"),
-        )
-        .where(F.col("common") >= min_common)
-    )
-    edges = adj.select(
-        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
-    ).distinct()
+    jaccard/pa are true values, not artifacts of the cap.  Candidate
+    stage shared with :func:`adamic_adar` (:func:`_wedge_candidates`)."""
+    cand, edges, deg = _wedge_candidates(und, min_common, max_degree)
     dega = deg.select(F.col("cid").alias("a"), F.col("deg").alias("deg_a"))
     degb = deg.select(F.col("cid").alias("b"), F.col("deg").alias("deg_b"))
     return (

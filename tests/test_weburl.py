@@ -112,6 +112,32 @@ class TestDedupByCanonicalUrl:
         # 'https://example.com/a/' > 'https://example.com/a' bytewise
         assert out[0]["body"] == "hi"
 
+    def test_exact_winner_key_ties_yield_one_row(self, spark):
+        # re-exported crawl dumps: same (url, ts) twice, payloads differ
+        t = self._ts("2025-01-01T00:00:00")
+        df = spark.createDataFrame(
+            [
+                ("https://example.com/a", t, "payload-1"),
+                ("https://example.com/a", t, "payload-2"),
+            ],
+            "url string, warc_ts timestamp, body string",
+        )
+        a = weburl.dedup_by_canonical_url(df.repartition(1)).collect()
+        b = weburl.dedup_by_canonical_url(df.repartition(8)).collect()
+        assert len(a) == len(b) == 1 and a[0]["n_dups"] == 2
+        # deterministic tie-break: same survivor at any partitioning
+        assert a[0]["body"] == b[0]["body"]
+
+    def test_all_null_ts_group_survives(self, spark):
+        df = spark.createDataFrame(
+            [("https://example.com/a", None, "x"), ("https://www.example.com/a", None, "y")],
+            "url string, warc_ts timestamp, body string",
+        )
+        out = weburl.dedup_by_canonical_url(df).collect()
+        assert len(out) == 1 and out[0]["n_dups"] == 2
+        # url tie-break still applies: bytewise-greatest raw url wins
+        assert out[0]["body"] == "y"
+
     def test_partitioning_independent(self, spark):
         rows = [
             (f"https://example.com/p/{i % 5}?utm_source={i}", self._ts("2025-01-01T00:00:00"))
