@@ -1732,6 +1732,26 @@ def q_kg_path_between(spark, sf_dir):
     return q.shortest_path_between(wund, src=_ppr_seeds()[0], dst=dst, iters=6)
 
 
+def q_kg_degree_distribution(spark, sf_dir):
+    """Log2-bucketed degree histogram of the concept graph — the
+    power-law / hub-tail diagnostic that sizes skew mitigations
+    (salting thresholds, wedge caps) before running them.  Bucket =
+    floor(log2(degree)); integer arithmetic end to end."""
+    und = _kg_cooccur_und(spark, sf_dir)
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("degree"))
+    bucket = F.floor(F.log2("degree")).cast("long")
+    return (
+        deg.groupBy(bucket.alias("log2_degree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("log2_degree")
+    )
+
+
 def q_kg_node_features(spark, sf_dir):
     """Per-node feature matrix (degree, coreness, PageRank, LPA
     community) over the co-occurrence graph — the tabular export a
@@ -2098,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": q_rel_pivot,
         "kg_node_features": q_kg_node_features,
         "sim_quantized_topk": q_sim_quantized_topk,
+        "kg_degree_distribution": q_kg_degree_distribution,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2768,6 +2789,14 @@ sc2 AS (SELECT c.vec_id,
         FROM cq c CROSS JOIN qq q)
 SELECT vec_id, ROUND(dot / (cn * qn), 6) AS qcosine
 FROM sc2 WHERE cn > 0 ORDER BY qcosine DESC, vec_id LIMIT 10""",
+        "kg_degree_distribution": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+deg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS degree FROM und WHERE cid <> nbr_id GROUP BY cid)
+SELECT CAST(floor(log2(degree)) AS BIGINT) AS log2_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY log2_degree ORDER BY log2_degree""",
         "kg_neighbor_sample": _sample_sql,
         "kg_coreness": _coreness_sql,
         "kg_skipgram_pairs": _skipgram_sql,
