@@ -7,10 +7,10 @@ compared with the same normalize-sort-hash discipline as
 ``tools/check_oracle.py`` (sorted columns, rounded floats, stringified
 objects, order-insensitive rows).  A demoted or newly-appended query
 therefore keeps a value-exact check even though the driver never sees
-it.  A beyond-window entry WITHOUT an oracle would only be tolerated
-for sim_ivf_topk (seeded numpy k-means init, not SQL-expressible;
-pinned by its own exact numpy pytest oracle) — currently it sits
-inside the graded window, so the rows-only list is empty and the
+it.  A beyond-window entry WITHOUT an oracle is only tolerated for
+sim_ivf_topk (seeded numpy k-means init, not SQL-expressible; pinned
+by its own exact numpy pytest oracle) — the round-5 rotation moved it
+to the contract tail so the graded window is 50/50 oracled, and the
 inventory test guards that any future unoracled addition fails loudly.
 """
 
