@@ -159,6 +159,14 @@ def main():
         "kg_local_search",
         "rel_range_join",
         "rel_sliding_window",
+        # round-5 additions: the round-4 flagship family, so regressions
+        # in it are visible to the driver's per-round BENCH record
+        "kg_node_features",
+        "kg_link_prediction",
+        "kg_hits",
+        "kg_context_pack",
+        "kg_node2vec",
+        "kg_path_between",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
@@ -175,6 +183,60 @@ def main():
         timings[name] = round(best, 3)
         timings[f"{name}_rows"] = n
 
+    # ---- composed quantized ANN over a MATERIALIZED index ----
+    # The contract entry builds the index inline (so DuckDB can replay
+    # it); the production shape builds once and queries many times.
+    # Report both halves so the amortized query cost is visible next
+    # to sim_bruteforce_topk (the float full-scan it must beat).
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qvec = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    qidx_path = os.path.join(REPO, ".cache", "bench_qidx")
+    shutil.rmtree(qidx_path, ignore_errors=True)
+    t0 = time.monotonic()
+    sim.build_quantized_index(emb, dim=64).write.partitionBy("band", "bucket").parquet(
+        qidx_path
+    )
+    timings["sim_quantized_ann_build"] = round(time.monotonic() - t0, 3)
+    qidx = spark.read.parquet(qidx_path)
+    best = None
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        n = sim.quantized_ann_topk(None, qvec, dim=64, k=10, index=qidx).count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    timings["sim_quantized_ann_query"] = round(best, 3)
+    timings["sim_quantized_ann_query_rows"] = n
+
+    # ---- sf1 headline pipeline draw (10x the default bench corpus):
+    # the 10x-replica protocol hides constant-factor drift; one real
+    # 80k-page draw per round catches it.  Reported as dedicated
+    # fields, NOT folded into the headline total, so round-over-round
+    # totals stay comparable.  Disable with SPARK_GRAFT_BENCH_SF1=0.
+    sf1 = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        n1 = N_PAGES * 10
+        pages1_path = os.path.join(REPO, ".cache", f"bench_pages_{n1}")
+        if not os.path.isdir(pages1_path):
+            datagen.write_pages_parquet(spark, pages1_path, n1, partitions=CPUS * 4)
+        pages1 = spark.read.parquet(pages1_path)
+        cat_path = os.path.join(REPO, ".cache", "bench_catalog_sf1")
+        shutil.rmtree(cat_path, ignore_errors=True)
+        t0 = time.monotonic()
+        res1 = pipeline.run_pipeline(
+            spark, pages1, ParquetCatalog(cat_path), extract_from_html=True
+        )
+        dt = time.monotonic() - t0
+        shutil.rmtree(cat_path, ignore_errors=True)
+        sf1 = {
+            "kg_pipeline_sf1_sec": round(dt, 3),
+            "kg_pipeline_sf1_pages": res1.pages,
+            "kg_docs_per_sec_sf1": round(res1.pages / dt, 2),
+        }
+
     total = round(sum(v for k, v in timings.items() if not k.endswith("_rows")), 3)
     out = {
         "metric": "total_bench_sec",
@@ -189,6 +251,7 @@ def main():
         "cpus": CPUS,
         "stage_ms": res.stage_ms,
         "pr": pr,
+        **sf1,
     }
     spark.stop()
     print(json.dumps(out))

@@ -435,15 +435,32 @@ def quantized_topk(
     cosine, so the score is ``dot(qa, qb) / (||qa|| * ||qb||)`` — pure
     INTEGER dot and norms divided once, which is bit-identical across
     engines by construction (no float accumulation order anywhere).
-    Returns (vec_id, qcosine) ranked desc with id tie-break."""
+    Returns (vec_id, qcosine) ranked desc with id tie-break.
+
+    This variant quantizes ON THE FLY (one float scan), so it only
+    pays off once the quantized table is MATERIALIZED — that composed
+    shape (build :func:`build_quantized_index` once, prune by the
+    query's SRP buckets, integer re-rank) is
+    :func:`quantized_ann_topk`."""
+    qd = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), "qv"
+    )
+    return _quantized_rerank(qd, query, k)
+
+
+def _quantized_rerank(qd: DataFrame, query: list[float], k: int) -> DataFrame:
+    """Shared integer re-rank over a (vec_id, qv array<int>) relation:
+    quantize the query driver-side, integer dot / integer norms, round
+    6, desc with id tie-break.  Zero-norm corpus vectors are excluded
+    (0/0 is NaN, which Spark's desc sort puts FIRST); an all-zero
+    query returns empty."""
     q = _py_quantize_int8(query)
     qn = sum(x * x for x in q) ** 0.5
-    qd = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
     if qn == 0:
         # an all-zero query has no cosine neighborhood; 0/0 would be
         # NaN, which Spark sorts ABOVE every real score in desc order
         return qd.select(
-            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("qcosine")
+            F.col("vec_id"), F.lit(0.0).alias("qcosine")
         ).limit(0)
     qarr = F.array(*[F.lit(int(x)) for x in q])
     dot = F.aggregate(
@@ -462,7 +479,7 @@ def quantized_topk(
     # multi-referenced aggregate alias co-defined in its consuming
     # select re-expands per consumer (projection collapse)
     staged = qd.select(
-        F.col(id_col).alias("vec_id"), dot.alias("_dot"), nrm.alias("_n")
+        F.col("vec_id"), dot.alias("_dot"), nrm.alias("_n")
     )
     return (
         # all-zero corpus vectors (nrm 0) are excluded, not ranked:
@@ -478,3 +495,123 @@ def quantized_topk(
         .orderBy(F.desc("qcosine"), "vec_id")
         .limit(k)
     )
+
+
+def build_quantized_index(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE float pass over the corpus producing the materializable
+    quantized-ANN index: ``(band, bucket, vec_id, qv array<int>)``.
+
+    This is the 100-TB shape for embedding similarity: write the
+    result PARTITIONED BY (band, bucket) and every query scans only
+    its ``bands`` matching buckets (partition pruning via literal
+    predicates) and only int8 payloads (4x fewer bytes than float32
+    — the exploded `bands` copies of qv cost the same bytes as ONE
+    float copy, so the index is no larger than the raw embeddings).
+    Scale and the float vector are deliberately NOT stored: the
+    quantized cosine needs neither (scales cancel — see
+    :func:`quantized_topk`).
+
+    Staged selects: scale, qv and the SRP bit array each reference
+    the double vector / each other multiple times, and a
+    multi-referenced non-cheap alias co-defined in its consuming
+    select re-expands per consumer (projection collapse) — each
+    derived level is an attribute of its own select."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(w)) for w in p]) for p in planes]
+    )
+    xd = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    sc0 = xd.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias("m"),
+    )
+    sc = sc0.select(
+        "vec_id",
+        "v",
+        F.when(F.col("m") == 0, F.lit(1.0)).otherwise(F.col("m")).alias("scale"),
+    )
+    bits_arr = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot(F.col("v"), p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    qd = sc.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: (x / F.col("scale")).cast("int")).alias("qv"),
+        bits_arr.alias("_bits"),
+    )
+    per_band = n_planes // bands
+    band_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.array_join(
+                        F.slice(F.col("_bits"), b * per_band + 1, per_band), ""
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    return qd.select("vec_id", "qv", band_rows).select(
+        "bb.band", "bb.bucket", "vec_id", "qv"
+    )
+
+
+def quantized_ann_topk(
+    embeddings: DataFrame | None,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """The COMPOSED quantized-ANN query: SRP bucket pruning for the
+    candidate set x int8 quantization for the bytes, over a
+    once-materialized :func:`build_quantized_index`.
+
+    * ``index=`` (the production path): pass the materialized index
+      (e.g. read back from a catalog table partitioned by
+      (band, bucket)); the query never touches float embeddings —
+      it scans <= ``bands`` buckets of int8 rows and integer-re-ranks.
+    * ``embeddings=`` only (the test/oracle path): the index is built
+      inline — same plan shape, one extra float pass.
+
+    The bucket filter is an OR of ``bands`` (band = b AND bucket = s)
+    literal conjunctions — partition pruning on a partitioned index,
+    an ordinary pushed predicate otherwise.  A vector sharing several
+    buckets with the query is deduped by (vec_id, qv) before the
+    re-rank so it is scored once."""
+    if index is None:
+        if embeddings is None:
+            raise ValueError("pass either embeddings or a prebuilt index")
+        index = build_quantized_index(
+            embeddings, dim, n_planes, bands, seed, id_col, vec_col
+        )
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query, dtype="float64")
+    qbits = (planes @ qv >= 0).astype(int)
+    per_band = n_planes // bands
+    cond = None
+    for b in range(bands):
+        bk = "".join(map(str, qbits[b * per_band : (b + 1) * per_band]))
+        c = (F.col("band") == b) & (F.col("bucket") == bk)
+        cond = c if cond is None else (cond | c)
+    cands = index.where(cond).select("vec_id", "qv").distinct()
+    return _quantized_rerank(cands, query, k)

@@ -478,3 +478,80 @@ class TestQuantizedTopk:
         )
         rows = similarity.quantize_int8(df).orderBy("vec_id").collect()
         assert list(rows[0]["qv"]) == [0, 0] and rows[0]["scale"] == 1.0
+
+
+class TestQuantizedAnn:
+    """The composed quantized-ANN path: SRP bucket pruning x int8
+    re-rank over a once-materialized index (VERDICT r4 weak-lite #2)."""
+
+    def _planted(self, spark, rng_seed=7, n_background=489):
+        """Corpus with 10 PLANTED near-neighbors of the query (cosine
+        ~0.999) in a random-gaussian background — the shape where an
+        ANN index must both find the true cluster AND prune.  The sf
+        embeddings tables are pure gaussian noise (no true neighbors),
+        so a recall gate there would only measure luck."""
+        import numpy as np
+
+        rng = np.random.RandomState(rng_seed)
+        base = rng.randn(64)
+        rows = [(i, [float(x) for x in base + 0.05 * rng.randn(64)]) for i in range(1, 11)]
+        rows += [
+            (i, [float(x) for x in rng.randn(64)])
+            for i in range(11, 11 + n_background)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return emb, [float(x) for x in base]
+
+    def test_recall_on_planted_cluster_with_pruning(self, spark):
+        emb, q = self._planted(spark)
+        idx = similarity.build_quantized_index(emb, dim=64)
+        got = similarity.quantized_ann_topk(None, q, dim=64, k=10, index=idx)
+        ids = [r["vec_id"] for r in got.collect()]
+        # recall gate: >= 8 of the 10 planted neighbors in the top-10
+        assert len(set(ids) & set(range(1, 11))) >= 8
+        # and the bucket filter actually PRUNED: the candidate set the
+        # re-rank scored is a strict minority of the corpus
+        import numpy as np
+
+        planes = similarity._hyperplanes(64, 16)
+        qbits = (planes @ np.asarray(q) >= 0).astype(int)
+        cond = None
+        for b in range(4):
+            bk = "".join(map(str, qbits[b * 4 : (b + 1) * 4]))
+            c = (F.col("band") == b) & (F.col("bucket") == bk)
+            cond = c if cond is None else cond | c
+        ncand = idx.where(cond).select("vec_id").distinct().count()
+        assert ncand < emb.count() * 0.5, f"no pruning: {ncand} candidates"
+
+    def test_prebuilt_index_equals_inline(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+        inline = similarity.quantized_ann_topk(emb, q, dim=64, k=10).collect()
+        idx = similarity.build_quantized_index(emb, dim=64)
+        pre = similarity.quantized_ann_topk(None, q, dim=64, k=10, index=idx).collect()
+        assert [tuple(r) for r in inline] == [tuple(r) for r in pre]
+
+    def test_materialized_partitioned_index_prunes_and_matches(self, spark, tmp_path):
+        """The production shape: index written PARTITIONED BY
+        (band, bucket); the query's literal OR-of-buckets predicate
+        must become partition pruning (scan reads only the matching
+        directories) and return the same answer."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+        path = str(tmp_path / "qidx")
+        similarity.build_quantized_index(emb, dim=64).write.partitionBy(
+            "band", "bucket"
+        ).parquet(path)
+        idx = spark.read.parquet(path)
+        got = similarity.quantized_ann_topk(None, q, dim=64, k=10, index=idx)
+        inline = similarity.quantized_ann_topk(emb, q, dim=64, k=10).collect()
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in inline]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "band" in plan.split(
+            "PartitionFilters"
+        )[1][:400], "bucket predicate did not reach the partition filter"
+
+    def test_zero_query_returns_empty(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = similarity.quantized_ann_topk(emb, [0.0] * 64, dim=64, k=10)
+        assert got.count() == 0
