@@ -659,6 +659,7 @@ def label_propagation(
     checkpoint_every: int = 2,
     weight_col: str | None = None,
     prepared: bool = False,
+    anti_oscillation: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over an
     undirected (cid, nbr_id) edge view: every node starts labeled with
@@ -695,6 +696,18 @@ def label_propagation(
     level-1 pass, where the contracted graph's weights are
     inter-community edge multiplicities).  Weights must be integral so
     the argmax tie-break stays exact.
+
+    ``anti_oscillation=True``: each round becomes TWO hash-parity
+    half-sweeps — nodes with ``pmod(xxhash64(id), 2) == 0`` update
+    first, then the odd-parity nodes vote against the ALREADY-UPDATED
+    labels.  This is the standard async-by-coloring fix for the
+    synchronous-LPA oscillation on bipartite structures (a 2-node
+    component flips a<->b forever under the default; under parity
+    sweeps the second node sees the first's new label and the pair
+    reaches a fixed point).  Still fully deterministic (the parity is
+    a pure hash of the id), costs one extra vote join per round, and
+    is OFF by default so the driver-oracled kg_communities* outputs
+    are unchanged.
     """
     sc = und.sparkSession.sparkContext
     cols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
@@ -711,15 +724,40 @@ def label_propagation(
         "label", F.col("id")
     )
     vote = F.sum(weight_col) if weight_col else F.count(F.lit(1))
-    for i in range(iters):
+
+    def _argmax_vote(edges: DataFrame, labs: DataFrame) -> DataFrame:
         votes = (
-            und.join(labels.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            edges.join(labs.withColumnRenamed("id", "nbr_id"), "nbr_id")
             .groupBy(F.col("cid").alias("id"), "label")
             .agg(vote.alias("c"))
         )
-        labels = votes.groupBy("id").agg(
+        return votes.groupBy("id").agg(
             F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("w")
         ).select("id", F.col("w.label").alias("label"))
+
+    for i in range(iters):
+        if anti_oscillation:
+            # two deterministic half-sweeps: one parity class updates
+            # against the old labels, the other against the
+            # half-updated ones (async-by-coloring — flips cannot stay
+            # synchronized).  The parity is ROUND-DEPENDENT
+            # (xxhash64(id, round)): a fixed per-id parity would leave
+            # any component whose nodes all share a parity fully
+            # synchronous (and still oscillating); re-drawing the
+            # 2-coloring each round splits every adjacent flip pair
+            # within a handful of rounds, after which the merged label
+            # is self-sustaining.  Every node in `labels` has >= 1
+            # edge by construction, so each half covers its parity.
+            for p in (0, 1):
+                upd = _argmax_vote(
+                    und.where(F.pmod(F.xxhash64("cid", F.lit(i)), F.lit(2)) == p),
+                    labels,
+                )
+                labels = labels.where(
+                    F.pmod(F.xxhash64("id", F.lit(i)), F.lit(2)) != p
+                ).unionByName(upd)
+        else:
+            labels = _argmax_vote(und, labels)
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             labels = labels.coalesce(parts).localCheckpoint(eager=True)
     return labels

@@ -305,6 +305,57 @@ def _py_lpa(edges, iters=5):
 
 
 class TestLabelPropagation:
+    def test_anti_oscillation_fixed_point_on_bipartite(self, spark):
+        """Sync LPA oscillates on bipartite structures (a 2-node
+        component flips a<->b every round; a 4-cycle flips sides).
+        anti_oscillation=True (hash-parity half-sweeps) must reach a
+        FIXED POINT: the labeling after `iters` rounds equals the
+        labeling after `iters+1`, and each component collapses to one
+        label.  The default stays oscillating by defined semantics."""
+        bip = [("p", "q"), ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w")]
+        at_k = {
+            r["id"]: r["label"]
+            for r in queries.label_propagation(
+                _und_df(spark, bip), iters=4, anti_oscillation=True
+            ).collect()
+        }
+        at_k1 = {
+            r["id"]: r["label"]
+            for r in queries.label_propagation(
+                _und_df(spark, bip), iters=5, anti_oscillation=True
+            ).collect()
+        }
+        assert at_k == at_k1, "not a fixed point"
+        assert at_k["p"] == at_k["q"], "2-node component not collapsed"
+        assert len({at_k[v] for v in "wxyz"}) == 1, "4-cycle not collapsed"
+        # the default (synchronous) DOES flip the 2-node pair between
+        # consecutive round counts — the documented oscillation the
+        # flag exists for
+        sync4 = {
+            r["id"]: r["label"]
+            for r in queries.label_propagation(
+                _und_df(spark, bip), iters=4
+            ).collect()
+        }
+        sync5 = {
+            r["id"]: r["label"]
+            for r in queries.label_propagation(
+                _und_df(spark, bip), iters=5
+            ).collect()
+        }
+        assert sync4["p"] != sync5["p"]
+
+    def test_anti_oscillation_keeps_triangle_communities(self, spark):
+        """On non-pathological graphs the flag must still produce the
+        right communities (two triangles stay two communities)."""
+        labels = queries.label_propagation(
+            _und_df(spark, self.TWO_TRIANGLES), iters=5, anti_oscillation=True
+        )
+        got = {r["id"]: r["label"] for r in labels.collect()}
+        assert len({got[v] for v in "abc"}) == 1
+        assert len({got[v] for v in "xyz"}) == 1
+        assert got["a"] != got["x"]
+
     # two triangles joined by one bridge edge: LPA must keep them as
     # two communities (min-label CC would merge everything to one)
     TWO_TRIANGLES = [
