@@ -38,6 +38,8 @@ the same graph):
                                                matched members drills in
 * ``GET /v1/graph/features[?top=]``         -> per-node feature matrix (degree,
   coreness, PageRank, community), PageRank-desc capped
+* ``POST /v1/refresh`` {pagesPath}          -> incremental batch ingest + warm
+  analytics refresh (plans/refresh.py); 409 when the service has no catalog
 * ``GET /v1/graph/stats``                   -> one-row structural summary (degrees,
                                                density, triangles, clustering)
 
@@ -74,14 +76,52 @@ class GraphApiService:
         nodes: DataFrame,
         edges: DataFrame,
         mentions: DataFrame | None = None,
+        catalog=None,
     ):
         self.spark = spark
         self.nodes = nodes
         self.edges = edges
         self.mentions = mentions
+        # optional ParquetCatalog: enables POST /v1/refresh (ingest a
+        # page batch incrementally + warm-refresh stored analytics)
+        self.catalog = catalog
         self.jobs = apimod.JobRegistry()
         self.job_requests: dict[str, dict] = {}
         self.traces: dict[str, dict] = {}
+
+    def refresh(self, pages_path: str) -> dict:
+        """POST /v1/refresh — ingest one page-batch parquet through
+        plans.refresh.refresh_after_batch (O(batch) MOR graph merge,
+        warm-start PageRank, touched-component LPA), swap the service
+        onto the post-batch tables and drop the memoized analytics so
+        every endpoint answers from the refreshed graph.  The stored
+        label table replaces the next _lpa_labels recompute."""
+        if self.catalog is None:
+            raise ValueError("service started without a catalog")
+        from . import refresh as rf
+
+        pages = self.spark.read.parquet(pages_path)
+        res = rf.refresh_after_batch(
+            self.spark, pages, self.catalog, extract_from_html=True
+        )
+        self.nodes = self.catalog.read(self.spark, "nodes")
+        self.edges = self.catalog.read(self.spark, "edges")
+        m = self.catalog.read(self.spark, "mentions")
+        if m is not None:
+            self.mentions = m
+        self._labels = self.catalog.read(self.spark, rf.LABELS_TABLE)
+        self._modularity = None
+        self._gstats = None
+        return {
+            "snapshotId": res.pipeline.snapshot_id,
+            "pages": res.pipeline.pages,
+            "mentions": res.pipeline.mentions,
+            "triples": res.pipeline.triples,
+            "prRows": res.pr_rows,
+            "labelRows": res.label_rows,
+            "warmStart": res.warm_start,
+            "stageMs": res.stage_ms,
+        }
 
     # -- service methods (DTO-shaped dicts) -------------------------------
 
@@ -784,6 +824,15 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                     if service.should_use_async(req):
                         return self._send(202, service.submit_async(req, request_id))
                     return self._send(200, service.run_query(req, request_id))
+                if path == "/v1/refresh":
+                    if "pagesPath" not in req:
+                        return self._error(400, "BAD_REQUEST", "missing 'pagesPath'")
+                    if service.catalog is None:
+                        return self._error(
+                            409, "NO_CATALOG",
+                            "service was started without a catalog; refresh unavailable",
+                        )
+                    return self._send(200, service.refresh(req["pagesPath"]))
                 return self._error(404, "NOT_FOUND", f"No route for {path}")
             except json.JSONDecodeError as e:
                 return self._error(400, "BAD_REQUEST", f"invalid JSON: {e}")

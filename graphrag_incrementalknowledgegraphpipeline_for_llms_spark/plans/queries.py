@@ -874,6 +874,8 @@ def incremental_label_propagation(
     delta_und: DataFrame,
     iters: int = 5,
     checkpoint_every: int = 2,
+    base_labels: DataFrame | None = None,
+    base_comp: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally refresh LPA community labels after a delta edge
     batch, recomputing ONLY the components the delta touches — the
@@ -899,8 +901,17 @@ def incremental_label_propagation(
     index itself is the stored output of
     :func:`canonicalize.connected_components` (deltas only ever MERGE
     components, so it is maintainable with the same large-star pass
-    over touched components); this demo recomputes it from the base
-    edges to stay self-contained.
+    over touched components).
+
+    ``base_labels`` / ``base_comp``: the STORED (id, label) table and
+    (id, component) index of the base graph — the refresh-after-batch
+    surface (plans/refresh.py) passes the tables it persisted after
+    the previous batch, making the refresh truly O(touched) with no
+    base recompute.  When omitted (the driver-oracle demo path) both
+    are recomputed from ``base_und`` so the function stays
+    self-contained; stored labels MUST have been produced by
+    :func:`label_propagation` with the same ``iters`` over exactly
+    ``base_und`` or the exactness theorem above does not apply.
 
     ``base_und`` / ``delta_und``: symmetric (cid, nbr_id) edge views;
     the merged graph is their union.  Returns (id, label) for every
@@ -910,11 +921,19 @@ def incremental_label_propagation(
 
     base_und = base_und.select("cid", "nbr_id").distinct()
     delta_und = delta_und.select("cid", "nbr_id").distinct()
-    base_labels = label_propagation(
-        base_und, iters=iters, checkpoint_every=checkpoint_every
-    )
+    if base_labels is None:
+        base_labels = label_propagation(
+            base_und, iters=iters, checkpoint_every=checkpoint_every
+        )
+    else:
+        base_labels = base_labels.select("id", "label")
     # stored component index of the base graph (min-id representative)
-    base_comp = canonicalize.connected_components(base_und, src="cid", dst="nbr_id")
+    if base_comp is None:
+        base_comp = canonicalize.connected_components(
+            base_und, src="cid", dst="nbr_id"
+        )
+    else:
+        base_comp = base_comp.select("id", "component")
     delta_nodes = delta_und.select(F.col("cid").alias("id")).distinct()
     # components hit by any delta endpoint — small: one per touched
     # community, broadcast back to carve the affected node set

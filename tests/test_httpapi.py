@@ -350,3 +350,63 @@ def test_drift_search_no_link_and_missing_q(server):
     assert body["data"]["results"] == [] and body["data"]["pattern"] is None
     status, body = _get_raw(base, "/v1/search/drift")
     assert status == 400 and body["error"]["code"] == "BAD_REQUEST"
+
+
+class TestRefreshEndpoint:
+    def test_post_refresh_ingests_and_swaps_tables(
+        self, spark, tmp_path_factory
+    ):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import (
+            refresh as rf,
+        )
+
+        root = tmp_path_factory.mktemp("api_refresh")
+        pages = datagen.pages_df(spark, 60)
+        cutoff = (
+            pages.select(F.col("warc_ts").cast("long").alias("t"))
+            .orderBy("t")
+            .collect()[39]["t"]
+        )
+        cat = ParquetCatalog(str(root / "cat"))
+        rf.refresh_after_batch(
+            spark,
+            pages.where(F.col("warc_ts").cast("long") <= cutoff),
+            cat,
+            extract_from_html=True,
+        )
+        batch2_path = str(root / "batch2")
+        pages.where(F.col("warc_ts").cast("long") > cutoff).write.parquet(
+            batch2_path
+        )
+        svc = httpapi.GraphApiService(
+            spark,
+            cat.read(spark, "nodes"),
+            cat.read(spark, "edges"),
+            mentions=cat.read(spark, "mentions"),
+            catalog=cat,
+        )
+        srv, port = httpapi.serve_background(svc)
+        base = f"http://127.0.0.1:{port}"
+        try:
+            before = _get(base, "/v1/metadata")[1]["data"]["chunkCount"]
+            code, body = _post(base, "/v1/refresh", {"pagesPath": batch2_path})
+            assert code == 200, body
+            d = body["data"]
+            assert d["pages"] == 20 and d["warmStart"] is True
+            assert d["prRows"] > 0 and d["labelRows"] > 0
+            # the service now answers from the post-batch graph
+            after = _get(base, "/v1/metadata")[1]["data"]["chunkCount"]
+            assert after == before + 20 == 60
+            # memoized analytics were swapped to the stored table
+            code, comm = _get_raw(base, "/v1/communities")
+            assert code == 200
+            # missing body field -> 400
+            assert _post(base, "/v1/refresh", {})[0] == 400
+        finally:
+            srv.shutdown()
+
+    def test_post_refresh_without_catalog_is_409(self, server):
+        base, _ = server
+        code, body = _post(base, "/v1/refresh", {"pagesPath": "/nope"})
+        assert code == 409
+        assert body["error"]["code"] == "NO_CATALOG"
