@@ -17,6 +17,53 @@ MERGE semantics replicated from the reference's Neo4j sink
 last-write-wins.  Iceberg MERGE errors on duplicate source keys, so
 updates are deduped per batch with a deterministic tie-break
 (SURVEY.md §7 risk list).
+
+Swap recipe (real Iceberg runtime)
+----------------------------------
+The contract a replacement must satisfy is pinned executable in
+tests/test_catalog_conformance.py, which is parameterized over
+CATALOG_IMPLS — register the new factory there and the whole suite
+re-runs against it.  The mapping:
+
+1. **Session**: add the runtime jar + catalog conf::
+
+       spark.jars.packages = org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+       spark.sql.extensions = org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+       spark.sql.catalog.kg = org.apache.iceberg.spark.SparkCatalog
+       spark.sql.catalog.kg.type = hadoop          # or hive/rest
+       spark.sql.catalog.kg.warehouse = <root>
+
+2. **DDL** (per table; bucket_spec maps to Iceberg's bucket transform)::
+
+       CREATE TABLE kg.db.nodes (...) USING iceberg
+       PARTITIONED BY (bucket(<n>, <key>))
+       TBLPROPERTIES ('write.merge.mode'='copy-on-write')   -- or merge-on-read
+
+3. **Method mapping**:
+
+   ============================  =========================================
+   this module                   Iceberg equivalent
+   ============================  =========================================
+   overwrite / append            df.writeTo(t).overwritePartitions() / .append()
+   merge_upsert(keys, tb)        MERGE INTO t USING (deduped src) ON keys
+                                 WHEN MATCHED THEN UPDATE SET *
+                                 WHEN NOT MATCHED THEN INSERT *
+                                 (KEEP the _winner_dedup pre-pass: Iceberg
+                                 MERGE raises on duplicate source keys)
+   mode="mor" delta appends      'write.merge.mode'='merge-on-read'
+   maybe_compact / compaction    CALL kg.system.rewrite_data_files(t)
+   read_as_of(v)                 SELECT ... VERSION AS OF <snapshot_id>
+   is_append_version /           snapshot summary 'operation' == 'append' /
+   read_version_delta            incremental read (start/end-snapshot-id)
+   expire_snapshots / _gc        CALL kg.system.expire_snapshots(t, ...)
+                                 + remove_orphan_files
+   current_version / snapshots   table.history() / .snapshots metadata
+   ============================  =========================================
+
+4. **Callers don't change**: pipeline/refresh/streaming only touch the
+   methods above; content_rid winner selection and the family-split
+   pre-dedup stay (they implement the reference's LWW semantics, which
+   Iceberg MERGE alone does not).
 """
 
 from __future__ import annotations

@@ -29,6 +29,7 @@ pointer -> manifest -> data-files chain.
 
 import glob
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -36,6 +37,30 @@ from pyspark.sql import functions as F
 from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
     ParquetCatalog,
 )
+
+# ---------------------------------------------------------------------------
+# Implementation registry: the suite runs against the INTERFACE, not
+# the class.  A real-Iceberg drop-in registers a factory here (see the
+# swap recipe in catalog.py's module docstring) and every contract
+# test below re-runs against it unchanged; filesystem-layout
+# assertions are gated on the parquet-manifest impl.
+# ---------------------------------------------------------------------------
+CATALOG_IMPLS = {
+    "parquet_manifest": lambda root: ParquetCatalog(root),
+    # "iceberg": lambda root: IcebergCatalog(root),  # future drop-in —
+    # requires iceberg-spark-runtime jars (absent from this sandbox)
+}
+
+
+@pytest.fixture(params=sorted(CATALOG_IMPLS))
+def catalog(request, tmp_path):
+    d = tmp_path / f"catalog_{request.param}"
+    yield CATALOG_IMPLS[request.param](str(d))
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _is_parquet_manifest_impl(catalog) -> bool:
+    return type(catalog) is ParquetCatalog
 
 
 def _mk(spark, data):
@@ -54,8 +79,10 @@ class TestSnapshotCommits:
         v3 = catalog.overwrite(_mk(spark, [(9, "z", 0.5)]), "t")
         assert (v1, v2, v3) == (1, 2, 3)
         assert catalog.current_version("t") == 3
-        # pointer file flips atomically via rename — no .tmp leftovers
-        assert not glob.glob(os.path.join(catalog.root, "t", "*.tmp"))
+        if _is_parquet_manifest_impl(catalog):
+            # pointer file flips atomically via rename — no .tmp
+            # leftovers (layout-specific; Iceberg has its own metadata)
+            assert not glob.glob(os.path.join(catalog.root, "t", "*.tmp"))
 
     def test_append_unions_overwrite_supersedes(self, spark, catalog):
         catalog.overwrite(_mk(spark, [(1, "a", 0.5)]), "t")
@@ -221,8 +248,10 @@ class TestExpireAndGc:
         catalog.overwrite(_mk(spark, [(2, "b", 0.5)]), "t")
         catalog.overwrite(_mk(spark, [(3, "c", 0.5)]), "t")
         catalog.overwrite(_mk(spark, [(4, "d", 0.5)]), "t")
-        # only dirs referenced by the current or previous manifest
-        # survive on disk (retention window = 2)
-        dirs = {os.path.basename(d) for d in glob.glob(os.path.join(catalog.root, "t", "[de]*"))}
-        assert dirs == {"d00003", "d00004"}
+        if _is_parquet_manifest_impl(catalog):
+            # only dirs referenced by the current or previous manifest
+            # survive on disk (retention window = 2) — layout-specific;
+            # Iceberg's equivalent is expire_snapshots + orphan cleanup
+            dirs = {os.path.basename(d) for d in glob.glob(os.path.join(catalog.root, "t", "[de]*"))}
+            assert dirs == {"d00003", "d00004"}
         assert _rows(catalog.read(spark, "t")) == [(4, "d", 0.5)]
