@@ -124,7 +124,11 @@ def main():
         "pass": precision >= 0.95 and recall >= 0.95,
         "gate": "BASELINE.json triple-extraction P/R >= 0.95 vs purecore golden",
     }
-    with open(os.path.join(REPO, "PR.json"), "w") as f:
+    # only a full-sample run may overwrite the committed gate artifact
+    # — a reduced-chunk smoke run (SPARK_GRAFT_PR_CHUNKS < 500) must
+    # not silently replace the 500-chunk evidence
+    pr_name = "PR.json" if n_pr >= 500 else "PR_smoke.json"
+    with open(os.path.join(REPO, pr_name), "w") as f:
         json.dump(pr, f, indent=2)
 
     # ---- headline query timings at SF_DIR ----
@@ -200,7 +204,7 @@ def main():
     sim.build_quantized_index(emb, dim=64).write.partitionBy("band", "bucket").parquet(
         qidx_path
     )
-    timings["sim_quantized_ann_build"] = round(time.monotonic() - t0, 3)
+    qann_build = round(time.monotonic() - t0, 3)
     qidx = spark.read.parquet(qidx_path)
     best = None
     for _ in range(repeats):
@@ -208,8 +212,14 @@ def main():
         n = sim.quantized_ann_topk(None, qvec, dim=64, k=10, index=qidx).count()
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
-    timings["sim_quantized_ann_query"] = round(best, 3)
-    timings["sim_quantized_ann_query_rows"] = n
+    # dedicated fields, NOT folded into the headline total (the
+    # one-time index build is not a recurring query cost, and rounds
+    # 1-4 totals never contained either number)
+    qann = {
+        "sim_quantized_ann_build_sec": qann_build,
+        "sim_quantized_ann_query_sec": round(best, 3),
+        "sim_quantized_ann_query_rows": n,
+    }
 
     # ---- sf1 headline pipeline draw (10x the default bench corpus):
     # the 10x-replica protocol hides constant-factor drift; one real
@@ -251,6 +261,7 @@ def main():
         "cpus": CPUS,
         "stage_ms": res.stage_ms,
         "pr": pr,
+        **qann,
         **sf1,
     }
     spark.stop()

@@ -54,6 +54,67 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim).astype("float64")
 
 
+def _planes_lit(planes: np.ndarray):
+    """ONE nested-array literal for all plane dots: n_planes separate
+    dot-aggregate expressions (each a dim-literal array) made the
+    analyzed tree huge — plan compile dominated the first execution
+    (~5 s at n_planes=16, dim=64).  The packed form is one expression;
+    per-row work is identical."""
+    return F.array(*[F.array(*[F.lit(float(w)) for w in p]) for p in planes])
+
+
+def _srp_bits(vec, planes: np.ndarray):
+    """'0'/'1' sign-bit array of the plane dots for a double vector
+    column — THE single definition of the SRP bucketing rule, shared
+    by srp_buckets and build_quantized_index (and mirrored literally
+    in the DuckDB oracles)."""
+    return F.transform(
+        _planes_lit(planes),
+        lambda p: F.when(_dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+
+
+def _band_structs(bits_col, n_planes: int, bands: int):
+    """explode(...) of (band, bucket) structs sliced from a staged
+    bits-array attribute."""
+    per_band = n_planes // bands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.array_join(
+                        F.slice(bits_col, b * per_band + 1, per_band), ""
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+
+
+def _staged_quantize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id_col, v double-array, scale) with the staged-select
+    discipline (scale is multi-referenced downstream; a non-cheap
+    alias co-defined in its consuming select re-expands per consumer)
+    — THE single definition of the int8 scale rule, shared by
+    quantize_int8 and build_quantized_index."""
+    xd = embeddings.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    sc0 = xd.select(
+        id_col,
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias("m"),
+    )
+    return sc0.select(
+        id_col,
+        "v",
+        F.when(F.col("m") == 0, F.lit(1.0)).otherwise(F.col("m")).alias("scale"),
+    )
+
+
 def srp_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -67,38 +128,15 @@ def srp_buckets(
     deterministic literals compiled into the plan (tiny: n_planes*dim
     doubles), so executors need no side channel."""
     planes = _hyperplanes(dim, n_planes, seed)
-    # ONE nested-array literal + one transform for all plane dots:
-    # n_planes separate dot-aggregate expressions (each a 64-literal
-    # array) made the analyzed tree huge — plan compile dominated the
-    # first execution (~5 s at n_planes=16, dim=64).  The packed form
-    # is one expression; per-row work is identical.
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(w)) for w in p]) for p in planes]
-    )
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits_arr = F.transform(
-        planes_lit,
-        lambda p: F.when(_dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
-    )
     # stage the bit computation so the `bands` band-struct expressions
     # slice an attribute instead of re-evaluating every plane dot
     staged = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bits_arr.alias("_bits")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _srp_bits(vec, planes).alias("_bits"),
     )
-    per_band = n_planes // bands
-    band_rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.array_join(
-                        F.slice(F.col("_bits"), b * per_band + 1, per_band), ""
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("bb")
+    band_rows = _band_structs(F.col("_bits"), n_planes, bands).alias("bb")
     return staged.select("id", "vec", band_rows).select(
         "id", "vec", "bb.band", "bb.bucket"
     )
@@ -389,20 +427,7 @@ def quantize_int8(
     alias co-defined in its consuming select gets re-expanded per
     consumer by projection collapse (the measured minhash pathology) —
     each derived level lives in its own select."""
-    xd = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    sc0 = xd.select(
-        id_col,
-        "v",
-        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias("m"),
-    )
-    sc = sc0.select(
-        id_col,
-        "v",
-        F.when(F.col("m") == 0, F.lit(1.0)).otherwise(F.col("m")).alias("scale"),
-    )
+    sc = _staged_quantize(embeddings, id_col, vec_col)
     return sc.select(
         id_col,
         F.transform(F.col("v"), lambda x: (x / F.col("scale")).cast("int")).alias(
@@ -525,46 +550,15 @@ def build_quantized_index(
     select re-expands per consumer (projection collapse) — each
     derived level is an attribute of its own select."""
     planes = _hyperplanes(dim, n_planes, seed)
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(w)) for w in p]) for p in planes]
-    )
-    xd = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    sc0 = xd.select(
-        "vec_id",
-        "v",
-        (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias("m"),
-    )
-    sc = sc0.select(
-        "vec_id",
-        "v",
-        F.when(F.col("m") == 0, F.lit(1.0)).otherwise(F.col("m")).alias("scale"),
-    )
-    bits_arr = F.transform(
-        planes_lit,
-        lambda p: F.when(_dot(F.col("v"), p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    sc = _staged_quantize(
+        embeddings.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id", vec_col
     )
     qd = sc.select(
         "vec_id",
         F.transform(F.col("v"), lambda x: (x / F.col("scale")).cast("int")).alias("qv"),
-        bits_arr.alias("_bits"),
+        _srp_bits(F.col("v"), planes).alias("_bits"),
     )
-    per_band = n_planes // bands
-    band_rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.array_join(
-                        F.slice(F.col("_bits"), b * per_band + 1, per_band), ""
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("bb")
+    band_rows = _band_structs(F.col("_bits"), n_planes, bands).alias("bb")
     return qd.select("vec_id", "qv", band_rows).select(
         "bb.band", "bb.bucket", "vec_id", "qv"
     )

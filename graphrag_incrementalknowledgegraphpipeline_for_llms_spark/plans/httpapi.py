@@ -88,6 +88,7 @@ class GraphApiService:
         self.jobs = apimod.JobRegistry()
         self.job_requests: dict[str, dict] = {}
         self.traces: dict[str, dict] = {}
+        self._refresh_lock = threading.Lock()
 
     def refresh(self, pages_path: str) -> dict:
         """POST /v1/refresh — ingest one page-batch parquet through
@@ -95,23 +96,40 @@ class GraphApiService:
         warm-start PageRank, touched-component LPA), swap the service
         onto the post-batch tables and drop the memoized analytics so
         every endpoint answers from the refreshed graph.  The stored
-        label table replaces the next _lpa_labels recompute."""
+        label table replaces the next _lpa_labels recompute.
+
+        Concurrency (the server is a ThreadingHTTPServer): refreshes
+        are serialized by a lock, and the post-batch tables + memo
+        resets are swapped in with ONE ``__dict__.update`` so a
+        concurrent GET observes either the whole pre-batch state or
+        the whole post-batch state, never e.g. new edges with old
+        memoized labels.  A long-running query planned against
+        pre-refresh files can still lose them to the catalog's GC
+        retention window after two further refreshes — the same
+        contract Iceberg's expire_snapshots gives readers."""
         if self.catalog is None:
             raise ValueError("service started without a catalog")
         from . import refresh as rf
 
-        pages = self.spark.read.parquet(pages_path)
-        res = rf.refresh_after_batch(
-            self.spark, pages, self.catalog, extract_from_html=True
-        )
-        self.nodes = self.catalog.read(self.spark, "nodes")
-        self.edges = self.catalog.read(self.spark, "edges")
-        m = self.catalog.read(self.spark, "mentions")
-        if m is not None:
-            self.mentions = m
-        self._labels = self.catalog.read(self.spark, rf.LABELS_TABLE)
-        self._modularity = None
-        self._gstats = None
+        with self._refresh_lock:
+            pages = self.spark.read.parquet(pages_path)
+            res = rf.refresh_after_batch(
+                self.spark, pages, self.catalog, extract_from_html=True
+            )
+            new_state = {
+                "nodes": self.catalog.read(self.spark, "nodes"),
+                "edges": self.catalog.read(self.spark, "edges"),
+                "_labels": self.catalog.read(self.spark, rf.LABELS_TABLE),
+                "_modularity": None,
+                "_gstats": None,
+            }
+            m = self.catalog.read(self.spark, "mentions")
+            if m is not None:
+                new_state["mentions"] = m
+            # single C-level dict.update: atomic under the GIL (str
+            # keys, no Python callbacks), so readers never see a torn
+            # mix of old and new tables
+            self.__dict__.update(new_state)
         return {
             "snapshotId": res.pipeline.snapshot_id,
             "pages": res.pipeline.pages,

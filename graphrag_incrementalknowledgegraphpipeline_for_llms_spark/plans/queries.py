@@ -2235,17 +2235,35 @@ def betweenness_sample_size(n_nodes: int, eps: float = 0.05, delta: float = 0.1)
     return min(n_nodes, max(1, s))
 
 
-def sample_betweenness_sources(und: DataFrame, n_sources: int) -> list[str]:
-    """Deterministic uniform-ish source draw for
-    :func:`betweenness_sampled`: rank node ids by md5(id) and take the
-    first ``n_sources`` — rerun-stable, partitioning-independent, and
-    independent of the graph structure (the property the Hoeffding
-    bound needs).  One column-pruned distinct + a k-capped TakeOrdered
-    on the hash; only (id, hash) ever shuffles."""
+def sample_betweenness_sources(
+    und: DataFrame, n_sources: int, seed: int | None = None
+) -> list[str]:
+    """Deterministic source draw for :func:`betweenness_sampled`:
+    rank node ids by md5(seed || id) and take the first ``n_sources``
+    — rerun-stable and partitioning-independent.  One column-pruned
+    distinct + a k-capped TakeOrdered on the hash; only (id, hash)
+    ever shuffles.
+
+    Honesty note on the (eps, delta) bound: the Hoeffding guarantee is
+    a probability over a UNIFORM RANDOM draw; a fixed hash draw is one
+    pseudo-random realization, so no delta-probability statement holds
+    for it formally.  It is a sound stand-in exactly when ids are
+    structure-independent (here concept ids are sha256 of lemmas, so a
+    hash-rank cannot correlate with degree or position), and ``seed``
+    varies the realization — average several seeds when an empirical
+    error bar is wanted.  If ids ARE structure-correlated (e.g.
+    ingestion-ordered integers where low ids are hubs), md5 still
+    decorrelates them, but supply externally drawn random sources to
+    claim the formal bound."""
+    h = (
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id")))
+        if seed is not None
+        else F.md5(F.col("id"))
+    )
     rows = (
         und.select(F.col("cid").alias("id"))
         .distinct()
-        .orderBy(F.md5(F.col("id")), F.col("id"))
+        .orderBy(h, F.col("id"))
         .limit(n_sources)
         .collect()
     )

@@ -46,6 +46,7 @@ beyond-reference incremental story the north rule asks for
 
 from __future__ import annotations
 
+import json
 import time
 from dataclasses import dataclass, field
 
@@ -147,12 +148,14 @@ def refresh_after_batch(
     d = clock("communities")
     prev_labels = catalog.read(spark, LABELS_TABLE)
     prev_comp = catalog.read(spark, COMP_TABLE)
-    if base_und is None or prev_labels is None or prev_comp is None:
-        labels = q.label_propagation(und, iters=lpa_iters, prepared=True)
-    else:
+    delta_und = None
+    if base_und is not None:
         # delta = edges in the post view absent from the pre view;
         # only (cid, nbr_id) pairs shuffle here
         delta_und = und.join(base_und, ["cid", "nbr_id"], "left_anti")
+    if base_und is None or prev_labels is None or prev_comp is None:
+        labels = q.label_propagation(und, iters=lpa_iters, prepared=True)
+    else:
         labels = q.incremental_label_propagation(
             base_und,
             delta_und,
@@ -162,7 +165,36 @@ def refresh_after_batch(
         )
     labels = labels.localCheckpoint(eager=True)
     label_rows = labels.count()
-    comp = canonicalize.connected_components(und, src="cid", dst="nbr_id")
+    # component index: incrementally maintained like the labels.
+    # Deltas only ever MERGE components, so CC over (delta edges +
+    # the stored (id, component) mapping edges of the TOUCHED
+    # components) reproduces the full-graph result for every touched
+    # node — the mapping edges contract each old component to its
+    # min-id representative in one round, and min-id over the merged
+    # node set equals the full recompute's representative.  Untouched
+    # rows are reused verbatim.  O(touched), not O(graph); pinned
+    # against a cold full-graph CC in tests/test_refresh.py.
+    if base_und is None or prev_comp is None:
+        comp = canonicalize.connected_components(und, src="cid", dst="nbr_id")
+    else:
+        delta_nodes = delta_und.select(F.col("cid").alias("id")).distinct()
+        affected = prev_comp.join(delta_nodes, "id").select("component").distinct()
+        touched = prev_comp.join(F.broadcast(affected), "component")
+        mapping_edges = touched.select(
+            F.col("id").alias("cid"), F.col("component").alias("nbr_id")
+        )
+        new_part = canonicalize.connected_components(
+            delta_und.select("cid", "nbr_id").unionByName(mapping_edges),
+            src="cid",
+            dst="nbr_id",
+        )
+        comp = prev_comp.join(
+            new_part.select("id"), "id", "left_anti"
+        ).unionByName(new_part)
+    # materialize inside THIS clock so the lineage row attributes the
+    # CC cost to the communities stage, not to the persist writes
+    comp = comp.localCheckpoint(eager=True)
+    comp.count()
     d()
 
     # ---- persist analytics for the next batch's warm start ----
@@ -182,17 +214,15 @@ def refresh_after_batch(
                 pr_rows,
                 label_rows,
                 bool(warm),
-                str(dict(timings)),
+                json.dumps(dict(timings)),
             )
         ],
         "snapshot_id long, pages long, mentions long, triples long, "
         "pr_rows long, label_rows long, warm_start boolean, stage_ms string",
     )
-    prev_log = catalog.read(spark, REFRESH_LOG_TABLE)
-    catalog.overwrite(
-        prev_log.unionByName(log_row) if prev_log is not None else log_row,
-        REFRESH_LOG_TABLE,
-    )
+    # O(1) fast-append (new data dir + manifest entry) — NOT
+    # read+union+overwrite, which rewrites the whole log every batch
+    catalog.append(spark, log_row, REFRESH_LOG_TABLE)
 
     return RefreshResult(
         pipeline=res,

@@ -111,6 +111,27 @@ class TestRefreshAfterBatch:
         cold_err = sum(abs(cold3[i] - conv[i]) for i in conv)
         assert warm_err < cold_err, (warm_err, cold_err)
 
+    def test_incremental_components_equal_cold_cc(self, two_batch_state):
+        """The stored component index is maintained incrementally (CC
+        over delta edges + touched-component mapping edges); it must
+        equal a cold full-graph connected_components run."""
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+            canonicalize,
+        )
+
+        spark, inc_cat, cold_cat, _, _ = two_batch_state
+        stored = {
+            (r["id"], r["component"])
+            for r in inc_cat.read(spark, refresh.COMP_TABLE).collect()
+        }
+        cold = {
+            (r["id"], r["component"])
+            for r in canonicalize.connected_components(
+                _und(spark, cold_cat), src="cid", dst="nbr_id"
+            ).collect()
+        }
+        assert stored == cold
+
     def test_graph_tables_match_cold_rebuild(self, two_batch_state):
         spark, inc_cat, cold_cat, _, _ = two_batch_state
         inc = {
