@@ -1893,6 +1893,17 @@ def q_txt_line_dedup(spark, sf_dir):
     )
 
 
+def q_dd_substring_spans(spark, sf_dir):
+    """Exact duplicated token spans across the corpus (Lee et al. 2022
+    substring dedup at 15-token-gram granularity): positions whose
+    15-gram occurs in >=2 distinct documents, merged into maximal
+    spans.  Catches long verbatim boilerplate that whole-document
+    MinHash similarity misses."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    return curation.duplicated_spans(_docs(spark, sf_dir), k=15, min_docs=2)
+
+
 def q_kg_fastrp(spark, sf_dir):
     """FastRP structural node embeddings over the co-occurrence graph
     (hash-Rademacher init, 3 neighbor-mean + L2-normalize levels,
@@ -2141,8 +2152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fastrp_neighbors": q_kg_fastrp_neighbors,
         "rel_pivot": q_rel_pivot,
         "kg_degree_distribution": q_kg_degree_distribution,
-        # -- round-5 addition (appended past the window; oracled) --
+        # -- round-5 additions (appended past the window; oracled) --
         "sim_quantized_ann": q_sim_quantized_ann,
+        "dd_substring_spans": q_dd_substring_spans,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3707,4 +3719,22 @@ trans AS (SELECT src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
           FROM seq WHERE src IS NOT NULL GROUP BY src, event_type)
 SELECT src, dst, n, ROUND(1.0 * n / SUM(n) OVER (PARTITION BY src), 6) AS p
 FROM trans ORDER BY src, dst""",
+        "dd_substring_spans": r"""
+WITH base AS (SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+              FROM documents),
+b2 AS (SELECT id, toks FROM base WHERE len(toks) >= 15),
+g AS (SELECT id, CAST(p AS BIGINT) AS pos,
+             array_to_string(toks[CAST(p + 1 AS INT) : CAST(p + 15 AS INT)], ' ') AS gram
+      FROM b2, LATERAL (SELECT unnest(range(len(toks) - 15 + 1)) AS p) r),
+viral AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT id) AS d FROM g GROUP BY gram) WHERE d >= 2),
+dp AS (SELECT g.id, g.pos FROM g SEMI JOIN viral v ON g.gram = v.gram),
+brk AS (SELECT id, pos,
+               CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY id ORDER BY pos), 0) > 15
+                    THEN 1 ELSE 0 END AS b
+        FROM dp),
+isl AS (SELECT id, pos, SUM(b) OVER (PARTITION BY id ORDER BY pos) AS island FROM brk)
+SELECT id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+       MAX(pos) + 15 - MIN(pos) AS n_dup_tokens
+FROM isl GROUP BY id, island ORDER BY id, span_start""",
     }

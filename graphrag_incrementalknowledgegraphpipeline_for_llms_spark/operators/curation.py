@@ -143,3 +143,128 @@ def remove_duplicate_lines(
         )
         .orderBy("id")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated token spans across documents (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": memorized
+    boilerplate lives in long EXACT repeats, which MinHash's whole-doc
+    similarity misses when the containing pages differ).  A token
+    position is *duplicated* when the k-token gram starting there occurs
+    in >= ``min_docs`` distinct documents; runs of duplicated positions
+    closer than k apart merge into maximal spans (gaps-and-islands).
+
+    Returns (id, span_start, span_end, n_dup_tokens), token-indexed
+    [span_start, span_end), ordered by (id, span_start).
+
+    Scale shape: the only corpus-sized shuffle carries
+    (xxhash64(gram), id, pos) — 24 bytes/gram, never gram text; the
+    document-frequency aggregate is two-stage (map-side partial on the
+    gram hash).  The viral-gram set is boilerplate-sized, so the join
+    back to positions broadcasts under AQE.  The islands window
+    partitions by document — bounded by document length, no global
+    sort.  Suffix-array dedup finds arbitrary-length repeats; the
+    k-gram anchor is the shuffle-friendly approximation (any exact
+    repeat of length >= k is found, with spans padded to gram
+    boundaries — the standard MapReduce-able relaxation)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.trim(text_col), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("toks"),
+    ).where(F.size("toks") >= k)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda p: F.xxhash64(F.array_join(F.slice("toks", p + 1, k), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    viral = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("docs"))
+        .where(F.col("docs") >= min_docs)
+        .select("gh")
+    )
+    dup_pos = grams.join(viral, "gh", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.select(
+        "id",
+        "pos",
+        F.sum(
+            (F.col("pos") - F.lag("pos", 1, 0).over(w) > k).cast("long")
+        ).over(w).alias("island"),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("n_dup_tokens"),
+        )
+        .select("id", "span_start", "span_end", "n_dup_tokens")
+        .orderBy("id", "span_start")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its cross-corpus duplicated spans
+    removed (the Lee-et-al. cut applied, vs. :func:`duplicated_spans`
+    which only reports them).  Returns (id, clean_text, n_kept,
+    n_total) over token counts, ordered by id; documents shorter than
+    k tokens pass through untouched.
+
+    Scale shape: spans per document are few (boilerplate-sized), so
+    the collected span list per doc is a small array; the strip is one
+    narrow projection with F.filter over token positions — no second
+    corpus shuffle beyond the span computation itself."""
+    spans = duplicated_spans(df, text_col, id_col, k=k, min_docs=min_docs)
+    span_sets = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.trim(text_col), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("toks"),
+    )
+    joined = toks.join(span_sets, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("spans", F.array()).alias("spans"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda p: F.struct(
+                p.alias("p"),
+                F.element_at(F.col("toks"), p + 1).alias("t"),
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["p"] >= sp["span_start"]) & (s["p"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        F.size("toks").alias("n_total"),
+    ).orderBy("id")

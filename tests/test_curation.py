@@ -368,3 +368,57 @@ class TestQualityMixture:
         p = {(r["chunk_id"], r["quality_bucket"]) for r in part.collect()}
         assert p <= f
         assert {t for t in f if t[1] == "q2"} <= p
+
+
+# ---- exact duplicated substring spans (Lee et al. 2022 style) ----
+
+def _span_docs(spark):
+    # A 6-token boilerplate run shared by docs 1 and 2, embedded in
+    # DIFFERENT surroundings (so whole-doc dedup would miss it); doc 3
+    # is unrelated; doc 4 is shorter than k and must pass through.
+    boiler = "subscribe to our newsletter for weekly updates"  # 7 tokens
+    d1 = "alpha beta gamma " + boiler + " delta epsilon zeta eta theta"
+    d2 = "one two three four five " + boiler + " six seven eight nine ten"
+    d3 = "totally unrelated words having nothing shared with any other document here at all"
+    d4 = "tiny doc"
+    return spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+
+
+def test_duplicated_spans_partial_overlap(spark):
+    # k=4: every 4-gram inside the 7-token boilerplate is viral.
+    spans = curation.duplicated_spans(_span_docs(spark), k=4).collect()
+    by_id = {r["id"]: (r["span_start"], r["span_end"], r["n_dup_tokens"]) for r in spans}
+    # d1: boiler occupies token positions [3, 10); viral 4-gram starts 3..6
+    # -> island [3, 6], span_end = 6 + 4 = 10.
+    assert by_id[1] == (3, 10, 7)
+    # d2: boiler at positions [5, 12) -> starts 5..8, span [5, 12).
+    assert by_id[2] == (5, 12, 7)
+    assert 3 not in by_id and 4 not in by_id
+    assert len(spans) == 2
+
+
+def test_duplicated_spans_merges_adjacent_islands(spark):
+    # Two viral runs separated by MORE than k tokens stay separate spans.
+    run_a = "aa bb cc dd"
+    run_b = "ww xx yy zz"
+    gap = "g1 g2 g3 g4 g5 g6"  # 6 > k=4 tokens between run ends
+    d1 = run_a + " " + gap + " " + run_b
+    d2 = run_a + " p q r s t u v w x y " + run_b
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    spans = curation.duplicated_spans(df, k=4).collect()
+    doc1 = [(r["span_start"], r["span_end"]) for r in spans if r["id"] == 1]
+    assert doc1 == [(0, 4), (10, 14)]
+
+
+def test_strip_duplicated_spans(spark):
+    out = {r["id"]: r for r in curation.strip_duplicated_spans(_span_docs(spark), k=4).collect()}
+    # d1 keeps its 3 leading + 5 trailing tokens, boiler removed.
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert (out[1]["n_kept"], out[1]["n_total"]) == (8, 15)
+    assert out[2]["n_kept"] == out[2]["n_total"] - 7
+    # Untouched docs pass through whole.
+    assert out[3]["clean_text"].startswith("totally unrelated")
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[4]["n_kept"] == out[4]["n_total"] == 2
