@@ -1228,6 +1228,29 @@ def q_dd_fingerprint(spark, sf_dir):
     return d.select("doc_id", tf.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+def q_dd_containment(spark, sf_dir):
+    """Directed shingle containment (the asymmetric relation Jaccard
+    misses): the corpus plus a 40%-prefix fragment of each doc_id < 25
+    document — every fragment is contained (C = 1.0) in its source
+    while the source is NOT contained in the fragment, plus the
+    mutual 1.0 pairs from the planted exact-dup families."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: F.length(t) > 0)
+    frags = d.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                1,
+                F.greatest(F.floor(F.size(toks) * 0.4), F.lit(2)).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(frags)
+    return dedup.containment_pairs(corpus, threshold=0.9, shingle_n=2)
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     """Production shape: minhash-LSH candidates -> exact Jaccard verify.
     Output equals the brute-force oracle because the corpus has no
@@ -2155,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (appended past the window; oracled) --
         "sim_quantized_ann": q_sim_quantized_ann,
         "dd_substring_spans": q_dd_substring_spans,
+        "dd_containment": q_dd_containment,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3737,4 +3761,27 @@ isl AS (SELECT id, pos, SUM(b) OVER (PARTITION BY id ORDER BY pos) AS island FRO
 SELECT id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
        MAX(pos) + 15 - MIN(pos) AS n_dup_tokens
 FROM isl GROUP BY id, island ORDER BY id, span_start""",
+        "dd_containment": r"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 0.4) AS INT), 2)], ' ')
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+        FROM documents WHERE doc_id < 25)
+),
+t AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, greatest(length(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 0, 1)),
+             i -> array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i:i+1], ' '))) AS sh
+  FROM raw WHERE length(trim(text)) > 0),
+t2 AS (SELECT id, sh, length(sh) AS n FROM t WHERE length(sh) > 0),
+p AS (
+  SELECT l.id AS a_id, r.id AS b_id,
+         ROUND(CAST(length(list_intersect(l.sh, r.sh)) AS DOUBLE) / l.n, 6) AS containment
+  FROM t2 l JOIN t2 r ON l.id <> r.id AND r.n >= ceil(l.n * 0.9))
+SELECT a_id, b_id, containment FROM p WHERE containment >= 0.9 ORDER BY a_id, b_id""",
     }

@@ -839,3 +839,58 @@ def incremental_near_dup_pairs(
     )
     catalog.merge_upsert(spark, table, new_entries, keys=["id"])
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|:
+    the asymmetric near-dup relation Jaccard misses.  A quoted article,
+    a page mirrored inside a larger aggregator, or a doc re-posted with
+    a long appended comment thread has containment ≈ 1 in one direction
+    while Jaccard = |a|/|b| can sit far below any sane threshold.
+    Returns (a_id, b_id, containment) with a_id the CONTAINED side,
+    both directions reported independently when mutual.
+
+    Scale shape: candidate generation is prefix-filtered on the
+    contained side only — C(a→b) >= t forces |a∩b| >= ⌈t·|a|⌉, so under
+    the global hash order the first |a| - ⌈t·|a|⌉ + 1 sorted shingles
+    of `a` must hit `b`'s postings (PPJoin prefix argument, one-sided).
+    The container side explodes all its distinct shingle hashes — the
+    inverted-index build, linear in corpus shingle mass — and the join
+    carries only (hash, id, n).  A container-size prefilter
+    (|b| >= ⌈t·|a|⌉, since |a∩b| <= |b|) prunes before the verify,
+    which re-ranks exactly via one long-array intersection per
+    surviving pair.  Pass ``candidates`` (a_id, b_id) to verify an
+    external blocking (e.g. minhash buckets) instead."""
+    base = _shingle_sets(df, text_col, id_col, shingle_n)
+    t = F.lit(float(threshold))
+    if candidates is None:
+        plen = F.col("n") - F.ceil(F.col("n") * t).cast("int") + F.lit(1)
+        prefix = base.select(
+            "id", "n", F.explode(F.slice("sh", F.lit(1), plen)).alias("h")
+        )
+        postings = base.select("id", "n", F.explode("sh").alias("h"))
+        candidates = (
+            prefix.alias("l")
+            .join(postings.alias("r"), "h")
+            .where(F.col("l.id") != F.col("r.id"))
+            .where(F.col("r.n") >= F.ceil(F.col("l.n") * t))
+            .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+            .distinct()
+        )
+    a = base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    cont = (F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a")).cast("double")
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", F.round(cont, 6).alias("containment"))
+        .where(F.col("containment") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

@@ -555,3 +555,47 @@ class TestQuantizedAnn:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         got = similarity.quantized_ann_topk(emb, [0.0] * 64, dim=64, k=10)
         assert got.count() == 0
+
+
+class TestContainment:
+    """Directed shingle containment — the asymmetric relation."""
+
+    def _df(self, spark):
+        full = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+        prefix = "the quick brown fox jumps over the lazy dog"  # contained in full
+        other = "completely different words about spark shuffles and parquet row groups"
+        return spark.createDataFrame(
+            [(1, full), (2, prefix), (3, other)], "doc_id long, text string"
+        )
+
+    def test_asymmetric(self, spark):
+        out = dedup.containment_pairs(self._df(spark), threshold=0.9, shingle_n=2)
+        pairs = {(r.a_id, r.b_id): r.containment for r in out.collect()}
+        assert pairs == {(2, 1): 1.0}  # prefix ⊂ full only, never the reverse
+
+    def test_mutual_for_exact_dups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        out = dedup.containment_pairs(df, threshold=0.9, shingle_n=2)
+        assert {(r.a_id, r.b_id) for r in out.collect()} == {(1, 2), (2, 1)}
+
+    def test_external_candidates_verify_only(self, spark):
+        # candidate blocking given: only the listed pairs are verified
+        cands = spark.createDataFrame([(2, 1)], "a_id long, b_id long")
+        out = dedup.containment_pairs(
+            self._df(spark), threshold=0.9, shingle_n=2, candidates=cands
+        ).collect()
+        assert [(r.a_id, r.b_id, r.containment) for r in out] == [(2, 1, 1.0)]
+
+    def test_prefix_candidates_match_bruteforce(self, spark):
+        # prefix filter is lossless: same output as all-pairs verify
+        df = self._df(spark)
+        ids = [r.doc_id for r in df.select("doc_id").collect()]
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a != b], "a_id long, b_id long"
+        )
+        brute = dedup.containment_pairs(df, threshold=0.5, shingle_n=2, candidates=all_pairs)
+        fast = dedup.containment_pairs(df, threshold=0.5, shingle_n=2)
+        assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, fast.collect()))
