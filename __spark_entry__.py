@@ -1251,6 +1251,20 @@ def q_dd_containment(spark, sf_dir):
     return dedup.containment_pairs(corpus, threshold=0.9, shingle_n=2)
 
 
+def q_txt_source_curation(spark, sf_dir):
+    """Domain-level curation accounting (C4/RefinedWeb-style: judge
+    the SOURCE): per-source doc counts, token mass, mean quality,
+    corpus-wide exact-dup rate, language purity, and the kept verdict
+    under (dup_rate <= 0.2, lang_rate >= 0.4) — over the corpus with
+    planted duplicates so the dup gate actually splits sources."""
+    return curation.source_stats(
+        _docs_with_dups(spark, sf_dir),
+        lang_col="lang",
+        max_dup_rate=0.2,
+        min_lang_rate=0.4,
+    )
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     """Production shape: minhash-LSH candidates -> exact Jaccard verify.
     Output equals the brute-force oracle because the corpus has no
@@ -2179,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_ann": q_sim_quantized_ann,
         "dd_substring_spans": q_dd_substring_spans,
         "dd_containment": q_dd_containment,
+        "txt_source_curation": q_txt_source_curation,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3784,4 +3799,29 @@ p AS (
          ROUND(CAST(length(list_intersect(l.sh, r.sh)) AS DOUBLE) / l.n, 6) AS containment
   FROM t2 l JOIN t2 r ON l.id <> r.id AND r.n >= ceil(l.n * 0.9))
 SELECT a_id, b_id, containment FROM p WHERE containment >= 0.9 ORDER BY a_id, b_id""",
+        "txt_source_curation": f"""
+WITH docs_dup AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT * REPLACE (doc_id + 1000000 AS doc_id) FROM documents WHERE doc_id < 50
+),
+f AS (
+  SELECT source, lang,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         {quality} AS q,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM docs_dup),
+fc AS (SELECT fp, COUNT(*) AS fp_n FROM f GROUP BY fp),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         ROUND(CAST(ROUND(SUM(CAST(q AS DECIMAL(18,6))), 6) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+         ROUND(CAST(COUNT(*) FILTER (fp_n > 1) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+         ROUND(CAST(COUNT(*) FILTER (lang = 'en') AS DOUBLE) / COUNT(*), 6) AS lang_rate
+  FROM f JOIN fc ON f.fp = fc.fp GROUP BY source)
+SELECT source, n_docs, total_tokens, mean_quality, dup_rate, lang_rate,
+       CAST(CASE WHEN mean_quality >= 0.0 AND dup_rate <= 0.2 AND lang_rate >= 0.4
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM s ORDER BY source""",
     }

@@ -268,3 +268,88 @@ def strip_duplicated_spans(
         F.size(kept).alias("n_kept"),
         F.size("toks").alias("n_total"),
     ).orderBy("id")
+
+
+def source_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str | None = None,
+    min_mean_quality: float = 0.0,
+    max_dup_rate: float = 1.0,
+    min_lang_rate: float = 0.0,
+    lang: str = "en",
+) -> DataFrame:
+    """Domain-level curation accounting (the C4/RefinedWeb move:
+    judge the SOURCE, not just the document — a domain that is mostly
+    duplicates or mostly off-language poisons everything it hosts).
+    One row per source: (source, n_docs, total_tokens, mean_quality,
+    dup_rate, lang_rate, kept), ordered by source.  ``dup_rate`` is
+    the fraction of the source's docs whose exact fingerprint occurs
+    more than once CORPUS-WIDE (cross-source mirrors count against
+    both sides).  ``kept`` applies the three gates on the ROUNDED
+    stats, so the decision is reproducible from the emitted row.
+
+    Scale shape: one narrow projection computes every per-doc feature
+    (text never crosses a shuffle); the fingerprint-frequency
+    aggregate and the join back are both keyed on the 16-byte fp with
+    map-side partials; the per-source aggregate shuffles only (source,
+    numerics).  mean_quality accumulates in decimal(18,6) — the
+    per-doc scores are 6-dp decimals, so the sum is EXACT and
+    engine-order-independent — and divides in double afterwards."""
+    feats = tf.quality_features(F.col(text_col))
+    lang_expr = F.col(lang_col) if lang_col else tf.lang_id(F.col(text_col))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["quality_score"], 6).alias("q"),
+        lang_expr.alias("lang"),
+        tf.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    fp_counts = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_n"))
+    j = per_doc.join(fp_counts, "fp")
+    n = F.count(F.lit(1))
+    stats = j.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.round(F.sum(F.col("q").cast("decimal(18,6)")), 6).cast("double") / n, 6
+        ).alias("mean_quality"),
+        F.round(F.count_if(F.col("fp_n") > 1).cast("double") / n, 6).alias("dup_rate"),
+        F.round(
+            F.count_if(F.col("lang") == lang).cast("double") / n, 6
+        ).alias("lang_rate"),
+    )
+    kept = (
+        (F.col("mean_quality") >= min_mean_quality)
+        & (F.col("dup_rate") <= max_dup_rate)
+        & (F.col("lang_rate") >= min_lang_rate)
+    )
+    return stats.select(
+        "source", "n_docs", "total_tokens", "mean_quality", "dup_rate", "lang_rate",
+        kept.cast("long").alias("kept"),
+    ).orderBy("source")
+
+
+def curate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    **gates,
+) -> DataFrame:
+    """Documents surviving the source-level gates of
+    :func:`source_stats` (same keyword gates).  The passing-source set
+    is domain-cardinality-sized, so the semi-join broadcasts — the
+    corpus itself never reshuffles."""
+    passing = (
+        source_stats(df, text_col, id_col, source_col, **gates)
+        .where(F.col("kept") == 1)
+        .select("source")
+    )
+    return df.join(
+        F.broadcast(passing.withColumnRenamed("source", source_col)),
+        source_col,
+        "left_semi",
+    )

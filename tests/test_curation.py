@@ -422,3 +422,62 @@ def test_strip_duplicated_spans(spark):
     assert out[3]["clean_text"].startswith("totally unrelated")
     assert out[4]["clean_text"] == "tiny doc"
     assert out[4]["n_kept"] == out[4]["n_total"] == 2
+
+
+# ---- domain-level (per-source) curation ----
+
+def _source_docs(spark):
+    good = "the quick system is a part of the data engine, with the index and the cache."
+    rows = [
+        # srcA: clean english, no dups
+        (1, good + " alpha", "en", "srcA"),
+        (2, good + " beta", "en", "srcA"),
+        # srcB: 100% duplicates (mirror farm)
+        (3, good + " gamma", "en", "srcB"),
+        (4, good + " gamma", "en", "srcB"),
+        # srcC: off-language
+        (5, good + " delta", "de", "srcC"),
+        (6, good + " epsilon", "de", "srcC"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_source_stats_gates(spark):
+    out = curation.source_stats(
+        _source_docs(spark), lang_col="lang", max_dup_rate=0.5, min_lang_rate=0.5
+    ).collect()
+    by_src = {r["source"]: r for r in out}
+    assert by_src["srcA"]["kept"] == 1 and by_src["srcA"]["dup_rate"] == 0.0
+    assert by_src["srcB"]["kept"] == 0 and by_src["srcB"]["dup_rate"] == 1.0
+    assert by_src["srcC"]["kept"] == 0 and by_src["srcC"]["lang_rate"] == 0.0
+    assert by_src["srcA"]["n_docs"] == 2
+
+
+def test_dup_rate_is_corpus_wide(spark):
+    # a doc mirrored ACROSS sources counts against both sides
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "srcA"),
+        (2, "alpha beta gamma delta epsilon", "en", "srcB"),
+        (3, "totally different text here now", "en", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in curation.source_stats(df, lang_col="lang").collect()}
+    assert out["srcA"]["dup_rate"] == 1.0
+    assert out["srcB"]["dup_rate"] == 0.5
+
+
+def test_curate_by_source(spark):
+    kept = curation.curate_by_source(
+        _source_docs(spark), lang_col="lang", max_dup_rate=0.5, min_lang_rate=0.5
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+
+def test_source_stats_computed_lang(spark):
+    # lang_col omitted -> lang_id(text) drives lang_rate
+    out = curation.source_stats(
+        _source_docs(spark).drop("lang"), min_lang_rate=0.5
+    ).collect()
+    by_src = {r["source"]: r for r in out}
+    # all three sources carry english stopwords -> lang_id says 'en'
+    assert by_src["srcC"]["lang_rate"] == 1.0
