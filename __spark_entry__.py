@@ -735,6 +735,14 @@ def q_kg_triangles(spark, sf_dir):
     return q.triangle_counts(_kg_cooccur_und(spark, sf_dir), top_k=100)
 
 
+def q_kg_ktruss(spark, sf_dir):
+    """Iterated k-truss peeling (k=12, 3 rounds — the fixpoint on this
+    graph): the densely interlocked edge cores of the co-occurrence
+    graph, with per-edge support measured within the surviving
+    subgraph.  Edge-level cohesion complement to kg_coreness."""
+    return q.ktruss(_kg_cooccur_und(spark, sf_dir), k=12, iters=3)
+
+
 def q_kg_related_concepts(spark, sf_dir):
     """Link prediction over the co-occurrence graph: non-adjacent
     concept pairs at distance 2 ranked by neighborhood Jaccard."""
@@ -2194,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_substring_spans": q_dd_substring_spans,
         "dd_containment": q_dd_containment,
         "txt_source_curation": q_txt_source_curation,
+        "kg_ktruss": q_kg_ktruss,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -2745,6 +2754,44 @@ SELECT n.id, CAST(dg.deg AS BIGINT) AS degree, CAST(cv.val AS BIGINT) AS corenes
 FROM nodes n JOIN deg dg ON dg.cid = n.id JOIN cv8 cv ON cv.id = n.id
 JOIN r10 r ON r.id = n.id JOIN l5 l ON l.id = n.id
 ORDER BY n.id"""
+    # kg_ktruss: the 3 peel rounds of plans/queries.ktruss unrolled.
+    # Every e{r} is referenced 3x by the next triangle join — AS
+    # MATERIALIZED is mandatory (plain CTEs inline exponentially in
+    # DuckDB across unrolled levels).
+    def _ktruss_sql(k: int, iters: int) -> str:
+        sup = k - 2
+        parts = [
+            """e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a_id, b_id) AS lo, GREATEST(a_id, b_id) AS hi
+  FROM pairs WHERE a_id <> b_id)"""
+        ]
+        for r in range(1, iters + 1):
+            prev = f"e{r - 1}"
+            parts.append(f"""t{r} AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM {prev} e1 JOIN {prev} e2 ON e1.hi = e2.lo
+  JOIN {prev} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+e{r} AS MATERIALIZED (
+  SELECT lo, hi FROM (
+    SELECT lo, hi, COUNT(*) AS support FROM (
+      SELECT a AS lo, b AS hi FROM t{r}
+      UNION ALL SELECT a, c FROM t{r}
+      UNION ALL SELECT b, c FROM t{r}) GROUP BY lo, hi)
+  WHERE support >= {sup})""")
+        parts.append(f"""tf AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e{iters} e1 JOIN e{iters} e2 ON e1.hi = e2.lo
+  JOIN e{iters} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)""")
+        return f"""WITH {PAIRS_CTE},
+{','.join(parts)}
+SELECT e.lo AS a_id, e.hi AS b_id, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM e{iters} e LEFT JOIN (
+  SELECT lo, hi, COUNT(*) AS support FROM (
+    SELECT a AS lo, b AS hi FROM tf UNION ALL SELECT a, c FROM tf
+    UNION ALL SELECT b, c FROM tf) GROUP BY lo, hi) s
+  ON e.lo = s.lo AND e.hi = s.hi
+ORDER BY a_id, b_id"""
+
     return {
         "kg_communities": _communities_sql,
         # incremental refresh is graded against the FULL-graph LPA —
@@ -3824,4 +3871,5 @@ SELECT source, n_docs, total_tokens, mean_quality, dup_rate, lang_rate,
        CAST(CASE WHEN mean_quality >= 0.0 AND dup_rate <= 0.2 AND lang_rate >= 0.4
                  THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM s ORDER BY source""",
+        "kg_ktruss": _ktruss_sql(12, 3),
     }

@@ -1797,3 +1797,49 @@ class TestDriftSearch:
     def test_no_match_returns_empty(self, spark):
         und, labels, mentions = self._fixture(spark)
         assert queries.drift_search(und, labels, mentions, "qqqq").count() == 0
+
+
+class TestKtruss:
+    """Iterated k-truss peeling: edge-level cohesion."""
+
+    # K4 clique (every edge in 2 triangles) + a kite triangle hanging
+    # off it (edges in exactly 1 triangle) + a pendant bridge.
+    K4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    KITE = [("d", "e"), ("d", "f"), ("e", "f")]
+    BRIDGE = [("f", "g")]
+
+    def test_k4_truss_peels_kite_and_bridge(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        und = _und_df(spark, self.K4 + self.KITE + self.BRIDGE)
+        # k=4 -> support >= 2: only the K4 clique survives
+        out = q.ktruss(und, k=4, iters=3).collect()
+        assert {(r.a_id, r.b_id) for r in out} == set(self.K4)
+        # inside the surviving K4 every edge still has support 2
+        assert all(r.support == 2 for r in out)
+
+    def test_k3_keeps_all_triangle_edges(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        und = _und_df(spark, self.K4 + self.KITE + self.BRIDGE)
+        out = q.ktruss(und, k=3, iters=3).collect()
+        # support >= 1: clique + kite survive, the bridge is peeled
+        assert {(r.a_id, r.b_id) for r in out} == set(self.K4 + self.KITE)
+
+    def test_cascade_needs_iterations(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        # chain of triangles sharing single vertices: t1=(a,b,c),
+        # t2=(c,d,e), where t2 additionally hangs off a 2-triangle
+        # block; peeling t1 (support 1 < 2) does not cascade here, but
+        # a strip of stacked triangles does: strip = x0-x1-x2-x3 with
+        # edges making triangles (x0,x1,x2), (x1,x2,x3).  At k=4 round
+        # 1 kills the outer edges (support 1), round 2 kills the now
+        # triangle-less middle edge: iterated peeling must empty it.
+        strip = [("x0", "x1"), ("x0", "x2"), ("x1", "x2"), ("x1", "x3"), ("x2", "x3")]
+        und = _und_df(spark, strip)
+        one = q.ktruss(und, k=4, iters=1).collect()
+        assert {(r.a_id, r.b_id) for r in one} == {("x1", "x2")}
+        assert one[0].support == 0  # its triangles died in the same round
+        full = q.ktruss(und, k=4, iters=2).collect()
+        assert full == []
