@@ -599,3 +599,10 @@ class TestContainment:
         brute = dedup.containment_pairs(df, threshold=0.5, shingle_n=2, candidates=all_pairs)
         fast = dedup.containment_pairs(df, threshold=0.5, shingle_n=2)
         assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, fast.collect()))
+
+    def test_df_prefix_order_is_lossless(self, spark):
+        # ordering changes candidates, never output (verify is exact)
+        df = self._df(spark)
+        hash_o = dedup.containment_pairs(df, threshold=0.5, shingle_n=2)
+        df_o = dedup.containment_pairs(df, threshold=0.5, shingle_n=2, prefix_order="df")
+        assert sorted(map(tuple, hash_o.collect())) == sorted(map(tuple, df_o.collect()))
