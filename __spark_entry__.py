@@ -2014,6 +2014,39 @@ def q_sim_ann_topk(spark, sf_dir):
     return similarity.ann_topk(emb, qv, dim=64, k=10)
 
 
+def q_dd_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (FastCDC-style token-gram boundaries,
+    gram=3, divisor=8): boundaries depend only on local content, so a
+    banner prepended to a re-crawled page leaves every later chunk —
+    and its dedup hash — byte-identical.  Pure per-row HOFs; nothing
+    shuffles."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import (
+        cdc_chunks,
+    )
+
+    return cdc_chunks(_docs(spark, sf_dir), gram=3, divisor=8)
+
+
+def q_txt_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag log-likelihood ratio of the target-domain model (here: the
+    corpus's English slice as exemplar set) vs the raw-corpus model —
+    the published cheap data-selection score for matching a
+    pretraining mix to a target domain."""
+    d = _docs(spark, sf_dir)
+    return curation.dsir_weights(
+        d, d.where(F.col("lang") == "en"), n_buckets=256
+    )
+
+
+def q_dd_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup verdict over the embedding table:
+    SRP-LSH buckets as the cluster proxy, exact cosine >= 0.30, drop
+    if dominated by any lower id; one (vec_id, kept, dup_of) row per
+    input, so keep-list and redirect map fall out of one output."""
+    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=0.30, dim=64)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic k-means coarse quantizer (driver-side
     sample), literal-centroid assignment, nprobe-list probe + exact
@@ -2203,6 +2236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_containment": q_dd_containment,
         "txt_source_curation": q_txt_source_curation,
         "kg_ktruss": q_kg_ktruss,
+        "dd_cdc_chunks": q_dd_cdc_chunks,
+        "txt_dsir_weights": q_txt_dsir_weights,
+        "dd_semantic_dedup": q_dd_semantic_dedup,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3872,4 +3908,62 @@ SELECT source, n_docs, total_tokens, mean_quality, dup_rate, lang_rate,
                  THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM s ORDER BY source""",
         "kg_ktruss": _ktruss_sql(12, 3),
+        # content-defined chunking: boundary where the md5-prefix hash
+        # of the 3-token trailing gram is 0 mod 8 (positions gram..n-1;
+        # n always closes the final chunk); list slices are 1-based
+        # inclusive on both engines.
+        "dd_cdc_chunks": f"""
+WITH base AS (SELECT doc_id AS id,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> length(t) > 0) AS toks
+      FROM documents),
+b2 AS (SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+b3 AS (SELECT id, toks,
+        list_concat(
+          list_filter(range(3, greatest(n, 3)),
+                      i -> ({_nib32_expr("md5('cdc|' || array_to_string(toks[i - 2 : i], ' '))")}) % 8 = 0),
+          [n]) AS b
+      FROM b2),
+ex AS (SELECT id, toks, b, CAST(k AS INT) AS j
+       FROM b3, LATERAL (SELECT unnest(range(1, len(b) + 1)) AS k) r),
+ch AS (SELECT id, CAST(j - 1 AS INT) AS chunk_idx,
+        array_to_string(toks[(CASE WHEN j = 1 THEN 1 ELSE b[j - 1] + 1 END):(b[j])], ' ') AS chunk_text,
+        CAST(b[j] - (CASE WHEN j = 1 THEN 0 ELSE b[j - 1] END) AS BIGINT) AS n_tokens
+       FROM ex)
+SELECT id, chunk_idx, chunk_text, md5(chunk_text) AS chunk_hash, n_tokens
+FROM ch ORDER BY id, chunk_idx""",
+        # DSIR: hashed unigram+bigram buckets (portable md5-prefix
+        # hash % 256), Laplace-1 smoothed target/raw unigram models,
+        # per-doc sum of c_b * log-ratio rounded at 6 (the
+        # unigram-logprob cross-engine recipe).
+        "txt_dsir_weights": f"""
+WITH tokd AS (SELECT doc_id AS id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+      FROM documents),
+feat AS (SELECT id, unnest(list_concat(toks,
+        list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]))) AS f
+      FROM tokd),
+fb AS (SELECT id, ({_nib32_expr("md5(f)")}) % 256 AS b FROM feat),
+dc AS (SELECT id, b, CAST(COUNT(*) AS BIGINT) AS c FROM fb GROUP BY id, b),
+raw AS (SELECT b, CAST(SUM(c) AS DOUBLE) AS r FROM dc GROUP BY b),
+tgt AS (SELECT fb.b, CAST(COUNT(*) AS DOUBLE) AS t FROM fb
+        JOIN documents d ON fb.id = d.doc_id WHERE d.lang = 'en' GROUP BY fb.b),
+tot AS (SELECT (SELECT SUM(r) FROM raw) AS rr, (SELECT COALESCE(SUM(t), 0) FROM tgt) AS tt),
+ratio AS (SELECT raw.b,
+        ln((COALESCE(tgt.t, 0) + 1.0) / (tot.tt + 256.0)) - ln((raw.r + 1.0) / (tot.rr + 256.0)) AS lr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+SELECT dc.id AS doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_feats,
+       ROUND(SUM(dc.c * ratio.lr), 6) AS logw
+FROM dc JOIN ratio ON dc.b = ratio.b GROUP BY dc.id ORDER BY doc_id""",
+        # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
+        # 0.30 -> dominated-by-min-lower-id; one row per input vector.
+        "dd_semantic_dedup": f"""WITH {_srp_base},
+cand AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+sdp AS (SELECT c.a_id, c.b_id
+        FROM cand c JOIN base a ON a.id = c.a_id JOIN base b ON b.id = c.b_id
+        WHERE ROUND({_cos_ab}, 6) >= 0.30),
+sdd AS (SELECT b_id, MIN(a_id) AS dup_of FROM sdp GROUP BY b_id)
+SELECT e.vec_id, sdd.dup_of IS NULL AS kept, sdd.dup_of
+FROM embeddings e LEFT JOIN sdd ON e.vec_id = sdd.b_id ORDER BY e.vec_id""",
     }

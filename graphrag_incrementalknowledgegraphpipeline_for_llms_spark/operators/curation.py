@@ -353,3 +353,111 @@ def curate_by_source(
         source_col,
         "left_semi",
     )
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, bigrams: bool
+) -> DataFrame:
+    """(id, b) hashed-feature occurrences: lowercased alphanumeric
+    unigrams plus (optionally) adjacent bigrams, each hashed into one of
+    ``n_buckets`` buckets with the portable md5-prefix recipe.  One
+    narrow projection per row — text never shuffles; only (id, bucket)
+    pairs do."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    feats = F.col("toks")
+    if bigrams:
+        n = F.size("toks")
+        big = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("toks"), i.cast("int")),
+                    F.lit("_"),
+                    F.element_at(F.col("toks"), (i + 1).cast("int")),
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        feats = F.concat(feats, big)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return base.select("id", F.explode(feats).alias("f")).select(
+        "id", bucket.alias("b")
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much more likely its hashed-n-gram bag is under a
+    unigram model of the TARGET domain than under the raw-corpus model:
+
+        log w(x) = sum_b  c_b(x) * [ log p_tgt(b) - log p_raw(b) ]
+
+    with Laplace-``alpha`` smoothing over ``n_buckets`` hashed
+    unigram+bigram features.  Sampling the corpus proportionally to
+    exp(log w) (or keeping top-weight docs) yields a pretraining mix
+    that matches the target domain distribution — the published,
+    cheap alternative to classifier-based filtering.
+
+    Returns (doc_id, n_feats, logw) for every corpus document with at
+    least one feature, ordered by doc_id.  ``target`` is the exemplar
+    set (typically a few thousand docs — Wikipedia/books slice); it is
+    scanned once and its bucket histogram is tiny (``n_buckets`` rows).
+
+    Scale shape: ONE feature pass over the corpus feeds both the
+    per-document counts and (re-aggregated from them) the raw bucket
+    histogram — the corpus text is read once and only (id, bucket)
+    crosses the shuffle.  The two total-count scalars fold into the
+    plan as literals (the BM25 corpus-scalar pattern) and the
+    ``n_buckets``-row log-ratio table broadcasts to the scoring join.
+    Per-feature log-ratios are plain doubles; the per-document sum is
+    rounded to 6 places (the unigram-logprob cross-engine recipe)."""
+    dc = (
+        _hashed_ngram_features(corpus, text_col, id_col, n_buckets, bigrams)
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = dc.groupBy("b").agg(F.sum("c").alias("r"))
+    tgt = (
+        _hashed_ngram_features(target, text_col, id_col, n_buckets, bigrams)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    r_total = float(raw.select(F.sum("r")).collect()[0][0] or 0)
+    t_total = float(tgt.select(F.sum("t")).collect()[0][0] or 0)
+    denom_t = F.lit(t_total + alpha * n_buckets)
+    denom_r = F.lit(r_total + alpha * n_buckets)
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("t"), F.lit(0)) + F.lit(alpha)) / denom_t)
+                - F.log((F.col("r") + F.lit(alpha)) / denom_r)
+            ).alias("lr"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_feats", "logw")
+        .orderBy("doc_id")
+    )

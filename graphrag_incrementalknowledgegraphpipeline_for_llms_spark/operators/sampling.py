@@ -295,3 +295,83 @@ def window_chunks(
         )
         .orderBy("id", "chunk_idx")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 3,
+    divisor: int = 8,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking: split each document at token positions
+    where the rolling hash of the ``gram`` trailing tokens is 0 mod
+    ``divisor`` (FastCDC/rsync-style boundaries at token granularity).
+    Unlike fixed windows, boundaries are a function of LOCAL CONTENT
+    only — inserting a paragraph at the top of a page shifts every
+    fixed-window chunk but leaves every content-defined chunk after the
+    edit region byte-identical, so chunk-hash dedup keeps matching
+    re-crawled pages that gained a banner or nav block (the dominant
+    near-dup mode in web corpora).  Expected chunk length ~``divisor``
+    tokens past the first eligible cut.
+
+    Returns (id, chunk_idx, chunk_text, chunk_hash, n_tokens); the
+    final token always closes the last chunk; documents shorter than
+    ``gram`` tokens yield one whole-document chunk.
+
+    Scale shape: pure Catalyst higher-order functions — tokenize,
+    boundary scan, and chunk slicing all happen per-row inside the scan
+    stage; nothing shuffles (the trailing orderBy is presentation
+    only).  The boundary hash is the portable md5-prefix recipe so the
+    DuckDB oracle replays it bit-for-bit."""
+    if gram < 1 or divisor < 1:
+        raise ValueError("gram and divisor must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    ).where(F.col("n") > 0)
+
+    def _cut(i):  # rolling hash of the gram ENDING at 1-based position i
+        g = F.array_join(F.slice(F.col("toks"), i - F.lit(gram - 1), gram), " ")
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), g)), 1, 8), 16, 10
+        ).cast("long")
+        return h % divisor == 0
+
+    inner = F.when(
+        F.col("n") > gram,
+        F.filter(F.sequence(F.lit(gram), F.col("n") - 1), _cut),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    staged = base.select(
+        "id", "toks", F.concat(inner, F.array(F.col("n"))).alias("b")
+    )
+
+    def _piece(j):  # tokens (b[j-1], b[j]] — b is ascending, 1-based ends
+        start = F.when(j == 1, F.lit(1)).otherwise(
+            F.element_at(F.col("b"), (j - 1).cast("int")) + 1
+        )
+        length = F.element_at(F.col("b"), j.cast("int")) - start + 1
+        return F.slice(F.col("toks"), start, length)
+
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("b")),
+        lambda j: F.struct(
+            (j - 1).cast("int").alias("chunk_idx"),
+            F.array_join(_piece(j), " ").alias("chunk_text"),
+            F.size(_piece(j)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        staged.select("id", F.explode(chunks).alias("c"))
+        .select(
+            "id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+        .orderBy("id", "chunk_idx")
+    )

@@ -609,3 +609,59 @@ def quantized_ann_topk(
         cond = c if cond is None else (cond | c)
     cands = index.where(cond).select("vec_id", "qv").distinct()
     return _quantized_rerank(cands, query, k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict (Abbas et al.
+    2023): a document is a semantic duplicate if some LOWER-id document
+    is cosine-similar above ``threshold``.  Returns one row per input —
+    (vec_id, kept, dup_of) with ``dup_of`` = the smallest dominating id
+    (NULL when kept) — so the keep-list, the drop-list, and the
+    redirect map all come from one output.
+
+    Survivor rule: *dominated by ANY lower id*, not the sequential
+    greedy scan (which would need the dominator itself to have been
+    kept).  The rule is deterministic, needs no iteration, and
+    over-drops only chains a > b > c where cos(a,b) and cos(b,c) pass
+    but cos(a,c) does not — at SemDeDup's high thresholds those chains
+    are themselves near-duplicate clusters, and dropping them is the
+    conservative direction for a dedup.  Clustering proxy: SRP-LSH
+    band buckets stand in for SemDeDup's k-means clusters (both only
+    bound the candidate search; the cosine check is exact), keeping
+    the whole operator deterministic and oracle-replayable.
+
+    Scale shape: candidates come from the banded SRP equi-join (never
+    all pairs); the verdict is a ``min(a_id)`` aggregate over dominated
+    ids plus one broadcast-friendly left join back to the id set —
+    only (id, band, bucket) and (a_id, b_id) pairs ever shuffle."""
+    pairs = embedding_near_dups(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=candidates,
+        dim=dim,
+        n_planes=n_planes,
+        bands=bands,
+    )
+    dom = pairs.groupBy("b_id").agg(F.min("a_id").alias("dup_of"))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(dom, F.col("vec_id") == F.col("b_id"), "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )

@@ -481,3 +481,186 @@ def test_source_stats_computed_lang(spark):
     by_src = {r["source"]: r for r in out}
     # all three sources carry english stopwords -> lang_id says 'en'
     assert by_src["srcC"]["lang_rate"] == 1.0
+
+
+class TestCdcChunks:
+    def _py_cdc(self, text, gram=3, divisor=8, salt="cdc"):
+        import hashlib
+
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            return []
+        bounds = []
+        for i in range(gram, n):  # 1-based end positions gram..n-1
+            g = " ".join(toks[i - gram : i])
+            h = int(hashlib.md5(f"{salt}|{g}".encode()).hexdigest()[:8], 16)
+            if h % divisor == 0:
+                bounds.append(i)
+        bounds.append(n)
+        out, prev = [], 0
+        for k, b in enumerate(bounds):
+            piece = toks[prev:b]
+            out.append((k, " ".join(piece), len(piece)))
+            prev = b
+        return out
+
+    def _docs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        mk = lambda n: " ".join(f"w{rng.randrange(40)}" for _ in range(n))
+        rows = [(1, mk(120)), (2, mk(57)), (3, "a b"), (4, ""), (5, mk(200))]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_python_oracle(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import cdc_chunks
+
+        rows, df = self._docs(spark)
+        got = {
+            (r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+            for r in cdc_chunks(df).collect()
+        }
+        want = {}
+        for did, text in rows:
+            for k, ct, nt in self._py_cdc(text):
+                want[(did, k)] = (ct, nt)
+        assert got == want
+        assert not any(i == 4 for i, _ in got)  # empty doc -> no chunks
+
+    def test_token_accounting(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import cdc_chunks
+
+        rows, df = self._docs(spark)
+        per_doc = {}
+        for r in cdc_chunks(df).collect():
+            per_doc.setdefault(r["id"], []).append(
+                (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            )
+        for did, text in rows:
+            if not text.split():
+                continue
+            chunks = sorted(per_doc[did])
+            rebuilt = " ".join(c[1] for c in chunks)
+            assert rebuilt == " ".join(text.split())
+            assert sum(c[2] for c in chunks) == len(text.split())
+
+    def test_shift_resistance(self, spark):
+        # prepending a banner leaves every chunk after the first
+        # boundary byte-identical — the property fixed windows lack
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import (
+            cdc_chunks,
+            window_chunks,
+        )
+        import random
+
+        rng = random.Random(11)
+        body = " ".join(f"w{rng.randrange(40)}" for _ in range(300))
+        banner = "new cookie banner text here"
+        df = spark.createDataFrame(
+            [(1, body), (2, banner + " " + body)], "doc_id long, text string"
+        )
+        out = cdc_chunks(df).collect()
+        a = [r["chunk_hash"] for r in sorted(out, key=lambda r: r["chunk_idx"]) if r["id"] == 1]
+        b = {r["chunk_hash"] for r in out if r["id"] == 2}
+        assert len(a) > 3  # fixture long enough to carry several cuts
+        assert all(h in b for h in a[1:])  # everything past chunk 0 survives
+        # contrast: fixed windows lose EVERY chunk after the shift
+        w = window_chunks(df, window=32, overlap=0).collect()
+        wa = {r["chunk_text"] for r in w if r["id"] == 1}
+        wb = {r["chunk_text"] for r in w if r["id"] == 2}
+        assert len(wa & wb) == 0
+
+    def test_short_doc_single_chunk(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.sampling import cdc_chunks
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        rows = cdc_chunks(df, gram=3).collect()
+        assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+        assert rows[0]["n_tokens"] == 2
+
+
+class TestDsirWeights:
+    def _py_dsir(self, corpus, target, n_buckets=16, alpha=1.0):
+        import hashlib
+        from collections import Counter
+
+        def feats(text):
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+            return [
+                int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+                for g in grams
+            ]
+
+        raw = Counter()
+        per_doc = {}
+        for did, text in corpus:
+            f = Counter(feats(text))
+            if f:
+                per_doc[did] = f
+                raw.update(f)
+        tgt = Counter()
+        for _, text in target:
+            tgt.update(feats(text))
+        R, T = sum(raw.values()), sum(tgt.values())
+        out = {}
+        for did, f in per_doc.items():
+            lw = sum(
+                c
+                * (
+                    math.log((tgt.get(b, 0) + alpha) / (T + alpha * n_buckets))
+                    - math.log((raw[b] + alpha) / (R + alpha * n_buckets))
+                )
+                for b, c in f.items()
+            )
+            out[did] = (sum(f.values()), round(lw, 6))
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        corpus = [
+            (1, "the cat sat on the mat"),
+            (2, "stock market prices fell sharply today"),
+            (3, "the dog sat on the rug"),
+            (4, ""),
+        ]
+        target = [(90, "the cat and the dog sat together"), (91, "a cat on a mat")]
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        tdf = spark.createDataFrame(target, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logw"])
+            for r in curation.dsir_weights(cdf, tdf, n_buckets=16).collect()
+        }
+        want = self._py_dsir(corpus, target, n_buckets=16)
+        assert set(got) == set(want)  # doc 4 (no features) excluded
+        for did in want:
+            assert got[did][0] == want[did][0]
+            assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
+
+    def test_target_like_docs_score_higher(self, spark):
+        # equal token counts: log w is the SEQUENCE-level sum (DSIR
+        # paper form), so length itself shifts the weight — the
+        # domain signal is only comparable at matched length
+        on_domain = "the cat sat on the mat with the dog today"
+        off_domain = "quarterly earnings guidance revised downward amid volatility overnight trading session"
+        cdf = spark.createDataFrame(
+            [(1, on_domain), (2, off_domain)], "doc_id long, text string"
+        )
+        # the exemplar shares the target domain's FUNCTION words too —
+        # with a mismatched determiner ("a cat" vs "the cat") the raw
+        # model's self-counts of "the" dominate and flip the sign
+        tdf = spark.createDataFrame(
+            [(90, "the cat and the dog sat on the mat")], "doc_id long, text string"
+        )
+        w = {r["doc_id"]: r["logw"] for r in curation.dsir_weights(cdf, tdf, n_buckets=64).collect()}
+        assert w[1] > w[2]
+
+    def test_feature_count(self, spark):
+        cdf = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+        tdf = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+        rows = curation.dsir_weights(cdf, tdf).collect()
+        assert rows[0]["n_feats"] == 3 + 2  # unigrams + bigrams
+        nob = curation.dsir_weights(cdf, tdf, bigrams=False).collect()
+        assert nob[0]["n_feats"] == 3

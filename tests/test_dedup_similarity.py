@@ -606,3 +606,56 @@ class TestContainment:
         hash_o = dedup.containment_pairs(df, threshold=0.5, shingle_n=2)
         df_o = dedup.containment_pairs(df, threshold=0.5, shingle_n=2, prefix_order="df")
         assert sorted(map(tuple, hash_o.collect())) == sorted(map(tuple, df_o.collect()))
+
+
+class TestSemanticDedup:
+    def _emb(self, spark):
+        # two planted near-dup clusters + two loners (8-dim)
+        base_a = [1.0, 0.2, -0.5, 0.8, 0.0, 0.3, -0.1, 0.6]
+        base_b = [-0.7, 0.9, 0.4, -0.2, 0.5, -0.6, 0.1, 0.0]
+        eps = lambda v, d: [x + d for x in v]
+        rows = [
+            (1, base_a),
+            (2, eps(base_a, 0.01)),       # dup of 1
+            (5, eps(base_a, 0.02)),       # dup of 1 (and of 2)
+            (3, base_b),
+            (4, eps(base_b, 0.015)),      # dup of 3
+            (6, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]),  # loner
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_verdicts_with_explicit_candidates(self, spark):
+        df = self._emb(spark)
+        ids = [r["vec_id"] for r in df.select("vec_id").collect()]
+        pairs = [(a, b) for a in ids for b in ids if a < b]
+        cand = spark.createDataFrame(pairs, "a_id long, b_id long")
+        out = {
+            r["vec_id"]: (r["kept"], r["dup_of"])
+            for r in similarity.semantic_dedup(df, threshold=0.99, candidates=cand).collect()
+        }
+        assert out == {
+            1: (True, None), 2: (False, 1), 5: (False, 1),
+            3: (True, None), 4: (False, 3), 6: (True, None),
+        }
+
+    def test_srp_path_consistent(self, spark):
+        df = self._emb(spark)
+        out = similarity.semantic_dedup(df, threshold=0.99, dim=8).collect()
+        assert len(out) == 6  # one verdict per input row
+        verd = {r["vec_id"]: (r["kept"], r["dup_of"]) for r in out}
+        # identical-direction vectors share every SRP bucket -> the
+        # planted dups are always found; loners always survive
+        assert verd[6] == (True, None) and verd[1] == (True, None)
+        assert not verd[2][0] and verd[2][1] < 2
+        assert not verd[4][0] and verd[4][1] == 3
+        # every drop is justified by a true cosine above threshold
+        vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        for vid, (kept, dup_of) in verd.items():
+            if not kept:
+                assert round(cos(vecs[vid], vecs[dup_of]), 6) >= 0.99
