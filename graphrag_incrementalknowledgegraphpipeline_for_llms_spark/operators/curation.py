@@ -418,24 +418,33 @@ def dsir_weights(
     set (typically a few thousand docs — Wikipedia/books slice); it is
     scanned once and its bucket histogram is tiny (``n_buckets`` rows).
 
-    Scale shape: ONE feature pass over the corpus feeds both the
-    per-document counts and (re-aggregated from them) the raw bucket
-    histogram — the corpus text is read once and only (id, bucket)
-    crosses the shuffle.  The two total-count scalars fold into the
-    plan as literals (the BM25 corpus-scalar pattern) and the
-    ``n_buckets``-row log-ratio table broadcasts to the scoring join.
-    Per-feature log-ratios are plain doubles; the per-document sum is
-    rounded to 6 places (the unigram-logprob cross-engine recipe)."""
-    dc = (
+    Scale shape: ONE feature pass over the corpus feeds the
+    per-document counts, the raw bucket histogram, and the total-count
+    scalar — the (id, bucket, c) table is staged as scratch parquet
+    because it has THREE consumers and Spark re-executes the
+    explode+hash subtree per consumer otherwise (no common-subtree
+    reuse; measured 2.6x-of-linear at 10x before staging, and
+    BlockManager persist is the documented pathological alternative).
+    Only (id, bucket) crosses the shuffle; the two total-count scalars
+    fold into the plan as literals (the BM25 corpus-scalar pattern)
+    and the ``n_buckets``-row log-ratio table broadcasts to the
+    scoring join.  Per-feature log-ratios are plain doubles; the
+    per-document sum is rounded to 6 places (the unigram-logprob
+    cross-engine recipe)."""
+    from .dedup import stage_parquet
+
+    dc = stage_parquet(
         _hashed_ngram_features(corpus, text_col, id_col, n_buckets, bigrams)
         .groupBy("id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        "dsir_dc",
     )
     raw = dc.groupBy("b").agg(F.sum("c").alias("r"))
-    tgt = (
+    tgt = stage_parquet(
         _hashed_ngram_features(target, text_col, id_col, n_buckets, bigrams)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.count(F.lit(1)).alias("t")),
+        "dsir_tgt",
     )
     r_total = float(raw.select(F.sum("r")).collect()[0][0] or 0)
     t_total = float(tgt.select(F.sum("t")).collect()[0][0] or 0)

@@ -611,11 +611,26 @@ def quantized_ann_topk(
     return _quantized_rerank(cands, query, k)
 
 
+def auto_srp_planes(n_rows: int, bands: int = 4, target_bucket: int = 256) -> int:
+    """SRP plane count sized to the corpus: enough bits per band that
+    the EXPECTED bucket occupancy is ~``target_bucket`` rows, so the
+    bucket self-join stays ~linear in N instead of quadratic in bucket
+    size (candidate pairs per bucket are C(occupancy, 2) — a fixed
+    16-bucket layout measured 6.4x-of-linear at a mere 10x corpus).
+    More bits per band lowers per-band recall for mid-cosine pairs;
+    compensate with more ``bands`` when hunting low thresholds — the
+    textbook SRP dial, now sized instead of hardcoded."""
+    import math
+
+    bits = max(2, math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2))))
+    return bands * min(bits, 24)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.8,
     dim: int | None = None,
-    n_planes: int = 16,
+    n_planes: int | str = 16,
     bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -643,7 +658,12 @@ def semantic_dedup(
     Scale shape: candidates come from the banded SRP equi-join (never
     all pairs); the verdict is a ``min(a_id)`` aggregate over dominated
     ids plus one broadcast-friendly left join back to the id set —
-    only (id, band, bucket) and (a_id, b_id) pairs ever shuffle."""
+    only (id, band, bucket) and (a_id, b_id) pairs ever shuffle.
+    Pass ``n_planes="auto"`` to size the bucket count from a row count
+    (one cheap COUNT job) via :func:`auto_srp_planes` — the fixed
+    default 16 is calibrated to the oracle corpus, not to 100 TB."""
+    if n_planes == "auto":
+        n_planes = auto_srp_planes(embeddings.count(), bands=bands)
     pairs = embedding_near_dups(
         embeddings,
         threshold=threshold,

@@ -659,3 +659,22 @@ class TestSemanticDedup:
         for vid, (kept, dup_of) in verd.items():
             if not kept:
                 assert round(cos(vecs[vid], vecs[dup_of]), 6) >= 0.99
+
+    def test_auto_plane_sizing(self, spark):
+        # 1M rows / 256-target buckets -> 12 bits/band -> 48 planes
+        assert similarity.auto_srp_planes(1_000_000, bands=4) == 48
+        assert similarity.auto_srp_planes(10, bands=4) == 8  # floor
+        df = self._emb(spark)
+        out = similarity.semantic_dedup(df, threshold=0.99, dim=8, n_planes="auto").collect()
+        assert len(out) == 6
+        vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        for r in out:
+            if not r["kept"]:  # soundness: every drop has a true dominator
+                assert round(cos(vecs[r["vec_id"]], vecs[r["dup_of"]]), 6) >= 0.99
+        assert {r["vec_id"] for r in out if r["kept"]} >= {1, 6}
