@@ -241,7 +241,7 @@ est AS (SELECT c.a_id, c.b_id,
 # queries.betweenness_sampled: forward sigma BFS, predecessor DAG,
 # backward dependency accumulation); MATERIALIZED per level — multi-
 # referenced CTEs inline exponentially in DuckDB otherwise
-def _betweenness_ctes(seeds, max_hops: int = 4) -> str:
+def _betweenness_ctes(seeds, max_hops: int = 4, forward_only: bool = False) -> str:
     src = " UNION ".join(
         f"SELECT substr(sha256('{s}'), 1, 16) AS s" for s in sorted(set(seeds))
     )
@@ -255,6 +255,8 @@ bvis0 AS MATERIALIZED (SELECT * FROM bv0)"""
 bf{k} AS (SELECT x.s, a.nbr_id AS v, SUM(x.sig) AS sig FROM bv{k - 1} x JOIN badj a ON a.cid = x.v GROUP BY x.s, a.nbr_id),
 bv{k} AS MATERIALIZED (SELECT f.s, f.v, {k} AS d, f.sig FROM bf{k} f ANTI JOIN bvis{k - 1} vv ON f.s = vv.s AND f.v = vv.v),
 bvis{k} AS MATERIALIZED (SELECT * FROM bvis{k - 1} UNION ALL SELECT * FROM bv{k})"""
+    if forward_only:  # harmonic centrality needs only the BFS distances
+        return out
     out += f""",
 bpreds AS MATERIALIZED (SELECT u.s, u.v AS pu, w.v AS pw, u.sig AS su, w.sig AS sw, w.d AS dw
   FROM badj a JOIN bvis{max_hops} u ON a.cid = u.v
@@ -2014,6 +2016,17 @@ def q_sim_ann_topk(spark, sf_dir):
     return similarity.ann_topk(emb, qv, dim=64, k=10)
 
 
+def q_kg_harmonic(spark, sf_dir):
+    """Sampled-source hop-bounded harmonic centrality from the PPR
+    seed entities — which concepts are CLOSE to the seed neighborhood
+    (the disconnected-graph-safe closeness; forward half of the
+    Brandes machinery, so it shares kg_betweenness's BFS shape and
+    (eps, delta) sampling note)."""
+    return q.harmonic_sampled(
+        _kg_cooccur_und(spark, sf_dir), _ppr_seeds(), max_hops=4, top_k=20
+    )
+
+
 def q_dd_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (FastCDC-style token-gram boundaries,
     gram=3, divisor=8): boundaries depend only on local content, so a
@@ -2239,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cdc_chunks": q_dd_cdc_chunks,
         "txt_dsir_weights": q_txt_dsir_weights,
         "dd_semantic_dedup": q_dd_semantic_dedup,
+        "kg_harmonic": q_kg_harmonic,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3954,6 +3968,12 @@ ratio AS (SELECT raw.b,
 SELECT dc.id AS doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_feats,
        ROUND(SUM(dc.c * ratio.lr), 6) AS logw
 FROM dc JOIN ratio ON dc.b = ratio.b GROUP BY dc.id ORDER BY doc_id""",
+        # harmonic centrality: forward BFS of the betweenness CTEs
+        # (shared generator, forward_only) -> SUM(1/d) over sources.
+        "kg_harmonic": f"""WITH {PAIRS_CTE},
+{_betweenness_ctes(_PPR_SEED_LEMMAS, 4, forward_only=True)}
+SELECT v AS id, ROUND(SUM(1.0 / d), 6) AS harmonic
+FROM bvis4 WHERE d > 0 GROUP BY v ORDER BY harmonic DESC, id LIMIT 20""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

@@ -2481,6 +2481,68 @@ def betweenness_sampled(
     )
 
 
+def harmonic_sampled(
+    und: DataFrame,
+    sources: list[str],
+    max_hops: int = 4,
+    top_k: int = 20,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Sampled-source hop-bounded harmonic centrality:
+    H(v) = sum over sampled sources s != v of 1 / d(s, v), distances
+    from a multi-source BFS truncated at ``max_hops`` (terms beyond
+    the radius contribute < 1/max_hops each and are dropped — the
+    same deliberate k-truncation as :func:`betweenness_sampled`).
+    Harmonic is the closeness variant that stays well-defined on
+    disconnected graphs (Boldi-Vigna 2014): unreachable pairs add 0
+    instead of breaking the mean.  Pass ``n_nodes`` to scale the
+    estimate by n/|S| (the unbiased-estimator form); unscaled sums are
+    returned otherwise, which preserves the ranking.  Returns (id,
+    harmonic) rounded to 6 dp, harmonic desc / id, top-k.
+
+    Scale shape: the forward half of the Brandes machinery only — all
+    sources advance together as a key column (one join + one distinct
+    aggregate per level, never |S| traversals), per-level relations
+    bounded by (sources x reached nodes), localCheckpoint truncating
+    the per-level lineage; the scoring pass is a single hash
+    aggregate over the visited relation.  Source draw:
+    :func:`sample_betweenness_sources` (same md5-rank determinism and
+    same (eps, delta) Hoeffding sizing note — per-source harmonic
+    contribution is bounded by 1, so :func:`betweenness_sample_size`
+    applies verbatim)."""
+    spark = und.sparkSession
+    adj = (
+        und.select("cid", "nbr_id")
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame(
+        [(s, s) for s in sorted(set(sources))], "s string, v string"
+    )
+    visited = frontier.withColumn("d", F.lit(0))
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["v"] == adj["cid"])
+            .select("s", F.col("nbr_id").alias("v"))
+            .distinct()
+        )
+        frontier = nxt.join(
+            visited.select("s", "v"), ["s", "v"], "left_anti"
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(
+            frontier.withColumn("d", F.lit(k))
+        ).localCheckpoint(eager=True)
+    scale = float(n_nodes) / len(set(sources)) if n_nodes else 1.0
+    return (
+        visited.where(F.col("d") > 0)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.round(F.sum(F.lit(scale) / F.col("d")), 6).alias("harmonic"))
+        .orderBy(F.desc("harmonic"), "id")
+        .limit(top_k)
+    )
+
+
 def drift_search(
     und: DataFrame,
     labels: DataFrame,

@@ -1843,3 +1843,61 @@ class TestKtruss:
         assert one[0].support == 0  # its triangles died in the same round
         full = q.ktruss(und, k=4, iters=2).collect()
         assert full == []
+
+
+class TestHarmonic:
+    def _py_harmonic(self, edges, sources, max_hops=4, scale=1.0):
+        from collections import defaultdict, deque
+
+        sym = set(edges) | {(b, a) for a, b in edges}
+        nbrs = defaultdict(set)
+        for a, b in sym:
+            if a != b:
+                nbrs[a].add(b)
+        h = defaultdict(float)
+        for s in set(sources):
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= max_hops:
+                    continue
+                for w in nbrs[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            for v, d in dist.items():
+                if d > 0:
+                    h[v] += scale / d
+        return {v: round(x, 6) for v, x in h.items()}
+
+    def test_matches_python_bfs(self, spark):
+        # path + triangle + a disconnected pair (harmonic's raison
+        # d'etre: unreachable nodes contribute 0, nothing breaks)
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("a", "c"),                       # shortcut
+            ("x", "y"),                       # island
+        ]
+        got = {
+            r["id"]: r["harmonic"]
+            for r in queries.harmonic_sampled(
+                _und_df(spark, edges), ["a", "e"], max_hops=4, top_k=20
+            ).collect()
+        }
+        assert got == self._py_harmonic(edges, ["a", "e"])
+        assert "x" not in got  # island never reached
+
+    def test_scaling_and_topk(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        und = _und_df(spark, edges)
+        scaled = {
+            r["id"]: r["harmonic"]
+            for r in queries.harmonic_sampled(
+                und, ["a"], max_hops=4, top_k=2, n_nodes=4
+            ).collect()
+        }
+        want = self._py_harmonic(edges, ["a"], scale=4.0)
+        assert len(scaled) == 2  # top-k honored
+        top2 = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+        assert scaled == top2
