@@ -2027,6 +2027,40 @@ def q_kg_harmonic(spark, sf_dir):
     )
 
 
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components over the DIRECTED concept
+    precedence graph: within each chunk, order concepts by first
+    surface position (ties by concept_id) and draw an edge from each
+    concept to its successor — "A is introduced before B".  Opposite
+    orderings across chunks create cycles, and the SCCs are the
+    mutually-preceding concept cores (the directed structure the
+    undirected co-occurrence view cannot see; kg_hits ranks this
+    graph's DAG condensation, scc exposes its cyclic cores).  The
+    canonical-ordering triple graph (subj_id < obj_id by
+    construction, operators/cooccur.py R1) is acyclic by design, so
+    precedence is the pipeline's natural cyclic directed view."""
+    enriched = _enriched(spark, sf_dir)
+    mentions = cf.mentions_from(enriched)
+    firstpos = (
+        mentions.join(enriched.select("chunk_id", "text"), "chunk_id")
+        .select(
+            "chunk_id",
+            "concept_id",
+            F.expr("instr(text, surface)").alias("pos"),
+        )
+        .groupBy("chunk_id", "concept_id")
+        .agg(F.min("pos").alias("pos"))
+    )
+    w = Window.partitionBy("chunk_id").orderBy("pos", "concept_id")
+    edges = (
+        firstpos.withColumn("prev", F.lag("concept_id").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") != F.col("concept_id")))
+        .select(F.col("prev").alias("src_id"), F.col("concept_id").alias("dst_id"))
+        .distinct()
+    )
+    return q.scc(edges)
+
+
 def q_dd_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (FastCDC-style token-gram boundaries,
     gram=3, divisor=8): boundaries depend only on local content, so a
@@ -2253,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_dsir_weights": q_txt_dsir_weights,
         "dd_semantic_dedup": q_dd_semantic_dedup,
         "kg_harmonic": q_kg_harmonic,
+        "kg_scc": q_kg_scc,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3986,4 +4021,32 @@ sdp AS (SELECT c.a_id, c.b_id
 sdd AS (SELECT b_id, MIN(a_id) AS dup_of FROM sdp GROUP BY b_id)
 SELECT e.vec_id, sdd.dup_of IS NULL AS kept, sdd.dup_of
 FROM embeddings e LEFT JOIN sdd ON e.vec_id = sdd.b_id ORDER BY e.vec_id""",
+        # SCC over the concept precedence graph: the oracle is the
+        # EXACT definition — recursive reachability closure, then
+        # scc_id(v) = least(v, min mutually-reachable partner); the
+        # Spark side's trim/color/mark peeling must land on the same
+        # fixpoint regardless of its round structure.
+        "kg_scc": f"""WITH {MENTIONS_CTE},
+firstpos AS (
+  SELECT m.chunk_id, m.concept_id, MIN(strpos(s.text, m.surface)) AS pos
+  FROM mentions m JOIN src s ON s.chunk_id = m.chunk_id
+  GROUP BY m.chunk_id, m.concept_id),
+seq AS (
+  SELECT chunk_id, concept_id,
+         LAG(concept_id) OVER (PARTITION BY chunk_id ORDER BY pos, concept_id) AS prev
+  FROM firstpos),
+sedges AS MATERIALIZED (SELECT DISTINCT prev AS src_id, concept_id AS dst_id FROM seq
+           WHERE prev IS NOT NULL AND prev <> concept_id),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src_id, dst_id FROM sedges
+    UNION
+    SELECT r.a, e2.dst_id FROM r JOIN sedges e2 ON e2.src_id = r.b
+  ) SELECT * FROM r),
+mutual AS (SELECT r1.a AS id, MIN(r1.b) AS mn
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY r1.a),
+snodes AS (SELECT src_id AS id FROM sedges UNION SELECT dst_id FROM sedges)
+SELECT n.id, least(n.id, COALESCE(m.mn, n.id)) AS scc_id
+FROM snodes n LEFT JOIN mutual m ON m.id = n.id ORDER BY n.id""",
     }

@@ -2606,3 +2606,182 @@ def drift_search(
         )
         .orderBy(F.desc("rank"), "id")
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    max_peel: int = 20,
+    max_prop: int = 50,
+) -> DataFrame:
+    """Strongly connected components over a DIRECTED edge view ->
+    (id, scc_id) with scc_id = min node id of the SCC — the directed
+    counterpart of :func:`~..operators.canonicalize.connected_components`
+    (which sees only the undirected skeleton and merges nodes that are
+    NOT mutually reachable).  On a knowledge graph SCCs are the
+    mutually-entailed cores: sets of concepts every one of which can
+    reach every other following edge direction.
+
+    Algorithm: iterative trim + forward-coloring + backward-mark
+    peeling (Orzan's coloring method, the standard Pregel/dataflow SCC
+    — e.g. Salihoglu & Widom, GPS 2014; Tarjan's stack DFS is
+    inherently sequential and cannot be expressed as dataflow):
+
+      1. TRIM: a node with no in-edges or no out-edges in the live
+         subgraph is a singleton SCC — peel whole frontier layers per
+         round until stable.
+      2. COLOR: propagate color(v) = min(color(u)) over in-edges to a
+         fixpoint — color(v) = the smallest live node id that reaches
+         v.  Fixpoint detected by checksum, not a fixed round count.
+      3. MARK: roots are nodes with color(r) = r (nothing smaller
+         reaches them).  Propagate marks BACKWARD from roots along
+         edges whose endpoints share a color: marked nodes of color r
+         are exactly SCC(r) (standard coloring lemma — every node on
+         a v->r path inside the color class is itself mutually
+         reachable with r, so the restricted backward BFS can neither
+         escape the SCC nor miss a member).
+      4. Peel marked nodes and repeat: an SCC is discovered in the
+         round where its minimum member becomes a root, so each round
+         peels at least one SCC per color chain.
+
+    Exactness does not depend on the iteration caps — both inner
+    loops run to checksum fixpoint and the function raises if the
+    peel budget is exhausted with live nodes remaining (loud, never
+    wrong — the caps are defense against pathological inputs like
+    10^6-long directed chains, which no real co-occurrence or
+    precedence graph produces).
+
+    Scale shape: every step is one equi-join + one hash aggregate
+    over the live edge set; the live set only shrinks (typically
+    collapsing after round 1 on web-ish graphs, whose giant SCC
+    usually contains the global min id); per-round relations are
+    localCheckpoint-truncated at a size-derived partition count, the
+    same regime as connected_components / pagerank_und.  Backward
+    marking joins on the color-restricted edge list, which is a
+    subset of live edges.  Nodes appearing only in self-loops or
+    isolated are the caller's to union in, as with
+    connected_components.
+    """
+    sc_ = edges.sparkSession.sparkContext
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts = min(sc_.defaultParallelism, max(8, e.count() // 100_000 + 1))
+    e = e.coalesce(parts)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .coalesce(parts)
+        .localCheckpoint(eager=True)
+    )
+
+    def _ck(df, *cols):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    assigned = None
+
+    def _acc(part: DataFrame):
+        nonlocal assigned
+        part = part.localCheckpoint(eager=True)
+        assigned = part if assigned is None else assigned.unionByName(part)
+        return part
+
+    for _ in range(max_peel):
+        # --- 1. trim singleton SCCs (no in- or no out-edge) in layers
+        while True:
+            if nodes.isEmpty():
+                return assigned.select("id", "scc_id")
+            live = (
+                e.select("src").distinct()
+                .join(e.select("dst").distinct(), F.col("src") == F.col("dst"))
+                .select(F.col("src").alias("id"))
+                .localCheckpoint(eager=True)
+            )
+            dead = nodes.join(live, "id", "left_anti")
+            if dead.isEmpty():
+                break
+            _acc(dead.select("id", F.col("id").alias("scc_id")))
+            nodes = live.coalesce(parts)
+            e = (
+                e.join(live.withColumnRenamed("id", "src"), "src")
+                .join(live.withColumnRenamed("id", "dst"), "dst")
+                .select("src", "dst")
+                .coalesce(parts)
+                .localCheckpoint(eager=True)
+            )
+        # --- 2. forward min-color propagation to fixpoint
+        color = nodes.select("id", F.col("id").alias("c"))
+        prev = None
+        for _ in range(max_prop):
+            inflow = (
+                e.join(
+                    color.select(F.col("id").alias("src"), F.col("c").alias("cs")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cs").alias("cin"))
+            )
+            color = (
+                color.join(inflow, "id", "left")
+                .select(
+                    "id", F.least("c", F.coalesce("cin", "c")).alias("c")
+                )
+                .coalesce(parts)
+                .localCheckpoint(eager=True)
+            )
+            cur = _ck(color, "id", "c")
+            if cur == prev:
+                break
+            prev = cur
+        # --- 3. backward mark from roots along same-color edges
+        ce = (
+            e.join(color.select(F.col("id").alias("src"), F.col("c").alias("c1")), "src")
+            .join(color.select(F.col("id").alias("dst"), F.col("c").alias("c2")), "dst")
+            .where(F.col("c1") == F.col("c2"))
+            .select("src", "dst")
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
+        mark = color.where(F.col("c") == F.col("id")).select("id")
+        prev = None
+        for _ in range(max_prop):
+            grown = (
+                ce.join(mark.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"))
+                .unionByName(mark)
+                .distinct()
+                .coalesce(parts)
+                .localCheckpoint(eager=True)
+            )
+            cur = _ck(grown, "id")
+            mark = grown
+            if cur == prev:
+                break
+            prev = cur
+        _acc(
+            color.join(mark, "id").select("id", F.col("c").alias("scc_id"))
+        )
+        nodes = nodes.join(mark, "id", "left_anti").coalesce(parts).localCheckpoint(eager=True)
+        if nodes.isEmpty():
+            return assigned.select("id", "scc_id")
+        e = (
+            e.join(mark.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(mark.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
+    raise ValueError(
+        "scc: peel budget exhausted with live nodes remaining — raise max_peel"
+    )

@@ -1901,3 +1901,118 @@ class TestHarmonic:
         assert len(scaled) == 2  # top-k honored
         top2 = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
         assert scaled == top2
+
+
+def _py_scc(edges):
+    """Iterative Tarjan over a directed edge list -> {node: min-id of SCC}."""
+    adj = {}
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comps = []
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in comps:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+class TestScc:
+    def _run(self, spark, edges):
+        df = spark.createDataFrame(edges, "src_id string, dst_id string")
+        got = {
+            r["id"]: r["scc_id"]
+            for r in queries.scc(df).collect()
+        }
+        assert got == _py_scc(edges)
+
+    def test_two_cycles_and_bridge(self, spark):
+        # cycle {a,b,c} -> one-way bridge -> cycle {x,y}; chain tail
+        self._run(
+            spark,
+            [
+                ("a", "b"), ("b", "c"), ("c", "a"),
+                ("c", "x"), ("x", "y"), ("y", "x"),
+                ("y", "t1"), ("t1", "t2"),
+            ],
+        )
+
+    def test_pure_dag_all_singletons(self, spark):
+        self._run(
+            spark,
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        )
+
+    def test_nested_color_chain_needs_multiple_peels(self, spark):
+        # SCC {b,c} is only discovered after {a} (its smaller in-color
+        # ancestor) peels: exercises the outer loop, not just round 1
+        self._run(
+            spark,
+            [
+                ("a", "b"), ("b", "c"), ("c", "b"),
+                ("c", "d"), ("d", "e"), ("e", "d"),
+            ],
+        )
+
+    def test_random_digraph_matches_tarjan(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = [f"n{i:02d}" for i in range(40)]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(160)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        self._run(spark, edges)
+
+    def test_giant_cycle_single_round(self, spark):
+        cyc = [(f"v{i}", f"v{(i + 1) % 12}") for i in range(12)]
+        self._run(spark, cyc)
