@@ -191,6 +191,20 @@ pairs AS (
      < concat(m2.concept_id, chr(31), m2.lemma, chr(31), m2.surface, chr(31), m2.origin)
 )"""
 
+# directed concept precedence edges (first-occurrence order per chunk)
+# shared by the kg_scc and kg_triad_census oracles; composes after
+# MENTIONS_CTE (needs `mentions` and `src`)
+_PRECEDENCE_CTES = """firstpos AS (
+  SELECT m.chunk_id, m.concept_id, MIN(strpos(s.text, m.surface)) AS pos
+  FROM mentions m JOIN src s ON s.chunk_id = m.chunk_id
+  GROUP BY m.chunk_id, m.concept_id),
+seq AS (
+  SELECT chunk_id, concept_id,
+         LAG(concept_id) OVER (PARTITION BY chunk_id ORDER BY pos, concept_id) AS prev
+  FROM firstpos),
+sedges AS MATERIALIZED (SELECT DISTINCT prev AS src_id, concept_id AS dst_id FROM seq
+           WHERE prev IS NOT NULL AND prev <> concept_id)"""
+
 TRIPLES_CTE = f"""{PAIRS_CTE},
 evid AS (SELECT chunk_id, substr(text, 1, 500) AS evidence, substr(text, 1, 100) AS evidence100 FROM src),
 scored AS (
@@ -2039,6 +2053,13 @@ def q_kg_scc(spark, sf_dir):
     canonical-ordering triple graph (subj_id < obj_id by
     construction, operators/cooccur.py R1) is acyclic by design, so
     precedence is the pipeline's natural cyclic directed view."""
+    return q.scc(_precedence_edges(spark, sf_dir))
+
+
+def _precedence_edges(spark, sf_dir):
+    """Directed concept precedence edges: first-occurrence order of
+    concepts within each chunk (min surface position, concept_id tie
+    break), LAG successor pairs, deduplicated."""
     enriched = _enriched(spark, sf_dir)
     mentions = cf.mentions_from(enriched)
     firstpos = (
@@ -2052,13 +2073,23 @@ def q_kg_scc(spark, sf_dir):
         .agg(F.min("pos").alias("pos"))
     )
     w = Window.partitionBy("chunk_id").orderBy("pos", "concept_id")
-    edges = (
+    return (
         firstpos.withColumn("prev", F.lag("concept_id").over(w))
         .where(F.col("prev").isNotNull() & (F.col("prev") != F.col("concept_id")))
         .select(F.col("prev").alias("src_id"), F.col("concept_id").alias("dst_id"))
         .distinct()
     )
-    return q.scc(edges)
+
+
+def q_kg_triad_census(spark, sf_dir):
+    """Directed triad census (transitive / pure-cyclic / open-wedge
+    counts) over the precedence graph, built entirely on the motif
+    pattern compiler (plans/motifs.find) — transitivity ratio is the
+    closure-evidence statistic for the KG, and the open-wedge count
+    is exactly the candidate pool kg_link_prediction scores."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import motifs
+
+    return motifs.triad_census(_precedence_edges(spark, sf_dir))
 
 
 def q_dd_cdc_chunks(spark, sf_dir):
@@ -2288,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semantic_dedup": q_dd_semantic_dedup,
         "kg_harmonic": q_kg_harmonic,
         "kg_scc": q_kg_scc,
+        "kg_triad_census": q_kg_triad_census,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4027,16 +4059,7 @@ FROM embeddings e LEFT JOIN sdd ON e.vec_id = sdd.b_id ORDER BY e.vec_id""",
         # Spark side's trim/color/mark peeling must land on the same
         # fixpoint regardless of its round structure.
         "kg_scc": f"""WITH {MENTIONS_CTE},
-firstpos AS (
-  SELECT m.chunk_id, m.concept_id, MIN(strpos(s.text, m.surface)) AS pos
-  FROM mentions m JOIN src s ON s.chunk_id = m.chunk_id
-  GROUP BY m.chunk_id, m.concept_id),
-seq AS (
-  SELECT chunk_id, concept_id,
-         LAG(concept_id) OVER (PARTITION BY chunk_id ORDER BY pos, concept_id) AS prev
-  FROM firstpos),
-sedges AS MATERIALIZED (SELECT DISTINCT prev AS src_id, concept_id AS dst_id FROM seq
-           WHERE prev IS NOT NULL AND prev <> concept_id),
+{_PRECEDENCE_CTES},
 reach AS MATERIALIZED (
   WITH RECURSIVE r(a, b) AS (
     SELECT src_id, dst_id FROM sedges
@@ -4049,4 +4072,38 @@ mutual AS (SELECT r1.a AS id, MIN(r1.b) AS mn
 snodes AS (SELECT src_id AS id FROM sedges UNION SELECT dst_id FROM sedges)
 SELECT n.id, least(n.id, COALESCE(m.mn, n.id)) AS scc_id
 FROM snodes n LEFT JOIN mutual m ON m.id = n.id ORDER BY n.id""",
+        # triad census: the three motif classes as plain joins over
+        # the precedence edges — triple-dedup via list_sort mirrors
+        # motifs.triad_census's array_sort distinct.
+        "kg_triad_census": f"""WITH {MENTIONS_CTE},
+{_PRECEDENCE_CTES},
+tlab AS (
+  SELECT e1.src_id AS a, e1.dst_id AS b, e2.dst_id AS c
+  FROM sedges e1
+  JOIN sedges e2 ON e2.src_id = e1.dst_id
+  JOIN sedges e3 ON e3.src_id = e1.src_id AND e3.dst_id = e2.dst_id
+  WHERE e1.src_id <> e2.dst_id),
+ttri AS (SELECT DISTINCT list_sort([a, b, c]) AS t FROM tlab),
+clab AS (
+  SELECT e1.src_id AS a, e1.dst_id AS b, e2.dst_id AS c
+  FROM sedges e1
+  JOIN sedges e2 ON e2.src_id = e1.dst_id
+  JOIN sedges e3 ON e3.src_id = e2.dst_id AND e3.dst_id = e1.src_id
+  WHERE e1.src_id <> e2.dst_id
+    AND NOT EXISTS (SELECT 1 FROM sedges r WHERE r.src_id = e1.dst_id AND r.dst_id = e1.src_id)
+    AND NOT EXISTS (SELECT 1 FROM sedges r WHERE r.src_id = e2.dst_id AND r.dst_id = e1.dst_id)
+    AND NOT EXISTS (SELECT 1 FROM sedges r WHERE r.src_id = e1.src_id AND r.dst_id = e2.dst_id)),
+ctri AS (SELECT DISTINCT list_sort([a, b, c]) AS t FROM clab),
+wed AS (
+  SELECT DISTINCT e1.dst_id AS b,
+         least(e1.src_id, e2.dst_id) AS lo,
+         greatest(e1.src_id, e2.dst_id) AS hi
+  FROM sedges e1
+  JOIN sedges e2 ON e2.src_id = e1.dst_id
+  WHERE e1.src_id <> e2.dst_id
+    AND NOT EXISTS (SELECT 1 FROM sedges x WHERE x.src_id = e1.src_id AND x.dst_id = e2.dst_id)
+    AND NOT EXISTS (SELECT 1 FROM sedges x WHERE x.src_id = e2.dst_id AND x.dst_id = e1.src_id))
+SELECT (SELECT COUNT(*) FROM ttri) AS n_transitive,
+       (SELECT COUNT(*) FROM ctri) AS n_cyclic,
+       (SELECT COUNT(*) FROM wed) AS n_open""",
     }
