@@ -191,6 +191,28 @@ pairs AS (
      < concat(m2.concept_id, chr(31), m2.lemma, chr(31), m2.surface, chr(31), m2.origin)
 )"""
 
+# DSIR hashed unigram+bigram log-likelihood-ratio weights, shared by
+# txt_dsir_weights and dd_dsir_resample (ends with `dsw`: doc_id,
+# n_feats, logw-rounded-6dp). Inlined _nib32 expansion for md5(f).
+_DSIR_CTES = """tokd AS (SELECT doc_id AS id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+      FROM documents),
+feat AS (SELECT id, unnest(list_concat(toks,
+        list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]))) AS f
+      FROM tokd),
+fb AS (SELECT id, ({nib}) % 256 AS b FROM feat),
+dc AS MATERIALIZED (SELECT id, b, CAST(COUNT(*) AS BIGINT) AS c FROM fb GROUP BY id, b),
+raw AS (SELECT b, CAST(SUM(c) AS DOUBLE) AS r FROM dc GROUP BY b),
+tgt AS (SELECT fb.b, CAST(COUNT(*) AS DOUBLE) AS t FROM fb
+        JOIN documents d ON fb.id = d.doc_id WHERE d.lang = 'en' GROUP BY fb.b),
+tot AS (SELECT (SELECT SUM(r) FROM raw) AS rr, (SELECT COALESCE(SUM(t), 0) FROM tgt) AS tt),
+ratio AS (SELECT raw.b,
+        ln((COALESCE(tgt.t, 0) + 1.0) / (tot.tt + 256.0)) - ln((raw.r + 1.0) / (tot.rr + 256.0)) AS lr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+dsw AS MATERIALIZED (SELECT dc.id AS doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_feats,
+       ROUND(SUM(dc.c * ratio.lr), 6) AS logw
+FROM dc JOIN ratio ON dc.b = ratio.b GROUP BY dc.id)"""
+
 # directed concept precedence edges (first-occurrence order per chunk)
 # shared by the kg_scc and kg_triad_census oracles; composes after
 # MENTIONS_CTE (needs `mentions` and `src`)
@@ -2117,6 +2139,18 @@ def q_txt_dsir_weights(spark, sf_dir):
     )
 
 
+def q_dd_dsir_resample(spark, sf_dir):
+    """DSIR importance RESAMPLING (the paper's actual selection step):
+    Gumbel-top-k over the dsir_weights log-weights draws a
+    without-replacement sample proportional to exp(logw), with
+    deterministic hash-uniform noise — reproducible across runs and
+    engines."""
+    d = _docs(spark, sf_dir)
+    return curation.dsir_resample(
+        d, d.where(F.col("lang") == "en"), k=100, n_buckets=256
+    )
+
+
 def q_dd_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup verdict over the embedding table:
     SRP-LSH buckets as the cluster proxy, exact cosine >= 0.30, drop
@@ -2320,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": q_kg_harmonic,
         "kg_scc": q_kg_scc,
         "kg_triad_census": q_kg_triad_census,
+        "dd_dsir_resample": q_dd_dsir_resample,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4017,24 +4052,18 @@ FROM ch ORDER BY id, chunk_idx""",
         # per-doc sum of c_b * log-ratio rounded at 6 (the
         # unigram-logprob cross-engine recipe).
         "txt_dsir_weights": f"""
-WITH tokd AS (SELECT doc_id AS id,
-        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
-      FROM documents),
-feat AS (SELECT id, unnest(list_concat(toks,
-        list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]))) AS f
-      FROM tokd),
-fb AS (SELECT id, ({_nib32_expr("md5(f)")}) % 256 AS b FROM feat),
-dc AS (SELECT id, b, CAST(COUNT(*) AS BIGINT) AS c FROM fb GROUP BY id, b),
-raw AS (SELECT b, CAST(SUM(c) AS DOUBLE) AS r FROM dc GROUP BY b),
-tgt AS (SELECT fb.b, CAST(COUNT(*) AS DOUBLE) AS t FROM fb
-        JOIN documents d ON fb.id = d.doc_id WHERE d.lang = 'en' GROUP BY fb.b),
-tot AS (SELECT (SELECT SUM(r) FROM raw) AS rr, (SELECT COALESCE(SUM(t), 0) FROM tgt) AS tt),
-ratio AS (SELECT raw.b,
-        ln((COALESCE(tgt.t, 0) + 1.0) / (tot.tt + 256.0)) - ln((raw.r + 1.0) / (tot.rr + 256.0)) AS lr
-      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
-SELECT dc.id AS doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_feats,
-       ROUND(SUM(dc.c * ratio.lr), 6) AS logw
-FROM dc JOIN ratio ON dc.b = ratio.b GROUP BY dc.id ORDER BY doc_id""",
+WITH {_DSIR_CTES.format(nib=_nib32_expr("md5(f)"))}
+SELECT doc_id, n_feats, logw FROM dsw ORDER BY doc_id""",
+        # DSIR Gumbel-top-k resampling: the same dsw chain, plus the
+        # deterministic hash-uniform Gumbel key (mid-bucket +0.5 keeps
+        # u in (0,1)); ordering on the full double, rounded for output
+        "dd_dsir_resample": f"""
+WITH {_DSIR_CTES.format(nib=_nib32_expr("md5(f)"))},
+keyed AS (SELECT doc_id, logw,
+        logw + (-ln(-ln((({_nib32_expr("md5('dsir|' || CAST(doc_id AS VARCHAR))")}) + 0.5) / 4294967296.0))) AS gk
+      FROM dsw)
+SELECT doc_id, logw, ROUND(gk, 6) AS gumbel_key
+FROM keyed ORDER BY gk DESC, doc_id LIMIT 100""",
         # harmonic centrality: forward BFS of the betweenness CTEs
         # (shared generator, forward_only) -> SUM(1/d) over sources.
         "kg_harmonic": f"""WITH {PAIRS_CTE},

@@ -470,3 +470,69 @@ def dsir_weights(
         .select(F.col("id").alias("doc_id"), "n_feats", "logw")
         .orderBy("doc_id")
     )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """The "R" in DSIR: sample ``k`` corpus documents WITHOUT
+    replacement with probability proportional to exp(log w) — the
+    importance-resampling step Xie et al. 2023 apply on top of the
+    weights :func:`dsir_weights` computes.
+
+    Sampling uses the Gumbel-top-k identity (Kool et al. 2019, "the
+    Gumbel-max trick" generalized): adding an independent Gumbel(0, 1)
+    noise term g_i = -ln(-ln(u_i)) to each log-weight and taking the
+    k largest keys draws exactly a without-replacement sample
+    proportional to the weights.  The uniforms are DETERMINISTIC —
+    u_i = (md5_32(seed | doc_id) + 0.5) / 2^32, the engine's standard
+    hash-uniform (mid-bucket offset keeps u strictly inside (0, 1),
+    so neither log can hit zero or infinity) — which makes the draw
+    reproducible across runs, engines, and partitionings, the same
+    rerun-stability contract as hash_split/stratified sampling.
+
+    Returns (doc_id, logw, gumbel_key) for the k selected documents,
+    highest key first (key rounded 6 dp for display; ordering uses
+    the full double, which is bit-identical cross-engine because both
+    sides run the same IEEE expression tree on the same rounded logw).
+
+    Scale shape: one pass over the weights relation — the noise term
+    is a per-row expression with zero shuffle, and the top-k is
+    Spark's TakeOrderedAndProject (per-partition heaps + driver
+    merge), never a global sort.  At 10^12 docs the only caveat is a
+    driver-bounded k, exactly as for every other top-k in the engine.
+    """
+    w = dsir_weights(
+        corpus,
+        target,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        bigrams=bigrams,
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h32 + F.lit(0.5)) / F.lit(float(1 << 32))
+    gk = F.col("logw") + (-F.log(-F.log(u)))
+    return (
+        w.withColumn("gk", gk)
+        .orderBy(F.desc("gk"), "doc_id")
+        .limit(k)
+        .select("doc_id", "logw", F.round("gk", 6).alias("gumbel_key"))
+    )

@@ -664,3 +664,47 @@ class TestDsirWeights:
         assert rows[0]["n_feats"] == 3 + 2  # unigrams + bigrams
         nob = curation.dsir_weights(cdf, tdf, bigrams=False).collect()
         assert nob[0]["n_feats"] == 3
+
+
+class TestDsirResample:
+    def _corpus(self, spark):
+        # 30 "code-like" docs + 10 "prose-like" docs; target = prose
+        rows = []
+        for i in range(30):
+            rows.append((i, f"def func{i} return value{i} import sys class obj{i}", "xx"))
+        for i in range(30, 40):
+            rows.append((i, "the quick brown fox jumps over the lazy dog again", "en"))
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_draw_is_deterministic_and_well_formed(self, spark):
+        d = self._corpus(spark)
+        tgt = d.where(F.col("lang") == "en")
+        a = curation.dsir_resample(d, tgt, k=15).collect()
+        b = curation.dsir_resample(d, tgt, k=15).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+        ids = [r["doc_id"] for r in a]
+        assert len(ids) == len(set(ids)) == 15
+        keys = [r["gumbel_key"] for r in a]
+        assert keys == sorted(keys, reverse=True)
+
+    def test_weights_steer_the_draw(self, spark):
+        # target-domain docs carry much higher logw; a k=15 draw from
+        # 10 prose + 30 code docs must keep every prose doc (the logw
+        # gap dwarfs Gumbel noise for this construction)
+        d = self._corpus(spark)
+        tgt = d.where(F.col("lang") == "en")
+        got = {r["doc_id"] for r in curation.dsir_resample(d, tgt, k=15).collect()}
+        assert set(range(30, 40)) <= got
+
+    def test_seed_changes_the_noise(self, spark):
+        d = self._corpus(spark)
+        tgt = d.where(F.col("lang") == "en")
+        a = [r["doc_id"] for r in curation.dsir_resample(d, tgt, k=15, seed="s1").collect()]
+        b = [r["doc_id"] for r in curation.dsir_resample(d, tgt, k=15, seed="s2").collect()]
+        assert a != b  # same weights, different Gumbel draw order
+
+    def test_k_equals_n_returns_everything(self, spark):
+        d = self._corpus(spark)
+        tgt = d.where(F.col("lang") == "en")
+        got = curation.dsir_resample(d, tgt, k=40).collect()
+        assert {r["doc_id"] for r in got} == set(range(40))
