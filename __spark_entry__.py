@@ -632,6 +632,22 @@ def q_kg_pagerank(spark, sf_dir):
     return q.pagerank_und(und, iters=10, top_k=20)
 
 
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Frequency-weighted PageRank: each neighbor receives
+    rank * w / strength with w = co-occurrence multiplicity — hubs
+    anchored by many repeated pairings outrank incidental ones (the
+    production variant for co-occurrence graphs, same weighting as
+    kg_communities_weighted)."""
+    pairs = q_kg_pairs(spark, sf_dir)
+    w = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("w"))
+    und = w.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id"), "w"
+    ).unionByName(
+        w.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"), "w")
+    )
+    return q.pagerank_und(und, iters=10, top_k=20, weight_col="w")
+
+
 def q_kg_bfs(spark, sf_dir):
     """BFS distances from 'apache_spark' over the co-occurrence graph,
     max 3 hops — frontier-expansion joins vs the oracle's recursive
@@ -2355,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "kg_triad_census": q_kg_triad_census,
         "dd_dsir_resample": q_dd_dsir_resample,
+        "kg_pagerank_weighted": q_kg_pagerank_weighted,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -2881,6 +2898,27 @@ negs AS (SELECT DISTINCT x.a, nd.id AS b
 SELECT a, b, 1 AS label FROM pos
 UNION ALL SELECT a, b, 0 FROM negs
 ORDER BY a, b, label"""
+    # weighted pagerank: same 10 unrolled rounds, inflow carries the
+    # edge weight over the weighted degree (strength); weights are
+    # integer-valued doubles so the strength sums are EXACT
+    _wpr_iters = "".join(
+        f""",
+wc{k} AS (SELECT u.nbr_id AS id, SUM(r.rank * u.w / dg.s) AS inflow
+         FROM wund u JOIN wr{k - 1} r ON u.cid = r.id JOIN wdeg dg ON dg.cid = u.cid
+         GROUP BY u.nbr_id),
+wr{k} AS (SELECT n.id, ((1.0 - 0.85) / wnn.n) + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+         FROM wnodes n CROSS JOIN wnn LEFT JOIN wc{k} c ON c.id = n.id)"""
+        for k in range(1, 11)
+    )
+    _pagerank_weighted_sql = f"""WITH {PAIRS_CTE},
+wp AS (SELECT a_id, b_id, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY a_id, b_id),
+wund AS (SELECT a_id AS cid, b_id AS nbr_id, w FROM wp UNION ALL SELECT b_id, a_id, w FROM wp),
+wnodes AS (SELECT DISTINCT cid AS id FROM wund),
+wnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wnodes),
+wdeg AS (SELECT cid, SUM(w) AS s FROM wund GROUP BY cid),
+wr0 AS (SELECT id, 1.0 / wnn.n AS rank FROM wnodes CROSS JOIN wnn){_wpr_iters}
+SELECT id, ROUND(rank, 8) AS rank FROM wr10 ORDER BY rank DESC, id LIMIT 20"""
+
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -3165,6 +3203,7 @@ SELECT subj_id, predicate, obj_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
 FROM rw WHERE subj_id <> obj_id
 GROUP BY subj_id, predicate, obj_id ORDER BY subj_id, predicate, obj_id""",
         "kg_pagerank": _pagerank_sql,
+        "kg_pagerank_weighted": _pagerank_weighted_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,
         "sim_quantized_ann": _quantized_ann_sql,
