@@ -648,6 +648,15 @@ def q_kg_pagerank_weighted(spark, sf_dir):
     return q.pagerank_und(und, iters=10, top_k=20, weight_col="w")
 
 
+def q_kg_independent_set(spark, sf_dir):
+    """Luby maximal independent set over the co-occurrence graph
+    (static md5 priorities == the lexicographically-first / greedy
+    MIS): a maximal conflict-free concept set — the 1-hop
+    diversification picker for retrieval and the classic parallel
+    scheduling primitive."""
+    return q.independent_set(_kg_cooccur_und(spark, sf_dir))
+
+
 def q_kg_bfs(spark, sf_dir):
     """BFS distances from 'apache_spark' over the co-occurrence graph,
     max 3 hops — frontier-expansion joins vs the oracle's recursive
@@ -2372,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triad_census": q_kg_triad_census,
         "dd_dsir_resample": q_dd_dsir_resample,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
+        "kg_independent_set": q_kg_independent_set,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -2919,6 +2929,41 @@ wdeg AS (SELECT cid, SUM(w) AS s FROM wund GROUP BY cid),
 wr0 AS (SELECT id, 1.0 / wnn.n AS rank FROM wnodes CROSS JOIN wnn){_wpr_iters}
 SELECT id, ROUND(rank, 8) AS rank FROM wr10 ORDER BY rank DESC, id LIMIT 20"""
 
+    # Luby MIS unrolled rounds (mirrors queries.independent_set:
+    # static md5|id priorities, per-round winner test vs min live-
+    # neighbor priority, winners + neighbors leave). Extra rounds
+    # past the fixpoint are no-ops over empty relations, so the
+    # unroll count only needs to be >= the rounds the corpus needs.
+    def _mis_ctes(rounds: int = 12) -> str:
+        s = """madj0 AS MATERIALIZED (SELECT cid, nbr_id FROM (
+  SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs
+  UNION SELECT b_id, a_id FROM pairs) WHERE cid <> nbr_id),
+mnodes AS MATERIALIZED (SELECT DISTINCT cid AS id FROM madj0),
+mlive0 AS (SELECT id FROM mnodes)"""
+        for k in range(1, rounds + 1):
+            s += f""",
+mwin{k} AS MATERIALIZED (
+  SELECT l.id FROM mlive{k - 1} l
+  LEFT JOIN (SELECT e.cid AS id, MIN(md5('mis|' || e.nbr_id) || '|' || e.nbr_id) AS mn
+             FROM madj{k - 1} e GROUP BY e.cid) m ON m.id = l.id
+  WHERE m.mn IS NULL OR (md5('mis|' || l.id) || '|' || l.id) < m.mn),
+mrem{k} AS (SELECT id FROM mwin{k}
+            UNION SELECT e.nbr_id FROM madj{k - 1} e JOIN mwin{k} w ON e.cid = w.id),
+mlive{k} AS MATERIALIZED (SELECT l.id FROM mlive{k - 1} l ANTI JOIN mrem{k} r ON l.id = r.id),
+madj{k} AS MATERIALIZED (SELECT e.cid, e.nbr_id FROM madj{k - 1} e
+  JOIN mlive{k} a ON e.cid = a.id JOIN mlive{k} b ON e.nbr_id = b.id)"""
+        s += (
+            ",\nmmis AS ("
+            + " UNION ALL ".join(f"SELECT id FROM mwin{k}" for k in range(1, rounds + 1))
+            + ")"
+        )
+        return s
+
+    _mis_sql = f"""WITH {PAIRS_CTE},
+{_mis_ctes(12)}
+SELECT n.id, (m.id IS NOT NULL) AS in_mis
+FROM mnodes n LEFT JOIN mmis m ON n.id = m.id ORDER BY n.id"""
+
     _pagerank_sql = f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 nodes AS (SELECT DISTINCT cid AS id FROM und),
@@ -3204,6 +3249,7 @@ FROM rw WHERE subj_id <> obj_id
 GROUP BY subj_id, predicate, obj_id ORDER BY subj_id, predicate, obj_id""",
         "kg_pagerank": _pagerank_sql,
         "kg_pagerank_weighted": _pagerank_weighted_sql,
+        "kg_independent_set": _mis_sql,
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,
         "sim_quantized_ann": _quantized_ann_sql,

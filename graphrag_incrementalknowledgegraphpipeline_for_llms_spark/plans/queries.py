@@ -2785,3 +2785,101 @@ def scc(
     raise ValueError(
         "scc: peel budget exhausted with live nodes remaining — raise max_peel"
     )
+
+
+def independent_set(
+    und: DataFrame, seed: str = "mis", max_rounds: int = 40
+) -> DataFrame:
+    """Maximal independent set over an undirected (cid, nbr_id) view
+    -> (id, in_mis) for every node — Luby's classic parallel MIS
+    (Luby 1986) with STATIC deterministic priorities: node priority
+    is md5(seed | id) (id-suffixed, so priorities are total and
+    collision-free), and each round every live node whose priority
+    beats all its live neighbors joins the set; winners and their
+    neighbors leave the graph.  With static priorities the parallel
+    rounds compute exactly the LEXICOGRAPHICALLY-FIRST MIS in
+    priority order (the greedy result), so the output is independent
+    of round structure, partitioning, and engine — and testable
+    against a five-line sequential greedy.
+
+    An MIS is the classic scheduling primitive: a maximal set of
+    concepts no two of which co-occur (conflict-free batch), also the
+    1-hop diversification picker for retrieval (take high-rank nodes,
+    MIS them to kill near-neighbors).
+
+    Scale shape: per round, one join + one min-aggregate over the
+    live adjacency (the winner test), one semi-join wave of removals,
+    live set strictly shrinks (the global-min-priority node always
+    wins, and in expectation a constant fraction of EDGES dies per
+    round — Luby's theorem, O(log n) rounds w.h.p.); every round's
+    relations are localCheckpoint-truncated at size-derived
+    parallelism, the connected_components regime.  Nodes with no
+    edges are the caller's to union in (they are trivially in the
+    MIS)."""
+    adj = (
+        und.select(F.col("cid").cast("string"), F.col("nbr_id").cast("string"))
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sc_ = und.sparkSession.sparkContext
+    parts = min(sc_.defaultParallelism, max(8, adj.count() // 100_000 + 1))
+    adj = adj.coalesce(parts)
+
+    def _pri(col):
+        return F.concat(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), col)), F.lit("|"), col
+        )
+
+    all_nodes = (
+        adj.select(F.col("cid").alias("id"))
+        .unionByName(adj.select(F.col("nbr_id").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .coalesce(parts)
+    )
+    live = all_nodes
+    mis = None
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        pri = live.select("id", _pri(F.col("id")).alias("p"))
+        minnb = (
+            adj.join(
+                pri.select(F.col("id").alias("nbr_id"), F.col("p").alias("pn")),
+                "nbr_id",
+            )
+            .groupBy(F.col("cid").alias("id"))
+            .agg(F.min("pn").alias("mn"))
+        )
+        winners = (
+            pri.join(minnb, "id", "left")
+            .where(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis = winners if mis is None else mis.unionByName(winners)
+        touched = winners.unionByName(
+            adj.join(winners.withColumnRenamed("id", "cid"), "cid").select(
+                F.col("nbr_id").alias("id")
+            )
+        ).distinct()
+        live = live.join(touched, "id", "left_anti").coalesce(parts).localCheckpoint(
+            eager=True
+        )
+        adj = (
+            adj.join(live.withColumnRenamed("id", "cid"), "cid")
+            .join(live.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            .select("cid", "nbr_id")
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not live.isEmpty():
+            raise ValueError(
+                "independent_set: round budget exhausted — raise max_rounds"
+            )
+    mis = mis if mis is not None else all_nodes.limit(0)
+    return all_nodes.join(
+        mis.withColumn("in_mis", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))

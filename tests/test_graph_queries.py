@@ -2046,3 +2046,61 @@ class TestWeightedPagerank:
         # the 5x a-b edge must pull b above c (unweighted they'd tie
         # by symmetry of degree 2... assert ordering changed by weight)
         assert got["b"] > got["c"]
+
+
+class TestIndependentSet:
+    def _py_greedy_mis(self, edges, seed="mis"):
+        import hashlib
+
+        adjm = {}
+        nodes = set()
+        for a, b in edges:
+            if a == b:
+                continue
+            nodes.update((a, b))
+            adjm.setdefault(a, set()).add(b)
+            adjm.setdefault(b, set()).add(a)
+
+        def pri(v):
+            return hashlib.md5(f"{seed}|{v}".encode()).hexdigest() + "|" + v
+
+        mis = set()
+        for v in sorted(nodes, key=pri):
+            if not (adjm.get(v, set()) & mis):
+                mis.add(v)
+        return {v: v in mis for v in nodes}
+
+    def _run(self, spark, edges):
+        sym = edges + [(b, a) for a, b in edges]
+        df = spark.createDataFrame(sym, "cid string, nbr_id string")
+        got = {r["id"]: r["in_mis"] for r in queries.independent_set(df).collect()}
+        exp = self._py_greedy_mis(edges)
+        assert got == exp
+        # MIS properties: independence + maximality
+        adjm = {}
+        for a, b in edges:
+            adjm.setdefault(a, set()).add(b)
+            adjm.setdefault(b, set()).add(a)
+        members = {v for v, m in got.items() if m}
+        for v in members:
+            assert not (adjm.get(v, set()) & members), "two adjacent MIS members"
+        for v, m in got.items():
+            if not m:
+                assert adjm.get(v, set()) & members, "non-member with no MIS neighbor"
+
+    def test_path(self, spark):
+        self._run(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+
+    def test_star_hub(self, spark):
+        self._run(spark, [("hub", f"leaf{i}") for i in range(12)])
+
+    def test_random_graph(self, spark):
+        import random
+
+        rng = random.Random(13)
+        nodes = [f"n{i:02d}" for i in range(40)]
+        edges = sorted({tuple(sorted((rng.choice(nodes), rng.choice(nodes)))) for _ in range(120)})
+        self._run(spark, [(a, b) for a, b in edges if a != b])
+
+    def test_triangle(self, spark):
+        self._run(spark, [("x", "y"), ("y", "z"), ("x", "z")])
