@@ -648,6 +648,50 @@ def q_kg_pagerank_weighted(spark, sf_dir):
     return q.pagerank_und(und, iters=10, top_k=20, weight_col="w")
 
 
+def q_txt_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence window graph (window = 2, i.e. token
+    adjacency), stopwords and short tokens filtered — the classic
+    unsupervised keyword ranker, here reusing the engine's
+    pagerank_und verbatim on a different relation.  Top 20 keywords.
+
+    Scale shape: tokenization is a per-row HOF scan; the word graph is
+    vocabulary-bound (Zipf: edges grow sublinearly with corpus size),
+    so the iteration cost is independent of document count."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks")
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where(
+            F.col("w1").rlike("^[a-z]{3,}$")
+            & F.col("w2").rlike("^[a-z]{3,}$")
+            & (F.col("w1") != F.col("w2"))
+            & ~F.col("w1").isin(*sorted(purecore.STOP_WORDS))
+            & ~F.col("w2").isin(*sorted(purecore.STOP_WORDS))
+        )
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("a").alias("cid"), F.col("b").alias("nbr_id")
+    ).unionByName(pairs.select(F.col("b").alias("cid"), F.col("a").alias("nbr_id")))
+    return q.pagerank_und(und, iters=10, top_k=20)
+
+
 def q_kg_independent_set(spark, sf_dir):
     """Luby maximal independent set over the co-occurrence graph
     (static md5 priorities == the lexicographically-first / greedy
@@ -2382,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dsir_resample": q_dd_dsir_resample,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_independent_set": q_kg_independent_set,
+        "txt_textrank": q_txt_textrank,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3250,6 +3295,24 @@ GROUP BY subj_id, predicate, obj_id ORDER BY subj_id, predicate, obj_id""",
         "kg_pagerank": _pagerank_sql,
         "kg_pagerank_weighted": _pagerank_weighted_sql,
         "kg_independent_set": _mis_sql,
+        # TextRank: the SAME unrolled _pr_iters chain, with und/nodes/
+        # nn/deg/r0 defined from the word-adjacency graph instead of
+        # the concept pairs (1-based inclusive DuckDB list slices)
+        "txt_textrank": f"""WITH
+wtok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM documents),
+wadj AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM wtok, unnest(range(1, length(toks))) t(i)
+  WHERE regexp_matches(toks[i], '^[a-z]{{3,}}$') AND regexp_matches(toks[i + 1], '^[a-z]{{3,}}$')
+    AND toks[i] <> toks[i + 1]
+    AND toks[i] NOT IN ({STOPWORDS_SQL}) AND toks[i + 1] NOT IN ({STOPWORDS_SQL})),
+wpairs AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM wadj),
+und AS (SELECT a AS cid, b AS nbr_id FROM wpairs UNION ALL SELECT b, a FROM wpairs),
+nodes AS (SELECT DISTINCT cid AS id FROM und),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){_pr_iters}
+SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20""",
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,
         "sim_quantized_ann": _quantized_ann_sql,

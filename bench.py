@@ -171,6 +171,13 @@ def main():
         "kg_context_pack",
         "kg_node2vec",
         "kg_path_between",
+        # round-5 additions (totals remain non-comparable across rounds
+        # as the set grows; per-query fields are the signal)
+        "kg_scc",
+        "kg_triad_census",
+        "kg_independent_set",
+        "kg_pagerank_weighted",
+        "dd_dsir_resample",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
