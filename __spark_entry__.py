@@ -648,6 +648,26 @@ def q_kg_pagerank_weighted(spark, sf_dir):
     return q.pagerank_und(und, iters=10, top_k=20, weight_col="w")
 
 
+def q_txt_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: top-20 corpus tokens by CMS estimate
+    (width 1024 x depth 4, portable md5 hash family so the oracle
+    replays the counters bit-for-bit).  The sketch is fixed-size
+    state however large the corpus — per-day partials merge by
+    counter addition (cms_merge), the streaming-friendly heavy-hitter
+    primitive for boilerplate and viral-phrase detection at 100 TB."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        sketches,
+        textsearch,
+    )
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(textsearch.tokenize(F.col("text"))).alias("term")
+    )
+    return sketches.heavy_hitters(
+        tok, "term", k=20, width=1024, depth=4, hash_family="md5"
+    )
+
+
 def q_txt_textrank(spark, sf_dir):
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     over the word co-occurrence window graph (window = 2, i.e. token
@@ -2427,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_independent_set": q_kg_independent_set,
         "txt_textrank": q_txt_textrank,
+        "txt_heavy_hitters": q_txt_heavy_hitters,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -3295,6 +3316,22 @@ GROUP BY subj_id, predicate, obj_id ORDER BY subj_id, predicate, obj_id""",
         "kg_pagerank": _pagerank_sql,
         "kg_pagerank_weighted": _pagerank_weighted_sql,
         "kg_independent_set": _mis_sql,
+        # Count-Min heavy hitters: replay the depth-4 x width-1024
+        # counters with the portable md5_32 bucket hash, then the
+        # candidate probe takes min over rows — identical overcount
+        # structure to sketches.heavy_hitters(hash_family='md5')
+        "txt_heavy_hitters": f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM documents),
+jb0 AS (SELECT term, j, md5(CAST(j AS VARCHAR) || ':' || term) AS h
+        FROM tok CROSS JOIN range(4) r(j)),
+jb AS (SELECT term, j, (({_nib32_expr("h")}) % 1024) AS bucket FROM jb0),
+cms AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM jb GROUP BY j, bucket),
+cand AS (SELECT DISTINCT term, j, bucket FROM jb)
+SELECT cand.term, MIN(s.c) AS est
+FROM cand JOIN cms s ON cand.j = s.j AND cand.bucket = s.bucket
+GROUP BY cand.term ORDER BY est DESC, term LIMIT 20""",
         # TextRank: the SAME unrolled _pr_iters chain, with und/nodes/
         # nn/deg/r0 defined from the word-adjacency graph instead of
         # the concept pairs (1-based inclusive DuckDB list slices)

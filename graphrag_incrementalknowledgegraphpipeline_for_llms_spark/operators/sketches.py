@@ -126,3 +126,111 @@ def kmin_quantiles(
         for p in probs
     ]
     return sample.select(*group_cols, *qcols)
+
+
+def _cms_bucket(term, j: int, width: int, hash_family: str = "xxh64"):
+    """Row j's bucket for a term: hash(j || ':' || term) mod width.
+    ``hash_family='md5'`` uses the engine's portable 32-bit md5 prefix
+    (conv of the first 8 hex chars) so a SQL oracle can replay the
+    sketch bit-for-bit; xxh64 is the production default (one JVM hash
+    per row instead of an md5 + string conv)."""
+    key = F.concat_ws(":", F.lit(str(j)), term)
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(key).bitwiseXOR(F.lit(_SIGN))
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    term_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a term
+    stream: -> (j, bucket, c) with depth x width counters, c = number
+    of input rows hashing to (j, bucket).  Estimates are
+    OVERCOUNTS-only: est(t) = min_j counter[j][h_j(t)] >= true(t),
+    with error <= 2N/width at probability 1 - 2^-depth.
+
+    The 100-TB property is the STATE BOUND: the sketch is depth*width
+    counters regardless of vocabulary size, built by one hash
+    aggregate (map-side combine does almost all the summing — each
+    task emits at most depth*width partial rows), and two sketches
+    merge by adding counters (a groupBy-sum over their union), so
+    per-day partial sketches compose into the corpus sketch without
+    touching raw data again — the same O(1)-state contract as KMV.
+    """
+    t = df.select(F.col(term_col).alias("t"))
+    rows = t.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("t"), j, width, hash_family).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    )
+    return rows.groupBy(
+        F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge CMS partials (same width/depth/hash): counters add."""
+    return sketches.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    term_col: str,
+    k: int = 20,
+    width: int = 1024,
+    depth: int = 4,
+    hash_family: str = "xxh64",
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k heavy hitters by Count-Min estimate: -> (term, est)
+    ordered est desc / term.  The candidate set is the distinct terms
+    (exact identities, estimated counts — the standard candidate-pass
+    formulation; at stream scale the candidates come from a bounded
+    space like the token vocabulary, which Zipf keeps far smaller
+    than the corpus).  Pass a prebuilt/merged ``sketch`` to score
+    against accumulated history instead of just ``df``.
+
+    est(t) >= true(t) always; ties broken by term so the output is
+    deterministic for any width."""
+    if sketch is None:
+        sketch = count_min_sketch(df, term_col, width, depth, hash_family)
+    cand = df.select(F.col(term_col).alias("term")).distinct()
+    probes = cand.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("term"), j, width, hash_family).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("est"))
+        .orderBy(F.desc("est"), "term")
+        .limit(k)
+    )

@@ -76,3 +76,72 @@ class TestKminQuantiles:
         df = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]], "v int")
         row = sketches.kmin_quantiles(df, "v", [0.5, 1.0], k=64).collect()[0]
         assert row["q50"] == 5 and row["q100"] == 10
+
+
+class TestCountMin:
+    def _terms(self, spark):
+        rows = (
+            [("apple",)] * 50
+            + [("banana",)] * 30
+            + [("cherry",)] * 10
+            + [(f"rare{i}",) for i in range(40)]
+        )
+        return spark.createDataFrame(rows, "term string")
+
+    def test_estimate_never_undercounts(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        df = self._terms(spark)
+        exact = {r["term"]: r["c"] for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+        # tiny width forces collisions -> overcounts, never undercounts
+        got = {
+            r["term"]: r["est"]
+            for r in sketches.heavy_hitters(df, "term", k=100, width=8, depth=2).collect()
+        }
+        assert set(got) == set(exact)
+        for t, e in exact.items():
+            assert got[t] >= e
+
+    def test_exact_when_width_is_collision_free(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        df = self._terms(spark)
+        exact = {r["term"]: r["c"] for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+        got = {
+            r["term"]: r["est"]
+            for r in sketches.heavy_hitters(df, "term", k=100, width=1 << 16, depth=4).collect()
+        }
+        assert got == exact
+
+    def test_merge_equals_full_sketch(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        df = self._terms(spark)
+        a = df.limit(60).localCheckpoint(eager=True)
+        b = df.exceptAll(a)
+        full = {
+            (r["j"], r["bucket"]): r["c"]
+            for r in sketches.count_min_sketch(df, "term", width=64, depth=3).collect()
+        }
+        merged = {
+            (r["j"], r["bucket"]): r["c"]
+            for r in sketches.cms_merge(
+                sketches.count_min_sketch(a, "term", width=64, depth=3).unionByName(
+                    sketches.count_min_sketch(b, "term", width=64, depth=3)
+                )
+            ).collect()
+        }
+        assert merged == full
+
+    def test_md5_family_matches_xxh64_exactness(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        df = self._terms(spark)
+        exact = {r["term"]: r["c"] for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+        got = {
+            r["term"]: r["est"]
+            for r in sketches.heavy_hitters(
+                df, "term", k=100, width=1 << 16, depth=4, hash_family="md5"
+            ).collect()
+        }
+        assert got == exact
