@@ -679,16 +679,19 @@ def q_txt_textrank(spark, sf_dir):
     vocabulary-bound (Zipf: edges grow sublinearly with corpus size),
     so the iteration cost is independent of document count."""
     docs = _docs(spark, sf_dir)
+    # size >= 2 gate BEFORE sequence(1, size-1): Spark infers step -1
+    # when start > stop, so sequence(1, 0) is [1, 0] (not empty) and
+    # toks[-1]/toks[1] would go out of bounds on 1-token docs
     toks = docs.select(
         F.split(
             F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
         ).alias("toks")
-    )
+    ).where(F.size("toks") >= 2)
     pairs = (
         toks.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                    "transform(sequence(1, size(toks) - 1),"
                     " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
                 )
             ).alias("p")
@@ -2203,6 +2206,16 @@ def q_kg_triad_census(spark, sf_dir):
     return motifs.triad_census(_precedence_edges(spark, sf_dir))
 
 
+def q_kg_eccentricity(spark, sf_dir):
+    """Sampled eccentricity lower bounds from the PPR seed entities
+    (iFUB-style bounding: ecc(v) >= max sampled-source distance; the
+    column max doubles as a diameter lower bound).  Shares the
+    multi-source BFS with kg_harmonic / kg_betweenness."""
+    return q.eccentricity_sampled(
+        _kg_cooccur_und(spark, sf_dir), _ppr_seeds(), max_hops=6, top_k=20
+    )
+
+
 def q_dd_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (FastCDC-style token-gram boundaries,
     gram=3, divisor=8): boundaries depend only on local content, so a
@@ -2448,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_independent_set": q_kg_independent_set,
         "txt_textrank": q_txt_textrank,
         "txt_heavy_hitters": q_txt_heavy_hitters,
+        "kg_eccentricity": q_kg_eccentricity,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4255,6 +4269,11 @@ FROM keyed ORDER BY gk DESC, doc_id LIMIT 100""",
 {_betweenness_ctes(_PPR_SEED_LEMMAS, 4, forward_only=True)}
 SELECT v AS id, ROUND(SUM(1.0 / d), 6) AS harmonic
 FROM bvis4 WHERE d > 0 GROUP BY v ORDER BY harmonic DESC, id LIMIT 20""",
+        # eccentricity lower bounds: the same forward BFS, MAX(d)
+        "kg_eccentricity": f"""WITH {PAIRS_CTE},
+{_betweenness_ctes(_PPR_SEED_LEMMAS, 6, forward_only=True)}
+SELECT v AS id, MAX(d) AS ecc_lb
+FROM bvis6 GROUP BY v ORDER BY ecc_lb DESC, id LIMIT 20""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

@@ -178,6 +178,8 @@ def main():
         "kg_independent_set",
         "kg_pagerank_weighted",
         "dd_dsir_resample",
+        "txt_textrank",
+        "txt_heavy_hitters",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

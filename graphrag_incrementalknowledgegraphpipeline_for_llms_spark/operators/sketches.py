@@ -227,10 +227,14 @@ def heavy_hitters(
             )
         ).alias("jb"),
     ).select("term", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    # LEFT join + zero-fill: a counter row absent from the sketch IS a
+    # zero counter — with a prebuilt/merged ``sketch`` an unseen term's
+    # empty buckets must drive its min to 0, not vanish from the probe
+    # (an inner join would report min over only the collided buckets)
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy("term")
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
         .orderBy(F.desc("est"), "term")
         .limit(k)
     )

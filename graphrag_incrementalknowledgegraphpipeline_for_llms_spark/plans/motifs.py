@@ -101,6 +101,17 @@ def find(
         cols.append(F.col(rel).alias("_r"))
     e = edges.select(*cols).distinct()
 
+    # node and edge variables live in ONE joinable namespace (a shared
+    # name means an equi-join), so a name used both as a node and as an
+    # edge variable would silently join ids against rel labels — refuse
+    node_vars = {t[1] for t in terms} | {t[3] for t in terms}
+    edge_vars = {t[2] for t in terms if t[2]}
+    clash = node_vars & edge_vars
+    if clash:
+        raise ValueError(
+            f"variables used as both node and edge names: {sorted(clash)}"
+        )
+
     df = None
     bound: set[str] = set()
     # positive terms first (GraphFrames order-independence: anti joins

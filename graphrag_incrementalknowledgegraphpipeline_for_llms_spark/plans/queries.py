@@ -2510,6 +2510,22 @@ def harmonic_sampled(
     same (eps, delta) Hoeffding sizing note — per-source harmonic
     contribution is bounded by 1, so :func:`betweenness_sample_size`
     applies verbatim)."""
+    visited = _multi_source_bfs(und, sources, max_hops)
+    scale = float(n_nodes) / len(set(sources)) if n_nodes else 1.0
+    return (
+        visited.where(F.col("d") > 0)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.round(F.sum(F.lit(scale) / F.col("d")), 6).alias("harmonic"))
+        .orderBy(F.desc("harmonic"), "id")
+        .limit(top_k)
+    )
+
+
+def _multi_source_bfs(und: DataFrame, sources: list[str], max_hops: int) -> DataFrame:
+    """Forward half of the Brandes machinery, distances only: all
+    sources advance together as a key column — one join + one
+    distinct + one anti-join per level, never |S| traversals.
+    Returns visited (s, v, d) with d = exact hop distance <= max_hops."""
     spark = und.sparkSession
     adj = (
         und.select("cid", "nbr_id")
@@ -2533,12 +2549,33 @@ def harmonic_sampled(
         visited = visited.unionByName(
             frontier.withColumn("d", F.lit(k))
         ).localCheckpoint(eager=True)
-    scale = float(n_nodes) / len(set(sources)) if n_nodes else 1.0
+    return visited
+
+
+def eccentricity_sampled(
+    und: DataFrame,
+    sources: list[str],
+    max_hops: int = 6,
+    top_k: int = 20,
+) -> DataFrame:
+    """Sampled eccentricity LOWER bounds: for any source set S,
+    ecc(v) >= max_{s in S} d(s, v) — the bounding side of the
+    iFUB / Takes-Kosters eccentricity framework (exact all-pairs
+    eccentricity is |V| BFS traversals; sampled max-distance bounds
+    are the 100-TB-sane estimate, and the max over the PER-NODE
+    column doubles as a diameter lower bound: diam >= max row).
+    Distances are hop-truncated at ``max_hops``, so every reported
+    value is min(true bound, max_hops) — still a valid lower bound.
+    Returns (id, ecc_lb), ecc_lb desc / id, top-k; sources themselves
+    appear with their distance to the farthest co-sampled source.
+
+    Scale shape: identical to :func:`harmonic_sampled` — the shared
+    multi-source BFS visited relation, then one hash MAX aggregate."""
+    visited = _multi_source_bfs(und, sources, max_hops)
     return (
-        visited.where(F.col("d") > 0)
-        .groupBy(F.col("v").alias("id"))
-        .agg(F.round(F.sum(F.lit(scale) / F.col("d")), 6).alias("harmonic"))
-        .orderBy(F.desc("harmonic"), "id")
+        visited.groupBy(F.col("v").alias("id"))
+        .agg(F.max("d").alias("ecc_lb"))
+        .orderBy(F.desc("ecc_lb"), "id")
         .limit(top_k)
     )
 
@@ -2613,7 +2650,7 @@ def scc(
     src: str = "src_id",
     dst: str = "dst_id",
     max_peel: int = 20,
-    max_prop: int = 50,
+    max_prop: int = 200,
 ) -> DataFrame:
     """Strongly connected components over a DIRECTED edge view ->
     (id, scc_id) with scc_id = min node id of the SCC — the directed
@@ -2646,11 +2683,13 @@ def scc(
          peels at least one SCC per color chain.
 
     Exactness does not depend on the iteration caps — both inner
-    loops run to checksum fixpoint and the function raises if the
-    peel budget is exhausted with live nodes remaining (loud, never
-    wrong — the caps are defense against pathological inputs like
-    10^6-long directed chains, which no real co-occurrence or
-    precedence graph produces).
+    loops run to checksum fixpoint and RAISE if the cap cuts them
+    off early, as does the outer peel budget (loud, never wrong —
+    the caps are defense against pathological inputs like 10^6-long
+    directed chains/cycles, whose min-label propagation distance is
+    O(n); no real co-occurrence or precedence graph produces them,
+    and ``max_prop`` bounds the graph's directed eccentricity from
+    the min-id nodes, not its size).
 
     Scale shape: every step is one equi-join + one hash aggregate
     over the live edge set; the live set only shrinks (typically
@@ -2690,12 +2729,14 @@ def scc(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    assigned = None
+    # start from an empty (id, scc_id) frame so empty / all-self-loop
+    # inputs return an empty result instead of dereferencing None
+    assigned = nodes.select("id", F.col("id").alias("scc_id")).limit(0)
 
     def _acc(part: DataFrame):
         nonlocal assigned
         part = part.localCheckpoint(eager=True)
-        assigned = part if assigned is None else assigned.unionByName(part)
+        assigned = assigned.unionByName(part)
         return part
 
     for _ in range(max_peel):
@@ -2723,7 +2764,7 @@ def scc(
             )
         # --- 2. forward min-color propagation to fixpoint
         color = nodes.select("id", F.col("id").alias("c"))
-        prev = None
+        prev, converged = None, False
         for _ in range(max_prop):
             inflow = (
                 e.join(
@@ -2743,8 +2784,14 @@ def scc(
             )
             cur = _ck(color, "id", "c")
             if cur == prev:
+                converged = True
                 break
             prev = cur
+        if not converged:
+            raise ValueError(
+                "scc: color propagation did not reach a fixpoint in "
+                f"{max_prop} rounds — raise max_prop (long directed chain?)"
+            )
         # --- 3. backward mark from roots along same-color edges
         ce = (
             e.join(color.select(F.col("id").alias("src"), F.col("c").alias("c1")), "src")
@@ -2755,7 +2802,7 @@ def scc(
             .localCheckpoint(eager=True)
         )
         mark = color.where(F.col("c") == F.col("id")).select("id")
-        prev = None
+        prev, converged = None, False
         for _ in range(max_prop):
             grown = (
                 ce.join(mark.withColumnRenamed("id", "dst"), "dst")
@@ -2768,8 +2815,14 @@ def scc(
             cur = _ck(grown, "id")
             mark = grown
             if cur == prev:
+                converged = True
                 break
             prev = cur
+        if not converged:
+            raise ValueError(
+                "scc: backward marking did not reach a fixpoint in "
+                f"{max_prop} rounds — raise max_prop"
+            )
         _acc(
             color.join(mark, "id").select("id", F.col("c").alias("scc_id"))
         )

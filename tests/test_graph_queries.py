@@ -2104,3 +2104,76 @@ class TestIndependentSet:
 
     def test_triangle(self, spark):
         self._run(spark, [("x", "y"), ("y", "z"), ("x", "z")])
+
+
+class TestEccentricity:
+    def test_matches_python_bfs_max(self, spark):
+        from collections import defaultdict, deque
+
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("a", "c"),
+            ("x", "y"),  # island: never reached from the sources
+        ]
+        sources = ["a", "e"]
+        sym = set(edges) | {(b, a) for a, b in edges}
+        nbrs = defaultdict(set)
+        for a, b in sym:
+            nbrs[a].add(b)
+        exp = defaultdict(int)
+        for s in sources:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= 6:
+                    continue
+                for w in nbrs[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            for v, d in dist.items():
+                exp[v] = max(exp[v], d)
+        got = {
+            r["id"]: r["ecc_lb"]
+            for r in queries.eccentricity_sampled(
+                _und_df(spark, edges), sources, max_hops=6, top_k=20
+            ).collect()
+        }
+        assert got == dict(exp)
+        assert "x" not in got
+        # lower-bound property vs true eccentricity on the reached set
+        assert got["c"] <= 2  # true ecc(c) = 2; bound cannot exceed it
+
+    def test_hop_truncation_caps_the_bound(self, spark):
+        chain = [(f"v{i}", f"v{i+1}") for i in range(8)]
+        got = {
+            r["id"]: r["ecc_lb"]
+            for r in queries.eccentricity_sampled(
+                _und_df(spark, chain), ["v0"], max_hops=3, top_k=50
+            ).collect()
+        }
+        assert max(got.values()) == 3  # truncated at max_hops
+        assert "v8" not in got  # beyond the horizon
+
+
+class TestSccEdgeCases:
+    def test_empty_and_self_loop_inputs(self, spark):
+        empty = spark.createDataFrame([], "src_id string, dst_id string")
+        assert queries.scc(empty).count() == 0
+        loops = spark.createDataFrame(
+            [("a", "a"), ("b", "b")], "src_id string, dst_id string"
+        )
+        assert queries.scc(loops).count() == 0  # loop-only nodes are caller's
+
+    def test_long_cycle_converges_or_raises_loudly(self, spark):
+        import pytest as _pytest
+
+        cyc = [(f"v{i:02d}", f"v{(i + 1) % 30:02d}") for i in range(30)]
+        df = spark.createDataFrame(cyc, "src_id string, dst_id string")
+        # a 30-cycle needs ~30 color rounds: with a starved cap the
+        # function must RAISE, never return a wrong split
+        with _pytest.raises(ValueError, match="fixpoint"):
+            queries.scc(df, max_prop=5)
+        got = {r["scc_id"] for r in queries.scc(df).collect()}
+        assert got == {"v00"}  # one SCC, min-id representative

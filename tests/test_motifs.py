@@ -136,3 +136,11 @@ class TestTriadCensus:
         )
         edges = [(a, b) for a, b in edges if a != b]
         self._run(spark, edges)
+
+
+def test_node_edge_namespace_clash_is_refused(spark):
+    e = _edges_df(spark, [("a", "b", "is_a")], rel=True)
+    with pytest.raises(ValueError, match="both node and edge"):
+        motifs.find(e, "(a)-[x]->(b); (x)-->(c)", rel="rel")
+    with pytest.raises(ValueError, match="both node and edge"):
+        motifs.find(e, "(a)-[a]->(b)", rel="rel")

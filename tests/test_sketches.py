@@ -145,3 +145,19 @@ class TestCountMin:
             ).collect()
         }
         assert got == exact
+
+
+class TestCmsPrebuiltSketch:
+    def test_unseen_term_reports_zero_not_collision(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        hist = spark.createDataFrame([("seen",)] * 7, "term string")
+        sketch = sketches.count_min_sketch(hist, "term", width=1 << 16, depth=4)
+        probe = spark.createDataFrame([("seen",), ("novel",)], "term string")
+        got = {
+            r["term"]: r["est"]
+            for r in sketches.heavy_hitters(
+                probe, "term", k=10, width=1 << 16, depth=4, sketch=sketch
+            ).collect()
+        }
+        assert got == {"seen": 7, "novel": 0}
