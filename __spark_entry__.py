@@ -2206,6 +2206,48 @@ def q_kg_triad_census(spark, sf_dir):
     return motifs.triad_census(_precedence_edges(spark, sf_dir))
 
 
+def q_dd_url_quality(spark, sf_dir):
+    """RefinedWeb/C4-style URL-level quality gate: score URLs from
+    their characters alone (blocklist terms, digit fraction, param
+    count, path depth, length) BEFORE any page bytes move — the
+    cheapest curation stage at crawl scale.  URLs are synthesized
+    deterministically from doc_id in five rule classes (clean /
+    digit-spam / param-overload / blocklist / crawler-trap depth), so
+    the oracle checks every rule fires and the clean class survives."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import weburl
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://news.example.org/articles/tech/"), g))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://spam.example.net/p/123456789012345678901234567890123-"), g
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://shop.example.com/item"),
+                g,
+                F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10&k=11&l=12"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(F.lit("https://best-casino-bonus.example.com/win/"), g),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://trap.example.com/cal/2020/01/01/x/y/z/w/v/u/t/s/r/"), g
+            )
+        )
+    )
+    return weburl.url_quality(d.select("doc_id", url.alias("url"))).orderBy("doc_id")
+
+
 def q_kg_eccentricity(spark, sf_dir):
     """Sampled eccentricity lower bounds from the PPR seed entities
     (iFUB-style bounding: ecc(v) >= max sampled-source distance; the
@@ -2462,11 +2504,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_textrank": q_txt_textrank,
         "txt_heavy_hitters": q_txt_heavy_hitters,
         "kg_eccentricity": q_kg_eccentricity,
+        "dd_url_quality": q_dd_url_quality,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
 
 def oracle_sql() -> dict[str, str]:
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import weburl
+
     en = ",".join(f"'{w}'" for w in tf.EN_MARKERS)
     de = ",".join(f"'{w}'" for w in tf.DE_MARKERS)
     en_hits = "+".join(
@@ -4269,6 +4314,42 @@ FROM keyed ORDER BY gk DESC, doc_id LIMIT 100""",
 {_betweenness_ctes(_PPR_SEED_LEMMAS, 4, forward_only=True)}
 SELECT v AS id, ROUND(SUM(1.0 / d), 6) AS harmonic
 FROM bvis4 WHERE d > 0 GROUP BY v ORDER BY harmonic DESC, id LIMIT 20""",
+        # URL quality gate: per-row expressions replayed verbatim —
+        # DuckDB regexp_replace needs the explicit 'g' flag (Spark's
+        # is global by default); single-'?' URLs make split_part ==
+        # substring_index(-1)
+        "dd_url_quality": f"""
+WITH u0 AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://news.example.org/articles/tech/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 1 THEN 'https://spam.example.net/p/123456789012345678901234567890123-' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://shop.example.com/item' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10&k=11&l=12'
+      WHEN 3 THEN 'https://best-casino-bonus.example.com/win/' || CAST(doc_id % 50 AS VARCHAR)
+      ELSE 'https://trap.example.com/cal/2020/01/01/x/y/z/w/v/u/t/s/r/' || CAST(doc_id % 50 AS VARCHAR)
+    END AS url
+  FROM documents),
+feat AS (
+  SELECT doc_id, url, lower(url) AS u,
+    ({" + ".join(f"CAST(contains(lower(url), '{t}') AS INT)" for t in weburl.URL_BLOCKLIST_TERMS)}) AS blocklist_hits,
+    length(url) AS url_len,
+    length(url) - length(regexp_replace(lower(url), '[0-9]', '', 'g')) AS n_digits,
+    CASE WHEN strpos(lower(url), '?') > 0 THEN split_part(lower(url), '?', 2) ELSE '' END AS query,
+    regexp_extract(lower(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM u0),
+feat2 AS (
+  SELECT doc_id, url, blocklist_hits, url_len,
+    CASE WHEN url_len > 0 THEN CAST(n_digits AS DOUBLE) / url_len ELSE 0.0 END AS frac_digits,
+    CASE WHEN length(query) > 0 THEN CAST(length(string_split(query, '&')) AS INT) ELSE 0 END AS n_params,
+    CASE WHEN length(path) > 1 THEN length(path) - length(regexp_replace(path, '/', '', 'g')) ELSE 0 END AS path_depth
+  FROM feat),
+scored AS (
+  SELECT *, 3.0 * blocklist_hits + 2.0 * frac_digits + n_params / 10.0 + path_depth / 10.0 + url_len / 200.0 AS pen
+  FROM feat2)
+SELECT doc_id, url, blocklist_hits, ROUND(frac_digits, 6) AS frac_digits,
+       n_params, path_depth, url_len, ROUND(pen, 6) AS url_penalty,
+       pen < 1.0 AS keep
+FROM scored ORDER BY doc_id""",
         # eccentricity lower bounds: the same forward BFS, MAX(d)
         "kg_eccentricity": f"""WITH {PAIRS_CTE},
 {_betweenness_ctes(_PPR_SEED_LEMMAS, 6, forward_only=True)}

@@ -152,3 +152,37 @@ class TestDedupByCanonicalUrl:
             map(tuple, weburl.dedup_by_canonical_url(df.repartition(16)).collect())
         )
         assert a == b and len(a) == 5
+
+
+class TestUrlQuality:
+    def _score(self, spark, urls):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import weburl
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {r["url"]: r.asDict() for r in weburl.url_quality(df).collect()}
+
+    def test_rule_classes(self, spark):
+        clean = "https://news.example.org/articles/tech/42"
+        blocked = "https://best-casino-bonus.example.com/win/3"
+        digits = "https://spam.example.net/p/123456789012345678901234567890123"
+        params = "https://shop.example.com/item?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10&k=11&l=12"
+        deep = "https://trap.example.com/cal/2020/01/01/x/y/z/w/v/u/t/s/r/q"
+        got = self._score(spark, [clean, blocked, digits, params, deep])
+        assert got[clean]["keep"] is True
+        assert got[blocked]["keep"] is False and got[blocked]["blocklist_hits"] == 1
+        assert got[digits]["keep"] is False and got[digits]["frac_digits"] > 0.3
+        assert got[params]["keep"] is False and got[params]["n_params"] == 12
+        assert got[deep]["keep"] is False and got[deep]["path_depth"] >= 13
+
+    def test_feature_accounting(self, spark):
+        u = "https://ex.com/a/b?x=1&y=2"
+        r = self._score(spark, [u])[u]
+        assert r["n_params"] == 2
+        assert r["path_depth"] == 2  # /a/b
+        assert r["url_len"] == len(u)
+        digs = sum(c.isdigit() for c in u)
+        assert abs(r["frac_digits"] - digs / len(u)) < 1e-6
+
+    def test_no_query_no_params(self, spark):
+        r = self._score(spark, ["https://ex.com/a"])["https://ex.com/a"]
+        assert r["n_params"] == 0 and r["blocklist_hits"] == 0
