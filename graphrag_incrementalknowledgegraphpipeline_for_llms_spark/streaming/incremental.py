@@ -198,3 +198,101 @@ def stream_communities_dir(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    docs_dir: str,
+    catalog: ParquetCatalog,
+    checkpoint_dir: str,
+    width: int = 1024,
+    depth: int = 4,
+    cand_k: int = 64,
+    hash_family: str = "xxh64",
+    partials_table: str = "cms_partials",
+    cand_table: str = "hh_candidates",
+    schema: T.StructType | None = None,
+):
+    """Streaming rolling heavy hitters: readStream over a parquet
+    directory of documents; each microbatch lands (a) its Count-Min
+    partial keyed on (epoch_id, j, bucket) and (b) its own top
+    ``cand_k`` terms into a candidate table keyed on term.  The
+    queryable corpus sketch is the counter-SUM over epochs
+    (:func:`..operators.sketches.cms_merge`) — sketches merge, so the
+    stream never touches history.
+
+    Exactly-once effect: counter ADDS are not idempotent, so unlike
+    stream_dedup_dir (content-addressed) the partials carry the
+    epoch_id IN THE KEY — a replayed microbatch recomputes the same
+    (epoch_id, j, bucket, c) rows and the MERGE overwrites instead of
+    double-counting; the candidate MERGE is keyed on term and
+    trivially idempotent.
+
+    Candidate-set caveat (standard for sketch-based heavy hitters): a
+    term that never enters any single batch's top ``cand_k`` but is
+    heavy in aggregate is missed by :func:`heavy_hitters_now` until a
+    later batch surfaces it; size ``cand_k`` well above the query k.
+    """
+    from ..operators import sketches, textsearch
+
+    stream = spark.readStream.schema(schema or DOCS_SCHEMA).parquet(docs_dir)
+
+    def sink(batch_df, epoch_id: int):
+        from pyspark.sql import functions as F
+
+        tok = batch_df.select(
+            F.explode(textsearch.tokenize(F.col("text"))).alias("term")
+        )
+        part = sketches.count_min_sketch(
+            tok, "term", width=width, depth=depth, hash_family=hash_family
+        ).withColumn("epoch_id", F.lit(int(epoch_id)))
+        catalog.merge_upsert(
+            spark, partials_table, part, keys=["epoch_id", "j", "bucket"]
+        )
+        cand = sketches.heavy_hitters(
+            tok, "term", k=cand_k, width=width, depth=depth, hash_family=hash_family
+        ).select("term")
+        catalog.merge_upsert(spark, cand_table, cand, keys=["term"])
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_now(
+    spark: SparkSession,
+    catalog: ParquetCatalog,
+    k: int = 20,
+    width: int = 1024,
+    depth: int = 4,
+    hash_family: str = "xxh64",
+    partials_table: str = "cms_partials",
+    cand_table: str = "hh_candidates",
+):
+    """Point-in-time heavy hitters over everything streamed so far:
+    merge the stored epoch partials into the corpus sketch and probe
+    the accumulated candidate terms against it.  Returns (term, est)
+    est desc / term, top-k — equal to the batch
+    :func:`..operators.sketches.heavy_hitters` over the full corpus
+    for every term the candidate table holds."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches
+
+    parts = catalog.read(spark, partials_table)
+    cand = catalog.read(spark, cand_table)
+    if parts is None or cand is None:
+        return spark.createDataFrame([], "term string, est bigint")
+    merged = sketches.cms_merge(parts.select("j", "bucket", "c"))
+    return sketches.heavy_hitters(
+        cand.select(F.col("term")),
+        "term",
+        k=k,
+        width=width,
+        depth=depth,
+        hash_family=hash_family,
+        sketch=merged,
+    )

@@ -119,3 +119,67 @@ def test_stream_communities_matches_full_rebuild(spark, tmp_path):
     want = {(r["id"], r["label"]) for r in q.label_propagation(sym, iters=5).collect()}
     got = {(r["id"], r["label"]) for r in ci.read_labels(spark, cat).collect()}
     assert got == want and got
+
+
+def test_stream_heavy_hitters_matches_batch_sketch(spark, tmp_path):
+    """Two file drops through stream_heavy_hitters == the batch CMS
+    heavy-hitter run over the union, for every candidate term; and a
+    replayed epoch does not double-count (epoch-keyed partial MERGE)."""
+    from pyspark.sql import functions as F
+
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        sketches,
+        textsearch,
+    )
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    docs = [
+        (1, "spark spark spark shuffle codegen"),
+        (2, "spark shuffle shuffle partition"),
+        (3, "codegen codegen spark arrow arrow arrow arrow"),
+        (4, "partition partition shuffle arrow spark"),
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    full.where(F.col("doc_id") <= 2).write.mode("append").parquet(docs_dir)
+    incremental.stream_heavy_hitters(
+        spark, docs_dir, cat, ckpt, width=256, depth=3, cand_k=16
+    ).awaitTermination(300)
+    full.where(F.col("doc_id") > 2).write.mode("append").parquet(docs_dir)
+    incremental.stream_heavy_hitters(
+        spark, docs_dir, cat, ckpt, width=256, depth=3, cand_k=16
+    ).awaitTermination(300)
+
+    got = {
+        r["term"]: r["est"]
+        for r in incremental.heavy_hitters_now(
+            spark, cat, k=50, width=256, depth=3
+        ).collect()
+    }
+    tok = full.select(F.explode(textsearch.tokenize(F.col("text"))).alias("term"))
+    want = {
+        r["term"]: r["est"]
+        for r in sketches.heavy_hitters(tok, "term", k=50, width=256, depth=3).collect()
+    }
+    assert got == want
+
+    # replay guard: re-deliver epoch 0's batch through the sink body —
+    # the epoch-keyed MERGE must overwrite, not add
+    batch0 = spark.read.parquet(docs_dir).where(F.col("doc_id") <= 2)
+    tok0 = batch0.select(F.explode(textsearch.tokenize(F.col("text"))).alias("term"))
+    part0 = sketches.count_min_sketch(tok0, "term", width=256, depth=3).withColumn(
+        "epoch_id", F.lit(0)
+    )
+    cat.merge_upsert(spark, "cms_partials", part0, keys=["epoch_id", "j", "bucket"])
+    again = {
+        r["term"]: r["est"]
+        for r in incremental.heavy_hitters_now(
+            spark, cat, k=50, width=256, depth=3
+        ).collect()
+    }
+    assert again == want
