@@ -36,6 +36,7 @@ from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import 
     concepts as cf,
 )
 from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import (
+    openie,
     purecore,
     text as tf,
 )
@@ -190,6 +191,75 @@ pairs AS (
    AND concat(m1.concept_id, chr(31), m1.lemma, chr(31), m1.surface, chr(31), m1.origin)
      < concat(m2.concept_id, chr(31), m2.lemma, chr(31), m2.surface, chr(31), m2.origin)
 )"""
+
+# ---------------------------------------------------------------------------
+# OpenIE SVO frames (functions/openie.py) over the cased corpus + a
+# deterministic planted tail.  The casing chain already injects the
+# frame verbs into the corpus (CASE_RULES: small -> "is a", big ->
+# "part of", slow -> "causes"), so IS_A / PART_OF / CAUSES fire
+# ORGANICALLY across every document; the planted tail adds the
+# SYNONYM_OF frame plus arguments guaranteed to resolve against the
+# concept vocabulary (full-lemma or head-token backoff).  Args are
+# selected per doc_id from this list; heads of the two modifier
+# entries exercise the head-backoff path.
+# ---------------------------------------------------------------------------
+SVO_LINK_ARGS = [
+    "apache spark",
+    "new york",
+    "alice smith",
+    "key value",
+    "merge sort",
+    "table scan",
+    "window",
+    "agg",
+    "top",
+    "fast window",  # full lemma not in vocab -> head 'window' links
+    "shared agg",   # full lemma not in vocab -> head 'agg' links
+]
+_SVO_N = len(SVO_LINK_ARGS)
+
+
+def _svo_text_col():
+    arr = F.array(*[F.lit(w) for w in SVO_LINK_ARGS])
+
+    def a(i):
+        return F.element_at(
+            arr, ((F.col("doc_id") + 3 * i) % _SVO_N + 1).cast("int")
+        )
+
+    return F.concat(
+        _cased_col(F.col("text")),
+        F.lit(". the "), a(0), F.lit(" is a "), a(1),
+        F.lit(". "), a(2), F.lit(" causes "), a(3),
+        F.lit(". the "), a(4), F.lit(" is part of the "), a(5),
+        F.lit(". "), a(6), F.lit(" is also known as "), a(7), F.lit("."),
+    )
+
+
+def _svo_text_sql() -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in SVO_LINK_ARGS) + "]"
+
+    def a(i):
+        return f"({arr})[(doc_id + {3 * i}) % {_SVO_N} + 1]"
+
+    return (
+        f"{_cased_sql()} || '. the ' || {a(0)} || ' is a ' || {a(1)}"
+        f" || '. ' || {a(2)} || ' causes ' || {a(3)}"
+        f" || '. the ' || {a(4)} || ' is part of the ' || {a(5)}"
+        f" || '. ' || {a(6)} || ' is also known as ' || {a(7)} || '.'"
+    )
+
+
+_SVO_FRAME_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, '{p}' AS predicate, unnest(list_zip("
+    f"regexp_extract_all(t, '{pat}', 1), regexp_extract_all(t, '{pat}', 2)"
+    f")) AS z FROM svosrc"
+    for p, pat in openie.FRAMES
+)
+
+_SVO_CTES = f"""svosrc AS (SELECT doc_id, lower({_svo_text_sql()}) AS t FROM documents),
+svom AS ({_SVO_FRAME_SELECTS}),
+svo AS (SELECT doc_id, predicate, z[1] AS subj, z[2] AS obj FROM svom)"""
 
 # DSIR hashed unigram+bigram log-likelihood-ratio weights, shared by
 # txt_dsir_weights and dd_dsir_resample (ends with `dsw`: doc_id,
@@ -2303,6 +2373,38 @@ def q_dd_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=0.30, dim=64)
 
 
+def _svo_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", _svo_text_col().alias("text"))
+
+
+def q_kg_svo_triples(spark, sf_dir):
+    """OpenIE-style pattern-frame (subj, pred, obj) extraction
+    (functions/openie.py — the north-star's OpenIE stage; relation
+    inventory == the reference's edge types, RelationScorer.scala:
+    129-152).  Pure Catalyst regexp map stage + ONE aggregation
+    shuffle on (predicate, subj, obj); frames fire organically on the
+    cased corpus (CASE_RULES inject is-a/part-of/causes) plus a
+    deterministic planted tail that exercises SYNONYM_OF."""
+    return openie.svo_aggregate(
+        openie.svo_extract(_svo_docs(spark, sf_dir))
+    ).orderBy("predicate", "subj", "obj")
+
+
+def q_kg_svo_linked(spark, sf_dir):
+    """SVO triples entity-linked against the concept vocabulary with
+    full-lemma -> head-token backoff (openie.link_heads): the
+    north-star's "candidate entity-link scoring against an alias
+    dictionary broadcast as a Bloom-filter-backed lookup" — the
+    vocabulary Bloom gate prunes the match stream BEFORE any join,
+    false positives die in the exact broadcast join, and only triples
+    with BOTH ends resolved survive."""
+    svo = openie.svo_extract(_svo_docs(spark, sf_dir))
+    vocab = _mentions(spark, sf_dir).select("lemma", "concept_id")
+    return openie.linked_triples(svo, vocab).orderBy(
+        "predicate", "subj_id", "obj_id"
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic k-means coarse quantizer (driver-side
     sample), literal-centroid assignment, nprobe-list probe + exact
@@ -2505,6 +2607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_heavy_hitters": q_txt_heavy_hitters,
         "kg_eccentricity": q_kg_eccentricity,
         "dd_url_quality": q_dd_url_quality,
+        "kg_svo_triples": q_kg_svo_triples,
+        "kg_svo_linked": q_kg_svo_linked,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4318,6 +4422,32 @@ FROM bvis4 WHERE d > 0 GROUP BY v ORDER BY harmonic DESC, id LIMIT 20""",
         # DuckDB regexp_replace needs the explicit 'g' flag (Spark's
         # is global by default); single-'?' URLs make split_part ==
         # substring_index(-1)
+        "kg_svo_triples": f"""WITH {_SVO_CTES}
+SELECT predicate, subj, obj,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM svo GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "kg_svo_linked": f"""WITH {MENTIONS_CTE}, {_SVO_CTES},
+vocab AS (SELECT DISTINCT lemma, concept_id FROM mentions),
+args AS (SELECT doc_id, predicate,
+  replace(subj, ' ', '_') AS sfull, (string_split(subj, ' '))[-1] AS shead,
+  replace(obj, ' ', '_') AS ofull, (string_split(obj, ' '))[-1] AS ohead
+FROM svo),
+res AS (SELECT a.doc_id, a.predicate,
+  COALESCE(vf.concept_id, vh.concept_id) AS subj_id,
+  COALESCE(vf.lemma, vh.lemma) AS subj_lemma,
+  COALESCE(wf.concept_id, wh.concept_id) AS obj_id,
+  COALESCE(wf.lemma, wh.lemma) AS obj_lemma
+FROM args a
+LEFT JOIN vocab vf ON a.sfull = vf.lemma
+LEFT JOIN vocab vh ON a.shead = vh.lemma
+LEFT JOIN vocab wf ON a.ofull = wf.lemma
+LEFT JOIN vocab wh ON a.ohead = wh.lemma)
+SELECT predicate, subj_id, subj_lemma, obj_id, obj_lemma,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM res WHERE subj_id IS NOT NULL AND obj_id IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""",
         "dd_url_quality": f"""
 WITH u0 AS (
   SELECT doc_id,

@@ -148,6 +148,20 @@ def bloom_lemma_filter(alias_pairs: DataFrame, bits_per_key: int = 20):
         .unionByName(alias_pairs.select(F.col("lemma_b").alias("k")))
         .distinct()
     )
+    return _bloom_filter_from(keys, bits_per_key)
+
+
+def bloom_keys_filter(keys: DataFrame, key_col: str, bits_per_key: int = 20):
+    """Bloom predicate factory over one key column of a dimension
+    table (same build/probe machinery as :func:`bloom_lemma_filter`;
+    used by functions/openie.link_heads for vocabulary pruning).
+    Returns None when the dimension is empty."""
+    return _bloom_filter_from(
+        keys.select(F.col(key_col).alias("k")).distinct(), bits_per_key
+    )
+
+
+def _bloom_filter_from(keys: DataFrame, bits_per_key: int):
     h1c, h2c = _bloom_h1h2(F.col("k"))
     hashes = keys.select(h1c.alias("h1"), h2c.alias("h2")).collect()
     if not hashes:
