@@ -2405,6 +2405,23 @@ def q_kg_svo_linked(spark, sf_dir):
     )
 
 
+def q_txt_fasttext_quality(spark, sf_dir):
+    """fastText-style hashed-linear quality-classifier inference
+    (curation.fasttext_score): hashed uni+bigram bag -> broadcast
+    weight lookup -> integer mean-pooled logit + threshold label.
+    The weight table is the deterministic md5 stand-in
+    (curation.hash_weights) so the full inference path — featurize,
+    broadcast join, partial-agg sum, threshold — is exercised and
+    DuckDB-exact; a real fastText model quantized to milli-weights
+    drops into the same op."""
+    w = curation.hash_weights(spark, n_buckets=4096)
+    return (
+        curation.fasttext_score(_docs(spark, sf_dir), w, n_buckets=4096)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic k-means coarse quantizer (driver-side
     sample), literal-centroid assignment, nprobe-list probe + exact
@@ -2609,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
+        "txt_fasttext_quality": q_txt_fasttext_quality,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4448,6 +4466,21 @@ SELECT predicate, subj_id, subj_lemma, obj_id, obj_lemma,
   CAST(COUNT(*) AS BIGINT) AS n_matches
 FROM res WHERE subj_id IS NOT NULL AND obj_id IS NOT NULL
 GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""",
+        "txt_fasttext_quality": f"""
+WITH tokd AS (SELECT doc_id AS id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+      FROM documents),
+feat AS (SELECT id, unnest(list_concat(toks,
+        list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]))) AS f
+      FROM tokd),
+fb AS (SELECT id, ({_nib32_expr("md5(f)")}) % 4096 AS b FROM feat),
+w AS (SELECT i AS b, ({_nib32_expr("md5('w|' || CAST(i AS VARCHAR))")}) % 2001 - 1000 AS w_milli
+      FROM range(4096) t(i)),
+agg AS (SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        CAST(SUM(COALESCE(w_milli, 0)) AS BIGINT) AS logit_milli
+        FROM fb LEFT JOIN w USING (b) GROUP BY id)
+SELECT doc_id, n_feats, logit_milli, logit_milli > 0 AS label
+FROM agg ORDER BY doc_id""",
         "dd_url_quality": f"""
 WITH u0 AS (
   SELECT doc_id,

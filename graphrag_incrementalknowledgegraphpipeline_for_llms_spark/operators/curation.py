@@ -472,6 +472,79 @@ def dsir_weights(
     )
 
 
+def fasttext_score(
+    corpus: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE — the
+    quality-filter shape published for GPT-3 / CCNet-style pipelines
+    (Joulin et al. 2016 "Bag of Tricks for Efficient Text
+    Classification"): hashed unigram+bigram bag, one weight per
+    bucket, mean-pooled logit, sigmoid threshold.
+
+    ``weights`` is the trained model: (bucket, w_milli) with integer
+    MILLI-weights — integer accumulation keeps the logit exact across
+    engines (the quantized-cosine recipe), and the fastText
+    mean-pooling decision  sigmoid(sum/n) > sigmoid(t)  is evaluated
+    as the equivalent integer comparison  sum > t*n  so no float
+    division ever happens.  Training is out of scope (SGD is not a
+    SQL-expressible op); any fastText/liblinear model quantized to
+    milli-weights drops in.
+
+    Scale shape: shares :func:`_hashed_ngram_features` with DSIR — one
+    narrow map stage per document (text never shuffles), the weight
+    table is a broadcast dimension (n_buckets rows; fastText uses
+    2^21 ≈ 2M — still broadcastable), and the per-document sum
+    partially aggregates map-side so only ~one (id, sum) row per doc
+    per partition reaches the single shuffle.
+
+    Returns (id, n_feats, logit_milli, label) for docs with ≥1
+    feature; logit_milli = bias + Σ w[bucket(f)]."""
+    feats = _hashed_ngram_features(corpus, text_col, id_col, n_buckets, bigrams)
+    w = F.broadcast(
+        weights.select(F.col("bucket").alias("b"), F.col("w_milli"))
+    )
+    return (
+        feats.join(w, "b", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            (
+                F.sum(F.coalesce(F.col("w_milli"), F.lit(0))) + F.lit(bias_milli)
+            )
+            .cast("long")
+            .alias("logit_milli"),
+        )
+        .withColumn(
+            "label",
+            F.col("logit_milli") > F.lit(threshold_milli) * F.col("n_feats"),
+        )
+    )
+
+
+def hash_weights(spark, n_buckets: int = 4096, salt: str = "w") -> DataFrame:
+    """Deterministic stand-in weight table for :func:`fasttext_score`
+    (tests/driver key): w_milli = md5_32(salt|bucket) % 2001 - 1000,
+    uniform in [-1000, 1000] milli."""
+    b = F.col("id").alias("bucket")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return spark.range(n_buckets).select(
+        b, (h32 % 2001 - 1000).cast("long").alias("w_milli")
+    )
+
+
 def dsir_resample(
     corpus: DataFrame,
     target: DataFrame,

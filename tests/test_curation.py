@@ -708,3 +708,71 @@ class TestDsirResample:
         tgt = d.where(F.col("lang") == "en")
         got = curation.dsir_resample(d, tgt, k=40).collect()
         assert {r["doc_id"] for r in got} == set(range(40))
+
+
+class TestFasttextScore:
+    """curation.fasttext_score — hashed-linear classifier inference."""
+
+    def _weights(self, spark, mapping):
+        return spark.createDataFrame(
+            list(mapping.items()), "bucket long, w_milli long"
+        )
+
+    def test_logit_is_sum_of_bucket_weights(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        # one token -> one unigram feature, no bigrams
+        d = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+        feats = curation._hashed_ngram_features(d, "text", "doc_id", 64, True)
+        b = feats.collect()[0]["b"]
+        out = curation.fasttext_score(
+            d, self._weights(spark, {b: 7}), n_buckets=64
+        ).collect()
+        assert [(r.n_feats, r.logit_milli, r.label) for r in out] == [(1, 7, True)]
+
+    def test_bigrams_and_missing_weights_default_zero(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        # 3 unigrams + 2 bigrams = 5 features; empty weight table -> 0
+        out = curation.fasttext_score(
+            d, self._weights(spark, {}).limit(0), n_buckets=64
+        ).collect()
+        assert [(r.n_feats, r.logit_milli, r.label) for r in out] == [(5, 0, False)]
+
+    def test_threshold_is_mean_pooled(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        # logit 10 over 5 feats = mean 2 milli; threshold 3 milli fails,
+        # threshold 1 milli passes -> the t*n comparison is mean semantics
+        d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        feats = curation._hashed_ngram_features(d, "text", "doc_id", 64, True)
+        w = {r["b"]: 2 for r in feats.collect()}
+        lo = curation.fasttext_score(
+            d, self._weights(spark, w), n_buckets=64, threshold_milli=1
+        ).collect()[0]
+        hi = curation.fasttext_score(
+            d, self._weights(spark, w), n_buckets=64, threshold_milli=3
+        ).collect()[0]
+        assert lo.label is True and hi.label is False
+        assert lo.logit_milli == 10 and lo.n_feats == 5
+
+    def test_empty_text_drops_out(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        d = spark.createDataFrame(
+            [(0, ""), (1, "   "), (2, "ok")], "doc_id long, text string"
+        )
+        out = curation.fasttext_score(
+            d, self._weights(spark, {}).limit(0), n_buckets=64
+        ).collect()
+        assert [r.id for r in out] == [2]
+
+    def test_hash_weights_range_and_determinism(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        w = curation.hash_weights(spark, n_buckets=128).collect()
+        assert len(w) == 128
+        assert all(-1000 <= r.w_milli <= 1000 for r in w)
+        w2 = curation.hash_weights(spark, n_buckets=128).collect()
+        assert sorted(map(tuple, w)) == sorted(map(tuple, w2))
