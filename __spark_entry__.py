@@ -2405,6 +2405,29 @@ def q_kg_svo_linked(spark, sf_dir):
     )
 
 
+def q_rel_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k ROW-sample quantile sketch per event type
+    (sketches.row_quantile_sketch, md5 rank for the oracle):
+    frequency-weighted p50/p90/p99 from O(k) state — the sketch
+    answer to rel_percentile's exact sort-based baseline; salted
+    two-level selection keeps any single reducer's sort at ≤k rows
+    even on a hot group."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        sketches,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.row_quantile_sketch(
+        e,
+        "value",
+        "event_id",
+        [0.5, 0.9, 0.99],
+        group_cols=["event_type"],
+        k=128,
+        hash_family="md5",
+    ).orderBy("event_type")
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2627,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
         "txt_fasttext_quality": q_txt_fasttext_quality,
+        "rel_quantile_sketch": q_rel_quantile_sketch,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4481,6 +4505,17 @@ agg AS (SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
         FROM fb LEFT JOIN w USING (b) GROUP BY id)
 SELECT doc_id, n_feats, logit_milli, logit_milli > 0 AS label
 FROM agg ORDER BY doc_id""",
+        "rel_quantile_sketch": """
+WITH h AS (SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS hh FROM events),
+r AS (SELECT event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn FROM h),
+s AS (SELECT event_type, list_sort(list(value)) AS arr
+      FROM r WHERE rn <= 128 GROUP BY event_type)
+SELECT event_type, CAST(len(arr) AS BIGINT) AS n_sampled,
+  arr[greatest(1, CAST(ceil(0.5 * len(arr)) AS INT))] AS q50,
+  arr[greatest(1, CAST(ceil(0.9 * len(arr)) AS INT))] AS q90,
+  arr[greatest(1, CAST(ceil(0.99 * len(arr)) AS INT))] AS q99
+FROM s ORDER BY event_type""",
         "dd_url_quality": f"""
 WITH u0 AS (
   SELECT doc_id,

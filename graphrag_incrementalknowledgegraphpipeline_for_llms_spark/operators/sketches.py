@@ -128,6 +128,95 @@ def kmin_quantiles(
     return sample.select(*group_cols, *qcols)
 
 
+def bottomk_row_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    salt_buckets: int = 32,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """Uniform per-group ROW sample of size ≤k — the
+    frequency-weighted sibling of :func:`kmin_quantiles`'s
+    distinct-value sample: rows are ranked by a hash of their IDENTITY
+    (``id_col``), not their value, so repeated values keep their
+    multiplicity and the sample estimates the row distribution.
+
+    Mergeable: bottom-k by hash is associative —
+    ``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))``
+    (pytest-pinned), so per-partition / per-day sketches union into
+    the corpus sketch without re-reading rows.
+
+    Scale shape (why two levels): a single ``row_number`` window over
+    each group sort-buffers the WHOLE group on one reducer — the exact
+    hot-group pathology windows have at 100 TB.  Level 1 salts the
+    window key with ``pmod(hash, salt_buckets)`` so each reducer sorts
+    only its slice and emits ≤k rows; level 2 re-selects bottom-k from
+    the ≤ salt_buckets*k survivors per group (correct BECAUSE the
+    sketch is mergeable).  ``hash_family='md5'`` ranks by the md5 hex
+    string for cross-engine oracles; the engine default stays
+    xxhash64."""
+    gc = list(group_cols or [])
+    idc = F.col(id_col).cast("string")
+    hcol = F.md5(idc) if hash_family == "md5" else _uhash(idc)
+    x = df.withColumn("_h", hcol).withColumn(
+        "_salt", F.pmod(F.xxhash64(idc), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*gc, "_salt").orderBy("_h")
+    cand = (
+        x.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = (
+        Window.partitionBy(*gc).orderBy("_h")
+        if gc
+        else Window.partitionBy(F.lit(1)).orderBy("_h")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def row_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    salt_buckets: int = 32,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """Per-group quantiles read off a :func:`bottomk_row_sample`:
+    O(k) state, mergeable, deterministic.  Quantile = element at
+    ``ceil(p * n)`` of the sorted sample (no interpolation — the
+    returned value is always a real data point, and the index math is
+    identical IEEE across engines).  Standard bottom-k sample error:
+    ±O(1/sqrt(k)) in rank."""
+    gc = list(group_cols or [])
+    s = bottomk_row_sample(
+        df.select(*gc, value_col, id_col), id_col, gc, k, salt_buckets, hash_family
+    )
+    sample = s.groupBy(*gc).agg(
+        F.array_sort(F.collect_list(value_col)).alias("_sample")
+    )
+    qcols = [
+        F.element_at(
+            F.col("_sample"),
+            F.greatest(
+                F.lit(1), F.ceil(F.size("_sample") * F.lit(float(p))).cast("int")
+            ),
+        ).alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return sample.select(
+        *gc, F.size("_sample").cast("long").alias("n_sampled"), *qcols
+    )
+
+
 def _cms_bucket(term, j: int, width: int, hash_family: str = "xxh64"):
     """Row j's bucket for a term: hash(j || ':' || term) mod width.
     ``hash_family='md5'`` uses the engine's portable 32-bit md5 prefix

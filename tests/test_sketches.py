@@ -161,3 +161,83 @@ class TestCmsPrebuiltSketch:
             ).collect()
         }
         assert got == {"seen": 7, "novel": 0}
+
+
+class TestBottomkRowSample:
+    """sketches.bottomk_row_sample / row_quantile_sketch."""
+
+    def _events(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, "t%d" % (i % 3), float((i * 37) % 100)) for i in range(n)],
+            "event_id long, event_type string, value double",
+        )
+
+    def test_sample_size_capped_and_deterministic(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = self._events(spark)
+        a = sketches.bottomk_row_sample(d, "event_id", ["event_type"], k=16)
+        b = sketches.bottomk_row_sample(d, "event_id", ["event_type"], k=16)
+        ra = sorted((r.event_type, r.event_id) for r in a.collect())
+        rb = sorted((r.event_type, r.event_id) for r in b.collect())
+        assert ra == rb
+        import collections
+
+        per = collections.Counter(t for t, _ in ra)
+        assert all(v == 16 for v in per.values())
+
+    def test_merge_equals_full(self, spark):
+        # bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — the
+        # property that makes per-day sketches union into corpus ones
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = self._events(spark)
+        a, b = d.where("event_id % 2 = 0"), d.where("event_id % 2 = 1")
+        ka = sketches.bottomk_row_sample(a, "event_id", ["event_type"], k=16)
+        kb = sketches.bottomk_row_sample(b, "event_id", ["event_type"], k=16)
+        merged = sketches.bottomk_row_sample(
+            ka.unionByName(kb).drop("_h"), "event_id", ["event_type"], k=16
+        )
+        full = sketches.bottomk_row_sample(d, "event_id", ["event_type"], k=16)
+        assert sorted((r.event_type, r.event_id) for r in merged.collect()) == sorted(
+            (r.event_type, r.event_id) for r in full.collect()
+        )
+
+    def test_small_group_keeps_everything_and_quantiles_exact(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = spark.createDataFrame(
+            [(i, "x", float(i)) for i in range(10)],
+            "event_id long, event_type string, value double",
+        )
+        out = sketches.row_quantile_sketch(
+            d, "value", "event_id", [0.5, 0.9], ["event_type"], k=128
+        ).collect()[0]
+        # n < k -> the sample IS the group; ceil-index quantiles over 0..9
+        assert out.n_sampled == 10
+        assert out.q50 == 4.0  # ceil(0.5*10)=5 -> 1-based 5th of sorted
+        assert out.q90 == 8.0  # ceil(0.9*10)=9
+
+    def test_rank_error_within_bound(self, spark):
+        # k=256 over 4000 uniform rows: p50 estimate within ±0.1 rank
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = spark.createDataFrame(
+            [(i, "x", float(i)) for i in range(4000)],
+            "event_id long, event_type string, value double",
+        )
+        out = sketches.row_quantile_sketch(
+            d, "value", "event_id", [0.5], ["event_type"], k=256
+        ).collect()[0]
+        assert out.n_sampled == 256
+        assert abs(out.q50 / 4000.0 - 0.5) < 0.1
+
+    def test_salting_does_not_change_selection(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = self._events(spark)
+        a = sketches.bottomk_row_sample(d, "event_id", ["event_type"], k=16, salt_buckets=1)
+        b = sketches.bottomk_row_sample(d, "event_id", ["event_type"], k=16, salt_buckets=64)
+        assert sorted((r.event_type, r.event_id) for r in a.collect()) == sorted(
+            (r.event_type, r.event_id) for r in b.collect()
+        )
