@@ -69,6 +69,27 @@ FRAMES: list[tuple[str, str]] = [
 ]
 
 
+# Case-preserving variants: same frames, case-insensitive verbs and
+# determiners, NPs keep their original casing so camelCase / NER
+# surfaces survive into lemma normalization (queryPlan -> query_plan).
+FRAMES_CI: list[tuple[str, str]] = [
+    (p, "(?i)" + pat.replace("[a-z]", "[A-Za-z]")) for p, pat in FRAMES
+]
+
+
+def lemma_expr(col: Column) -> Column:
+    """The reference's lemma normalization as a pure Catalyst
+    expression (ConceptExtractor.scala:128-138 == purecore.
+    normalize_lemma, parity pytest-pinned): camel-split, lower,
+    non-lemma chars -> '_', collapse runs, strip edges.  For all-
+    lowercase single-space phrases this reduces exactly to
+    space->underscore (the oracle SQL's replace())."""
+    x = F.regexp_replace(col, r"([a-z])([A-Z])", r"$1_$2")
+    x = F.regexp_replace(F.lower(x), r"[^a-z0-9_]", "_")
+    x = F.regexp_replace(x, r"_+", "_")
+    return F.regexp_replace(x, r"^_+|_+$", "")
+
+
 def _frame_structs(low: Column, predicate: str, pattern: str) -> Column:
     zipped = F.arrays_zip(
         F.regexp_extract_all(low, F.lit(pattern), 1).alias("s"),
@@ -85,16 +106,24 @@ def _frame_structs(low: Column, predicate: str, pattern: str) -> Column:
 
 
 def svo_extract(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    preserve_case: bool = False,
 ) -> DataFrame:
     """One row per extracted (subj, predicate, obj) match.
 
-    Pure map stage: lowercases the text once, evaluates every frame,
-    and explodes the concatenated match array.  Output columns:
-    (id, predicate, subj, obj).
+    Pure map stage: lowercases the text once (or, with
+    ``preserve_case``, matches case-insensitively and keeps argument
+    casing for downstream lemma normalization), evaluates every
+    frame, and explodes the concatenated match array.  Output
+    columns: (id, predicate, subj, obj).
     """
-    low = F.lower(F.col(text_col))
-    all_matches = F.concat(*[_frame_structs(low, p, pat) for p, pat in FRAMES])
+    if preserve_case:
+        low, frames = F.col(text_col), FRAMES_CI
+    else:
+        low, frames = F.lower(F.col(text_col)), FRAMES
+    all_matches = F.concat(*[_frame_structs(low, p, pat) for p, pat in frames])
     return df.select(
         F.col(id_col).alias("id"), F.explode(all_matches).alias("t")
     ).select("id", "t.predicate", "t.subj", "t.obj")
@@ -111,18 +140,16 @@ def svo_aggregate(svo: DataFrame) -> DataFrame:
 
 
 def _lemma(col: Column) -> Column:
-    # SVO arguments are [a-z ]+ by construction (the NP charset), so the
-    # reference's full lemma normalization (purecore.normalize_lemma —
-    # camel-split, lower, non-lemma -> '_', collapse, strip) reduces
-    # EXACTLY to space->underscore here: no uppercase to split or
-    # lower, every non-lemma char is a single inter-word space, and
-    # arguments never start/end with one.
-    return F.replace(col, F.lit(" "), F.lit("_"))
+    # Full reference normalization; for the lowercase [a-z ]+ arguments
+    # of the default frames this is EXACTLY space->underscore (what the
+    # DuckDB oracles compute); for preserve_case arguments it
+    # additionally camel-splits and lowers (queryPlan -> query_plan).
+    return lemma_expr(col)
 
 
 def _head(col: Column) -> Column:
-    # Syntactic head of a 1-3 token NP = its last token.
-    return F.element_at(F.split(col, " "), -1)
+    # Syntactic head of a 1-3 token NP = its last token, normalized.
+    return lemma_expr(F.element_at(F.split(col, " "), -1))
 
 
 def link_heads(svo: DataFrame, vocab: DataFrame) -> DataFrame:

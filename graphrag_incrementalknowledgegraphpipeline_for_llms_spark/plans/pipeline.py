@@ -95,6 +95,7 @@ def run_pipeline(
     dedup_pages: bool = False,
     url_dedup: bool = False,
     graph_mode: str = "cow",
+    svo: bool = False,
 ) -> PipelineResult:
     """``stage_mode`` controls how the enriched (post-extraction) data
     is shared across the downstream consumers:
@@ -254,6 +255,38 @@ def run_pipeline(
     mentions = cf.mentions_from(enriched)
     candidates = cooccur.candidate_pairs(enriched)
     triples = scorer.triples_from(scorer.score_candidates(candidates))
+    if svo:
+        # OpenIE pattern path (functions/openie.py): case-preserving
+        # frame matches, both arguments entity-linked (full-lemma ->
+        # head backoff, Bloom-gated) against THIS batch's mention
+        # vocabulary, emitted in the same triples schema.  High
+        # precision (explicit lexical frame + both ends resolved), so
+        # confidence sits above the co-occurrence scorer's band.
+        from ..functions import openie
+
+        pattern = openie.link_heads(
+            openie.svo_extract(
+                enriched.select("chunk_id", "text"),
+                id_col="chunk_id",
+                preserve_case=True,
+            ),
+            mentions.select("lemma", "concept_id"),
+        )
+        svo_triples = pattern.where(F.col("subj_id") != F.col("obj_id")).select(
+            "subj_id",
+            # triples-table convention is the scorer's lowercase set
+            # (graph.sanitize_rel_col uppercases into edge types)
+            F.lower(F.col("predicate")).alias("predicate"),
+            "obj_id",
+            # 0.93: above every scorer band (0.5-0.9) and distinct from
+            # all of them, so provenance is readable off the table
+            F.lit(0.93).alias("confidence"),
+            F.substring(
+                F.concat_ws(" ", "subj_lemma", "predicate", "obj_lemma"), 1, 500
+            ).alias("evidence"),
+            F.col("id").alias("chunk_id"),
+        )
+        triples = triples.unionByName(svo_triples)
     if alias_pairs is not None:
         from ..operators import canonicalize
 

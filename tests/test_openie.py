@@ -176,3 +176,73 @@ class TestDriverKeys:
         # the head-backoff entries actually resolve ('fast window' -> window)
         lemmas = {r.subj_lemma for r in rows} | {r.obj_lemma for r in rows}
         assert "window" in lemmas
+
+
+class TestLemmaExpr:
+    def test_matches_purecore_normalize_lemma(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions.purecore import (
+            normalize_lemma,
+        )
+
+        surfaces = [
+            "queryPlan", "MapReduce", "Query Engine", "LLM", "Top-K",
+            "Alice Smith", "a  b", "_x_", "already_lemma", "Mixed-Case Thing",
+            "trailing ", " leading", "123abc", "ABC", "", "---",
+        ]
+        df = spark.createDataFrame([(s,) for s in surfaces], "s string")
+        got = [
+            r.le
+            for r in df.select(openie.lemma_expr(F.col("s")).alias("le")).collect()
+        ]
+        assert got == [normalize_lemma(s) for s in surfaces]
+
+
+class TestPreserveCase:
+    def test_camelcase_args_link_via_full_lemma(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions.purecore import (
+            concept_id,
+        )
+
+        vocab = spark.createDataFrame(
+            [(le, concept_id(le)) for le in ["query_plan", "map_reduce"]],
+            "lemma string, concept_id string",
+        )
+        df = spark.createDataFrame(
+            [(0, "queryPlan is part of MapReduce.")], "chunk_id string, text string"
+        )
+        svo = openie.svo_extract(df, id_col="chunk_id", preserve_case=True)
+        rows = openie.link_heads(svo, vocab).collect()
+        assert [(r.predicate, r.subj_lemma, r.obj_lemma) for r in rows] == [
+            ("PART_OF", "query_plan", "map_reduce")
+        ]
+
+    def test_lowercase_results_unchanged_by_mode(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat is a mammal")], "doc_id long, text string"
+        )
+        a = [tuple(r) for r in openie.svo_extract(df).collect()]
+        b = [tuple(r) for r in openie.svo_extract(df, preserve_case=True).collect()]
+        assert a == b
+
+
+class TestPipelineSvoStage:
+    def test_svo_flag_adds_linked_triples(self, spark, catalog):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark import datagen
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import pipeline
+
+        pages = datagen.pages_df(spark, 40)
+        base = pipeline.run_pipeline(spark, pages, catalog, incremental=False)
+        import shutil
+
+        shutil.rmtree(catalog.root, ignore_errors=True)
+        withsvo = pipeline.run_pipeline(
+            spark, pages, catalog, incremental=False, svo=True
+        )
+        assert withsvo.triples > base.triples
+        tri = catalog.read(spark, "triples")
+        svo_rows = tri.where(F.col("confidence") == 0.93)
+        assert svo_rows.count() > 0
+        # every SVO triple has both ends resolved and a known predicate
+        preds = {r.predicate for r in svo_rows.select("predicate").distinct().collect()}
+        assert preds <= {"is_a", "part_of", "causes", "synonym_of"}
+        assert svo_rows.where(F.col("subj_id").isNull() | F.col("obj_id").isNull()).count() == 0
