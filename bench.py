@@ -180,6 +180,11 @@ def main():
         "dd_dsir_resample",
         "txt_textrank",
         "txt_heavy_hitters",
+        # round-5 wave 2: OpenIE SVO + classifier + sketch
+        "kg_svo_triples",
+        "kg_svo_linked",
+        "txt_fasttext_quality",
+        "rel_quantile_sketch",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
