@@ -2428,6 +2428,19 @@ def q_rel_quantile_sketch(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_kg_wl_labels(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement over the co-occurrence
+    concept graph (queries.wl_labels, 3 rounds, sum-multiset-hash):
+    the structural-role feature of the WL graph kernel / GIN bound —
+    nodes share a label iff 1-WL cannot tell their 3-hop
+    neighborhoods apart."""
+    return (
+        q.wl_labels(_kg_cooccur_und(spark, sf_dir), iters=3)
+        .withColumnRenamed("id", "concept_id")
+        .orderBy("concept_id")
+    )
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2651,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_svo_linked": q_kg_svo_linked,
         "txt_fasttext_quality": q_txt_fasttext_quality,
         "rel_quantile_sketch": q_rel_quantile_sketch,
+        "kg_wl_labels": q_kg_wl_labels,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4505,6 +4519,19 @@ agg AS (SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
         FROM fb LEFT JOIN w USING (b) GROUP BY id)
 SELECT doc_id, n_feats, logit_milli, logit_milli > 0 AS label
 FROM agg ORDER BY doc_id""",
+        "kg_wl_labels": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+wl0 AS MATERIALIZED (SELECT cid AS id, CAST(COUNT(*) AS VARCHAR) AS lb FROM und GROUP BY cid)"""
+        + "".join(
+            f""",
+ws{k} AS (SELECT u.cid AS id, CAST(SUM({_nib32_expr("md5(l.lb)")}) AS VARCHAR) AS ms
+        FROM und u JOIN wl{k - 1} l ON u.nbr_id = l.id GROUP BY u.cid),
+wl{k} AS MATERIALIZED (SELECT w.id, substr(md5(w.lb || '|' || s.ms), 1, 16) AS lb
+        FROM wl{k - 1} w JOIN ws{k} s ON w.id = s.id)"""
+            for k in range(1, 4)
+        )
+        + """
+SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         "rel_quantile_sketch": """
 WITH h AS (SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS hh FROM events),
 r AS (SELECT event_type, value,

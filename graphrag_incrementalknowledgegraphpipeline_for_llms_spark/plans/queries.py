@@ -1653,6 +1653,74 @@ def neighbor_sample(
     return out.distinct().orderBy("root", "hop", "src", "dst")
 
 
+def wl_labels(
+    und: DataFrame,
+    iters: int = 3,
+    combine: str = "sum",
+    prepared: bool = False,
+) -> DataFrame:
+    """Weisfeiler-Lehman node relabeling (the 1-WL color refinement
+    underlying the WL graph kernel, Shervashidze et al. 2011, and the
+    expressive bound of GIN-style GNNs): every node starts labeled
+    with its degree; each round the label becomes a hash of
+    (own label, multiset of neighbor labels).  After ``iters`` rounds
+    two nodes share a label iff 1-WL cannot distinguish their
+    ``iters``-hop neighborhoods — the standard structural-role feature
+    for graph classification / node featurization.
+
+    ``combine`` picks the multiset hash:
+
+    * ``"sum"`` (default) — neighbor multiset folds to
+      ``SUM(md5_32(label))``: order-independent WITHOUT materializing
+      or sorting the neighbor list, so each round is one broadcast-free
+      hash aggregation of (nbr, 8-byte hash) rows — no per-node list
+      state, hub-degree-proof.  Sum-of-hashes is a standard multiset
+      hash; collisions are possible in principle (two different
+      multisets with equal 64-bit sums) but not constructible by
+      chance — and the pytest cross-checks it against the exact
+      variant on every fixture.
+    * ``"sort"`` — the textbook exact form:
+      ``md5(own || sorted neighbor labels)`` via
+      ``array_sort(collect_list(...))``.  Exact multiset identity, but
+      a degree-10^6 hub materializes a 10^6-element array in one agg
+      buffer — keep for verification, prefer "sum" at scale.
+
+    Returns (id, wl_label).  Deterministic (md5 everywhere), DuckDB
+    oracle unrolls the rounds (kg_wl_labels).
+    """
+    und = und.select("cid", "nbr_id")
+    if not prepared:
+        und = und.distinct().localCheckpoint(eager=True)
+    labels = und.groupBy(F.col("cid").alias("id")).agg(
+        F.count(F.lit(1)).cast("string").alias("lb")
+    )
+    for _ in range(iters):
+        nb = und.join(
+            labels.select(F.col("id").alias("nbr_id"), "lb"), "nbr_id"
+        )
+        if combine == "sum":
+            ms = nb.groupBy(F.col("cid").alias("id")).agg(
+                F.sum(
+                    F.conv(F.substring(F.md5("lb"), 1, 8), 16, 10).cast("long")
+                )
+                .cast("string")
+                .alias("ms")
+            )
+        else:
+            ms = nb.groupBy(F.col("cid").alias("id")).agg(
+                F.array_join(F.array_sort(F.collect_list("lb")), ",").alias("ms")
+            )
+        labels = (
+            labels.join(ms, "id")
+            .select(
+                "id",
+                F.substring(F.md5(F.concat_ws("|", "lb", "ms")), 1, 16).alias("lb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lb").alias("wl_label"))
+
+
 def coreness(und: DataFrame, iters: int = 8, prepared: bool = False) -> DataFrame:
     """k-core decomposition by synchronous h-index iteration (Lü et
     al. 2016, "The H-index of a network node"): start every node at

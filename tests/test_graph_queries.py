@@ -2177,3 +2177,78 @@ class TestSccEdgeCases:
             queries.scc(df, max_prop=5)
         got = {r["scc_id"] for r in queries.scc(df).collect()}
         assert got == {"v00"}  # one SCC, min-id representative
+
+
+class TestWlLabels:
+    """queries.wl_labels — 1-WL color refinement."""
+
+    def _und(self, spark, edges):
+        both = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        return spark.createDataFrame(both, "cid string, nbr_id string")
+
+    def _labels(self, spark, edges, **kw):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans.queries import wl_labels
+
+        return {r.id: r.wl_label for r in wl_labels(self._und(spark, edges), **kw).collect()}
+
+    def test_path_refinement_classes(self, spark):
+        # P4: a-b-c-d.  Round 0 splits by degree {a,d} vs {b,c}; WL
+        # keeps refining: after 3 rounds ends share a class, middles
+        # share a class, and the two classes differ.
+        lab = self._labels(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert lab["a"] == lab["d"] and lab["b"] == lab["c"]
+        assert lab["a"] != lab["b"]
+
+    def test_regular_graphs_are_wl_blind(self, spark):
+        # classic 1-WL limit: C6 and 2xC3 are both 2-regular, so EVERY
+        # node in both graphs gets the same color forever
+        c6 = [("u%d" % i, "u%d" % ((i + 1) % 6)) for i in range(6)]
+        tri2 = [("x0", "x1"), ("x1", "x2"), ("x2", "x0"),
+                ("y0", "y1"), ("y1", "y2"), ("y2", "y0")]
+        lab = self._labels(spark, c6 + tri2)
+        assert len(set(lab.values())) == 1
+
+    def test_isomorphic_components_get_identical_label_multisets(self, spark):
+        star_a = [("ca", "la%d" % i) for i in range(4)]
+        star_b = [("cb", "lb%d" % i) for i in range(4)]
+        lab = self._labels(spark, star_a + star_b)
+        assert lab["ca"] == lab["cb"]
+        assert lab["la0"] == lab["lb3"]
+        assert lab["ca"] != lab["la0"]  # hub vs leaf split
+
+    def test_sum_and_sort_agree(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"),
+                 ("e", "f"), ("f", "a"), ("c", "f")]
+        s1 = self._labels(spark, edges, combine="sum")
+        s2 = self._labels(spark, edges, combine="sort")
+        # labels differ in value (different hash inputs) but induce the
+        # SAME partition of the nodes
+        import collections
+
+        def parts(lab):
+            g = collections.defaultdict(set)
+            for n, le in lab.items():
+                g[le].add(n)
+            return sorted(map(frozenset, g.values()), key=sorted)
+
+        assert parts(s1) == parts(s2)
+
+    def test_matches_pure_python_wl(self, spark):
+        import hashlib
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        lab = {n: str(len(ns)) for n, ns in adj.items()}
+        for _ in range(3):
+            def m32(s):
+                return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            nxt = {}
+            for n in adj:
+                s = sum(m32(lab[v]) for v in adj[n])
+                nxt[n] = hashlib.md5(f"{lab[n]}|{s}".encode()).hexdigest()[:16]
+            lab = nxt
+        got = self._labels(spark, edges, combine="sum")
+        assert got == lab
