@@ -2428,6 +2428,23 @@ def q_rel_quantile_sketch(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_dd_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-text estimate per source
+    (sketches.hll_sketch/hll_estimate, p=8, md5 family): the standard
+    O(2^p)-state mergeable cardinality sketch next to the KMV
+    baseline; register logic is all-integer (length(bin(x)) leading
+    zeros, shiftleft power sums) so the estimate is cross-engine
+    IEEE-identical."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import (
+        sketches,
+    )
+
+    sk = sketches.hll_sketch(
+        _docs(spark, sf_dir), "text", ["source"], p=8, hash_family="md5"
+    )
+    return sketches.hll_estimate(sk, ["source"], p=8).orderBy("source")
+
+
 def q_kg_wl_labels(spark, sf_dir):
     """Weisfeiler-Lehman color refinement over the co-occurrence
     concept graph (queries.wl_labels, 3 rounds, sum-multiset-hash):
@@ -2665,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fasttext_quality": q_txt_fasttext_quality,
         "rel_quantile_sketch": q_rel_quantile_sketch,
         "kg_wl_labels": q_kg_wl_labels,
+        "dd_hll_distinct": q_dd_hll_distinct,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
     }
@@ -4519,6 +4537,23 @@ agg AS (SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
         FROM fb LEFT JOIN w USING (b) GROUP BY id)
 SELECT doc_id, n_feats, logit_milli, logit_milli > 0 AS label
 FROM agg ORDER BY doc_id""",
+        "dd_hll_distinct": f"""
+WITH h AS (SELECT source, ({_nib32_expr("md5(text)")}) AS h32 FROM documents),
+reg AS (SELECT source, h32 // 16777216 AS bucket,
+        CASE WHEN h32 % 16777216 = 0 THEN 25
+             ELSE 25 - length(bin(h32 % 16777216)) END AS rho
+        FROM h),
+sk AS (SELECT source, bucket, MAX(rho) AS rho FROM reg GROUP BY source, bucket),
+agg AS (SELECT source, COUNT(*) AS n_present,
+        SUM(1 << (25 - rho)) AS s_present FROM sk GROUP BY source),
+e AS (SELECT source, 256 - n_present AS v_zero,
+        {0.7213 / (1 + 1.079 / 256) * 256 * 256 * (1 << 25)!r}
+          / (s_present + (256 - n_present) * 33554432) AS e_raw
+      FROM agg)
+SELECT source,
+  ROUND(CASE WHEN e_raw <= 640.0 AND v_zero > 0
+        THEN 256.0 * ln(256 / v_zero) ELSE e_raw END, 6) AS est_distinct
+FROM e ORDER BY source""",
         "kg_wl_labels": f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
 wl0 AS MATERIALIZED (SELECT cid AS id, CAST(COUNT(*) AS VARCHAR) AS lb FROM und GROUP BY cid)"""

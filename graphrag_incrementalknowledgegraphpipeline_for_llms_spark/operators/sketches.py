@@ -128,6 +128,91 @@ def kmin_quantiles(
     return sample.select(*group_cols, *qcols)
 
 
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """HyperLogLog register rows (Flajolet et al. 2007) — the
+    industry-standard distinct sketch, here in its DETERMINISTIC,
+    cross-engine-exact form: a 32-bit hash splits into a ``p``-bit
+    register index and a ``32-p``-bit suffix whose leading-zero run
+    (+1) is the register candidate; the sketch is the per-register
+    MAX.  Rows are (group..., bucket, rho) — at most ``2^p`` per
+    group, map-side combined (max is algebraic), merged by
+    :func:`hll_merge` with plain max again.
+
+    Leading-zero count is integer-exact in both engines via
+    ``length(bin(x))`` (no float log2 — ``floor(log2(2^k))`` can land
+    on k-1 in binary floating point).  vs KMV (kmv_sketch): HLL state
+    is 2^p bytes-ish and error ~1.04/sqrt(2^p); KMV keeps k hashes
+    with error ~1/sqrt(k-2) but doubles as a uniform sample of the
+    distinct set.  Both live here because both appear in real
+    pipeline stacks."""
+    gc = list(group_cols or [])
+    m = 1 << p
+    rem = 32 - p
+    v = F.col(value_col).cast("string")
+    if hash_family == "md5":
+        h32 = F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long")
+    else:
+        h32 = F.pmod(F.xxhash64(v), F.lit(1 << 32))
+    bucket = F.shiftright(h32, rem)
+    x = F.pmod(h32, F.lit(1 << rem))
+    rho = F.when(x == 0, F.lit(rem + 1)).otherwise(
+        F.lit(rem + 1) - F.length(F.bin(x))
+    )
+    return (
+        df.select(*gc, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*gc, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union of HLL sketches = per-register max (associative,
+    commutative — per-day sketches fold into the corpus sketch)."""
+    gc = list(group_cols or [])
+    return sketches.groupBy(*gc, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None, p: int = 8
+) -> DataFrame:
+    """Distinct-count estimate from HLL registers, small-range
+    corrected (linear counting below 2.5m with empty registers — the
+    published recipe).  All register arithmetic is INTEGER
+    (``Σ 2^(rem+1-rho)`` plus ``2^(rem+1)`` per absent register), so
+    the only floats are one literal-alpha multiply + one divide (and
+    ``ln`` in the small-range branch), identical IEEE in both engines;
+    rounded to 6dp like every cross-engine double."""
+    gc = list(group_cols or [])
+    m = 1 << p
+    rem = 32 - p
+    scale = 1 << (rem + 1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            # pyspark's shiftleft() wrapper insists on int bits; the SQL
+            # function takes a column expression
+            F.call_function("shiftleft", F.lit(1), F.lit(rem + 1) - F.col("rho"))
+        ).alias("s_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(scale)
+    e_raw = F.lit(alpha * m * m * scale) / s
+    v_zero = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(m) / v_zero),
+    ).otherwise(e_raw)
+    return agg.select(
+        *gc, F.round(est, 6).alias("est_distinct")
+    )
+
+
 def bottomk_row_sample(
     df: DataFrame,
     id_col: str,

@@ -241,3 +241,56 @@ class TestBottomkRowSample:
         assert sorted((r.event_type, r.event_id) for r in a.collect()) == sorted(
             (r.event_type, r.event_id) for r in b.collect()
         )
+
+
+class TestHll:
+    """sketches.hll_sketch / hll_merge / hll_estimate."""
+
+    def _vals(self, spark, n, tag=""):
+        return spark.createDataFrame(
+            [("g", f"{tag}v{i % n}") for i in range(n * 2)], "g string, v string"
+        )
+
+    def test_estimate_within_published_error(self, spark):
+        # p=8 -> stderr ~1.04/16 = 6.5%; assert 3 sigma on a few scales
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        for n in (50, 500, 3000):
+            d = self._vals(spark, n)
+            est = sketches.hll_estimate(
+                sketches.hll_sketch(d, "v", ["g"]), ["g"]
+            ).collect()[0].est_distinct
+            assert abs(est - n) / n < 0.20, (n, est)
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        once = spark.createDataFrame([("g", f"v{i}") for i in range(300)], "g string, v string")
+        many = once.unionByName(once).unionByName(once)
+        e1 = sketches.hll_estimate(sketches.hll_sketch(once, "v", ["g"]), ["g"]).collect()
+        e2 = sketches.hll_estimate(sketches.hll_sketch(many, "v", ["g"]), ["g"]).collect()
+        assert e1[0].est_distinct == e2[0].est_distinct
+
+    def test_merge_equals_full(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = spark.createDataFrame([("g", f"v{i}") for i in range(1000)], "g string, v string")
+        a, b = d.where("substr(v, 2) % 2 = 0"), d.where("substr(v, 2) % 2 = 1")
+        merged = sketches.hll_merge(
+            sketches.hll_sketch(a, "v", ["g"]).unionByName(
+                sketches.hll_sketch(b, "v", ["g"])
+            ),
+            ["g"],
+        )
+        full = sketches.hll_sketch(d, "v", ["g"])
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    def test_small_range_uses_linear_counting(self, spark):
+        # tiny cardinality: linear counting is near-exact
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        d = spark.createDataFrame([("g", f"v{i}") for i in range(10)], "g string, v string")
+        est = sketches.hll_estimate(
+            sketches.hll_sketch(d, "v", ["g"]), ["g"]
+        ).collect()[0].est_distinct
+        assert abs(est - 10) <= 1
