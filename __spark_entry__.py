@@ -2487,6 +2487,23 @@ def q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, qv, cent, nprobe=3, k=10)
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_*): m=8 sub-codebooks,
+    k=16 centroids each (driver-side deterministic Lloyd over a
+    bounded sample), ADC lookup-table scan over 8-byte codes + exact
+    cosine re-rank.  Rows-only driver check (codebook init uses seeded
+    numpy, not SQL-expressible) — EXACT numpy pytest oracle in
+    tests/test_dedup_similarity.py TestPq, same regime as
+    sim_ivf_topk."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_train_codebooks(
+        emb, dim=64, m=8, k=16, sample=256, sample_frac=0.5
+    )
+    codes = similarity.pq_encode(emb, cb)
+    qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    return similarity.pq_topk(codes, qv, cb, k=10, rerank=emb, rerank_factor=4)
+
+
 def q_mm_frame_sample(spark, sf_dir):
     """Frame-sampling fan-out plumbing over binary payloads: every 2nd
     fake frame (frame = 32-byte span).  SQL-expressible, so this one
@@ -2685,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_hll_distinct": q_dd_hll_distinct,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_pq_topk": q_sim_pq_topk,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -252,6 +252,14 @@ def ivf_train_centroids(
     pool = ivf_training_pool(embeddings, sample, id_col, vec_col, sample_frac)
     rows = pool.orderBy(id_col).limit(sample).collect()
     x = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    return _lloyd(x, n_lists, iters, seed, dim)
+
+
+def _lloyd(
+    x: "np.ndarray", n_lists: int, iters: int, seed: int, dim: int
+) -> "np.ndarray":
+    """Deterministic driver-side Lloyd's k-means (shared by the IVF
+    coarse quantizer and the PQ sub-codebooks)."""
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
     if len(cent) < n_lists:  # tiny corpora: pad with jittered copies
@@ -685,3 +693,139 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the memory-side ANN story.  dim splits
+# into m subspaces; each subspace gets its own k-centroid codebook
+# (shared deterministic Lloyd, _lloyd); a vector compresses to m small
+# ints (m bytes at k<=256 — 32x smaller than float32x64), and a query
+# scans CODES with an ADC lookup table instead of floats.  Complements
+# the int8 quantizer (4x) and IVF (list pruning): at 100 TB the scan
+# side is PQ codes partitioned by an IVF list, floats touched only for
+# the final re-rank.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_frac: float | None = None,
+) -> np.ndarray:
+    """(m, k, dim/m) float64 codebooks from ONE bounded driver-side
+    training pool (same probe/limit machinery as the IVF trainer);
+    subspace j trains with seed+j so codebooks differ."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    pool = ivf_training_pool(embeddings, sample, id_col, vec_col, sample_frac)
+    rows = pool.orderBy(id_col).limit(sample).collect()
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    return np.stack(
+        [
+            _lloyd(x[:, j * dsub : (j + 1) * dsub], k, iters, seed + j, dsub)
+            for j in range(m)
+        ]
+    )
+
+
+def _codebook_lit(codebooks: np.ndarray):
+    return F.lit([[[float(v) for v in c] for c in cb] for cb in codebooks])
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<int>) — one narrow map stage, zero shuffle.
+
+    The codebook folds into the plan as ONE nested array literal and
+    the whole encode is higher-order functions over it (the
+    srp_buckets one-literal lesson: m*k separate distance expressions
+    made plan compilation dominate the first run).  The BINARY
+    transform lambda receives (element, index) — here the index IS the
+    subspace id, the exact behavior that silently shadowed a captured
+    default arg in round 1 (dedup docstring); used deliberately."""
+    mm, kk, dsub = codebooks.shape
+    cb = _codebook_lit(codebooks)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _code_for(cbm, mi):
+        sub = F.slice(vec, mi.cast("int") * dsub + 1, dsub)
+        dists = F.transform(
+            cbm,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.transform(cb, _code_for).alias("code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    query: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes: the per-subspace distance table from
+    the query to every centroid is computed on the DRIVER (m*k doubles)
+    and folded in as a literal; the scan is one lookup-sum per code —
+    no floats read.  With ``rerank`` (the original embeddings), the
+    ``rerank_factor * k`` ADC candidates join back for exact cosine —
+    the standard ADC + re-rank recipe.  Returns (vec_id, adc_dist2
+    [, cosine])."""
+    q = np.asarray(query, dtype="float64")
+    mm, kk, dsub = codebooks.shape
+    table = [
+        [float(((q[j * dsub : (j + 1) * dsub] - codebooks[j][c]) ** 2).sum()) for c in range(kk)]
+        for j in range(mm)
+    ]
+    tlit = F.lit(table)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            tlit,
+            lambda cj, row: F.element_at(row, cj + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.select("vec_id", adc.alias("adc_dist2"))
+    n_cand = k * rerank_factor if rerank is not None else k
+    cand = scored.orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc()).limit(
+        n_cand
+    )
+    if rerank is None:
+        return cand
+    vec = rerank.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    exact = (
+        cand.join(vec, "vec_id")
+        .select("vec_id", "adc_dist2", cosine_col(F.col("_v"), qlit).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    return exact

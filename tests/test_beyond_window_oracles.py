@@ -67,9 +67,14 @@ def test_window_inventory():
     """The graded window must stay exactly 50 wide and every contract
     key must be accounted for (oracled or deliberately rows-only)."""
     assert len(_QS) >= GRADED_WINDOW
-    assert set(_ROWS_ONLY) <= {"sim_ivf_topk"}, (
+    # the two deliberate rows-only keys share the same cause: seeded
+    # numpy k-means init (IVF coarse quantizer / PQ sub-codebooks) is
+    # not SQL-expressible; both are pinned by EXACT numpy pytest
+    # oracles (test_dedup_similarity TestIvf / TestPq)
+    rows_only_ok = {"sim_ivf_topk", "sim_pq_topk"}
+    assert set(_ROWS_ONLY) <= rows_only_ok, (
         "new beyond-window query without an oracle_sql entry: "
-        f"{set(_ROWS_ONLY) - {'sim_ivf_topk'}}"
+        f"{set(_ROWS_ONLY) - rows_only_ok}"
     )
 
 

@@ -678,3 +678,84 @@ class TestSemanticDedup:
             if not r["kept"]:  # soundness: every drop has a true dominator
                 assert round(cos(vecs[r["vec_id"]], vecs[r["dup_of"]]), 6) >= 0.99
         assert {r["vec_id"] for r in out if r["kept"]} >= {1, 6}
+
+
+class TestPq:
+    """similarity.pq_train_codebooks / pq_encode / pq_topk (product
+    quantization: m sub-codebooks, ADC lookup-table scan)."""
+
+    def test_encode_matches_numpy_twin(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = similarity.pq_train_codebooks(emb, dim=64, m=8, k=16, sample=256)
+        assert cb.shape == (8, 16, 8)
+        got = {
+            r.vec_id: list(r.code)
+            for r in similarity.pq_encode(emb, cb).collect()
+        }
+        rows = emb.orderBy("vec_id").collect()
+        for r in rows[:50]:
+            x = np.asarray(list(r.embedding), dtype="float64")
+            want = [
+                int(((x[j * 8 : (j + 1) * 8] - cb[j]) ** 2).sum(axis=1).argmin())
+                for j in range(8)
+            ]
+            assert got[r.vec_id] == want, r.vec_id
+
+    def test_adc_distance_matches_numpy_twin(self, spark):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = similarity.pq_train_codebooks(emb, dim=64, m=8, k=16, sample=256)
+        codes = similarity.pq_encode(emb, cb)
+        q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+        got = {r.vec_id: r.adc_dist2 for r in similarity.pq_topk(codes, q, cb, k=20).collect()}
+        qv = np.asarray(q, dtype="float64")
+        code_map = {r.vec_id: list(r.code) for r in codes.collect()}
+        for vid, d in got.items():
+            want = sum(
+                ((qv[j * 8 : (j + 1) * 8] - cb[j][code_map[vid][j]]) ** 2).sum()
+                for j in range(8)
+            )
+            assert abs(d - want) < 1e-9
+
+    def test_rerank_recall_on_planted_cluster(self, spark):
+        # sf gaussian vectors have no true neighbor structure (recall
+        # there measures luck — round-5 lesson); plant 10 perturbed
+        # copies of one vector and require the re-ranked top-10 to find
+        # >= 8 of them
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = np.asarray(
+            list(emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]),
+            dtype="float64",
+        )
+        rng = np.random.RandomState(1)
+        planted = spark.createDataFrame(
+            [
+                (int(100000 + i), [float(v) for v in base + 0.02 * rng.randn(64)])
+                for i in range(10)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        corpus = (
+            emb.where(F.col("vec_id") != 7)
+            .select("vec_id", "embedding")
+            .unionByName(planted)
+        )
+        cb = similarity.pq_train_codebooks(corpus, dim=64, m=8, k=16, sample=256)
+        codes = similarity.pq_encode(corpus, cb)
+        got = similarity.pq_topk(
+            codes, list(base), cb, k=10, rerank=corpus, rerank_factor=8
+        )
+        hits = {r.vec_id for r in got.collect()}
+        assert len({v for v in hits if v >= 100000}) >= 8
+
+    def test_dim_must_divide(self, spark):
+        import pytest as _pytest
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with _pytest.raises(ValueError):
+            similarity.pq_train_codebooks(emb, dim=64, m=7)
