@@ -746,6 +746,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, code: array<int>) — one narrow map stage, zero shuffle.
 
@@ -773,7 +774,9 @@ def pq_encode(
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.transform(cb, _code_for).alias("code")
+        F.col(id_col).alias("vec_id"),
+        *keep_cols,
+        F.transform(cb, _code_for).alias("code"),
     )
 
 
@@ -829,3 +832,44 @@ def pq_topk(
         .limit(k)
     )
     return exact
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index rows (vec_id, list_id, code) — the faiss-default
+    composition: coarse k-means list for pruning, PQ code for the
+    scan.  ONE narrow map stage computes both (assignment and code are
+    expressions over the same vector); write it
+    ``partitionBy("list_id")`` and a probe becomes partition pruning
+    over scans that read m-byte codes instead of dim*4-byte floats."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    return pq_encode(assigned, codebooks, id_col, vec_col, keep_cols=("list_id",))
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 3,
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest lists (literal IN-predicate ->
+    partition pruning on a list_id-partitioned index), ADC-scan their
+    PQ codes, optionally re-rank exactly against the float table."""
+    q = np.asarray(query, dtype="float64")
+    order = (((centroids - q[None, :]) ** 2).sum(axis=1)).argsort()
+    probe = [int(j) for j in order[:nprobe]]
+    cand = index.where(F.col("list_id").isin(probe)).select("vec_id", "code")
+    return pq_topk(
+        cand, query, codebooks, k, rerank, rerank_factor, id_col, vec_col
+    )

@@ -759,3 +759,49 @@ class TestPq:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with _pytest.raises(ValueError):
             similarity.pq_train_codebooks(emb, dim=64, m=7)
+
+
+class TestIvfPq:
+    def test_partitioned_index_prunes_and_recalls(self, spark, tmp_path):
+        import numpy as np
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = np.asarray(
+            list(emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]),
+            dtype="float64",
+        )
+        rng = np.random.RandomState(2)
+        planted = spark.createDataFrame(
+            [
+                (int(200000 + i), [float(v) for v in base + 0.02 * rng.randn(64)])
+                for i in range(10)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        corpus = (
+            emb.where(F.col("vec_id") != 7)
+            .select("vec_id", "embedding")
+            .unionByName(planted)
+        )
+        cent = similarity.ivf_train_centroids(corpus, dim=64, n_lists=8, sample=256, sample_frac=0.9)
+        cb = similarity.pq_train_codebooks(corpus, dim=64, m=8, k=16, sample=256, sample_frac=0.9)
+        path = str(tmp_path / "ivfpq")
+        similarity.ivf_pq_index(corpus, cent, cb).write.partitionBy("list_id").parquet(path)
+        idx = spark.read.parquet(path)
+        got = similarity.ivf_pq_topk(
+            idx, list(base), cent, cb, nprobe=3, k=10, rerank=corpus, rerank_factor=8
+        )
+        # partition pruning visible in the plan
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "list_id" in plan
+        hits = {r.vec_id for r in got.collect()}
+        assert len({v for v in hits if v >= 200000}) >= 8
+
+    def test_index_rows_match_separate_passes(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cent = similarity.ivf_train_centroids(emb, dim=64, n_lists=4, sample=128, sample_frac=0.9)
+        cb = similarity.pq_train_codebooks(emb, dim=64, m=4, k=8, sample=128, sample_frac=0.9)
+        idx = {r.vec_id: (r.list_id, list(r.code)) for r in similarity.ivf_pq_index(emb, cent, cb).collect()}
+        lst = {r.vec_id: r.list_id for r in similarity.ivf_assign(emb, cent).collect()}
+        cod = {r.vec_id: list(r.code) for r in similarity.pq_encode(emb, cb).collect()}
+        assert idx == {v: (lst[v], cod[v]) for v in idx}
