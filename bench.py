@@ -185,6 +185,10 @@ def main():
         "kg_svo_linked",
         "txt_fasttext_quality",
         "rel_quantile_sketch",
+        # round-5 wave 3: WL refinement + HLL + PQ ANN
+        "kg_wl_labels",
+        "dd_hll_distinct",
+        "sim_pq_topk",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

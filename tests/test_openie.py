@@ -246,3 +246,44 @@ class TestPipelineSvoStage:
         preds = {r.predicate for r in svo_rows.select("predicate").distinct().collect()}
         assert preds <= {"is_a", "part_of", "causes", "synonym_of"}
         assert svo_rows.where(F.col("subj_id").isNull() | F.col("obj_id").isNull()).count() == 0
+
+
+class TestStreamingSvo:
+    def test_svo_extract_runs_in_structured_streaming(self, spark, tmp_path):
+        # svo_extract is pure Catalyst (regexp frames + one generator),
+        # so the same call graph runs unchanged as a streaming
+        # transform — triples-from-the-firehose with zero extra code
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path / "pages")
+        os.makedirs(src)
+        rows = [
+            ("0", "queryPlan is part of MapReduce."),
+            ("1", "a cat is a mammal. x causes y."),
+            ("2", "spark is also known as the engine"),
+        ]
+        # one FLAT parquet file — the file stream source does not recurse
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=["chunk_id", "text"])),
+            os.path.join(src, "b1.parquet"),
+        )
+        stream = spark.readStream.schema("chunk_id string, text string").parquet(src)
+        emitted = []
+        q = (
+            openie.svo_extract(stream, id_col="chunk_id")
+            .writeStream.foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None
+        got = {tuple(r) for r in emitted}
+        batch = spark.createDataFrame(rows, "chunk_id string, text string")
+        want = {tuple(r) for r in openie.svo_extract(batch, id_col="chunk_id").collect()}
+        assert got == want and len(want) >= 3
