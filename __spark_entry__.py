@@ -283,6 +283,51 @@ dsw AS MATERIALIZED (SELECT dc.id AS doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_feat
        ROUND(SUM(dc.c * ratio.lr), 6) AS logw
 FROM dc JOIN ratio ON dc.b = ratio.b GROUP BY dc.id)"""
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE merge rounds: wordcount -> per-round (pair agg ->
+    1-row argmax -> list_reduce greedy fold).  The fold accumulates a
+    space-joined symbol string; "last symbol == lhs" is `acc = lhs OR
+    acc LIKE '% ' || lhs` (symbols are [a-z0-9</w>]+ so LIKE needs no
+    escaping), and merging appends rhs to the accumulator (prefix +
+    ' ' + lhs + rhs == acc || rhs).  chr(1) is the pair delimiter —
+    it cannot appear in any symbol.  s*/t* CTEs are MATERIALIZED
+    (each is referenced twice per level — the exponential-inlining
+    trap)."""
+    ctes = [
+        """w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> length(t) > 0)) AS word FROM documents)
+  GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT string_split(regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>', ' ') AS syms, cnt
+  FROM w0)"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT split_part(pr, chr(1), 1) AS lhs, split_part(pr, chr(1), 2) AS rhs,
+         CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+               i -> syms[i] || chr(1) || syms[i + 1])) AS pr, cnt FROM s{r - 1})
+  GROUP BY 1, 2),
+t{r} AS MATERIALIZED (SELECT lhs, rhs, freq FROM p{r} ORDER BY freq DESC, lhs, rhs LIMIT 1)"""
+        )
+        if r < n_merges:
+            ctes.append(
+                f"""s{r} AS MATERIALIZED (
+  SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+      WHEN (acc = t{r}.lhs OR acc LIKE '% ' || t{r}.lhs) AND x = t{r}.rhs
+      THEN acc || t{r}.rhs ELSE acc || ' ' || x END), ' ') AS syms, cnt
+  FROM s{r - 1}, t{r})"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs, lhs || rhs AS merged, freq FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY merge_round"
+
+
 # directed concept precedence edges (first-occurrence order per chunk)
 # shared by the kg_scc and kg_triad_census oracles; composes after
 # MENTIONS_CTE (needs `mentions` and `src`)
@@ -2458,6 +2503,23 @@ def q_kg_wl_labels(spark, sf_dir):
     )
 
 
+def q_txt_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (operators/tokenizer.bpe_learn, Sennrich
+    et al. 2016): the corpus reduces ONCE to the distinct-word
+    wordcount table, then every merge round is vocabulary-bound — one
+    (lhs, rhs, cnt) hash agg + a 1-row argmax collect + a narrow
+    greedy fold over symbol arrays.  Returns the first 5 learned
+    merges with their frequencies; deterministic by the count-desc /
+    lex-asc tie-break, so hash-exact cross-engine."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import tokenizer
+
+    return (
+        tokenizer.bpe_learn(_docs(spark, sf_dir), n_merges=5)
+        .withColumnRenamed("round", "merge_round")
+        .orderBy("merge_round")
+    )
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2700,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_quantile_sketch": q_rel_quantile_sketch,
         "kg_wl_labels": q_kg_wl_labels,
         "dd_hll_distinct": q_dd_hll_distinct,
+        "txt_bpe_merges": q_txt_bpe_merges,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
@@ -4585,6 +4648,10 @@ wl{k} AS MATERIALIZED (SELECT w.id, substr(md5(w.lb || '|' || s.ms), 1, 16) AS l
         )
         + """
 SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
+        # BPE tokenizer training: 5 unrolled merge rounds (wordcount ->
+        # pair agg -> argmax -> list_reduce greedy fold), generator
+        # docstring has the fold-equivalence argument
+        "txt_bpe_merges": _bpe_oracle(5),
         "rel_quantile_sketch": """
 WITH h AS (SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS hh FROM events),
 r AS (SELECT event_type, value,
