@@ -328,6 +328,46 @@ t{r} AS MATERIALIZED (SELECT lhs, rhs, freq FROM p{r} ORDER BY freq DESC, lhs, r
     return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY merge_round"
 
 
+def _densest_ctes(eps: float, rounds: int) -> str:
+    """Unrolled Bahmani peeling over an existing ``und`` CTE: per
+    round a degree agg, a 1-row stats CTE, the survivor filter
+    (``deg > scale * ne2 / nv`` in the exact multiply-then-divide
+    order the Spark literals use), and the surviving edge set.  The
+    best iterate is the EARLIEST max-density round (ORDER BY rho
+    DESC, rnd — mirroring the engine's strict ``>``)."""
+    scale = float(1.0 + eps)
+    parts = ["e0 AS MATERIALIZED (SELECT cid, nbr_id FROM und)"]
+    for r in range(rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS deg FROM e{r} GROUP BY cid)"
+        )
+        parts.append(
+            f"st{r} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS ne2, CAST(COUNT(*) AS BIGINT) AS nv FROM d{r})"
+        )
+        if r < rounds:
+            parts.append(
+                f"k{r} AS MATERIALIZED (SELECT d{r}.cid FROM d{r}, st{r} WHERE deg > {scale!r} * CAST(ne2 AS DOUBLE) / nv)"
+            )
+            parts.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT a.cid, a.nbr_id FROM e{r} a JOIN k{r} x ON a.cid = x.cid JOIN k{r} y ON a.nbr_id = y.cid)"
+            )
+    dens = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, ne2, nv FROM st{r} WHERE nv > 0"
+        for r in range(rounds + 1)
+    )
+    nd = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, cid FROM (SELECT DISTINCT cid FROM e{r})"
+        for r in range(rounds + 1)
+    )
+    parts.append(
+        f"""dens AS ({dens}),
+best AS (SELECT rnd, ROUND(ne2 / (2.0 * nv), 6) AS density FROM dens
+         ORDER BY CAST(ne2 AS DOUBLE) / (2.0 * nv) DESC, rnd LIMIT 1),
+nd AS ({nd})"""
+    )
+    return ",\n".join(parts)
+
+
 # directed concept precedence edges (first-occurrence order per chunk)
 # shared by the kg_scc and kg_triad_census oracles; composes after
 # MENTIONS_CTE (needs `mentions` and `src`)
@@ -2520,6 +2560,21 @@ def q_txt_bpe_merges(spark, sf_dir):
     )
 
 
+def q_kg_densest_subgraph(spark, sf_dir):
+    """Approximate densest subgraph by parallel (1+eps) peeling
+    (queries.densest_subgraph, Bahmani et al. 2012): the dense
+    nucleus of the concept co-occurrence graph — the entity cluster a
+    global-search summarizer drills into first and the classic
+    boilerplate signature in a web-crawl entity graph.  Best-of-first-
+    8-iterates at eps=0.1 (gentle peeling — on this graph the round-1
+    iterate is a 34-node nucleus strictly denser than the full graph);
+    per round ONE degree agg + 1-row stats collect + a survivor
+    semi-join."""
+    return q.densest_subgraph(
+        _kg_cooccur_und(spark, sf_dir), eps=0.1, max_rounds=8
+    )
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2763,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_labels": q_kg_wl_labels,
         "dd_hll_distinct": q_dd_hll_distinct,
         "txt_bpe_merges": q_txt_bpe_merges,
+        "kg_densest_subgraph": q_kg_densest_subgraph,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
@@ -4652,6 +4708,13 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # pair agg -> argmax -> list_reduce greedy fold), generator
         # docstring has the fold-equivalence argument
         "txt_bpe_merges": _bpe_oracle(5),
+        # densest subgraph: unrolled Bahmani peeling over the shared
+        # und adjacency; best-of-first-8-iterates at eps=0.1
+        "kg_densest_subgraph": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+{_densest_ctes(0.1, 8)}
+SELECT nd.cid AS concept_id, b.density FROM nd JOIN best b ON nd.rnd = b.rnd
+ORDER BY concept_id""",
         "rel_quantile_sketch": """
 WITH h AS (SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS hh FROM events),
 r AS (SELECT event_type, value,

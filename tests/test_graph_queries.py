@@ -2252,3 +2252,80 @@ class TestWlLabels:
             lab = nxt
         got = self._labels(spark, edges, combine="sum")
         assert got == lab
+
+
+def _py_densest(edges, eps=1.0, max_rounds=10):
+    from collections import Counter
+
+    cur = set(edges) | {(b, a) for a, b in edges}
+    best_nodes, best_rho = None, -1.0
+    for r in range(max_rounds + 1):
+        nodes = {a for a, _ in cur}
+        ne2, nv = len(cur), len(nodes)
+        if nv == 0:
+            break
+        rho = float(ne2) / (2.0 * nv)
+        if rho > best_rho:
+            best_rho, best_nodes = rho, set(nodes)
+        if r == max_rounds:
+            break
+        deg = Counter(a for a, _ in cur)
+        thresh = (1.0 + eps) * float(ne2) / float(nv)
+        keep = {n for n, d in deg.items() if d > thresh}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    return best_nodes, round(best_rho, 6)
+
+
+class TestDensestSubgraph:
+    def _check(self, spark, edges, eps=1.0):
+        got = queries.densest_subgraph(_und_df(spark, edges), eps=eps).collect()
+        want_nodes, want_rho = _py_densest(edges, eps=eps)
+        assert {r["concept_id"] for r in got} == want_nodes
+        assert all(abs(r["density"] - want_rho) < 1e-9 for r in got)
+
+    def test_planted_clique_isolated(self, spark):
+        # K6 clique + a long sparse path: peeling must strip the path
+        # and return exactly the clique at density (6*5/2)/6 = 2.5
+        clique = [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
+        tail = [(f"p{i}", f"p{i+1}") for i in range(20)] + [("p0", "c0")]
+        got = queries.densest_subgraph(
+            _und_df(spark, clique + tail), eps=0.1
+        ).collect()
+        assert {r["concept_id"] for r in got} == {f"c{i}" for i in range(6)}
+        assert got[0]["density"] == 2.5
+        self._check(spark, clique + tail, eps=0.1)
+        # eps=1 peels more aggressively: the guarantee (not clique
+        # isolation) is what survives — replay-exact either way
+        self._check(spark, clique + tail, eps=1.0)
+
+    def test_matches_python_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(40)]
+        edges = list(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(120)
+            }
+        )
+        self._check(spark, edges)
+        self._check(spark, edges, eps=0.5)
+
+    def test_regular_graph_round_zero(self, spark):
+        # a cycle is 2-regular: round 0 has density 1, every node's
+        # degree 2 <= threshold 2*(1+eps)*1 -> all peel at once; the
+        # best iterate is the full cycle itself
+        cyc = [(f"v{i}", f"v{(i+1) % 8}") for i in range(8)]
+        got = queries.densest_subgraph(_und_df(spark, cyc)).collect()
+        assert {r["concept_id"] for r in got} == {f"v{i}" for i in range(8)}
+        assert got[0]["density"] == 1.0
+
+    def test_approximation_guarantee(self, spark):
+        # best iterate density >= opt / (2(1+eps)); opt here is the
+        # K6 clique's 2.5
+        clique = [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
+        extra = [(f"c{i}", f"x{i}{k}") for i in range(6) for k in range(2)]
+        got = queries.densest_subgraph(_und_df(spark, clique + extra)).collect()
+        assert got[0]["density"] >= 2.5 / 4.0
+        self._check(spark, clique + extra)
