@@ -264,6 +264,20 @@ svo AS (SELECT doc_id, predicate, z[1] AS subj, z[2] AS obj FROM svom)"""
 # DSIR hashed unigram+bigram log-likelihood-ratio weights, shared by
 # txt_dsir_weights and dd_dsir_resample (ends with `dsw`: doc_id,
 # n_feats, logw-rounded-6dp). Inlined _nib32 expansion for md5(f).
+# Webified documents: the deterministic web-shaped corpus transform
+# shared by txt_c4_rules / txt_readability (mirrors _webified()).
+_WEB_CTE = r"""
+WITH web AS (SELECT doc_id,
+    regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+ \S+) ', '\1. ', 'g') AS s1
+  FROM documents),
+web2 AS (SELECT doc_id,
+    regexp_replace(s1, '\. ', '.' || chr(10), 'g')
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'enable javascript to continue' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function() {' ELSE '' END AS text
+  FROM web),
+"""
+
 _DSIR_CTES = """tokd AS (SELECT doc_id AS id,
         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
       FROM documents),
@@ -2575,6 +2589,71 @@ def q_kg_densest_subgraph(spark, sf_dir):
     )
 
 
+def _webified(spark, sf_dir):
+    """Deterministic web-shaped variant of the documents corpus: a
+    period after every 6th token, sentences split onto lines, and
+    boilerplate lines ('enable javascript…', 'lorem ipsum…', a brace
+    line) injected by doc_id residue — so the C4 line/page rules all
+    have non-trivial populations on the punctuation-free synthetic
+    corpus.  Pure Catalyst; the oracle reproduces it verbatim."""
+    d = _docs(spark, sf_dir)
+    s1 = F.regexp_replace(
+        F.col("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+) ", r"$1. "
+    )
+    s2 = F.regexp_replace(s1, r"\. ", ".\n")
+    text = F.concat(
+        s2,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nenable javascript to continue")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nfunction() {")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_txt_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (curation.c4_rules, Raffel et al. 2020 §2.2)
+    over the webified corpus: line gates (terminal punctuation, >=5
+    words, no 'javascript') then page gates (>=3 sentences, bad-word
+    list, 'lorem ipsum', '{').  Every rule is a higher-order Catalyst
+    expression over the line array — one scan pass, zero shuffle."""
+    return curation.c4_rules(
+        _webified(spark, sf_dir), bad_words=("dup",)
+    ).orderBy("doc_id")
+
+
+def q_txt_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (curation.gopher_quality, Rae et al. 2021
+    App. A): word-count bounds, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, stop-word
+    hits — each rule's evidence as a column plus the kept verdict.
+    min_words=20 / min_stop_hits=1 so the gates split this corpus
+    (published constants assume real web pages)."""
+    return curation.gopher_quality(
+        _docs(spark, sf_dir), min_words=20, min_stop_hits=1
+    ).orderBy("doc_id")
+
+
+def q_txt_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade (functions.text.readability_
+    features) over the webified corpus (periods every 6 tokens, so
+    sentence counts vary): three regexp_count passes per row, IEEE-
+    identical double scores cross-engine."""
+    d = _webified(spark, sf_dir)
+    feats = tf.readability_features(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            feats["n_words"].alias("n_words"),
+            feats["n_sentences"].alias("n_sentences"),
+            feats["n_syllables"].alias("n_syllables"),
+            F.round(feats["flesch"], 6).alias("flesch"),
+            F.round(feats["fk_grade"], 6).alias("fk_grade"),
+        )
+        .where(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2820,6 +2899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_merges": q_txt_bpe_merges,
         "kg_densest_subgraph": q_kg_densest_subgraph,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
+        "txt_c4_rules": q_txt_c4_rules,
+        "txt_gopher_quality": q_txt_gopher_quality,
+        "txt_readability": q_txt_readability,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
     }
@@ -4707,6 +4789,82 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # BPE tokenizer training: 5 unrolled merge rounds (wordcount ->
         # pair agg -> argmax -> list_reduce greedy fold), generator
         # docstring has the fold-equivalence argument
+        # C4 cleaning rules over the webified corpus (period every 6
+        # tokens -> sentence lines + residue-injected boilerplate);
+        # line gates then page gates, all list/regex expressions
+        "txt_c4_rules": _WEB_CTE + r"""
+c AS (SELECT doc_id, string_split(text, chr(10)) AS lines, lower(text) AS lc FROM web2),
+k AS (SELECT doc_id, len(lines) AS n_lines,
+        list_filter(lines, l -> len(regexp_extract_all(trim(l), '\S+')) >= 5
+                            AND NOT contains(lower(l), 'javascript')
+                            AND regexp_matches(trim(l), '[.!?"'']$')) AS ka,
+        lc FROM c),
+f AS (SELECT doc_id, n_lines, len(ka) AS kept_lines,
+        array_to_string(ka, chr(10)) AS clean,
+        CASE WHEN regexp_matches(lc, '\bdup\b') THEN 1 ELSE 0 END AS has_bad_word,
+        CASE WHEN contains(lc, 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+        CASE WHEN contains(lc, '{') THEN 1 ELSE 0 END AS has_brace
+      FROM k),
+g AS (SELECT *, len(regexp_extract_all(clean, '[.!?]')) AS n_sentences,
+        CASE WHEN len(regexp_extract_all(clean, '[.!?]')) >= 3
+              AND has_bad_word = 0 AND has_lorem = 0 AND has_brace = 0
+             THEN 1 ELSE 0 END AS kept
+      FROM f)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(kept_lines AS BIGINT) AS kept_lines,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(has_bad_word AS BIGINT) AS has_bad_word,
+       CAST(has_lorem AS BIGINT) AS has_lorem,
+       CAST(has_brace AS BIGINT) AS has_brace,
+       CAST(kept AS BIGINT) AS kept,
+       CASE WHEN kept = 1 THEN clean END AS clean_text
+FROM g ORDER BY doc_id""",
+        # Gopher quality rules on the raw corpus (min_words=20,
+        # min_stop_hits=1 — published constants assume real pages)
+        "txt_gopher_quality": r"""
+WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ws,
+             string_split(text, chr(10)) AS lines, lower(text) AS lc
+           FROM documents WHERE length(trim(text)) > 0),
+f AS (SELECT doc_id, len(ws) AS n_words,
+        CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) AS mwl,
+        CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws) AS symr,
+        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE) / len(lines) AS bf,
+        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE) / len(lines) AS ef,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) AS af,
+        (CASE WHEN regexp_matches(lc, '\bthe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\bbe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\bto\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\bof\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\band\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\bthat\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\bhave\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lc, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+      FROM w)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mwl, 6) AS mean_word_len, ROUND(symr, 6) AS symbol_ratio,
+       ROUND(bf, 6) AS bullet_frac, ROUND(ef, 6) AS ellipsis_frac,
+       ROUND(af, 6) AS alpha_frac, CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+                  AND mwl >= 3.0 AND mwl <= 10.0 AND symr <= 0.1
+                  AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+                  AND n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM f ORDER BY doc_id""",
+        # Flesch / FK over the webified corpus: three regex counts,
+        # per-row IEEE double score expressions
+        "txt_readability": _WEB_CTE + r"""
+r AS (SELECT doc_id,
+        len(regexp_extract_all(text, '\S+')) AS n_words,
+        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM web2)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(n_syll AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+             + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
+FROM r WHERE n_words > 0 ORDER BY doc_id""",
         "txt_bpe_merges": _bpe_oracle(5),
         # densest subgraph: unrolled Bahmani peeling over the shared
         # und adjacency; best-of-first-8-iterates at eps=0.1

@@ -238,3 +238,36 @@ def char_entropy_report(
         .select("id", F.col("n").cast("long").alias("n_chars"), "char_entropy")
         .orderBy("id")
     )
+
+
+def readability_features(col: Column) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade from three regex
+    counts (words = \\S+ runs, sentences = [.!?]+ runs floored at 1,
+    syllables = [aeiouy]+ vowel groups — the standard regex proxy;
+    vowel-less tokens contribute 0, a documented deviation from the
+    per-word-min-1 variant, chosen because it keeps the whole op a
+    pure per-row Catalyst expression with an exact ANSI-SQL twin).
+
+    Returns column dict: n_words, n_sentences, n_syllables, flesch,
+    fk_grade.  All three counts are single-pass regexp_count calls —
+    whole-stage codegen, zero shuffle, scan-stage evaluable at any
+    corpus size; the scores are per-row IEEE double expressions, so
+    Spark and DuckDB produce bit-identical values and round(x, 6)
+    agrees cross-engine.
+    """
+    n_words = F.regexp_count(col, F.lit(r"\S+")).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    n_syll = F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")).cast("long")
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sent,
+        "n_syllables": n_syll,
+        "flesch": flesch,
+        "fk_grade": fk,
+    }

@@ -22,7 +22,7 @@ Every output has an exact ANSI-SQL twin (DuckDB oracle entries
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
@@ -608,4 +608,170 @@ def dsir_resample(
         .orderBy(F.desc("gk"), "doc_id")
         .limit(k)
         .select("doc_id", "logw", F.round("gk", 6).alias("gumbel_key"))
+    )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) as one scan-stage
+    projection: line-level gates (terminal punctuation, >= 5 words,
+    no 'javascript'), then page-level gates (>= 3 sentences after
+    line filtering, no bad words, no 'lorem ipsum', no '{').
+
+    Output: (doc_id, n_lines, kept_lines, n_sentences, has_bad_word,
+    has_lorem, has_brace, kept, clean_text) — clean_text is the
+    surviving lines re-joined, NULL for dropped pages, so downstream
+    stages never carry dropped text.
+
+    Scale shape (the 100-TB story): every rule is a higher-order
+    Catalyst expression over the line array — split / filter /
+    regexp_count evaluate inside the parquet scan stage with zero
+    shuffle and zero Python.  A 10^12-page corpus pays exactly one
+    pass; the kept verdict is a pushable predicate for the stage
+    after this one (``.where("kept = 1")`` prunes at the source when
+    this projection is materialized with the verdict as a partition
+    or stats column).
+
+    The line/sentence gates are parameterized because the published
+    constants assume real web text; synthetic corpora without
+    punctuation exercise the word-count and wordlist gates instead
+    (the pytest fixtures cover the punctuation paths with handwritten
+    HTML-shaped pages).
+    """
+    lc = F.lower(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        ok = F.regexp_count(t, F.lit(r"\S+")) >= F.lit(min_words_per_line)
+        ok = ok & ~F.lower(t).contains("javascript")
+        if require_terminal_punct:
+            ok = ok & t.rlike(r"""[.!?"']$""")
+        return ok
+
+    kept_lines = F.filter(lines, _line_ok)
+    clean = F.array_join(kept_lines, "\n")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
+
+    has_bad = F.lit(False)
+    for w in bad_words:
+        has_bad = has_bad | (F.regexp_count(lc, F.lit(rf"\b{w}\b")) > 0)
+
+    has_lorem = lc.contains("lorem ipsum")
+    has_brace = lc.contains("{")
+    kept = (
+        (n_sentences >= F.lit(min_sentences))
+        & ~has_bad
+        & ~has_lorem
+        & ~has_brace
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_bad.cast("long").alias("has_bad_word"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_brace.cast("long").alias("has_brace"),
+        kept.cast("long").alias("kept"),
+        F.when(kept, clean).alias("clean_text"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    stop_words: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A) as a
+    single zero-shuffle projection: word-count bounds, mean word
+    length in [3, 10], symbol-to-word ratio ('#' and '...'), bullet-
+    line and ellipsis-line fractions, fraction of words containing an
+    alphabetic character, and the required-stop-word count.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_stop, kept) — every
+    rule's evidence is a column, so a curation dashboard reads WHY a
+    page dropped from the same relation that dropped it.
+
+    Scale shape: the word array is computed once per row and every
+    rule is a higher-order function over it (aggregate / filter /
+    size) — all whole-stage-codegen, no Python, no shuffle; at
+    10^12 pages this is scan-bandwidth-bound, and the boolean verdict
+    is a pushable predicate for downstream reads.
+    """
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    n_words = F.size(words).cast("long")
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = char_sum.cast("double") / n_words.cast("double")
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
+
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    lc = F.lower(F.col(text_col))
+    n_stop = F.lit(0)
+    for w in stop_words:
+        n_stop = n_stop + F.when(
+            F.regexp_count(lc, F.lit(rf"\b{w}\b")) > 0, 1
+        ).otherwise(0)
+
+    kept = (
+        (n_words >= F.lit(min_words))
+        & (n_words <= F.lit(max_words))
+        & (mean_wl >= F.lit(min_mean_word_len))
+        & (mean_wl <= F.lit(max_mean_word_len))
+        & (symbol_ratio <= F.lit(max_symbol_ratio))
+        & (bullet_frac <= F.lit(max_bullet_frac))
+        & (ellipsis_frac <= F.lit(max_ellipsis_frac))
+        & (alpha_frac >= F.lit(min_alpha_frac))
+        & (n_stop >= F.lit(min_stop_hits))
+    )
+    return df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+        kept.cast("long").alias("kept"),
     )

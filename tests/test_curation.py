@@ -776,3 +776,135 @@ class TestFasttextScore:
         assert all(-1000 <= r.w_milli <= 1000 for r in w)
         w2 = curation.hash_weights(spark, n_buckets=128).collect()
         assert sorted(map(tuple, w)) == sorted(map(tuple, w2))
+
+
+class TestC4Rules:
+    """C4 line/page gates on handwritten web-shaped pages — the
+    punctuation paths the synthetic corpus can't exercise."""
+
+    PAGES = [
+        # 0: clean page, 3 sentences on 3 lines -> kept
+        (0, "the quick brown fox jumps high.\nthe lazy dog sleeps all day today!\nwhat a fine day this is?"),
+        # 1: only 2 sentences -> dropped (min_sentences)
+        (1, "the quick brown fox jumps high.\nthe lazy dog sleeps all day today."),
+        # 2: line without terminal punct is removed at line level
+        (2, "the quick brown fox jumps high.\nno punct line here at all\nthe lazy dog sleeps all day today.\nwhat a fine day this is."),
+        # 3: javascript line removed; page survives on the rest
+        (3, "please enable javascript to view this.\none two three four five six.\nseven eight nine ten eleven twelve.\na b c d e f."),
+        # 4: lorem ipsum -> page dropped
+        (4, "one two three four five six.\nseven eight nine ten eleven.\nlorem ipsum dolor sit amet here.\ntwelve thirteen fourteen fifteen sixteen."),
+        # 5: brace -> page dropped
+        (5, "one two three four five six.\nseven eight nine ten eleven.\nvar x = function() { return; }.\ntwelve thirteen fourteen fifteen sixteen."),
+        # 6: bad word -> page dropped
+        (6, "one two three four five badword.\nseven eight nine ten eleven.\ntwelve thirteen fourteen fifteen sixteen."),
+        # 7: short lines (<5 words) removed -> too few sentences -> dropped
+        (7, "one two three.\nfour five six.\nseven eight nine.\nten eleven twelve."),
+    ]
+
+    def _run(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        d = spark.createDataFrame(self.PAGES, "doc_id long, text string")
+        return {r.doc_id: r for r in curation.c4_rules(d, bad_words=("badword",)).collect()}
+
+    def test_page_verdicts(self, spark):
+        out = self._run(spark)
+        assert {i: out[i].kept for i in range(8)} == {
+            0: 1, 1: 0, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0,
+        }
+
+    def test_line_gates(self, spark):
+        out = self._run(spark)
+        # page 2: the punct-less line is removed, three survive
+        assert out[2].n_lines == 4 and out[2].kept_lines == 3
+        assert "no punct line" not in out[2].clean_text
+        # page 3: the javascript line is removed at line level
+        assert out[3].kept_lines == 3
+        assert "javascript" not in out[3].clean_text
+        # page 7: every line has < 5 words -> none kept
+        assert out[7].kept_lines == 0 and out[7].clean_text is None
+
+    def test_flags(self, spark):
+        out = self._run(spark)
+        assert out[4].has_lorem == 1 and out[5].has_brace == 1
+        assert out[6].has_bad_word == 1
+        assert out[0].has_bad_word == out[0].has_lorem == out[0].has_brace == 0
+
+
+class TestGopherQuality:
+    def _rows(self, spark, pages, **kw):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+        d = spark.createDataFrame(pages, "doc_id long, text string")
+        return {r.doc_id: r for r in curation.gopher_quality(d, **kw).collect()}
+
+    def test_rule_evidence_columns(self, spark):
+        good = "the cat and the dog have fun with all of that stuff " * 5
+        out = self._rows(
+            spark,
+            [
+                (0, good),
+                (1, "a b c d e f g h i j " * 10),          # mean word len 1 -> drop
+                (2, "### ### ### " + good),                  # symbol ratio -> drop
+                (3, "- one\n- two\n- three\n- four"),        # bullets -> drop
+                (4, "zz zz zz " + good + " 11 22 33 44 55 66 77 88 99 00 11 22 33 44 99 88"),  # alpha frac
+                (5, "sphinx quartz vow jump dock " * 12),    # no stop words -> drop
+            ],
+            min_words=20,
+            min_stop_hits=2,
+        )
+        assert out[0].kept == 1
+        assert out[1].kept == 0 and out[1].mean_word_len == 1.0
+        assert out[2].kept == 0 and out[2].symbol_ratio > 0.1
+        assert out[3].kept == 0 and out[3].bullet_frac == 1.0
+        assert out[4].kept == 0 and out[4].alpha_frac < 0.8
+        assert out[5].kept == 0 and out[5].n_stop == 0
+
+    def test_ellipsis_lines(self, spark):
+        base = "the cat and the dog have fun with all of that " * 3
+        pages = [(0, base + "...\n" + base + "...\n" + base)]
+        out = self._rows(spark, pages, min_words=20)
+        assert abs(out[0].ellipsis_frac - 2 / 3) < 1e-6
+        assert out[0].kept == 0  # 66% ellipsis lines > 30%
+
+    def test_word_count_bounds(self, spark):
+        out = self._rows(
+            spark,
+            [(0, "the cat sat"), (1, "the cat and the dog have fun with all of that stuff " * 2)],
+            min_words=20,
+        )
+        assert out[0].kept == 0 and out[1].kept == 1
+
+
+class TestReadability:
+    def test_flesch_known_value(self, spark):
+        from pyspark.sql import functions as F
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+        # "the cat sat on the mat." -> 6 words, 1 sentence, 6 vowel groups
+        d = spark.createDataFrame([(0, "the cat sat on the mat.")], "doc_id long, text string")
+        feats = tf.readability_features(F.col("text"))
+        r = d.select(
+            feats["n_words"].alias("w"),
+            feats["n_sentences"].alias("s"),
+            feats["n_syllables"].alias("sy"),
+            F.round(feats["flesch"], 6).alias("fl"),
+        ).collect()[0]
+        assert (r.w, r.s, r.sy) == (6, 1, 6)
+        assert abs(r.fl - (206.835 - 1.015 * 6 - 84.6 * 1.0)) < 1e-9
+
+    def test_sentence_floor(self, spark):
+        from pyspark.sql import functions as F
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+        d = spark.createDataFrame([(0, "no punctuation here")], "doc_id long, text string")
+        r = d.select(tf.readability_features(F.col("text"))["n_sentences"].alias("s")).collect()[0]
+        assert r.s == 1
+
+    def test_multi_char_enders_count_once(self, spark):
+        from pyspark.sql import functions as F
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+        d = spark.createDataFrame([(0, "wait... what?! ok then.")], "doc_id long, text string")
+        r = d.select(tf.readability_features(F.col("text"))["n_sentences"].alias("s")).collect()[0]
+        assert r.s == 3
