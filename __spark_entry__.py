@@ -264,6 +264,50 @@ svo AS (SELECT doc_id, predicate, z[1] AS subj, z[2] AS obj FROM svom)"""
 # DSIR hashed unigram+bigram log-likelihood-ratio weights, shared by
 # txt_dsir_weights and dd_dsir_resample (ends with `dsw`: doc_id,
 # n_feats, logw-rounded-6dp). Inlined _nib32 expansion for md5(f).
+def _msf_sql(rounds: int) -> str:
+    """Unrolled Borůvka maximum spanning forest: per round a recursive
+    min-id reachability over the selected FOREST edges (node-bound),
+    then per-component best crossing edge by the strict total order
+    (w DESC, a_id, b_id).  Components at least halve per round, so
+    `rounds` >= log2(V) reaches the fixpoint and extra rounds no-op
+    (empty crossing set -> empty pick)."""
+    parts = [
+        """
+wt AS MATERIALIZED (SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS w
+                    FROM pairs GROUP BY a_id, b_id),
+msf_nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT a_id AS id FROM wt UNION SELECT b_id FROM wt)),
+sel_0 AS MATERIALIZED (SELECT a_id, b_id, w FROM wt WHERE 1 = 0)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+reach_{k} AS (
+  SELECT id, id AS comp FROM msf_nodes
+  UNION
+  SELECT CASE WHEN e.a_id = r.id THEN e.b_id ELSE e.a_id END, r.comp
+  FROM reach_{k} r JOIN sel_{k - 1} e ON e.a_id = r.id OR e.b_id = r.id),
+comp_{k} AS MATERIALIZED (SELECT id, min(comp) AS comp FROM reach_{k} GROUP BY id),
+cross_{k} AS MATERIALIZED (
+  SELECT e.a_id, e.b_id, e.w, ca.comp AS ca, cb.comp AS cb
+  FROM wt e
+  JOIN comp_{k} ca ON ca.id = e.a_id
+  JOIN comp_{k} cb ON cb.id = e.b_id
+  WHERE ca.comp <> cb.comp),
+pick_{k} AS MATERIALIZED (
+  SELECT DISTINCT a_id, b_id, w FROM (
+    SELECT a_id, b_id, w,
+           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w DESC, a_id, b_id) AS rn
+    FROM (SELECT ca AS comp, a_id, b_id, w FROM cross_{k}
+          UNION ALL SELECT cb, a_id, b_id, w FROM cross_{k}))
+  WHERE rn = 1),
+sel_{k} AS MATERIALIZED (SELECT * FROM sel_{k - 1} UNION SELECT * FROM pick_{k})""")
+    body = ",".join(parts)
+    return (
+        f"WITH RECURSIVE {{pairs}},{body}\n"
+        f"SELECT a_id, b_id, w FROM sel_{rounds} ORDER BY a_id, b_id"
+    )
+
+
 # Webified documents: the deterministic web-shaped corpus transform
 # shared by txt_c4_rules / txt_readability (mirrors _webified()).
 _WEB_CTE = r"""
@@ -2654,6 +2698,18 @@ def q_txt_readability(spark, sf_dir):
     )
 
 
+def q_kg_spanning_forest(spark, sf_dir):
+    """Maximum-weight spanning forest (queries.spanning_forest,
+    Borůvka): the Chow-Liu-style strongest-association backbone of
+    the weighted co-occurrence concept graph — what a summarizer
+    keeps when thinning 10^11 candidate edges to O(n).  Strict total
+    order (-w, a_id, b_id) makes the forest unique, so the unrolled
+    Borůvka oracle must agree hash-exactly."""
+    pairs = q_kg_pairs(spark, sf_dir)
+    w = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("w"))
+    return q.spanning_forest(w, weight_col="w", mode="max").orderBy("a_id", "b_id")
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2899,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_merges": q_txt_bpe_merges,
         "kg_densest_subgraph": q_kg_densest_subgraph,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
+        "kg_spanning_forest": q_kg_spanning_forest,
         "txt_c4_rules": q_txt_c4_rules,
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_readability": q_txt_readability,
@@ -4789,6 +4846,9 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # BPE tokenizer training: 5 unrolled merge rounds (wordcount ->
         # pair agg -> argmax -> list_reduce greedy fold), generator
         # docstring has the fold-equivalence argument
+        # Borůvka max spanning forest, 8 unrolled rounds (>= log2 of
+        # the 131-concept graph; extra rounds no-op at the fixpoint)
+        "kg_spanning_forest": _msf_sql(8).format(pairs=PAIRS_CTE),
         # C4 cleaning rules over the webified corpus (period every 6
         # tokens -> sentence lines + residue-injected boilerplate);
         # line gates then page gates, all list/regex expressions

@@ -1213,6 +1213,113 @@ def graph_stats(und: DataFrame) -> DataFrame:
     )
 
 
+def spanning_forest(
+    edges: DataFrame,
+    a: str = "a_id",
+    b: str = "b_id",
+    weight_col: str | None = None,
+    mode: str = "max",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Borůvka spanning forest over an undirected weighted edge list
+    -> the selected forest edges (a_id, b_id, w).  ``mode="max"`` is
+    the maximum-weight spanning forest — on a co-occurrence concept
+    graph this is the Chow-Liu-style backbone: the strongest
+    association tree a graph summarizer or taxonomy bootstrapper
+    keeps when it must thin 10^11 candidate edges to O(n).
+
+    Determinism/exactness: edges are ranked by the strict total order
+    (±w, a_id, b_id) — equivalent to all-distinct weights — so the
+    forest is THE unique spanning forest for that order (matroid
+    exchange), independent of partitioning or round schedule; the
+    DuckDB oracle unrolls the same rounds and must agree hash-exactly.
+
+    Algorithm (classic distributed Borůvka, e.g. GraphX/Pregel MSF):
+    each round every component picks its best incident crossing edge
+    (one hash-agg argmin via ``min_by`` over a struct key — ties
+    impossible by the total order), the picks join the forest, and
+    components re-label.  Per-component-min picks can never close a
+    cycle under distinct weights, so no cycle check is needed.
+
+    Scale shape: components at least halve every round, so rounds <=
+    log2(V) (16 covers 65k-component graphs after round one; the loop
+    breaks on the first round with zero crossing edges and RAISES if
+    the budget is exhausted first — loud, never wrong).  Each round
+    costs two hash joins + one hash agg over the still-crossing edge
+    set (shrinks monotonically) — the textbook O(E log V).  The
+    re-label runs :func:`~..operators.canonicalize.connected_components`
+    over the FOREST edges only (<= V-1 rows), so relabeling is
+    node-bound, never edge-bound; per-round relations are
+    localCheckpoint-truncated like every other iterative op here.
+    """
+    from ..operators import canonicalize
+
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("a_id"),
+            F.greatest(F.col(a), F.col(b)).alias("b_id"),
+            (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sign = -1 if mode == "max" else 1
+    key = F.struct(
+        (F.col("w") * sign).alias("kw"), F.col("a_id"), F.col("b_id")
+    )
+    nodes = (
+        e.select(F.col("a_id").alias("id"))
+        .unionByName(e.select(F.col("b_id").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = nodes.select("id", F.col("id").alias("comp"))
+    selected = None
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("id").alias("a_id"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("id").alias("b_id"), F.col("comp").alias("cb"))
+        cross = (
+            e.join(ca, "a_id").join(cb, "b_id").where(F.col("ca") != F.col("cb"))
+        ).localCheckpoint(eager=True)
+        if cross.isEmpty():
+            break
+        both = cross.select(
+            F.col("ca").alias("comp"), key.alias("k"), "a_id", "b_id", "w"
+        ).unionByName(
+            cross.select(
+                F.col("cb").alias("comp"), key.alias("k"), "a_id", "b_id", "w"
+            )
+        )
+        pick = (
+            both.groupBy("comp")
+            .agg(F.min_by(F.struct("a_id", "b_id", "w"), F.col("k")).alias("e"))
+            .select("e.a_id", "e.b_id", "e.w")
+            .distinct()
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick).distinct()
+        ).localCheckpoint(eager=True)
+        cc = canonicalize.connected_components(
+            selected.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        )
+        singles = nodes.join(cc, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        comp = (
+            cc.unionByName(singles)
+            .select("id", F.col("component").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"spanning_forest: {max_rounds} rounds exhausted before convergence"
+        )
+    if selected is None:
+        return e.limit(0)
+    return selected
+
+
 def densest_subgraph(
     und: DataFrame,
     eps: float = 1.0,

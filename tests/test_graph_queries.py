@@ -2329,3 +2329,87 @@ class TestDensestSubgraph:
         got = queries.densest_subgraph(_und_df(spark, clique + extra)).collect()
         assert got[0]["density"] >= 2.5 / 4.0
         self._check(spark, clique + extra)
+
+
+class TestSpanningForest:
+    @staticmethod
+    def _kruskal(edges, mode="max"):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        sign = -1 if mode == "max" else 1
+        sel = []
+        for a, b, w in sorted(edges, key=lambda t: (sign * t[2], t[0], t[1])):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                sel.append((a, b, w))
+        return sorted(sel)
+
+    def _rand_graph(self, seed, n=14, m=30):
+        import hashlib
+
+        edges = set()
+        for i in range(m):
+            h = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+            a, b = int(h[:4], 16) % n, int(h[4:8], 16) % n
+            if a == b:
+                continue
+            a, b = min(a, b), max(a, b)
+            edges.add((f"n{a:02d}", f"n{b:02d}", int(h[8:10], 16) % 9 + 1))
+        return sorted(edges)
+
+    def test_kruskal_parity_random_graphs(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        for seed in (1, 2, 3):
+            edges = self._rand_graph(seed)
+            df = spark.createDataFrame(edges, "a_id string, b_id string, w long")
+            for mode in ("max", "min"):
+                got = sorted(
+                    tuple(r)
+                    for r in q.spanning_forest(df, weight_col="w", mode=mode).collect()
+                )
+                assert got == self._kruskal(edges, mode), (seed, mode)
+
+    def test_forest_size_equals_nodes_minus_components(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        edges = self._rand_graph(7, n=20, m=18)  # sparse -> several comps
+        df = spark.createDataFrame(edges, "a_id string, b_id string, w long")
+        out = [tuple(r) for r in q.spanning_forest(df, weight_col="w").collect()]
+        nodes = {x for e in edges for x in e[:2]}
+        # component count via python union-find over ALL edges
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in edges:
+            parent[find(a)] = find(b)
+        n_comp = len({find(x) for x in nodes})
+        assert len(out) == len(nodes) - n_comp
+        # and the forest is acyclic: union-find over forest edges only
+        parent.clear()
+        for a, b, _ in out:
+            ra, rb = find(a), find(b)
+            assert ra != rb, "cycle in forest"
+            parent[ra] = rb
+
+    def test_unweighted_defaults_to_unit_weights(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "a_id string, b_id string"
+        )
+        got = sorted(tuple(r) for r in q.spanning_forest(df).collect())
+        # unit weights -> lexicographic Kruskal keeps (a,b) and (a,c)
+        assert got == [("a", "b", 1), ("a", "c", 1)]
