@@ -308,6 +308,55 @@ sel_{k} AS MATERIALIZED (SELECT * FROM sel_{k - 1} UNION SELECT * FROM pick_{k})
     )
 
 
+def _coloring_sql(msf_rounds: int, jp_rounds: int) -> str:
+    """Jones-Plassmann over the Borůvka forest: reuses the _msf_sql
+    round chain (sel_{msf_rounds} = forest edges), then unrolls JP
+    rounds — winners are uncolored local priority maxima, color = mex
+    of the colored neighborhood."""
+    msf = _msf_sql(msf_rounds)
+    head = msf[: msf.rindex("\nSELECT ")]  # keep the CTE chain only
+    parts = [
+        head,
+        f""",
+jund AS MATERIALIZED (
+  SELECT a_id AS cid, b_id AS nbr_id FROM sel_{msf_rounds}
+  UNION ALL SELECT b_id, a_id FROM sel_{msf_rounds}),
+jnodes AS MATERIALIZED (SELECT DISTINCT cid AS id FROM jund),
+col_0 AS MATERIALIZED (SELECT cid AS id, 0 AS color FROM jund WHERE 1 = 0)""",
+    ]
+    for j in range(1, jp_rounds + 1):
+        parts.append(f""",
+unc_{j} AS MATERIALIZED (
+  SELECT id FROM jnodes WHERE id NOT IN (SELECT id FROM col_{j - 1})),
+win_{j} AS MATERIALIZED (
+  SELECT u.id FROM unc_{j} u
+  LEFT JOIN (SELECT e.cid AS id, max(md5(e.nbr_id)) AS mx
+             FROM jund e
+             JOIN unc_{j} a ON a.id = e.cid
+             JOIN unc_{j} b ON b.id = e.nbr_id
+             GROUP BY e.cid) m ON m.id = u.id
+  WHERE m.mx IS NULL OR md5(u.id) > m.mx),
+used_{j} AS MATERIALIZED (
+  SELECT w.id, list_sort(list_distinct(list(c.color))) AS used
+  FROM win_{j} w
+  JOIN jund e ON e.cid = w.id
+  JOIN col_{j - 1} c ON c.id = e.nbr_id
+  GROUP BY w.id),
+col_{j} AS MATERIALIZED (
+  SELECT * FROM col_{j - 1}
+  UNION ALL
+  SELECT w.id,
+         CAST(coalesce(
+           list_filter(range(0, coalesce(len(u.used), 0) + 1),
+                       x -> NOT list_contains(coalesce(u.used, []), x))[1],
+           0) AS INT) AS color
+  FROM win_{j} w LEFT JOIN used_{j} u ON u.id = w.id)""")
+    parts.append(
+        f"\nSELECT id, CAST(color AS BIGINT) AS color FROM col_{jp_rounds} ORDER BY id"
+    )
+    return "".join(parts)
+
+
 # Webified documents: the deterministic web-shaped corpus transform
 # shared by txt_c4_rules / txt_readability (mirrors _webified()).
 _WEB_CTE = r"""
@@ -2710,6 +2759,33 @@ def q_kg_spanning_forest(spark, sf_dir):
     return q.spanning_forest(w, weight_col="w", mode="max").orderBy("a_id", "b_id")
 
 
+def q_kg_graph_coloring(spark, sf_dir):
+    """Jones-Plassmann coloring (queries.graph_coloring) of the
+    max-spanning-forest backbone: color classes share no edge, so
+    per-color waves of entity-merge/upsert operations are
+    conflict-free — the classic parallel-scheduling use.  The
+    backbone (not the raw co-occurrence graph) is the driver target
+    because JP is priority-sequential inside a clique and the window
+    co-occurrence graph has ~35-node cliques (measured 33-40 rounds);
+    the forest converges in <=8 rounds at both SFs, which the oracle
+    unrolls (10 rounds = fixpoint + slack; extras no-op).  The full
+    general-graph path is pytest-pinned against a pure-Python JP
+    simulation (tests/test_graph_queries.py)."""
+    pairs = q_kg_pairs(spark, sf_dir)
+    w = pairs.groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("w"))
+    forest = q.spanning_forest(w, weight_col="w", mode="max")
+    und = forest.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")
+    ).unionByName(
+        forest.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
+    )
+    return (
+        q.graph_coloring(und, max_rounds=12)
+        .select("id", F.col("color").cast("long").alias("color"))
+        .orderBy("id")
+    )
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -2956,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_densest_subgraph": q_kg_densest_subgraph,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
+        "kg_graph_coloring": q_kg_graph_coloring,
         "txt_c4_rules": q_txt_c4_rules,
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_readability": q_txt_readability,
@@ -4849,6 +4926,9 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # Borůvka max spanning forest, 8 unrolled rounds (>= log2 of
         # the 131-concept graph; extra rounds no-op at the fixpoint)
         "kg_spanning_forest": _msf_sql(8).format(pairs=PAIRS_CTE),
+        # JP coloring of the Borůvka backbone: 10 unrolled rounds
+        # (fixpoint <= 8 at both SFs; extras no-op)
+        "kg_graph_coloring": _coloring_sql(8, 10).format(pairs=PAIRS_CTE),
         # C4 cleaning rules over the webified corpus (period every 6
         # tokens -> sentence lines + residue-injected boilerplate);
         # line gates then page gates, all list/regex expressions

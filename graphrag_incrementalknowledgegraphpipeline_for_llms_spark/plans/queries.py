@@ -1320,6 +1320,106 @@ def spanning_forest(
     return selected
 
 
+def graph_coloring(und: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Jones-Plassmann greedy graph coloring -> (id, color), a proper
+    coloring (no edge joins two equal colors).  The production use in
+    a KG engine is conflict-free scheduling: nodes of one color class
+    share no edge, so per-color waves of entity-merge / upsert /
+    label-update operations can run with zero write conflicts — the
+    classic parallel-scheduling application (Jones & Plassmann 1993).
+
+    Each round, an uncolored node whose hash priority (md5 of id — a
+    strict total order, deterministic and oracle-portable) exceeds
+    every UNCOLORED neighbor's priority takes the minimum color
+    absent from its already-colored neighborhood (the mex, computed
+    as a fold over the sorted used-color array — a per-row
+    higher-order function, no explode).  Independent local maxima
+    color concurrently; expected rounds are O(log n / log log n) for
+    random priorities (Luby-style analysis), and the loop RAISES if
+    ``max_rounds`` is exhausted before everyone is colored — loud,
+    never wrong.
+
+    Scale shape: per round one self-join restricted to the
+    still-uncolored subgraph (shrinks geometrically), one hash agg
+    for the neighborhood max, one collect_set agg over colored
+    neighbors of this round's winners only, all at size-derived
+    partition counts with localCheckpoint truncation — the same
+    iterative regime as connected_components / scc.  No per-node
+    sequential dependency anywhere, so the plan is identical on a
+    1000-executor cluster.
+    """
+    sc_ = und.sparkSession.sparkContext
+    e = (
+        und.select(F.col("cid").cast("string"), F.col("nbr_id").cast("string"))
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts = min(sc_.defaultParallelism, max(8, e.count() // 100_000 + 1))
+    e = e.coalesce(parts)
+    unc = e.select(F.col("cid").alias("id")).distinct().localCheckpoint(eager=True)
+    colored = None
+    pr = F.md5(F.col("id"))
+    for _ in range(max_rounds):
+        if unc.isEmpty():
+            break
+        u_ids = unc.select("id")
+        unc_edges = (
+            e.join(u_ids.withColumnRenamed("id", "cid"), "cid")
+            .join(u_ids.withColumnRenamed("id", "nbr_id"), "nbr_id")
+        )
+        nbr_max = unc_edges.groupBy("cid").agg(
+            F.max(F.md5(F.col("nbr_id"))).alias("mx")
+        )
+        winners = (
+            unc.join(nbr_max, unc.id == nbr_max.cid, "left")
+            .where(F.col("mx").isNull() | (pr > F.col("mx")))
+            .select("id")
+        ).localCheckpoint(eager=True)
+        if colored is not None:
+            used = (
+                e.withColumnRenamed("cid", "id")
+                .join(winners, "id")
+                .join(
+                    colored.select(
+                        F.col("id").alias("nbr_id"), F.col("color").alias("nc")
+                    ),
+                    "nbr_id",
+                )
+                .groupBy("id")
+                .agg(F.sort_array(F.collect_set("nc")).alias("used"))
+            )
+        else:
+            used = winners.select("id", F.array().cast("array<int>").alias("used"))
+        mex = F.element_at(
+            F.filter(
+                F.sequence(F.lit(0), F.size("used")),
+                lambda x: ~F.array_contains(F.col("used"), x),
+            ),
+            1,
+        )
+        new = (
+            winners.join(used, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    mex, F.lit(0)
+                ).alias("color"),
+            )
+        )
+        colored = (
+            new if colored is None else colored.unionByName(new)
+        ).localCheckpoint(eager=True)
+        unc = unc.join(winners, "id", "left_anti").localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"graph_coloring: {max_rounds} rounds exhausted before full coloring"
+        )
+    return colored if colored is not None else unc.select(
+        "id", F.lit(0).alias("color")
+    )
+
+
 def densest_subgraph(
     und: DataFrame,
     eps: float = 1.0,

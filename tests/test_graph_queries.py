@@ -2413,3 +2413,79 @@ class TestSpanningForest:
         got = sorted(tuple(r) for r in q.spanning_forest(df).collect())
         # unit weights -> lexicographic Kruskal keeps (a,b) and (a,c)
         assert got == [("a", "b", 1), ("a", "c", 1)]
+
+
+class TestGraphColoring:
+    @staticmethod
+    def _jp_reference(edges):
+        """Pure-python Jones-Plassmann with md5 priorities — the exact
+        semantics of queries.graph_coloring."""
+        import hashlib
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        pr = {v: hashlib.md5(v.encode()).hexdigest() for v in adj}
+        color, unc = {}, set(adj)
+        while unc:
+            winners = [
+                v
+                for v in unc
+                if all(pr[v] > pr[u] for u in adj[v] if u in unc)
+            ]
+            assert winners, "stuck"
+            for v in winners:
+                used = sorted({color[u] for u in adj[v] if u in color})
+                c = 0
+                for x in used:
+                    if x == c:
+                        c += 1
+                color[v] = c
+            unc -= set(winners)
+        return color
+
+    def _und(self, spark, edges):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(list(edges), "cid string, nbr_id string")
+        return df.unionByName(
+            df.select(F.col("nbr_id").alias("cid"), F.col("cid").alias("nbr_id"))
+        )
+
+    def test_reference_parity_random_graphs(self, spark):
+        import hashlib
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        for seed in (11, 12):
+            edges = set()
+            for i in range(40):
+                h = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+                a, b = int(h[:4], 16) % 16, int(h[4:8], 16) % 16
+                if a != b:
+                    edges.add((f"v{min(a,b):02d}", f"v{max(a,b):02d}"))
+            got = {
+                r.id: r.color
+                for r in q.graph_coloring(self._und(spark, edges)).collect()
+            }
+            assert got == self._jp_reference(edges), seed
+
+    def test_clique_is_sequential_but_proper(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        nodes = [f"k{i}" for i in range(6)]
+        edges = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+        got = {r.id: r.color for r in q.graph_coloring(self._und(spark, edges)).collect()}
+        # a 6-clique needs exactly colors 0..5, one per node
+        assert sorted(got.values()) == list(range(6))
+
+    def test_budget_raises_loudly(self, spark):
+        import pytest
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        nodes = [f"k{i}" for i in range(6)]
+        edges = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+        with pytest.raises(RuntimeError, match="rounds exhausted"):
+            q.graph_coloring(self._und(spark, edges), max_rounds=3)
