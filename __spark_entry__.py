@@ -2786,6 +2786,32 @@ def q_kg_graph_coloring(spark, sf_dir):
     )
 
 
+def q_dd_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership (sketches.bloom_build/bloom_probe,
+    md5 family so the oracle replays the bits exactly): build the
+    crawl-frontier 'seen' filter over every document fingerprint
+    (256 x 32-bit words, k=4), then probe 100 known fingerprints +
+    50 novel keys.  Probe side is a broadcast map-side join — zero
+    shuffle on the big side; no false negatives by construction,
+    and any hash-collision false positive is deterministic, so the
+    oracle agrees bit-for-bit either way."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+    d = _docs(spark, sf_dir)
+    keys = d.select(tf.fingerprint(F.col("text")).alias("key")).distinct()
+    sk = sketches.bloom_build(keys, "key", m_words=256, k=4, hash_family="md5")
+    present = d.where(F.col("doc_id") < 100).select(
+        tf.fingerprint(F.col("text")).alias("key")
+    )
+    novel = spark.range(50).select(
+        F.concat(F.lit("novel|"), F.col("id").cast("string")).alias("key")
+    )
+    probes = present.unionByName(novel).distinct()
+    return sketches.bloom_probe(
+        probes, sk, "key", m_words=256, k=4, hash_family="md5"
+    ).orderBy("key")
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -3033,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
+        "dd_bloom_membership": q_dd_bloom_membership,
         "txt_c4_rules": q_txt_c4_rules,
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_readability": q_txt_readability,
@@ -4923,6 +4950,34 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # BPE tokenizer training: 5 unrolled merge rounds (wordcount ->
         # pair agg -> argmax -> list_reduce greedy fold), generator
         # docstring has the fold-equivalence argument
+        # Bloom membership: same md5-prefix hash family as the CMS,
+        # 256x32-bit words built with bit_or, probed with min-of-hits
+        "dd_bloom_membership": f"""
+WITH allkeys AS MATERIALIZED (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+  FROM documents),
+pos AS MATERIALIZED (
+  {" UNION ALL ".join(f'''SELECT ({_nib32_expr(f"md5('{i}:' || key)")}) % 8192 AS p FROM allkeys''' for i in range(4))}),
+flt AS MATERIALIZED (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1),
+probes AS MATERIALIZED (
+  SELECT DISTINCT key FROM (
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT 'novel|' || CAST(i AS VARCHAR) FROM range(0, 50) t(i))),
+pp AS MATERIALIZED (
+  {" UNION ALL ".join(f'''SELECT key, ({_nib32_expr(f"md5('{i}:' || key)")}) % 8192 AS p FROM probes''' for i in range(4))}),
+hits AS (
+  SELECT pp.key,
+         CASE WHEN f.bits IS NOT NULL
+               AND (f.bits & (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pp LEFT JOIN flt f ON pp.p // 32 = f.word)
+SELECT key, CAST(min(hit) AS BIGINT) AS maybe_present
+FROM hits GROUP BY key ORDER BY key""",
         # Borůvka max spanning forest, 8 unrolled rounds (>= log2 of
         # the 131-concept graph; extra rounds no-op at the fixpoint)
         "kg_spanning_forest": _msf_sql(8).format(pairs=PAIRS_CTE),

@@ -412,3 +412,95 @@ def heavy_hitters(
         .orderBy(F.desc("est"), "term")
         .limit(k)
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_words: int = 256,
+    k: int = 4,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """Distributed Bloom filter build -> (word, bits): m_words 32-bit
+    words (stored in BIGINT so the SQL twin never hits signed-shift
+    overflow), k probe positions per key via the same portable hash
+    family as the CMS (hash(i ':' key) mod 32*m_words).
+
+    The 100-TB contract matches the other sketches: state is O(m)
+    regardless of key count, the build is ONE hash aggregate whose
+    map-side combine ORs per-task partials down to <= m_words rows
+    per task, and two filters over the same (m_words, k, family)
+    merge by bitwise OR (:func:`bloom_merge`) — so per-day crawl
+    partials compose into the frontier filter without re-reading raw
+    data.  No false negatives ever; false-positive rate is the
+    standard (1 - e^{-kn/m})^k.
+    """
+    m_bits = m_words * 32
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(
+            *[
+                _cms_bucket(key, i, m_bits, hash_family).alias("p")
+                for i in range(k)
+            ]
+        )
+    ).alias("p")
+    p = df.select(pos)
+    return p.groupBy((F.col("p") / 32).cast("long").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 32) AS INT))")
+        ).alias("bits")
+    )
+
+
+def bloom_merge(sketches: DataFrame) -> DataFrame:
+    """Merge Bloom partials (same m_words/k/family): bits OR."""
+    return sketches.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    probes: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    m_words: int = 256,
+    k: int = 4,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """Membership test -> (key, maybe_present): present iff all k bits
+    are set.  The sketch side is O(m) rows and is broadcast, so the
+    probe is a map-side join — at 10^12 probe rows this is one scan
+    with zero shuffle on the big side (the k-row explode per probe
+    collapses back with a map-side-combinable min).
+    """
+    m_bits = m_words * 32
+    key = F.col(key_col)
+    pr = probes.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[_cms_bucket(key, i, m_bits, hash_family) for i in range(k)]
+            )
+        ).alias("p"),
+    )
+    joined = pr.join(
+        F.broadcast(sketch),
+        (F.col("p") / 32).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "key",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 32) AS INT))")
+                )
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return joined.groupBy("key").agg(
+        F.min("hit").cast("long").alias("maybe_present")
+    )

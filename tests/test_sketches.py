@@ -294,3 +294,58 @@ class TestHll:
             sketches.hll_sketch(d, "v", ["g"]), ["g"]
         ).collect()[0].est_distinct
         assert abs(est - 10) <= 1
+
+
+class TestBloom:
+    def _keys(self, spark, n, prefix="k"):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("key")
+        )
+
+    def test_no_false_negatives(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        keys = self._keys(spark, 300)
+        sk = sketches.bloom_build(keys, "key", m_words=64, k=4)
+        out = sketches.bloom_probe(keys, sk, "key", m_words=64, k=4).collect()
+        assert len(out) == 300 and all(r.maybe_present == 1 for r in out)
+
+    def test_false_positive_rate_bounded(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        sk = sketches.bloom_build(self._keys(spark, 200), "key", m_words=256, k=4)
+        probes = self._keys(spark, 500, prefix="absent")
+        out = sketches.bloom_probe(probes, sk, "key", m_words=256, k=4).collect()
+        fp = sum(r.maybe_present for r in out) / len(out)
+        # n=200, m=8192 -> theoretical fp ~ (1-e^(-800/8192))^4 ~ 7e-5
+        assert fp <= 0.02
+
+    def test_merge_equals_full_build(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        keys = self._keys(spark, 250)
+        a = sketches.bloom_build(keys.where(F.col("key") < "k2"), "key", m_words=64, k=4)
+        b = sketches.bloom_build(keys.where(F.col("key") >= "k2"), "key", m_words=64, k=4)
+        merged = sketches.bloom_merge(a.unionByName(b))
+        full = sketches.bloom_build(keys, "key", m_words=64, k=4)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    def test_md5_bits_match_python_reference(self, spark):
+        import hashlib
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+        keys = ["alpha", "beta", "gamma"]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        got = {r.word: r.bits for r in sketches.bloom_build(df, "key", m_words=16, k=3, hash_family="md5").collect()}
+        ref: dict[int, int] = {}
+        for key in keys:
+            for i in range(3):
+                h = int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16)
+                p = h % (16 * 32)
+                ref[p // 32] = ref.get(p // 32, 0) | (1 << (p % 32))
+        assert got == ref
