@@ -2812,6 +2812,20 @@ def q_dd_bloom_membership(spark, sf_dir):
     ).orderBy("key")
 
 
+def q_txt_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (sampling.temperature_sample,
+    the mT5/XLM-R n^alpha language-balancing rule) over the 20-source
+    documents corpus at alpha=0.5, target 50%: per-source keep rates
+    flatten the size skew; membership is the md5-uniform hash test,
+    rerun-stable.  alpha=0.5 routes through IEEE-exact sqrt and a
+    DECIMAL-accumulated denominator, so the verdict is engine-exact."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+    return sampling.temperature_sample(
+        _docs(spark, sf_dir), alpha=0.5, target_frac=0.5, seed=7
+    ).orderBy("id")
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -3060,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
         "dd_bloom_membership": q_dd_bloom_membership,
+        "txt_temperature_mixture": q_txt_temperature_mixture,
         "txt_c4_rules": q_txt_c4_rules,
         "txt_gopher_quality": q_txt_gopher_quality,
         "txt_readability": q_txt_readability,
@@ -4950,6 +4965,27 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # BPE tokenizer training: 5 unrolled merge rounds (wordcount ->
         # pair agg -> argmax -> list_reduce greedy fold), generator
         # docstring has the fold-equivalence argument
+        # temperature mixture: sqrt is IEEE-correctly-rounded and the
+        # denominator accumulates as DECIMAL -> engine-exact rates
+        "txt_temperature_mixture": f"""
+WITH cnt AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_group,
+         CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(s) AS DECIMAL(38,6)) AS den,
+               CAST(SUM(n_group) AS DOUBLE) AS total FROM cnt),
+rates AS (
+  SELECT source, n_group,
+         least(1.0, 0.5 * t.total * (CAST(s AS DOUBLE) / CAST(t.den AS DOUBLE))
+                        / CAST(n_group AS DOUBLE)) AS rate
+  FROM cnt CROSS JOIN tot t)
+SELECT d.doc_id AS id, d.source AS "group", r.n_group,
+       ROUND(r.rate, 6) AS rate,
+       CAST(CASE WHEN (({_nib32_expr("md5('7|' || CAST(d.doc_id AS VARCHAR))")}) + 0.5)
+                      / 4294967296.0 < r.rate
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d JOIN rates r ON d.source = r.source
+ORDER BY id""",
         # Bloom membership: same md5-prefix hash family as the CMS,
         # 256x32-bit words built with bit_or, probed with min-of-hits
         "dd_bloom_membership": f"""

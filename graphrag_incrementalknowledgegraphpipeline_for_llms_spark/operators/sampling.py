@@ -375,3 +375,84 @@ def cdc_chunks(
         )
         .orderBy("id", "chunk_idx")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5 / XLM-R language-
+    balancing rule, Xue et al. 2021 §3.1): group g is sampled with
+    probability proportional to n_g^alpha, flattening the corpus's
+    Zipfian group skew so giant sources stop drowning small ones.
+    Per-group keep rate r_g = min(1, target_frac * N * p_g / n_g)
+    with p_g = n_g^alpha / sum_h n_h^alpha; rows keep via the
+    deterministic md5-uniform u(id) < r_g, so membership is a pure
+    function of the row — rerun- and batch-split-stable like every
+    other sampler here.
+
+    -> (id, group, n_group, rate, kept) for every input row.
+
+    Cross-engine exactness design: alpha=0.5 uses sqrt, which IEEE
+    754 requires to be correctly rounded (identical on every engine,
+    unlike pow/libm); the per-group sqrt is rounded to 6 dp and
+    accumulated as DECIMAL so the denominator is order-independent
+    (double SUM order is engine-unspecified); the remaining rate
+    arithmetic is a fixed-shape per-row double expression.  Other
+    alpha values work but route through pow — fine in production,
+    not bit-replayable in an oracle.
+
+    Scale shape: one count agg over (group) — group cardinality rows,
+    broadcast back; two driver scalars folded as literals (the BM25
+    corpus-scalar pattern); the keep test is a scan-stage predicate.
+    Nothing but (group, n) crosses a shuffle at any corpus size.
+    """
+    g, i = F.col(group_col), F.col(id_col)
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    if alpha == 0.5:
+        s_expr = F.round(F.sqrt(F.col("n_group").cast("double")), 6).cast(
+            "decimal(18,6)"
+        )
+    else:
+        s_expr = F.round(
+            F.pow(F.col("n_group").cast("double"), F.lit(float(alpha))), 6
+        ).cast("decimal(18,6)")
+    cnt = cnt.select(group_col, "n_group", s_expr.alias("s"))
+    tot = cnt.agg(
+        F.sum("s").cast("decimal(38,6)").alias("den"),
+        F.sum("n_group").alias("total"),
+    ).collect()[0]
+    den, total = float(tot["den"]), float(tot["total"])
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * F.lit(total)
+        * (F.col("s").cast("double") / F.lit(den))
+        / F.col("n_group").cast("double"),
+    )
+    rates = cnt.select(group_col, "n_group", rate.alias("rate"))
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h32 + F.lit(0.5)) / F.lit(float(1 << 32))
+    return (
+        df.select(i.alias("id"), g.alias("group"))
+        .join(F.broadcast(rates.withColumnRenamed(group_col, "group")), "group")
+        .select(
+            "id",
+            "group",
+            "n_group",
+            F.round("rate", 6).alias("rate"),
+            (u < F.col("rate")).cast("long").alias("kept"),
+        )
+    )

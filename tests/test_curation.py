@@ -908,3 +908,56 @@ class TestReadability:
         d = spark.createDataFrame([(0, "wait... what?! ok then.")], "doc_id long, text string")
         r = d.select(tf.readability_features(F.col("text"))["n_sentences"].alias("s")).collect()[0]
         assert r.s == 3
+
+
+class TestTemperatureSample:
+    def _corpus(self, spark, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_rates_flatten_skew(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = self._corpus(spark, {"big": 400, "small": 25})
+        out = sampling.temperature_sample(d, alpha=0.5, target_frac=0.2)
+        rates = {r["group"]: r.rate for r in out.select("group", "rate").distinct().collect()}
+        # alpha=0.5: p_big ~ 20/25, p_small ~ 5/25 -> small's keep RATE
+        # must exceed big's by ~4x (sqrt flattening), and exceed its
+        # own natural share
+        assert rates["small"] > rates["big"]
+        assert abs(rates["small"] / rates["big"] - 4.0) < 0.05
+
+    def test_expected_volume_hits_target(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = self._corpus(spark, {"a": 300, "b": 150, "c": 50})
+        out = sampling.temperature_sample(d, alpha=0.5, target_frac=0.4).collect()
+        # sum of n_g * r_g == target_frac * N when no rate clips at 1
+        rates = {}
+        for r in out:
+            rates[r["group"]] = (r.n_group, r.rate)
+        expected = sum(n * rate for n, rate in rates.values())
+        assert abs(expected - 0.4 * 500) < 1.0
+        kept = sum(r.kept for r in out)
+        assert abs(kept - 200) < 40  # hash-uniform binomial tolerance
+
+    def test_alpha_one_is_uniform(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = self._corpus(spark, {"a": 320, "b": 80})
+        out = sampling.temperature_sample(d, alpha=1.0, target_frac=0.25)
+        rates = {r["group"]: r.rate for r in out.select("group", "rate").distinct().collect()}
+        assert abs(rates["a"] - 0.25) < 1e-6 and abs(rates["b"] - 0.25) < 1e-6
+
+    def test_rerun_stable(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        d = self._corpus(spark, {"a": 100, "b": 60})
+        a = sorted(map(tuple, sampling.temperature_sample(d).collect()))
+        b = sorted(map(tuple, sampling.temperature_sample(d).collect()))
+        assert a == b
