@@ -308,6 +308,42 @@ sel_{k} AS MATERIALIZED (SELECT * FROM sel_{k - 1} UNION SELECT * FROM pick_{k})
     )
 
 
+def _matching_sql(rounds: int) -> str:
+    """Unrolled greedy-equivalent maximal matching: per round an edge
+    wins when its md5 priority is the min among live edges at BOTH
+    endpoints; winners' endpoints leave.  Extra rounds no-op once the
+    live set is empty."""
+    parts = [
+        """
+mlive_0 AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM pairs WHERE a_id <> b_id)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+mpe_{k} AS MATERIALIZED (
+  SELECT a_id, b_id, md5('mm' || '|' || a_id || '|' || b_id) AS p
+  FROM mlive_{k - 1}),
+mnm_{k} AS MATERIALIZED (
+  SELECT node, min(p) AS mp FROM (
+    SELECT a_id AS node, p FROM mpe_{k}
+    UNION ALL SELECT b_id, p FROM mpe_{k}) GROUP BY node),
+mwin_{k} AS MATERIALIZED (
+  SELECT e.a_id, e.b_id FROM mpe_{k} e
+  JOIN mnm_{k} na ON na.node = e.a_id
+  JOIN mnm_{k} nb ON nb.node = e.b_id
+  WHERE e.p = na.mp AND e.p = nb.mp),
+mdead_{k} AS MATERIALIZED (
+  SELECT a_id AS node FROM mwin_{k} UNION SELECT b_id FROM mwin_{k}),
+mmat_{k} AS MATERIALIZED (
+  {"SELECT a_id, b_id FROM mwin_" + str(k) if k == 1 else f"SELECT * FROM mmat_{k - 1} UNION SELECT a_id, b_id FROM mwin_{k}"}),
+mlive_{k} AS MATERIALIZED (
+  SELECT l.a_id, l.b_id FROM mlive_{k - 1} l
+  WHERE l.a_id NOT IN (SELECT node FROM mdead_{k})
+    AND l.b_id NOT IN (SELECT node FROM mdead_{k})
+    AND NOT EXISTS (SELECT 1 FROM mwin_{k} w WHERE w.a_id = l.a_id AND w.b_id = l.b_id))""")
+    parts.append(f"\nSELECT a_id, b_id FROM mmat_{rounds} ORDER BY a_id, b_id")
+    return "".join(parts)
+
+
 def _coloring_sql(msf_rounds: int, jp_rounds: int) -> str:
     """Jones-Plassmann over the Borůvka forest: reuses the _msf_sql
     round chain (sel_{msf_rounds} = forest edges), then unrolls JP
@@ -2826,6 +2862,18 @@ def q_txt_temperature_mixture(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_kg_maximal_matching(spark, sf_dir):
+    """Greedy-equivalent maximal matching (queries.maximal_matching)
+    over the distinct co-occurrence pair edges: the conflict-free
+    pairwise entity-merge wave — each concept fuses with at most one
+    partner per pass.  Static md5 edge priorities make the parallel
+    local-min rounds equal the sequential greedy (Luby-style
+    argument), pytest-pinned; the oracle unrolls 8 rounds (fixpoint
+    <= 6 at both SFs, extras no-op)."""
+    pairs = q_kg_pairs(spark, sf_dir).select("a_id", "b_id").distinct()
+    return q.maximal_matching(pairs).orderBy("a_id", "b_id")
+
+
 def q_txt_fasttext_quality(spark, sf_dir):
     """fastText-style hashed-linear quality-classifier inference
     (curation.fasttext_score): hashed uni+bigram bag -> broadcast
@@ -3074,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
         "dd_bloom_membership": q_dd_bloom_membership,
+        "kg_maximal_matching": q_kg_maximal_matching,
         "txt_temperature_mixture": q_txt_temperature_mixture,
         "txt_c4_rules": q_txt_c4_rules,
         "txt_gopher_quality": q_txt_gopher_quality,
@@ -4965,6 +5014,9 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # BPE tokenizer training: 5 unrolled merge rounds (wordcount ->
         # pair agg -> argmax -> list_reduce greedy fold), generator
         # docstring has the fold-equivalence argument
+        # greedy-equivalent maximal matching, 8 unrolled rounds
+        # (fixpoint <= 6 at both SFs; extras no-op)
+        "kg_maximal_matching": f"WITH {PAIRS_CTE},{_matching_sql(8)}",
         # temperature mixture: sqrt is IEEE-correctly-rounded and the
         # denominator accumulates as DECIMAL -> engine-exact rates
         "txt_temperature_mixture": f"""

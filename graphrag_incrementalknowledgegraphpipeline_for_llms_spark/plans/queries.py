@@ -3190,6 +3190,101 @@ def scc(
     )
 
 
+def maximal_matching(
+    edges: DataFrame,
+    a: str = "a_id",
+    b: str = "b_id",
+    seed: str = "mm",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Maximal matching over an undirected edge list -> the matched
+    edges (a_id, b_id): no node appears twice, and no unmatched edge
+    has both endpoints free.  The KG production use is safe pairwise
+    entity merging — each merge round fuses every entity with at most
+    ONE partner, so a duplicate-candidate pair list becomes a
+    conflict-free parallel merge wave (the matching is exactly the
+    wave schedule).
+
+    Parallel rule: an edge joins the matching when its hash priority
+    md5(seed | a | b) is the minimum among live edges at BOTH
+    endpoints; matched endpoints and their incident edges leave the
+    graph.  With a static total order this computes exactly the
+    sequential GREEDY matching over that order (the same
+    local-minimum argument as Luby MIS == lexicographically-first
+    MIS), so the result is round-/partitioning-/engine-independent,
+    testable against a five-line sequential greedy, and >= 1/2 the
+    maximum matching size (greedy guarantee).
+
+    Scale shape: per round one min-aggregate over live edge endpoints
+    + one self-semi-join (the both-endpoints-agree test) + an
+    anti-join wave of removals; a constant fraction of edges dies per
+    round in expectation with hash priorities (O(log m) rounds
+    w.h.p.), relations localCheckpoint-truncated at size-derived
+    parallelism — the connected_components regime.  RAISES if
+    ``max_rounds`` is exhausted with live edges remaining."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).cast("string").alias("a_id"),
+            F.greatest(F.col(a), F.col(b)).cast("string").alias("b_id"),
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sc_ = edges.sparkSession.sparkContext
+    parts = min(sc_.defaultParallelism, max(8, e.count() // 100_000 + 1))
+    live = e.coalesce(parts)
+    pri = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("a_id"), F.col("b_id")))
+    matched = None
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        pe = live.select("a_id", "b_id", pri.alias("p"))
+        ends = pe.select(F.col("a_id").alias("node"), "p").unionByName(
+            pe.select(F.col("b_id").alias("node"), "p")
+        )
+        node_min = ends.groupBy("node").agg(F.min("p").alias("mp"))
+        win = (
+            pe.join(
+                node_min.withColumnRenamed("node", "a_id").withColumnRenamed(
+                    "mp", "ma"
+                ),
+                "a_id",
+            )
+            .join(
+                node_min.withColumnRenamed("node", "b_id").withColumnRenamed(
+                    "mp", "mb"
+                ),
+                "b_id",
+            )
+            .where((F.col("p") == F.col("ma")) & (F.col("p") == F.col("mb")))
+            .select("a_id", "b_id")
+            .localCheckpoint(eager=True)
+        )
+        matched = (
+            win if matched is None else matched.unionByName(win)
+        ).localCheckpoint(eager=True)
+        dead = (
+            win.select(F.col("a_id").alias("node"))
+            .unionByName(win.select(F.col("b_id").alias("node")))
+            .distinct()
+        )
+        live = (
+            live.join(dead.withColumnRenamed("node", "a_id"), "a_id", "left_anti")
+            .join(dead.withColumnRenamed("node", "b_id"), "b_id", "left_anti")
+            .select("a_id", "b_id")
+            .localCheckpoint(eager=True)
+            .coalesce(parts)
+        )
+    else:
+        raise RuntimeError(
+            f"maximal_matching: {max_rounds} rounds exhausted with live edges"
+        )
+    if matched is None:
+        return e.limit(0)
+    return matched
+
+
 def independent_set(
     und: DataFrame, seed: str = "mis", max_rounds: int = 40
 ) -> DataFrame:

@@ -2489,3 +2489,64 @@ class TestGraphColoring:
         edges = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
         with pytest.raises(RuntimeError, match="rounds exhausted"):
             q.graph_coloring(self._und(spark, edges), max_rounds=3)
+
+
+class TestMaximalMatching:
+    @staticmethod
+    def _greedy(edges, seed="mm"):
+        import hashlib
+
+        order = sorted(
+            edges,
+            key=lambda t: hashlib.md5(f"{seed}|{t[0]}|{t[1]}".encode()).hexdigest(),
+        )
+        used, sel = set(), []
+        for a, b in order:
+            if a not in used and b not in used:
+                used.update((a, b))
+                sel.append((a, b))
+        return sorted(sel)
+
+    def _rand_edges(self, seed, n=18, m=40):
+        import hashlib
+
+        edges = set()
+        for i in range(m):
+            h = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()
+            a, b = int(h[:4], 16) % n, int(h[4:8], 16) % n
+            if a != b:
+                edges.add((f"m{min(a,b):02d}", f"m{max(a,b):02d}"))
+        return sorted(edges)
+
+    def test_greedy_parity_random_graphs(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        for seed in (21, 22, 23):
+            edges = self._rand_edges(seed)
+            df = spark.createDataFrame(edges, "a_id string, b_id string")
+            got = sorted(tuple(r) for r in q.maximal_matching(df).collect())
+            assert got == self._greedy(edges), seed
+
+    def test_matching_properties(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        edges = self._rand_edges(24, n=24, m=60)
+        df = spark.createDataFrame(edges, "a_id string, b_id string")
+        got = [tuple(r) for r in q.maximal_matching(df).collect()]
+        # node-disjoint
+        nodes = [x for e in got for x in e]
+        assert len(nodes) == len(set(nodes))
+        # maximal: every unmatched edge touches a matched node
+        ns = set(nodes)
+        for a, b in edges:
+            if (a, b) not in set(got):
+                assert a in ns or b in ns
+
+    def test_path_chain_dependency(self, spark):
+        # a path graph exercises the sequential-dependency worst case
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import queries as q
+
+        edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(12)]
+        df = spark.createDataFrame(edges, "a_id string, b_id string")
+        got = sorted(tuple(r) for r in q.maximal_matching(df).collect())
+        assert got == self._greedy(edges)
