@@ -189,6 +189,17 @@ def main():
         "kg_wl_labels",
         "dd_hll_distinct",
         "sim_pq_topk",
+        # round-5 wave 4-5: BPE + densest + this session's additions
+        "txt_bpe_merges",
+        "kg_densest_subgraph",
+        "kg_spanning_forest",
+        "kg_graph_coloring",
+        "kg_maximal_matching",
+        "dd_bloom_membership",
+        "txt_temperature_mixture",
+        "txt_c4_rules",
+        "txt_gopher_quality",
+        "txt_readability",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
