@@ -2952,6 +2952,18 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_dd_repeated_spans(spark, sf_dir):
+    """Exact-substring duplication at 8-token granularity
+    (dedup.repeated_spans — the distributed ExactSubstr approximation,
+    Lee et al. 2022): every maximal token span whose 8-gram windows
+    all repeat corpus-wide.  This is the cut-mid-document boilerplate
+    detector document-level MinHash can't express; the natural
+    sf-corpora carry ~1-2k duplicated 8-grams, so the key needs no
+    planted tail.  Only (hash) and (id, pos) shuffle; the island
+    merge windows per-document."""
+    return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3118,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_hll_distinct": q_dd_hll_distinct,
         "txt_bpe_merges": q_txt_bpe_merges,
         "kg_densest_subgraph": q_kg_densest_subgraph,
+        "dd_repeated_spans": q_dd_repeated_spans,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5149,6 +5162,28 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
              + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
 FROM r WHERE n_words > 0 ORDER BY doc_id""",
         "txt_bpe_merges": _bpe_oracle(5),
+        # exact-substring (ExactSubstr, Lee et al. 2022) at 8-token
+        # granularity: duplicated 8-gram hashes -> per-doc
+        # gaps-and-islands merge into maximal spans -> text re-slice
+        "dd_repeated_spans": r"""
+WITH base AS (SELECT doc_id AS id,
+       list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+     FROM documents),
+b2 AS MATERIALIZED (SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) >= 8),
+sh AS MATERIALIZED (
+  SELECT id, CAST(p AS INT) AS pos, md5(array_to_string(toks[p+1 : p+8], ' ')) AS h
+  FROM b2, LATERAL (SELECT unnest(range(n - 7)) AS p) r),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+flag AS (SELECT s.id, s.pos FROM sh s JOIN dup d ON s.h = d.h),
+isl AS (SELECT id, pos, pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp FROM flag),
+sp AS (SELECT id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end FROM isl GROUP BY id, grp)
+SELECT sp.id AS doc_id,
+       CAST(span_start AS INT) AS span_start,
+       CAST(span_end AS INT) AS span_end,
+       CAST(span_end - span_start AS BIGINT) AS span_tokens,
+       array_to_string(b2.toks[span_start+1 : span_end], ' ') AS span_text
+FROM sp JOIN b2 ON sp.id = b2.id
+ORDER BY doc_id, span_start""",
         # densest subgraph: unrolled Bahmani peeling over the shared
         # und adjacency; best-of-first-8-iterates at eps=0.1
         "kg_densest_subgraph": f"""WITH {PAIRS_CTE},

@@ -200,6 +200,7 @@ def main():
         "txt_c4_rules",
         "txt_gopher_quality",
         "txt_readability",
+        "dd_repeated_spans",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

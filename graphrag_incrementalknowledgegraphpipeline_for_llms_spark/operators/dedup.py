@@ -925,3 +925,94 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring duplication at k-token granularity — the
+    distributed approximation of suffix-array ExactSubstr dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): find every maximal token span whose k-gram
+    windows all occur ``min_count``+ times corpus-wide.  Those spans
+    are the memorization-prone boilerplate (licenses, nav bars,
+    viral quotes) that substring dedup cuts mid-document where
+    document-level MinHash can't.
+
+    -> (doc_id, span_start, span_end, span_tokens, span_text): token
+    spans [span_start, span_end) (0-based, whitespace tokens) whose
+    every k-window is duplicated; adjacent duplicated windows merge
+    into maximal spans via gaps-and-islands.
+
+    Scale shape: the k-gram enumeration is a narrow generator inside
+    the scan stage (tokenize once, explode positions, md5 the slice —
+    nothing materializes the corpus token stream twice).  Only
+    (hash) pairs shuffle for the frequency count (map-side combined;
+    the count is capped semantics-free at min_count so AQE can
+    semi-join-prune), then (id, pos) rows shuffle once for the
+    per-document island merge, whose window partitions by document —
+    bounded by document length, never by corpus size.  The final text
+    re-slice joins the tiny span table back to the tokenized scan
+    instead of dragging token arrays through the shuffles.
+
+    vs the suffix-array original: a true suffix array is a global
+    sort of every corpus position — O(total tokens log) across the
+    cluster and pointer-chasing-hostile; k-gram hashing trades "finds
+    duplicates >= k tokens, boundary-quantized to k" for two hash
+    shuffles, which is the trade every production web-scale substring
+    dedup makes (ccnet / RedPajama / Dolma variants).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    ).where(F.col("n") >= k)
+    sh = base.select(
+        "id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("pos"),
+    ).select(
+        "id",
+        "pos",
+        F.md5(F.array_join(F.slice("toks", F.col("pos") + 1, k), " ")).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    flagged = sh.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k)).alias("span_end"),
+    )
+    return (
+        spans.join(base.select("id", "toks"), "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start"),
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+        .orderBy(id_col, "span_start")
+    )

@@ -805,3 +805,93 @@ class TestIvfPq:
         lst = {r.vec_id: r.list_id for r in similarity.ivf_assign(emb, cent).collect()}
         cod = {r.vec_id: list(r.code) for r in similarity.pq_encode(emb, cb).collect()}
         assert idx == {v: (lst[v], cod[v]) for v in idx}
+
+
+class TestRepeatedSpans:
+    """dedup.repeated_spans — ExactSubstr at k-gram granularity."""
+
+    def _spans(self, spark, docs, k=3, min_count=2):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import dedup
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_text"])
+            for r in dedup.repeated_spans(df, k=k, min_count=min_count).collect()
+        }
+
+    def _python_oracle(self, docs, k, min_count):
+        """Brute-force reference: hash every k-gram, count corpus-wide,
+        merge adjacent duplicated positions into maximal spans."""
+        toks = {d: t.split() for d, t in docs}
+        from collections import Counter
+
+        cnt = Counter()
+        for d, ts in toks.items():
+            for p in range(len(ts) - k + 1):
+                cnt[tuple(ts[p : p + k])] += 1
+        out = set()
+        for d, ts in toks.items():
+            flagged = [
+                p
+                for p in range(len(ts) - k + 1)
+                if cnt[tuple(ts[p : p + k])] >= min_count
+            ]
+            i = 0
+            while i < len(flagged):
+                j = i
+                while j + 1 < len(flagged) and flagged[j + 1] == flagged[j] + 1:
+                    j += 1
+                s, e = flagged[i], flagged[j] + k
+                out.add((d, s, e, " ".join(ts[s:e])))
+                i = j + 1
+        return out
+
+    def test_python_oracle_exactness(self, spark):
+        boiler = "all rights reserved contact us terms of service"
+        docs = [
+            (0, f"alpha beta gamma {boiler} delta epsilon"),
+            (1, f"zeta eta {boiler} theta"),
+            (2, "iota kappa lamda mu nu xi omicron pi"),
+            (3, "iota kappa lamda mu ends differently here now"),
+            (4, "repeat me repeat me repeat me once more"),
+        ]
+        for k in (2, 3, 4):
+            assert self._spans(spark, docs, k=k) == self._python_oracle(
+                docs, k, 2
+            ), f"k={k}"
+
+    def test_adjacent_windows_merge_maximal(self, spark):
+        # the shared 6-token run yields 6-3+1=4 duplicated 3-gram
+        # positions in each doc that MUST merge into ONE maximal span
+        docs = [
+            (0, "x1 x2 one two three four five six y1"),
+            (1, "one two three four five six z1 z2"),
+        ]
+        got = self._spans(spark, docs, k=3)
+        assert got == {
+            (0, 2, 8, "one two three four five six"),
+            (1, 0, 6, "one two three four five six"),
+        }
+
+    def test_within_doc_repetition_counts(self, spark):
+        # the 2-gram "ping pong" occurs twice inside ONE document —
+        # corpus-wide count >= 2 flags both occurrences
+        docs = [(0, "ping pong middle words ping pong")]
+        got = self._spans(spark, docs, k=2)
+        assert got == {
+            (0, 0, 2, "ping pong"),
+            (0, 4, 6, "ping pong"),
+        }
+
+    def test_short_docs_and_no_dups(self, spark):
+        docs = [(0, "too short"), (1, "every token here is unique once")]
+        assert self._spans(spark, docs, k=3) == set()
+
+    def test_min_count_threshold(self, spark):
+        docs = [
+            (0, "a b c tail1"),
+            (1, "a b c tail2"),
+            (2, "a b c tail3"),
+        ]
+        assert len({s for s in self._spans(spark, docs, k=3, min_count=3)}) == 3
+        assert self._spans(spark, docs, k=3, min_count=4) == set()
