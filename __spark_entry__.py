@@ -637,6 +637,24 @@ h{iters}n AS (SELECT f.id, f.raw / nn.nrm AS h FROM hf f CROSS JOIN (SELECT sqrt
 _HITS_CTES = _hits_ctes(8)
 
 
+def _katz_ctes(iters: int = 8, alpha: str = "0.1", beta: str = "1.0") -> str:
+    # mirrors queries.katz_centrality: x0 = beta, each round ONE
+    # join + ONE dst-keyed SUM, then x = beta + alpha * inflow with a
+    # zero fill.  MATERIALIZED for the same CTE-inlining reason as
+    # _hits_ctes (each level feeds the next round twice).
+    s = """dedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples),
+knodes AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+x0 AS (SELECT id, CAST({beta} AS DOUBLE) AS x FROM knodes)""".format(beta=beta)
+    for i in range(1, iters + 1):
+        s += f""",
+ki{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.x) AS inflow FROM dedges e JOIN x{i - 1} x ON e.src = x.id GROUP BY e.dst),
+x{i} AS MATERIALIZED (SELECT n.id, {beta} + {alpha} * COALESCE(i.inflow, 0.0) AS x FROM knodes n LEFT JOIN ki{i} i ON n.id = i.id)"""
+    return s
+
+
+_KATZ_CTES = _katz_ctes(8)
+
+
 # depth-4 is_a transitive closure, unrolled semi-naive rounds (mirrors
 # queries.taxonomy_closure: round d extends only the depth-d frontier,
 # then MIN(depth) dedups converging paths)
@@ -2964,6 +2982,34 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-occurrence concept graph
+    (queries.degree_assortativity — Newman 2002 r over edge stubs):
+    the one-scalar answer to "do hub concepts co-occur with other
+    hubs?", i.e. whether join skew on this graph compounds.  Every
+    aggregate is an exact integer (or exact multiple of 0.5) until
+    the single final division, so the value is bit-identical across
+    engines and partitionings."""
+    return q.degree_assortativity(_kg_cooccur_und(spark, sf_dir))
+
+
+def q_kg_katz(spark, sf_dir):
+    """Katz centrality over the DIRECTED triple graph
+    (queries.katz_centrality, alpha=0.1, beta=1, 8 truncated rounds):
+    total attenuated path-count support per concept — unlike
+    PageRank it does not divide by out-degree, so prolific subjects
+    do not dilute the evidence they contribute, and unlike HITS the
+    base beta keeps isolated-but-mentioned concepts on the scale."""
+    t = _triples(spark, sf_dir)
+    return q.katz_centrality(
+        t.select(F.col("subj_id").alias("src_id"), F.col("obj_id").alias("dst_id")),
+        alpha=0.1,
+        beta=1.0,
+        iters=8,
+        top_k=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3131,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_merges": q_txt_bpe_merges,
         "kg_densest_subgraph": q_kg_densest_subgraph,
         "dd_repeated_spans": q_dd_repeated_spans,
+        "kg_assortativity": q_kg_assortativity,
+        "kg_katz": q_kg_katz,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5184,6 +5232,27 @@ SELECT sp.id AS doc_id,
        array_to_string(b2.toks[span_start+1 : span_end], ' ') AS span_text
 FROM sp JOIN b2 ON sp.id = b2.id
 ORDER BY doc_id, span_start""",
+        # assortativity: every aggregate an exact integer (or exact
+        # multiple of 0.5) in double until the one final division —
+        # bit-identical across engines regardless of sum order
+        "kg_assortativity": f"""WITH {PAIRS_CTE},
+adj0 AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id FROM adj0 WHERE cid <> nbr_id),
+deg AS (SELECT cid AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY cid),
+st AS (SELECT da.degree AS j, db.degree AS k
+       FROM adj a JOIN deg da ON a.cid = da.id JOIN deg db ON a.nbr_id = db.id),
+ag AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+              CAST(SUM(j * k) AS DOUBLE) AS sjk,
+              SUM((j + k) / 2.0) AS sj,
+              SUM((j * j + k * k) / 2.0) AS sj2 FROM st),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+SELECT nn.n AS n_nodes, CAST(ag.m / 2 AS BIGINT) AS n_edges,
+       ROUND((sjk / m - (sj / m) * (sj / m))
+             / (sj2 / m - (sj / m) * (sj / m)), 6) AS r
+FROM ag CROSS JOIN nn""",
+        "kg_katz": f"""WITH {TRIPLES_CTE},
+{_KATZ_CTES}
+SELECT id, ROUND(x, 6) AS katz FROM x8 ORDER BY katz DESC, id LIMIT 20""",
         # densest subgraph: unrolled Bahmani peeling over the shared
         # und adjacency; best-of-first-8-iterates at eps=0.1
         "kg_densest_subgraph": f"""WITH {PAIRS_CTE},

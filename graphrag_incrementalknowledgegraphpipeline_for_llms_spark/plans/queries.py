@@ -3381,3 +3381,140 @@ def independent_set(
     return all_nodes.join(
         mis.withColumn("in_mis", F.lit(True)), "id", "left"
     ).select("id", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))
+
+
+def degree_assortativity(und: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, eq. 4): the
+    Pearson correlation of the degrees at the two ends of each edge,
+    computed over directed STUBS (each undirected edge contributes
+    both (j,k) and (k,j), which is exactly what the both-directions
+    ``(cid, nbr_id)`` adjacency view already is).  r > 0 means hubs
+    attach to hubs (social-network shape), r < 0 means hubs attach to
+    leaves (web / biology shape) — the one-scalar summary of whether
+    a co-occurrence graph's hot keys will meet OTHER hot keys in a
+    join, i.e. whether skew compounds.
+
+    Numerics: degrees are integers, so every aggregate
+    (sum jk, sum j, sum j^2 over stubs) is an EXACT integer carried
+    in a BIGINT-safe double until the single final division — the
+    result is bit-identical across engines and partitionings, no
+    rounding games needed beyond the final ROUND(6).
+
+    Returns one row (n_nodes, n_edges, r).
+
+    Scale shape: one degree aggregate (map-side combine) + one
+    vocab-sized broadcast-ish join per endpoint + one 1-row global
+    aggregate.  Nothing but (id, degree) pairs shuffle; the raw edge
+    relation is touched once.  Self-loops are excluded like every
+    other undirected view here.
+    """
+    adj = (
+        und.select(F.col("cid").cast("string"), F.col("nbr_id").cast("string"))
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+    )
+    deg = adj.groupBy(F.col("cid").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    stubs = (
+        adj.join(deg.withColumnRenamed("id", "cid"), "cid")
+        .withColumnRenamed("degree", "j")
+        .join(
+            deg.select(F.col("id").alias("nbr_id"), F.col("degree").alias("k")),
+            "nbr_id",
+        )
+    )
+    # Newman eq. 4 with M = number of stubs: all sums exact integers.
+    agg = stubs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum((F.col("j") + F.col("k")) / F.lit(2.0)).alias("sj"),
+        F.sum((F.col("j") * F.col("j") + F.col("k") * F.col("k")) / F.lit(2.0)).alias(
+            "sj2"
+        ),
+    )
+    n_nodes = deg.count()
+    return agg.select(
+        F.lit(n_nodes).alias("n_nodes"),
+        (F.col("m") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("sjk") / F.col("m") - (F.col("sj") / F.col("m")) * (F.col("sj") / F.col("m")))
+            / (F.col("sj2") / F.col("m") - (F.col("sj") / F.col("m")) * (F.col("sj") / F.col("m"))),
+            6,
+        ).alias("r"),
+    )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    iters: int = 8,
+    top_k: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Katz centrality (Katz 1953) over a DIRECTED edge view
+    ``(src_id, dst_id)``: x_{t+1}(v) = beta + alpha * SUM x_t(u) over
+    in-edges (u, v), x_0 = beta.  Unlike PageRank there is NO
+    out-degree normalization, so a node pointed at by many well-
+    pointed-at nodes accumulates mass even when those pointers also
+    fan out widely — on the triple graph this ranks the generic
+    object concepts (the `is_a` targets) by total attenuated
+    path-count support, the natural "how much evidence transitively
+    backs this node" score.
+
+    The output is DEFINED as the value after exactly ``iters`` rounds
+    (the geometric series truncated at path length ``iters``) — well-
+    defined for any alpha, and for alpha < 1/lambda_max it is within
+    (alpha*lambda_max)^iters of the fixed point.  No per-round
+    normalization: like :func:`hits`, the iteration is linear and the
+    raw values stay far from overflow at any real scale
+    (max growth per round is alpha * max_in_degree).
+
+    Returns (id, katz) rounded to 6 dp, katz desc / id, top-k.
+
+    Scale shape: identical to :func:`hits` — the distinct edge list is
+    materialized once, each round is ONE equi-join + ONE hash
+    aggregate keyed on dst (map-side partial agg), lineage truncated
+    every ``checkpoint_every`` rounds at a size-derived partition
+    count.  Only (id, score) pairs shuffle.
+    """
+    sc = edges.sparkSession.sparkContext
+    edges = (
+        edges.select(
+            F.col("src_id").cast("string"), F.col("dst_id").cast("string")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    edges = edges.coalesce(parts)
+    nodes = (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .coalesce(parts)
+    )
+    x = nodes.withColumn("x", F.lit(float(beta)))
+    for i in range(iters):
+        inflow = (
+            edges.join(x.withColumnRenamed("id", "src_id"), "src_id")
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(F.sum("x").alias("inflow"))
+        )
+        x = nodes.join(inflow, "id", "left").select(
+            "id",
+            (
+                F.lit(float(beta))
+                + F.lit(float(alpha)) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("x"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            x = x.coalesce(parts).localCheckpoint(eager=True)
+    return (
+        x.select("id", F.round("x", 6).alias("katz"))
+        .orderBy(F.desc("katz"), "id")
+        .limit(top_k)
+    )

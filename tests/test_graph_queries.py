@@ -2550,3 +2550,130 @@ class TestMaximalMatching:
         df = spark.createDataFrame(edges, "a_id string, b_id string")
         got = sorted(tuple(r) for r in q.maximal_matching(df).collect())
         assert got == self._greedy(edges)
+
+
+def _np_assortativity(edges):
+    sym = set(edges) | {(b, a) for a, b in edges}
+    sym = {(a, b) for a, b in sym if a != b}
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    j = np.array([deg[a] for a, b in sym], dtype=float)
+    k = np.array([deg[b] for a, b in sym], dtype=float)
+    m = len(sym)
+    num = (j * k).mean() - ((j + k) / 2).mean() ** 2
+    den = ((j * j + k * k) / 2).mean() - ((j + k) / 2).mean() ** 2
+    return num / den, m // 2, len(deg)
+
+
+class TestDegreeAssortativity:
+    def test_matches_numpy_oracle(self, spark):
+        row = queries.degree_assortativity(_und_df(spark, EDGES)).collect()[0]
+        want_r, want_e, want_n = _np_assortativity(EDGES)
+        assert row["n_nodes"] == want_n
+        assert row["n_edges"] == want_e
+        assert abs(row["r"] - round(want_r, 6)) < 1e-9
+
+    def test_star_is_maximally_disassortative(self, spark):
+        star = [("hub", f"leaf{i}") for i in range(5)]
+        row = queries.degree_assortativity(_und_df(spark, star)).collect()[0]
+        assert row["r"] == -1.0
+
+    def test_balanced_double_star_is_assortative_vs_star(self, spark):
+        # two hubs joined to each other, each with its own leaves:
+        # hub-hub stub pulls r up relative to the pure star
+        dbl = [("h1", "h2")] + [("h1", f"a{i}") for i in range(3)] + [
+            ("h2", f"b{i}") for i in range(3)
+        ]
+        r_dbl = queries.degree_assortativity(_und_df(spark, dbl)).collect()[0]["r"]
+        star = [("hub", f"leaf{i}") for i in range(5)]
+        r_star = queries.degree_assortativity(_und_df(spark, star)).collect()[0]["r"]
+        assert r_dbl > r_star
+
+    def test_random_graph_matches_numpy(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(20)]
+        edges = list({
+            (a, b)
+            for a, b in (
+                tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)
+            )
+        })
+        row = queries.degree_assortativity(_und_df(spark, edges)).collect()[0]
+        want_r, want_e, want_n = _np_assortativity(edges)
+        assert row["n_edges"] == want_e and row["n_nodes"] == want_n
+        assert abs(row["r"] - round(want_r, 6)) < 1e-9
+
+
+def _np_katz(edges, alpha=0.1, beta=1.0, iters=8):
+    dedges = sorted(set(edges))
+    nodes = sorted({a for a, _ in dedges} | {b for _, b in dedges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    x = np.full(len(nodes), beta)
+    for _ in range(iters):
+        inflow = np.zeros(len(nodes))
+        for a, b in dedges:
+            inflow[idx[b]] += x[idx[a]]
+        x = beta + alpha * inflow
+    return {v: x[idx[v]] for v in nodes}
+
+
+def _dir_df(spark, edges):
+    return spark.createDataFrame(edges, "src_id string, dst_id string")
+
+
+class TestKatzCentrality:
+    DIR_EDGES = [
+        ("a", "b"), ("c", "b"), ("d", "b"), ("b", "e"), ("e", "f"),
+        ("f", "e"), ("a", "e"), ("d", "a"),
+    ]
+
+    def test_matches_numpy_oracle(self, spark):
+        got = {
+            r["id"]: r["katz"]
+            for r in queries.katz_centrality(
+                _dir_df(spark, self.DIR_EDGES), top_k=100
+            ).collect()
+        }
+        want = _np_katz(self.DIR_EDGES)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - round(want[v], 6)) < 1e-9, v
+
+    def test_indirect_support_counts(self, spark):
+        # chain x->y->z: z gets alpha*beta from y AND alpha^2*beta via x
+        got = {
+            r["id"]: r["katz"]
+            for r in queries.katz_centrality(
+                _dir_df(spark, [("x", "y"), ("y", "z")]), iters=8, top_k=10
+            ).collect()
+        }
+        assert abs(got["y"] - (1 + 0.1)) < 1e-9
+        assert abs(got["z"] - (1 + 0.1 + 0.1 ** 2)) < 1e-9
+        assert got["x"] == 1.0
+
+    def test_direction_matters(self, spark):
+        got = {
+            r["id"]: r["katz"]
+            for r in queries.katz_centrality(
+                _dir_df(spark, [("a", "b")] * 3 + [("c", "b"), ("d", "b")]), top_k=10
+            ).collect()
+        }
+        # b collects from 3 distinct in-neighbors; sources stay at beta
+        assert got["b"] > got["a"] == got["c"] == got["d"] == 1.0
+
+    def test_truncation_semantics(self, spark):
+        # iters=1 is exactly beta + alpha * in_degree
+        got = {
+            r["id"]: r["katz"]
+            for r in queries.katz_centrality(
+                _dir_df(spark, self.DIR_EDGES), iters=1, top_k=100
+            ).collect()
+        }
+        indeg = {}
+        for _, b in set(self.DIR_EDGES):
+            indeg[b] = indeg.get(b, 0) + 1
+        for v, s in got.items():
+            assert abs(s - (1.0 + 0.1 * indeg.get(v, 0))) < 1e-9
