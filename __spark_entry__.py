@@ -2415,6 +2415,20 @@ def q_txt_unigram_logprob(spark, sf_dir):
     return textsearch.unigram_logprob(d)
 
 
+def q_txt_bigram_logprob(spark, sf_dir):
+    """Self-fit add-1 bigram LM quality score per document
+    (textsearch.bigram_logprob) — one Markov order above
+    txt_unigram_logprob: penalizes unnatural word ORDER the
+    bag-of-words model is blind to (the CCNet KenLM-perplexity
+    axis).  All counts exact integers; V folded as a literal."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    return textsearch.bigram_logprob(d)
+
+
 def q_txt_tfidf(spark, sf_dir):
     """Sparse L2-normalized tf-idf vectors over the document corpus
     (chunk_id = doc_id) — the classic sparse-retrieval export."""
@@ -3179,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_repeated_spans": q_dd_repeated_spans,
         "kg_assortativity": q_kg_assortativity,
         "kg_katz": q_kg_katz,
+        "txt_bigram_logprob": q_txt_bigram_logprob,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5232,6 +5247,26 @@ SELECT sp.id AS doc_id,
        array_to_string(b2.toks[span_start+1 : span_end], ' ') AS span_text
 FROM sp JOIN b2 ON sp.id = b2.id
 ORDER BY doc_id, span_start""",
+        # bigram LM: <s>-opened bigrams via 1-indexed position range;
+        # add-1 smoothing keeps every count integer until the final ln
+        "txt_bigram_logprob": r"""
+WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
+t AS (SELECT chunk_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+      FROM src),
+t2 AS MATERIALIZED (SELECT chunk_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+big AS MATERIALIZED (
+  SELECT chunk_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS w1, toks[i] AS w2
+  FROM t2, LATERAL (SELECT unnest(range(1, n + 1)) AS i) r),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+vv AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM big),
+lp AS (SELECT b.w1, b.w2, ln((b.c12 + 1.0) / (c.c1 + vv.v)) AS logp
+       FROM bc b JOIN cc c ON b.w1 = c.w1 CROSS JOIN vv),
+s AS (SELECT g.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(l.logp) AS alp
+      FROM big g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2 GROUP BY g.chunk_id)
+SELECT chunk_id, n_tokens, ROUND(alp, 6) AS avg_logprob, ROUND(exp(-alp), 6) AS ppl
+FROM s ORDER BY avg_logprob, chunk_id""",
         # assortativity: every aggregate an exact integer (or exact
         # multiple of 0.5) in double until the one final division —
         # bit-identical across engines regardless of sum order

@@ -285,3 +285,70 @@ def unigram_logprob(chunks: DataFrame, text_col: str = "text") -> DataFrame:
         F.round("alp", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
     ).orderBy("avg_logprob", "chunk_id")
+
+
+def bigram_logprob(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM quality signal with add-1 smoothing: fit
+    p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V) on the corpus itself
+    (V = unigram vocabulary size, ``<s>`` opens every document), then
+    score each document by its mean per-token log-probability and
+    perplexity.  This is one Markov order above
+    :func:`unigram_logprob` and catches what bag-of-words cannot:
+    shuffled/unnatural word ORDER.  A document built from frequent
+    words in gibberish sequence scores well under the unigram model
+    but terribly here — exactly the KenLM-perplexity axis CCNet
+    (Wenzek et al. 2020) filters on; self-fit + add-1 keeps it
+    dependency-free and deterministic.
+
+    Returns (chunk_id, n_tokens, avg_logprob, ppl), worst documents
+    first; zero-token documents carry no signal and are excluded.
+
+    Scale shape: ONE tokenize pass builds the per-document bigram
+    array inside the scan stage (zip_with over the shifted array — no
+    window, no self-join, raw text never shuffles); the exploded
+    (w1, w2) stream feeds the bigram-count, context-count, and
+    per-document score aggregates.  The model join keys on the
+    bigram-vocabulary relation — Zipf-bounded, far smaller than the
+    corpus — and V folds into the plan as a literal (the BM25
+    corpus-scalar pattern).  All counts are exact integers; the only
+    floats are the final ln / avg."""
+    toks = chunks.select(
+        F.col("chunk_id").cast("string").alias("chunk_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") >= 1)
+    big = toks.select(
+        "chunk_id",
+        F.explode(
+            F.zip_with(
+                F.concat(
+                    F.array(F.lit("<s>")),
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                ),
+                F.col("toks"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("chunk_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = float(big.select(F.countDistinct("w2")).collect()[0][0] or 0)
+    if v == 0:
+        return chunks.sparkSession.createDataFrame(
+            [], "chunk_id string, n_tokens bigint, avg_logprob double, ppl double"
+        )
+    lp = bc.join(cc, "w1").select(
+        "w1",
+        "w2",
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(v))).alias("logp"),
+    )
+    scored = (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("logp").alias("alp"))
+    )
+    return scored.select(
+        "chunk_id",
+        "n_tokens",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
+    ).orderBy("avg_logprob", "chunk_id")

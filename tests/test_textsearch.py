@@ -217,3 +217,72 @@ class TestUnigramLogprob:
     def test_empty_corpus(self, spark):
         chunks = spark.createDataFrame([], "chunk_id string, text string")
         assert textsearch.unigram_logprob(chunks).count() == 0
+
+
+class TestBigramLogprob:
+    def _py_bigram(self, docs):
+        import re as _re
+
+        toks = {
+            cid: [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+            for cid, text in docs
+        }
+        toks = {cid: ts for cid, ts in toks.items() if ts}
+        big = {
+            cid: list(zip(["<s>"] + ts[:-1], ts)) for cid, ts in toks.items()
+        }
+        from collections import Counter
+
+        bc = Counter(bg for bgs in big.values() for bg in bgs)
+        cc = Counter(w1 for bgs in big.values() for w1, _ in bgs)
+        v = len({w2 for bgs in big.values() for _, w2 in bgs})
+        out = {}
+        for cid, bgs in big.items():
+            lps = [
+                math.log((bc[bg] + 1.0) / (cc[bg[0]] + v)) for bg in bgs
+            ]
+            alp = sum(lps) / len(lps)
+            out[cid] = (len(bgs), round(alp, 6), round(math.exp(-alp), 6))
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        docs = DOCS + [("e", ""), ("f", "Data AND data, spark!")]
+        chunks = spark.createDataFrame(docs, "chunk_id string, text string")
+        got = {
+            r["chunk_id"]: (r["n_tokens"], r["avg_logprob"], r["ppl"])
+            for r in textsearch.bigram_logprob(chunks).collect()
+        }
+        want = self._py_bigram(docs)
+        assert got == want
+        assert "e" not in got  # zero-token doc excluded
+
+    def test_word_order_discrimination(self, spark):
+        # natural repeated phrasing vs the same bag of words shuffled:
+        # unigram score identical, bigram score must separate them
+        import random
+
+        base = ("the cat sat on the mat and the dog sat on the rug " * 3).strip()
+        words = base.split()
+        rng = random.Random(3)
+        sw = words[:]
+        rng.shuffle(sw)
+        docs = [("nat", base), ("shuf", " ".join(sw))]
+        chunks = spark.createDataFrame(docs, "chunk_id string, text string")
+        uni = {
+            r["chunk_id"]: r["avg_logprob"]
+            for r in textsearch.unigram_logprob(chunks).collect()
+        }
+        bi = {
+            r["chunk_id"]: r["avg_logprob"]
+            for r in textsearch.bigram_logprob(chunks).collect()
+        }
+        # identical multiset of words -> unigram scores are EQUAL, the
+        # bigram model must put the natural doc clearly ahead
+        assert uni["nat"] == uni["shuf"]
+        assert bi["nat"] > bi["shuf"] + 0.2
+
+    def test_empty_corpus(self, spark):
+        chunks = spark.createDataFrame(
+            [("a", " . , ")], "chunk_id string, text string"
+        )
+        assert textsearch.bigram_logprob(chunks).count() == 0
