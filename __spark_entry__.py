@@ -47,6 +47,7 @@ from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import 
     dedup,
     graph,
     multimodal,
+    sampling,
     scorer,
     similarity,
 )
@@ -2996,6 +2997,37 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_sim_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding corpus
+    (similarity.kmeans_assign, k=8, 2 centroid updates): seeds by
+    md5 order, assignment from centroid LITERALS (scan-stage argmin,
+    zero shuffle), per-round centroids ROUNDED to 6 dp so both
+    engines re-derive them bit-identically — the fully-oracled
+    counterpart of the rows-only IVF trainer."""
+    out = similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"), "cluster", "dist2"
+    ).orderBy("vec_id")
+
+
+def q_dd_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced curation draw: k-means the embeddings, then
+    keep an expected 30 rows per cluster via the pure-integer hash
+    test u32(md5(id)) * n_cluster < 30 * 2^32 (sampling.
+    cluster_balanced_sample) — big clusters downsampled hard, rare
+    clusters survive whole; rerun- and engine-exact."""
+    assign = similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    out = sampling.cluster_balanced_sample(
+        assign.select("id", "cluster"), per_cluster=30
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        "cluster",
+        "n_cluster",
+        "kept",
+    ).orderBy("vec_id")
+
+
 def q_kg_assortativity(spark, sf_dir):
     """Degree assortativity of the co-occurrence concept graph
     (queries.degree_assortativity — Newman 2002 r over edge stubs):
@@ -3194,6 +3226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_katz": q_kg_katz,
         "txt_bigram_logprob": q_txt_bigram_logprob,
+        "sim_kmeans": q_sim_kmeans,
+        "dd_cluster_balanced": q_dd_cluster_balanced,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -3547,6 +3581,33 @@ ORDER BY r.rank DESC, r.id LIMIT 20"""
             f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
             for i in range(8)
         )
+
+    # distributed Lloyd k-means unroll (mirrors similarity.kmeans_assign):
+    # md5-ordered seeds, squared-L2 argmin (ties -> lower cluster),
+    # per-round centroids ROUND(AVG, 6) per dimension — the rounding IS
+    # the cross-engine determinism contract; empty clusters carry the
+    # previous centroid.  Final relation ka{iters}: (id, cluster, d).
+    def _kmeans_ctes(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+        d2 = "list_sum(list_transform(list_zip(b.v, c.c), z -> (z[1]-z[2])*(z[1]-z[2])))"
+        s = f"""kb AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+kc0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INT) AS cluster, v AS c FROM (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY md5(id)) AS rn FROM kb) WHERE rn <= {k})"""
+        for r in range(iters + 1):
+            if r > 0:
+                s += f""",
+kn{r} AS (SELECT cluster, list(m ORDER BY i) AS c FROM (
+    SELECT a.cluster, r.i, ROUND(AVG(a.v[r.i]), 6) AS m
+    FROM ka{r - 1} a, range(1, {dims + 1}) r(i) GROUP BY a.cluster, r.i) GROUP BY cluster),
+kc{r} AS MATERIALIZED (SELECT p.cluster, COALESCE(n.c, p.c) AS c
+    FROM kc{r - 1} p LEFT JOIN kn{r} n USING (cluster))"""
+            s += f""",
+ka{r} AS MATERIALIZED (SELECT id, v, cluster, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS arn FROM (
+        SELECT b.id, b.v, c.cluster, {d2} AS d FROM kb b CROSS JOIN kc{r} c)) WHERE arn = 1)"""
+        return s
+
+    _KMEANS_CTES = _kmeans_ctes(8, 2, 64)
 
     # FastRP unrolled levels (mirrors queries.fastrp_embeddings):
     # hash-Rademacher init, then per level neighbor-mean -> per-node
@@ -5247,6 +5308,14 @@ SELECT sp.id AS doc_id,
        array_to_string(b2.toks[span_start+1 : span_end], ' ') AS span_text
 FROM sp JOIN b2 ON sp.id = b2.id
 ORDER BY doc_id, span_start""",
+        "sim_kmeans": f"""WITH {_KMEANS_CTES}
+SELECT CAST(id AS BIGINT) AS vec_id, cluster, ROUND(d, 6) AS dist2
+FROM ka2 ORDER BY vec_id""",
+        "dd_cluster_balanced": f"""WITH {_KMEANS_CTES},
+kcnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cluster FROM ka2 GROUP BY cluster)
+SELECT CAST(a.id AS BIGINT) AS vec_id, a.cluster, c.n_cluster,
+       CAST(CASE WHEN ({_nib32_expr("md5(a.id)")}) * c.n_cluster < 30 * 4294967296 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ka2 a JOIN kcnt c USING (cluster) ORDER BY vec_id""",
         # bigram LM: <s>-opened bigrams via 1-indexed position range;
         # add-1 smoothing keeps every count integer until the final ln
         "txt_bigram_logprob": r"""

@@ -456,3 +456,56 @@ def temperature_sample(
             (u < F.col("rate")).cast("long").alias("kept"),
         )
     )
+
+
+def cluster_balanced_sample(
+    assign: DataFrame,
+    per_cluster: int = 30,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Cluster-balanced subsample: from a clustering assignment (e.g.
+    :func:`~graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.similarity.kmeans_assign`),
+    keep an EXPECTED ``per_cluster`` rows from every cluster — the
+    diversity-preserving draw behind cluster-balanced curation (big
+    boilerplate clusters are downsampled hard, small rare clusters
+    survive whole), the selection half of the SemDeDup regime.
+
+    Membership is a deterministic hash test made ENGINE-EXACT with
+    pure integer arithmetic: keep row iff
+
+        u32(md5(id)) * n_cluster  <  per_cluster * 2^32
+
+    i.e. rate = per_cluster / n_cluster compared without ever forming
+    the float — both sides are exact BIGINTs (u32 < 2^32, n < 2^31:
+    the product stays far below 2^63), so the kept set is identical
+    across engines, partitionings, and reruns, and batch-split stable
+    like every hash sampler here.  Clusters with n <= per_cluster keep
+    everything (rate >= 1).
+
+    Returns (id, cluster, n_cluster, kept) for every input row —
+    callers filter ``kept`` (keeping the flag makes the expected-rate
+    accounting auditable downstream).
+
+    Scale shape: ONE k-row count aggregate broadcast back onto the
+    stream; the keep test is a scan predicate.  Nothing but
+    (cluster, count) pairs shuffle."""
+    counts = assign.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_cluster")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        assign.join(F.broadcast(counts), cluster_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(cluster_col).alias("cluster"),
+            "n_cluster",
+            (
+                u32 * F.col("n_cluster")
+                < F.lit(int(per_cluster) * 4294967296)
+            ).cast("long").alias("kept"),
+        )
+        .orderBy("id")
+    )

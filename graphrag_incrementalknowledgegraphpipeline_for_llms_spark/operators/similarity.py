@@ -873,3 +873,112 @@ def ivf_pq_topk(
     return pq_topk(
         cand, query, codebooks, k, rerank, rerank_factor, id_col, vec_col
     )
+
+
+def _sqdist_lit(vec, centroid: list) -> "F.Column":
+    """Squared L2 distance from a vector column to a centroid folded
+    as literals — a LEFT fold in index order (F.aggregate), the same
+    order DuckDB's list_sum walks, so the doubles are bit-identical
+    cross-engine."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means, fully SQL-expressible and
+    cross-engine exact — the clustering primitive behind
+    cluster-balanced data curation (SemDeDup / DiverseEvol regimes:
+    cluster the corpus embeddings, then sample per cluster).
+
+    Unlike :func:`ivf_train_centroids` (driver-side numpy over a
+    bounded sample — the right shape for a quick index build, but
+    rows-only for the oracle), EVERY vector votes here and every step
+    is a DataFrame op, so a DuckDB oracle can replay it exactly:
+
+    * seeds = the k vectors with the smallest md5(id) (deterministic,
+      tie-free, a TakeOrdered — no global sort), cluster ids assigned
+      in that md5 order;
+    * assignment = argmin over k squared-L2 distances computed from
+      centroid LITERALS (k*dims doubles folded into the plan — the
+      scan-stage shape: zero shuffle, zero join), ties to the lower
+      cluster id via struct array_min;
+    * update = per-cluster per-dimension mean, ROUNDED TO 6 DP — the
+      rounding is the determinism contract: both engines re-derive
+      bit-identical centroids regardless of partitioning/sum order,
+      the FastRP round-before-dot trick applied to Lloyd;
+    * a cluster that loses all members keeps its previous centroid
+      (both engines, same rule).
+
+    Returns (id, cluster, dist2) after ``iters`` centroid updates,
+    dist2 rounded to 6, ordered by id.
+
+    Scale shape: per round ONE scan with the argmin expression + ONE
+    hash aggregate shuffling k×dims partial (sum, count) pairs —
+    nothing else moves; the k×dims centroid table (bounded: 8×64
+    doubles here) is the only driver round-trip.  At 100 TB this is
+    the canonical map-side-combine k-means; raise ``iters`` for
+    quality, each round costs one pass."""
+    base = embeddings.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seed_rows = (
+        base.select("id", "v", F.md5(F.col("id")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id string, cluster int, dist2 double"
+        )
+    cents = {
+        i: list(r["v"]) for i, r in enumerate(sorted(seed_rows, key=lambda r: r["h"]))
+    }
+    dims = len(cents[0])
+
+    def _assign(c: dict) -> DataFrame:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdist_lit(F.col("v"), c[ci]).alias("d"),
+                        F.lit(ci).alias("c"),
+                    )
+                    for ci in sorted(c)
+                ]
+            )
+        )
+        return base.select(
+            "id", "v", best["c"].alias("cluster"), best["d"].alias("dist2")
+        )
+
+    for _ in range(iters):
+        upd = (
+            _assign(cents)
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                    for i in range(dims)
+                ]
+            )
+            .collect()
+        )
+        for r in upd:
+            cents[r["cluster"]] = [r[f"c{i}"] for i in range(dims)]
+    return (
+        _assign(cents)
+        .select("id", "cluster", F.round("dist2", 6).alias("dist2"))
+        .orderBy("id")
+    )

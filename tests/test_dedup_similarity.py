@@ -895,3 +895,144 @@ class TestRepeatedSpans:
         ]
         assert len({s for s in self._spans(spark, docs, k=3, min_count=3)}) == 3
         assert self._spans(spark, docs, k=3, min_count=4) == set()
+
+
+class TestKmeansAssign:
+    def _py_kmeans(self, rows, k, iters):
+        """Pure-python replay of kmeans_assign incl. the round-6
+        centroid contract (HALF_UP like Spark/DuckDB ROUND)."""
+        import hashlib
+        from decimal import Decimal, ROUND_HALF_UP
+
+        def r6(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        ids = [str(i) for i, _ in rows]
+        vecs = {str(i): [float(x) for x in v] for i, v in rows}
+        seeds = sorted(ids, key=lambda i: hashlib.md5(i.encode()).hexdigest())[:k]
+        cents = {c: list(vecs[s]) for c, s in enumerate(seeds)}
+        dims = len(next(iter(vecs.values())))
+
+        def assign(c):
+            out = {}
+            for i in ids:
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(vecs[i], c[ci])), ci)
+                    for ci in sorted(c)
+                )
+                out[i] = best
+            return out
+
+        for _ in range(iters):
+            a = assign(cents)
+            for ci in sorted(cents):
+                members = [i for i in ids if a[i][1] == ci]
+                if members:
+                    cents[ci] = [
+                        r6(sum(vecs[i][d] for i in members) / len(members))
+                        for d in range(dims)
+                    ]
+        a = assign(cents)
+        return {i: (ci, round(d, 6)) for i, (d, ci) in a.items()}
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id string, embedding array<float>",
+        )
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(40)
+        ]
+        got = {
+            r["id"]: (r["cluster"], r["dist2"])
+            for r in similarity.kmeans_assign(
+                self._df(spark, rows), k=4, iters=2
+            ).collect()
+        }
+        want = self._py_kmeans([(str(i), v) for i, v in rows], 4, 2)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], i
+            assert abs(got[i][1] - want[i][1]) < 2e-6, i
+
+    def test_recovers_planted_clusters(self, spark):
+        import random
+
+        rng = random.Random(5)
+        centers = [[10.0] * 4, [-10.0] * 4, [10.0, -10.0, 10.0, -10.0]]
+        rows = []
+        for b, c in enumerate(centers):
+            for j in range(20):
+                rows.append(
+                    (b * 100 + j, [x + rng.gauss(0, 0.3) for x in c])
+                )
+        got = similarity.kmeans_assign(self._df(spark, rows), k=3, iters=3).collect()
+        by_blob = {}
+        for r in got:
+            by_blob.setdefault(int(r["id"]) // 100, set()).add(r["cluster"])
+        # every planted blob lands in exactly one cluster, all distinct
+        assert all(len(s) == 1 for s in by_blob.values())
+        assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+    def test_degenerate_identical_points(self, spark):
+        rows = [(i, [1.0, 2.0]) for i in range(6)]
+        got = similarity.kmeans_assign(self._df(spark, rows), k=3, iters=2).collect()
+        # all points identical -> all go to cluster 0 (tie -> lowest id),
+        # empty clusters carry their seed centroid, nothing crashes
+        assert len(got) == 6
+        assert {r["cluster"] for r in got} == {0}
+        assert all(r["dist2"] == 0.0 for r in got)
+
+
+class TestClusterBalancedSample:
+    def test_integer_hash_exactness(self, spark):
+        import hashlib
+
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        rows = [(str(i), i % 3) for i in range(300)]
+        assign = spark.createDataFrame(rows, "id string, cluster int")
+        got = {
+            r["id"]: (r["cluster"], r["n_cluster"], r["kept"])
+            for r in sampling.cluster_balanced_sample(assign, per_cluster=20).collect()
+        }
+        n = {c: sum(1 for _, cc in rows if cc == c) for c in range(3)}
+        for i, c in rows:
+            u32 = int(hashlib.md5(i.encode()).hexdigest()[:8], 16)
+            want_kept = 1 if u32 * n[c] < 20 * 2**32 else 0
+            assert got[i] == (c, n[c], want_kept), i
+
+    def test_small_cluster_survives_whole(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        rows = [(f"big{i}", 0) for i in range(500)] + [
+            (f"rare{i}", 1) for i in range(5)
+        ]
+        assign = spark.createDataFrame(rows, "id string, cluster int")
+        out = sampling.cluster_balanced_sample(assign, per_cluster=25).collect()
+        rare = [r for r in out if r["cluster"] == 1]
+        assert all(r["kept"] == 1 for r in rare) and len(rare) == 5
+        big_kept = sum(r["kept"] for r in out if r["cluster"] == 0)
+        # expected 25 of 500; hash-uniform draw stays in a loose band
+        assert 10 <= big_kept <= 45
+
+    def test_rerun_stable(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sampling
+
+        rows = [(str(i), 0) for i in range(200)]
+        assign = spark.createDataFrame(rows, "id string, cluster int")
+        a = {r["id"]: r["kept"] for r in sampling.cluster_balanced_sample(assign, 50).collect()}
+        b = {
+            r["id"]: r["kept"]
+            for r in sampling.cluster_balanced_sample(
+                assign.repartition(13), 50
+            ).collect()
+        }
+        assert a == b
