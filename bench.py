@@ -201,6 +201,12 @@ def main():
         "txt_gopher_quality",
         "txt_readability",
         "dd_repeated_spans",
+        # round-5 wave 7: graph scalars + word-order LM + oracled k-means
+        "kg_assortativity",
+        "kg_katz",
+        "txt_bigram_logprob",
+        "sim_kmeans",
+        "dd_cluster_balanced",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
