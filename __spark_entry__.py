@@ -2997,6 +2997,51 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_dd_ngram_novelty(spark, sf_dir):
+    """Corpus-order 8-gram novelty per document
+    (dedup.ngram_novelty): fraction of a doc's 8-token windows first
+    emitted by a LOWER doc_id — the document-ranking form of the
+    ExactSubstr signal (dd_repeated_spans localizes the spans; this
+    buckets whole pages for the curation funnel).  The planted
+    +1000000 copies score dup_frac = 1.0 by construction."""
+    return dedup.ngram_novelty(_docs_with_dups(spark, sf_dir), k=8)
+
+
+def q_dd_soft_dedup(spark, sf_dir):
+    """SoftDeDup loss-reweighting: every member of an LSH->CC dup
+    cluster weighted 1/cluster_size, singletons 1.0
+    (dedup.soft_dedup_weights over the dd_dup_clusters chain) — each
+    distinct content unit contributes one document's training mass
+    without dropping any row."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5, hash_family="md5")
+    cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
+    clusters = (
+        cc.join(
+            cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size")),
+            "component",
+        )
+        .select(F.col("id").alias("doc_id"), "cluster_size")
+    )
+    return dedup.soft_dedup_weights(docs, clusters)
+
+
+def q_rel_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed event mass per type at the stream
+    horizon (events.decayed_counts, tau = 1 day): the batch replay of
+    a streaming decayed counter — exact-microsecond ages, horizon
+    folded as a literal, one map-side-combined aggregate."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    return ev.decayed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        tau_seconds=86400.0,
+        by="event_type",
+    )
+
+
 def q_sim_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means over the embedding corpus
     (similarity.kmeans_assign, k=8, 2 centroid updates): seeds by
@@ -3228,6 +3273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bigram_logprob": q_txt_bigram_logprob,
         "sim_kmeans": q_sim_kmeans,
         "dd_cluster_balanced": q_dd_cluster_balanced,
+        "dd_ngram_novelty": q_dd_ngram_novelty,
+        "dd_soft_dedup": q_dd_soft_dedup,
+        "rel_decayed_counts": q_rel_decayed_counts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5308,6 +5356,49 @@ SELECT sp.id AS doc_id,
        array_to_string(b2.toks[span_start+1 : span_end], ' ') AS span_text
 FROM sp JOIN b2 ON sp.id = b2.id
 ORDER BY doc_id, span_start""",
+        # novelty: same k-gram generator as dd_repeated_spans; "seen"
+        # = gram's min doc_id is lower than this doc's
+        "dd_ngram_novelty": r"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+base AS (SELECT doc_id AS id,
+       list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks
+     FROM d),
+b2 AS MATERIALIZED (SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) >= 8),
+gr AS MATERIALIZED (
+  SELECT id, md5(array_to_string(toks[p+1 : p+8], ' ')) AS h
+  FROM b2, LATERAL (SELECT unnest(range(n - 7)) AS p) r),
+fst AS (SELECT h, MIN(id) AS first_id FROM gr GROUP BY h)
+SELECT g.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(SUM(CASE WHEN f.first_id < g.id THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+       ROUND(1.0 - SUM(CASE WHEN f.first_id < g.id THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+FROM gr g JOIN fst f ON g.h = f.h GROUP BY g.id ORDER BY doc_id""",
+        # soft dedup: the dd_dup_clusters reachability closure, then
+        # 1/size weights left-joined onto the full corpus view
+        "dd_soft_dedup": f"""WITH RECURSIVE {_MH_CTES},
+mp AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+sym AS (SELECT a_id AS id, b_id AS nbr FROM mp UNION SELECT b_id, a_id FROM mp),
+dnodes AS (SELECT DISTINCT id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM dnodes
+  UNION
+    SELECT rc.id, s.nbr FROM reach rc JOIN sym s ON rc.r = s.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT d.doc_id, CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / COALESCE(s.cluster_size, 1), 6) AS weight
+FROM d LEFT JOIN comp c ON d.doc_id = c.id LEFT JOIN szs s ON c.cluster_id = s.cluster_id
+ORDER BY d.doc_id""",
+        # decayed counters: exact-microsecond ages, horizon scalar from
+        # a 1-row MAX; (-a)/b == -(a/b) exactly in IEEE so the division
+        # chain matches Spark's -age/tau
+        "rel_decayed_counts": """
+WITH tm AS (SELECT MAX(epoch_us(ts)) AS t FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(exp((-(CAST(tm.t - epoch_us(ts) AS DOUBLE) / 1000000.0)) / 86400.0)), 6) AS decayed_count,
+       ROUND(SUM(exp((-(CAST(tm.t - epoch_us(ts) AS DOUBLE) / 1000000.0)) / 86400.0) * value), 6) AS decayed_value
+FROM events CROSS JOIN tm GROUP BY event_type ORDER BY event_type""",
         "sim_kmeans": f"""WITH {_KMEANS_CTES}
 SELECT CAST(id AS BIGINT) AS vec_id, cluster, ROUND(d, 6) AS dist2
 FROM ka2 ORDER BY vec_id""",

@@ -1016,3 +1016,99 @@ def repeated_spans(
         )
         .orderBy(id_col, "span_start")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-order n-gram novelty score: for each document, the
+    fraction of its k-token windows whose hash was ALREADY emitted by
+    a lower-id document — the per-document "how much of this is
+    recycled text" dial.  Where :func:`repeated_spans` localizes the
+    duplicated spans, this ranks whole documents for a curation
+    funnel (drop/downweight high-dup_frac pages first), the
+    aggregate-level ExactSubstr signal RefinedWeb/Dolma-style
+    pipelines bucket on.
+
+    "Seen before" is defined by min(doc_id) over each gram hash —
+    deterministic, order-free, and exactly the semantics a daily
+    batch gets when ids are ingestion-ordered.
+
+    -> (doc_id, n_grams, dup_frac, novel_frac), rounded to 6;
+    documents shorter than k tokens carry no signal and are excluded.
+
+    Scale shape: same two-shuffle skeleton as repeated_spans — the
+    gram generator is narrow inside the scan stage (tokenize once,
+    hash the slice; token arrays never shuffle), then (hash) pairs
+    shuffle once for the min-id table (map-side combined) and (id)
+    rows once for the per-doc fraction.  The gram->first join is an
+    equi-join on the gram-vocabulary relation."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    ).where(F.col("n") >= k)
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), p, k))),
+            )
+        ).alias("h"),
+    )
+    firsts = grams.groupBy("h").agg(F.min("id").alias("first_id"))
+    return (
+        grams.join(firsts, "h")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_id") < F.col("id")).cast("long")).alias("seen"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("seen") / F.col("n_grams"), 6).alias("dup_frac"),
+            F.round(F.lit(1.0) - F.col("seen") / F.col("n_grams"), 6).alias(
+                "novel_frac"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup-style duplication weights: instead of DROPPING
+    near-duplicates, downweight every member of a dup cluster by
+    1/cluster_size so each distinct content unit contributes one
+    document's worth of training mass no matter how many copies exist
+    (the loss-reweighting alternative to hard dedup).  ``clusters`` is
+    the (doc_id, cluster_size, ...) relation from the LSH -> connected
+    components chain (see ``q_dd_dup_clusters``); documents in no
+    cluster are singletons at weight 1.0.
+
+    -> (doc_id, cluster_size, weight) for EVERY input document.
+
+    Scale shape: one left equi-join of the corpus ids against the
+    cluster relation (dup-population-sized, typically a small fraction
+    of the corpus) — nothing else moves; text never enters."""
+    return (
+        docs.select(F.col(id_col))
+        .join(clusters.select(id_col, "cluster_size"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+            ).alias("weight"),
+        )
+        .orderBy(id_col)
+    )

@@ -428,3 +428,50 @@ def zscore_outliers(
         )
         .orderBy(id_col)
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    tau_seconds: float = 86400.0,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed aggregates as of the stream's
+    horizon: each event contributes exp(-(T - ts)/tau) where T =
+    max(ts) — the batch replay of a decayed counter (the classic
+    "recent activity matters more" rollup streaming systems keep as
+    running state; tau is the e-folding half-life scale).  Computing
+    it AT the horizon makes the result a pure function of the input
+    relation — rerun-stable, engine-replayable, no wall clock.
+
+    -> (group, n_events, decayed_count, decayed_value) per group,
+    rounded to 6, ordered by group.  decayed_count is the decayed
+    event mass (sum of weights), decayed_value the decayed sum of
+    ``value_col``.
+
+    Scale shape: T is a 1-row aggregate folded back as a LITERAL (the
+    BM25 corpus-scalar pattern — a crossJoin of the 1-row plan would
+    re-execute the scan per consumer), then ONE scan computes weights
+    map-side and ONE hash aggregate (map-side combined) shuffles only
+    |groups| partial rows."""
+    t_us = events.agg(F.max(_micros(F.col(ts_col))).alias("t")).collect()[0]["t"]
+    if t_us is None:
+        return events.sparkSession.createDataFrame(
+            [],
+            f"{by} string, n_events bigint, decayed_count double, decayed_value double",
+        )
+    # age in MICROSECONDS as an exact BIGINT (timestamps carry micros;
+    # a seconds-granular unix_timestamp would truncate), then one
+    # double division — identical IEEE ops on both engines
+    age = (F.lit(int(t_us)) - _micros(F.col(ts_col))).cast("double") / F.lit(1e6)
+    w = F.exp(-age / F.lit(float(tau_seconds)))
+    return (
+        events.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.round(F.sum(w * F.col(value_col)), 6).alias("decayed_value"),
+        )
+        .orderBy(by)
+    )

@@ -1036,3 +1036,72 @@ class TestClusterBalancedSample:
             ).collect()
         }
         assert a == b
+
+
+class TestNgramNovelty:
+    def _py(self, docs, k):
+        import hashlib
+
+        toks = {i: t.strip().split() for i, t in docs}
+        toks = {i: ts for i, ts in toks.items() if len(ts) >= k}
+        grams = {
+            i: [
+                hashlib.md5(" ".join(ts[p : p + k]).encode()).hexdigest()
+                for p in range(len(ts) - k + 1)
+            ]
+            for i, ts in toks.items()
+        }
+        first = {}
+        for i in sorted(grams):
+            for h in grams[i]:
+                first.setdefault(h, i)
+        out = {}
+        for i, hs in grams.items():
+            seen = sum(1 for h in hs if first[h] < i)
+            out[i] = (len(hs), round(seen / len(hs), 6), round(1 - seen / len(hs), 6))
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        docs = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),      # shares prefix grams
+            (3, "alpha beta gamma delta epsilon"),   # full copy of 1
+            (4, "omega psi chi"),                    # 3 tokens, k=3: 1 gram
+            (5, "xy"),                               # too short -> excluded
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_grams"], r["dup_frac"], r["novel_frac"])
+            for r in dedup.ngram_novelty(df, k=3).collect()
+        }
+        assert got == self._py(docs, 3)
+        assert 5 not in got
+        # the verbatim copy is 100% duplicated, the original 0%
+        assert got[3][1] == 1.0 and got[1][1] == 0.0
+
+    def test_within_doc_repetition_not_self_dup(self, spark):
+        # a doc repeating ITS OWN gram is still novel (first_id == id)
+        df = spark.createDataFrame(
+            [(7, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        row = dedup.ngram_novelty(df, k=3).collect()[0]
+        assert row["dup_frac"] == 0.0 and row["novel_frac"] == 1.0
+
+
+class TestSoftDedupWeights:
+    def test_weights(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        clusters = spark.createDataFrame(
+            [(0, 100, 3), (1, 100, 3), (2, 100, 3), (4, 200, 2), (5, 200, 2)],
+            "doc_id long, cluster_id long, cluster_size long",
+        )
+        got = {
+            r["doc_id"]: (r["cluster_size"], r["weight"])
+            for r in dedup.soft_dedup_weights(docs, clusters).collect()
+        }
+        assert got[0] == (3, round(1 / 3, 6)) == got[1] == got[2]
+        assert got[4] == (2, 0.5) == got[5]
+        assert got[3] == (1, 1.0)  # singleton untouched
+        # total training mass == number of distinct content units
+        # (cluster100 + cluster200 + the singleton = 3)
+        assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-5

@@ -430,3 +430,57 @@ class TestZscoreOutliers:
         assert {r["event_id"] for r in got} == {"e20", "e21"}
         zs = {r["event_id"]: r["z"] for r in got}
         assert zs["e20"] == -zs["e21"]
+
+
+class TestDecayedCounts:
+    def test_matches_python_replay(self, spark):
+        import datetime as dt
+        import math
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, "click", 2.0),
+            (2, base + dt.timedelta(seconds=30, microseconds=250_000), "click", 4.0),
+            (3, base + dt.timedelta(seconds=90), "buy", 10.0),
+            (4, base + dt.timedelta(seconds=100), "click", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        got = {
+            r["event_type"]: (r["n_events"], r["decayed_count"], r["decayed_value"])
+            for r in ev.decayed_counts(df, tau_seconds=60.0).collect()
+        }
+        t = max(r[1] for r in rows)
+        want = {}
+        for _, ts, typ, v in rows:
+            w = math.exp(-((t - ts).total_seconds()) / 60.0)
+            n, c, s = want.get(typ, (0, 0.0, 0.0))
+            want[typ] = (n + 1, c + w, s + w * v)
+        for typ, (n, c, s) in want.items():
+            assert got[typ][0] == n
+            assert abs(got[typ][1] - round(c, 6)) < 1e-9
+            assert abs(got[typ][2] - round(s, 6)) < 1e-9
+        # the horizon event has weight exactly 1
+        assert got["click"][1] < 3.0 and got["click"][1] > 1.0
+
+    def test_larger_tau_keeps_more_mass(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=i * 600), "e", 1.0) for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        small = ev.decayed_counts(df, tau_seconds=60.0).collect()[0]
+        big = ev.decayed_counts(df, tau_seconds=86400.0).collect()[0]
+        assert big["decayed_count"] > small["decayed_count"]
+        assert small["decayed_count"] >= 1.0  # horizon event always counts 1
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, event_type string, value double"
+        )
+        assert ev.decayed_counts(df).count() == 0
