@@ -309,7 +309,7 @@ sel_{k} AS MATERIALIZED (SELECT * FROM sel_{k - 1} UNION SELECT * FROM pick_{k})
     )
 
 
-def _matching_sql(rounds: int) -> str:
+def _matching_sql(rounds: int, final: str | None = None) -> str:
     """Unrolled greedy-equivalent maximal matching: per round an edge
     wins when its md5 priority is the min among live edges at BOTH
     endpoints; winners' endpoints leave.  Extra rounds no-op once the
@@ -341,8 +341,34 @@ mlive_{k} AS MATERIALIZED (
   WHERE l.a_id NOT IN (SELECT node FROM mdead_{k})
     AND l.b_id NOT IN (SELECT node FROM mdead_{k})
     AND NOT EXISTS (SELECT 1 FROM mwin_{k} w WHERE w.a_id = l.a_id AND w.b_id = l.b_id))""")
-    parts.append(f"\nSELECT a_id, b_id FROM mmat_{rounds} ORDER BY a_id, b_id")
+    parts.append(
+        "\n" + (final or f"SELECT a_id, b_id FROM mmat_{rounds} ORDER BY a_id, b_id")
+    )
     return "".join(parts)
+
+
+def _label_spreading_sql(iters: int = 5) -> str:
+    """Unrolled seed-clamped frontier-monotone label spreading
+    (mirrors queries.label_spreading): seeds = the 5 most-mentioned
+    concepts self-labeled; per round still-unlabeled nodes take the
+    majority label among labeled neighbors (ties -> min label) and
+    record the round they joined."""
+    s = """lund AS MATERIALIZED (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+ladj AS MATERIALIZED (SELECT cid, nbr_id FROM lund WHERE cid <> nbr_id),
+ls0 AS MATERIALIZED (SELECT concept_id AS id, concept_id AS label, 0 AS round FROM (
+  SELECT concept_id, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, concept_id) AS rn
+  FROM mentions GROUP BY concept_id) WHERE rn <= 5)"""
+    for k in range(1, iters + 1):
+        s += f""",
+lsv_{k} AS (SELECT a.cid AS id, l.label, COUNT(*) AS c
+   FROM ladj a JOIN ls{k - 1} l ON a.nbr_id = l.id
+   WHERE a.cid NOT IN (SELECT id FROM ls{k - 1}) GROUP BY a.cid, l.label),
+lsw_{k} AS (SELECT id, label FROM (
+   SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+   FROM lsv_{k}) WHERE rn = 1),
+ls{k} AS MATERIALIZED (SELECT * FROM ls{k - 1} UNION ALL SELECT id, label, {k} FROM lsw_{k})"""
+    return s + f"""
+SELECT id, label, CAST(round AS INT) AS round FROM ls{iters} ORDER BY id"""
 
 
 def _coloring_sql(msf_rounds: int, jp_rounds: int) -> str:
@@ -2997,6 +3023,37 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_kg_vertex_cover(spark, sf_dir):
+    """2-approximate minimum vertex cover (queries.vertex_cover =
+    both endpoints of the greedy-equivalent maximal matching): the
+    smallest reviewable entity set touching every candidate-duplicate
+    pair.  Inherits the matching's determinism; oracle = the matching
+    unroll with an endpoints-union final select."""
+    pairs = q_kg_pairs(spark, sf_dir).select("a_id", "b_id").distinct()
+    return q.vertex_cover(pairs)
+
+
+def q_kg_label_spreading(spark, sf_dir):
+    """Semi-supervised label spreading (queries.label_spreading) from
+    the 5 most-mentioned concepts (each seeding its own id as the
+    label, clamped): geodesic seed-Voronoi typing with majority
+    tie-breaks, monotone frontier — no oscillation by construction.
+    (id, label, round) with round = BFS distance to the winning
+    seed."""
+    und = _kg_cooccur_und(spark, sf_dir)
+    seeds = (
+        q_kg_mentions(spark, sf_dir)
+        .groupBy("concept_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "concept_id")
+        .limit(5)
+        .select(
+            F.col("concept_id").alias("id"), F.col("concept_id").alias("label")
+        )
+    )
+    return q.label_spreading(und, seeds, iters=5)
+
+
 def q_dd_ngram_novelty(spark, sf_dir):
     """Corpus-order 8-gram novelty per document
     (dedup.ngram_novelty): fraction of a doc's 8-token windows first
@@ -3274,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans": q_sim_kmeans,
         "dd_cluster_balanced": q_dd_cluster_balanced,
         "dd_ngram_novelty": q_dd_ngram_novelty,
+        "kg_vertex_cover": q_kg_vertex_cover,
+        "kg_label_spreading": q_kg_label_spreading,
         "dd_soft_dedup": q_dd_soft_dedup,
         "rel_decayed_counts": q_rel_decayed_counts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
@@ -5202,6 +5261,9 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         # greedy-equivalent maximal matching, 8 unrolled rounds
         # (fixpoint <= 6 at both SFs; extras no-op)
         "kg_maximal_matching": f"WITH {PAIRS_CTE},{_matching_sql(8)}",
+        "kg_vertex_cover": f"""WITH {PAIRS_CTE},{_matching_sql(8, final="SELECT id FROM (SELECT a_id AS id FROM mmat_8 UNION SELECT b_id FROM mmat_8) ORDER BY id")}""",
+        "kg_label_spreading": f"""WITH {PAIRS_CTE},
+{_label_spreading_sql(5)}""",
         # temperature mixture: sqrt is IEEE-correctly-rounded and the
         # denominator accumulates as DECIMAL -> engine-exact rates
         "txt_temperature_mixture": f"""

@@ -3518,3 +3518,90 @@ def katz_centrality(
         .orderBy(F.desc("katz"), "id")
         .limit(top_k)
     )
+
+
+def vertex_cover(
+    edges: DataFrame,
+    a: str = "a_id",
+    b: str = "b_id",
+    seed: str = "mm",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """2-approximate minimum vertex cover: both endpoints of every
+    edge in the greedy-equivalent :func:`maximal_matching`.  The
+    classic guarantee: the matched edges are node-disjoint, so ANY
+    cover must pick >= 1 node from each — at least |M| nodes — while
+    this cover has exactly 2|M|; and it IS a cover because an
+    uncovered edge would have both endpoints unmatched, contradicting
+    maximality.  KG production use: the minimum set of entities whose
+    review/annotation touches every candidate-duplicate pair.
+
+    Returns (id), ordered.  Scale shape: the matching's cost plus one
+    projection + distinct — nothing new moves."""
+    m = maximal_matching(edges, a=a, b=b, seed=seed, max_rounds=max_rounds)
+    return (
+        m.select(F.col(a).alias("id"))
+        .unionByName(m.select(F.col(b).alias("id")))
+        .distinct()
+        .orderBy("id")
+    )
+
+
+def label_spreading(
+    und: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Seed-clamped, frontier-monotone label spreading — the
+    semi-supervised node-classification primitive (given a few
+    labeled entities, type the rest of the graph by proximity).
+    Distinct from :func:`label_propagation` (community detection): the
+    seed labels are CLAMPED, a node KEEPS its first label (monotone
+    frontier — no oscillation by construction, unlike sync-LPA), and
+    each round only still-unlabeled nodes vote among their labeled
+    neighbors (majority count, ties -> min label).  The result is the
+    geodesic seed-Voronoi labeling with majority tie-breaks —
+    deterministic across engines/partitionings.
+
+    ``seeds``: (id, label).  Returns (id, label, round) with round =
+    the BFS distance to the winning seed set (0 for seeds); nodes
+    unreachable within ``iters`` rounds are absent.
+
+    Scale shape: per round ONE equi-join of the adjacency against the
+    labeled frontier... strictly the labeled SET (monotone, so the
+    join input only grows by the frontier), one (node,label) hash
+    aggregate and one argmax — the LPA per-round cost; lineage
+    truncated every ``checkpoint_every`` rounds."""
+    sc = und.sparkSession.sparkContext
+    adj = (
+        und.select(F.col("cid").cast("string"), F.col("nbr_id").cast("string"))
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts = min(sc.defaultParallelism, max(8, adj.count() // 100_000 + 1))
+    adj = adj.coalesce(parts)
+    labs = seeds.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("label").cast("string").alias("label"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, iters + 1):
+        votes = (
+            adj.join(
+                labs.select(F.col("id").alias("nbr_id"), "label"), "nbr_id"
+            )
+            .join(labs.select(F.col("id").alias("cid")), "cid", "left_anti")
+            .groupBy(F.col("cid").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = (
+            votes.groupBy("id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("w"))
+            .select("id", F.col("w.l").alias("label"), F.lit(k).alias("round"))
+        )
+        labs = labs.unionByName(winners)
+        if k % checkpoint_every == 0 or k == iters:
+            labs = labs.coalesce(parts).localCheckpoint(eager=True)
+    return labs.orderBy("id")

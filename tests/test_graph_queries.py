@@ -2677,3 +2677,97 @@ class TestKatzCentrality:
             indeg[b] = indeg.get(b, 0) + 1
         for v, s in got.items():
             assert abs(s - (1.0 + 0.1 * indeg.get(v, 0))) < 1e-9
+
+
+class TestVertexCover:
+    def _check_cover(self, edges, cover):
+        for a, b in edges:
+            assert a in cover or b in cover, (a, b)
+
+    def test_is_cover_and_2approx(self, spark):
+        import random
+
+        rng = random.Random(13)
+        nodes = [f"n{i}" for i in range(24)]
+        edges = sorted({
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)
+        })
+        df = spark.createDataFrame(edges, "a_id string, b_id string")
+        cover = {r["id"] for r in queries.vertex_cover(df).collect()}
+        self._check_cover(edges, cover)
+        # |cover| = 2|M| and any cover >= |M|, so vs the LP bound:
+        m = queries.maximal_matching(df).count()
+        assert len(cover) == 2 * m
+
+    def test_star_cover_is_hub_pair(self, spark):
+        star = [("hub", f"leaf{i}") for i in range(6)]
+        df = spark.createDataFrame(star, "a_id string, b_id string")
+        cover = {r["id"] for r in queries.vertex_cover(df).collect()}
+        # matching picks exactly one hub edge -> cover = hub + one leaf
+        assert "hub" in cover and len(cover) == 2
+        self._check_cover(star, cover)
+
+
+def _py_label_spreading(edges, seeds, iters=5):
+    sym = set(edges) | {(b, a) for a, b in edges}
+    adj = {}
+    for x, y in sym:
+        if x != y:
+            adj.setdefault(x, set()).add(y)
+    labs = {i: (l, 0) for i, l in seeds.items()}
+    for k in range(1, iters + 1):
+        votes = {}
+        for n, nbrs in adj.items():
+            if n in labs:
+                continue
+            cnt = {}
+            for nb in nbrs:
+                if nb in labs:
+                    lab = labs[nb][0]
+                    cnt[lab] = cnt.get(lab, 0) + 1
+            if cnt:
+                votes[n] = min((-c, l) for l, c in cnt.items())[1]
+        for n, l in votes.items():
+            labs[n] = (l, k)
+    return labs
+
+
+class TestLabelSpreading:
+    def test_matches_python_oracle(self, spark):
+        import random
+
+        rng = random.Random(21)
+        nodes = [f"n{i}" for i in range(30)]
+        edges = sorted({
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(55)
+        })
+        seeds = {"n0": "A", "n7": "B", "n15": "C"}
+        sdf = spark.createDataFrame(list(seeds.items()), "id string, label string")
+        got = {
+            r["id"]: (r["label"], r["round"])
+            for r in queries.label_spreading(_und_df(spark, edges), sdf, iters=5).collect()
+        }
+        want = _py_label_spreading(edges, seeds, iters=5)
+        assert got == want
+
+    def test_seeds_clamped_and_monotone(self, spark):
+        # a seed surrounded by opposing labels keeps its own
+        edges = [("s", "x"), ("x", "t1"), ("x", "t2"), ("x", "t3")]
+        seeds = [("s", "RED"), ("t1", "BLU"), ("t2", "BLU"), ("t3", "BLU")]
+        sdf = spark.createDataFrame(seeds, "id string, label string")
+        got = {
+            r["id"]: (r["label"], r["round"])
+            for r in queries.label_spreading(_und_df(spark, edges), sdf, iters=4).collect()
+        }
+        assert got["s"] == ("RED", 0)
+        # x has 3 BLU neighbors vs 1 RED -> majority BLU at round 1
+        assert got["x"] == ("BLU", 1)
+
+    def test_round_is_bfs_distance(self, spark):
+        chain = [("a", "b"), ("b", "c"), ("c", "d")]
+        sdf = spark.createDataFrame([("a", "L")], "id string, label string")
+        got = {
+            r["id"]: r["round"]
+            for r in queries.label_spreading(_und_df(spark, chain), sdf, iters=5).collect()
+        }
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
