@@ -207,6 +207,12 @@ def main():
         "txt_bigram_logprob",
         "sim_kmeans",
         "dd_cluster_balanced",
+        # round-5 waves 8-9: novelty/soft-dedup/decayed + cover/spreading
+        "dd_ngram_novelty",
+        "dd_soft_dedup",
+        "rel_decayed_counts",
+        "kg_vertex_cover",
+        "kg_label_spreading",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
