@@ -3023,6 +3023,28 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_kg_reciprocity(spark, sf_dir):
+    """Directed-triple reciprocity (queries.reciprocity): fraction of
+    (subj -> obj) facts also asserted in reverse — mutual is_a pairs
+    are synonym candidates, reciprocal causes edges flag extraction
+    noise.  Exact-integer aggregates, one in-engine division."""
+    t = _triples(spark, sf_dir)
+    return q.reciprocity(
+        t.select(F.col("subj_id").alias("src_id"), F.col("obj_id").alias("dst_id"))
+    )
+
+
+def q_sim_recall_at_k(spark, sf_dir):
+    """In-engine ANN quality eval (similarity.ann_recall_at_k):
+    recall@10 of the SRP-LSH index vs exact brute force for the 10
+    md5-smallest query vectors — the continuous index-drift check a
+    production ANN deployment runs; both arms rank ONE shared scored
+    relation whose dots are left-fold bit-identical cross-engine."""
+    return similarity.ann_recall_at_k(
+        _emb(spark, sf_dir), k=10, n_queries=10, n_planes=16, bands=4
+    )
+
+
 def q_kg_vertex_cover(spark, sf_dir):
     """2-approximate minimum vertex cover (queries.vertex_cover =
     both endpoints of the greedy-equivalent maximal matching): the
@@ -3333,6 +3355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_novelty": q_dd_ngram_novelty,
         "kg_vertex_cover": q_kg_vertex_cover,
         "kg_label_spreading": q_kg_label_spreading,
+        "kg_reciprocity": q_kg_reciprocity,
+        "sim_recall_at_k": q_sim_recall_at_k,
         "dd_soft_dedup": q_dd_soft_dedup,
         "rel_decayed_counts": q_rel_decayed_counts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
@@ -5264,6 +5288,35 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         "kg_vertex_cover": f"""WITH {PAIRS_CTE},{_matching_sql(8, final="SELECT id FROM (SELECT a_id AS id FROM mmat_8 UNION SELECT b_id FROM mmat_8) ORDER BY id")}""",
         "kg_label_spreading": f"""WITH {PAIRS_CTE},
 {_label_spreading_sql(5)}""",
+        "kg_reciprocity": f"""WITH {TRIPLES_CTE},
+re AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples WHERE subj_id <> obj_id),
+rr AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM re a
+       WHERE EXISTS (SELECT 1 FROM re b WHERE b.src = a.dst AND b.dst = a.src)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM re)
+SELECT nn.n AS n_edges, rr.r AS n_reciprocal,
+       ROUND(CAST(rr.r AS DOUBLE) / nn.n, 6) AS reciprocity
+FROM nn CROSS JOIN rr""",
+        # ANN recall eval: one shared scored relation (left-fold dots,
+        # bit-identical) ranked twice — full corpus (exact) vs bucket-mates
+        "sim_recall_at_k": f"""WITH {_srp_base},
+qs AS MATERIALIZED (SELECT id, v FROM (
+    SELECT id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS rn FROM base) WHERE rn <= 10),
+sc AS MATERIALIZED (SELECT b.id, q.id AS qid,
+    list_sum(list_transform(list_zip(b.v, q.v), z -> z[1]*z[2]))
+    / (sqrt(list_sum(list_transform(b.v, x -> x*x))) * sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS c
+    FROM base b CROSS JOIN qs q),
+ex AS (SELECT qid, id FROM (
+    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rn FROM sc) WHERE rn <= 10),
+qb AS (SELECT id AS qid, band, bucket FROM bands WHERE id IN (SELECT id FROM qs)),
+cnd AS MATERIALIZED (SELECT DISTINCT b.id, q.qid FROM bands b JOIN qb q ON b.band = q.band AND b.bucket = q.bucket),
+annx AS (SELECT qid, id FROM (
+    SELECT s.qid, s.id, ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.c DESC, s.id) AS rn
+    FROM sc s JOIN cnd c ON s.id = c.id AND s.qid = c.qid) WHERE rn <= 10),
+nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cnd GROUP BY qid),
+ht AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS hits FROM ex e JOIN annx a ON e.qid = a.qid AND e.id = a.id GROUP BY e.qid)
+SELECT q.id AS qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
+       COALESCE(ht.hits, 0) AS hits, ROUND(COALESCE(ht.hits, 0) / 10.0, 6) AS recall
+FROM qs q LEFT JOIN nc ON q.id = nc.qid LEFT JOIN ht ON q.id = ht.qid ORDER BY qid""",
         # temperature mixture: sqrt is IEEE-correctly-rounded and the
         # denominator accumulates as DECIMAL -> engine-exact rates
         "txt_temperature_mixture": f"""

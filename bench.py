@@ -213,6 +213,9 @@ def main():
         "rel_decayed_counts",
         "kg_vertex_cover",
         "kg_label_spreading",
+        # round-5 wave 10: structure scalar + ANN quality eval
+        "kg_reciprocity",
+        "sim_recall_at_k",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -982,3 +982,131 @@ def kmeans_assign(
         .select("id", "cluster", F.round("dist2", 6).alias("dist2"))
         .orderBy("id")
     )
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-engine ANN quality evaluation: recall@k of the SRP-LSH index
+    against exact brute force, per query — the continuous-eval job a
+    production ANN deployment runs to catch index drift (recall decay
+    after re-shards, plane-count misconfiguration, degenerate
+    buckets), computed WITHOUT leaving the engine.
+
+    Queries = the ``n_queries`` vectors with the smallest
+    md5(id) (the deterministic draw every sampler here uses).  Both
+    ranking arms share ONE scored relation: each corpus row computes
+    its cosine against every query from a LITERAL query array inside
+    the scan stage (a transform + explode — no join, no cartesian;
+    n_queries * dims doubles folded into the plan), then
+
+    * exact arm  = rank <= k per query over all rows,
+    * ANN arm    = rank <= k per query over SRP bucket-mates only
+      (the same :func:`srp_buckets` relation the index uses),
+
+    and recall@k = |arms' intersection| / k.  Ties rank (cosine desc,
+    id) — the dots are LEFT folds in index order, bit-identical
+    cross-engine, so the oracle replays the ranking exactly.
+
+    Returns (qid, n_candidates, hits, recall) ordered by qid.
+
+    Scale shape: one scan computes all n_queries scores (scan-stage
+    expressions); the per-query rank is a (qid)-keyed window over
+    n_queries * n rows — the eval-job shape, not the serving path
+    (serving uses :func:`ann_topk`'s TakeOrdered); the candidate arm
+    semi-joins the bucket relation first.  At 100 TB you run this on
+    a hash sample of the corpus — the recall estimate only needs
+    enough rows per bucket, not the full index."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    qrows = (
+        base.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_queries)
+        .collect()
+    )
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "qid long, n_candidates bigint, hits bigint, recall double"
+        )
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(r["id"]).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in r["v"]]).alias("qv"),
+            )
+            for r in sorted(qrows, key=lambda r: r["id"])
+        ]
+    )
+    sc = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                qlit,
+                lambda q: F.struct(
+                    q["qid"].alias("qid"),
+                    (
+                        _dot(F.col("v"), q["qv"])
+                        / (_norm(F.col("v")) * _norm(q["qv"]))
+                    ).alias("c"),
+                ),
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.qid").alias("qid"), F.col("s.c").alias("c"))
+    rank_w = Window.partitionBy("qid").orderBy(F.desc("c"), "id")
+    exact = (
+        sc.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+        .select("qid", "id")
+    )
+    dim = len(qrows[0]["v"])
+    bk = srp_buckets(
+        embeddings, dim, n_planes=n_planes, bands=bands, id_col=id_col, vec_col=vec_col
+    ).select("id", "band", "bucket")
+    qids = [r["id"] for r in qrows]
+    qb = bk.where(F.col("id").isin(qids)).select(
+        F.col("id").alias("qid"), "band", "bucket"
+    )
+    cand = (
+        bk.join(qb, ["band", "bucket"])
+        .select("id", "qid")
+        .distinct()
+    )
+    ann = (
+        sc.join(cand, ["id", "qid"])
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+        .select("qid", "id")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        exact.join(ann, ["qid", "id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(int(i),) for i in qids], "qid long"
+    )
+    return (
+        qdf.join(ncand, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("qid")
+    )

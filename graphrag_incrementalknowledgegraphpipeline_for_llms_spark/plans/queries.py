@@ -3605,3 +3605,42 @@ def label_spreading(
         if k % checkpoint_every == 0 or k == iters:
             labs = labs.coalesce(parts).localCheckpoint(eager=True)
     return labs.orderBy("id")
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of directed edges
+    whose reverse edge also exists — on the triple graph, how often a
+    relation is asserted in BOTH directions (mutual is_a pairs are
+    synonym candidates; high reciprocity in a causes subgraph flags
+    extraction noise).  Complements :func:`degree_assortativity` as
+    the second one-scalar structure summary: both are exact-integer
+    aggregates with one final division, bit-identical across engines.
+
+    Returns one row (n_edges, n_reciprocal, reciprocity).
+
+    Scale shape: one distinct + one self-equi-join on the flipped key
+    + 1-row aggregates; only (src, dst) pairs move."""
+    e = (
+        edges.select(
+            F.col("src_id").cast("string").alias("src"),
+            F.col("dst_id").cast("string").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rec = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    n = e.count()
+    r = rec.count()
+    # the division + ROUND happen IN-ENGINE (python round is banker's;
+    # Spark/DuckDB ROUND are half-away — keep all three out of it)
+    return e.sparkSession.range(1).select(
+        F.lit(n).cast("bigint").alias("n_edges"),
+        F.lit(r).cast("bigint").alias("n_reciprocal"),
+        F.round(
+            F.lit(r) / F.lit(n) if n else F.lit(0.0), 6
+        ).alias("reciprocity"),
+    )

@@ -1105,3 +1105,43 @@ class TestSoftDedupWeights:
         # total training mass == number of distinct content units
         # (cluster100 + cluster200 + the singleton = 3)
         assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-5
+
+
+class TestAnnRecallAtK:
+    def _emb(self, spark, n=120, dim=16, blobs=4):
+        import random
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(n):
+            c = i % blobs
+            rows.append(
+                (i, [10.0 * (1 if (c >> b) & 1 else -1) + rng.gauss(0, 0.5)
+                     for b in range(dim)])
+            )
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_recall_is_high_on_clustered_data(self, spark):
+        emb = self._emb(spark)
+        out = similarity.ann_recall_at_k(emb, k=10, n_queries=5).collect()
+        assert len(out) == 5
+        # well-separated blobs: bucket-mates contain the true top-k
+        assert all(r["recall"] >= 0.8 for r in out)
+        assert all(0 < r["n_candidates"] < 120 for r in out)  # really pruned
+
+    def test_exact_arm_matches_bruteforce(self, spark):
+        emb = self._emb(spark, n=60)
+        out = {r["qid"]: r for r in similarity.ann_recall_at_k(emb, k=5, n_queries=3).collect()}
+        # recall is |ann ∩ exact| / k, so hits <= k and recall in [0,1]
+        for r in out.values():
+            assert 0 <= r["hits"] <= 5
+            assert abs(r["recall"] - round(r["hits"] / 5.0, 6)) < 1e-9
+
+    def test_deterministic_across_repartition(self, spark):
+        emb = self._emb(spark, n=80)
+        a = [tuple(r) for r in similarity.ann_recall_at_k(emb, k=5, n_queries=4).collect()]
+        b = [tuple(r) for r in similarity.ann_recall_at_k(emb.repartition(7), k=5, n_queries=4).collect()]
+        assert a == b

@@ -2771,3 +2771,19 @@ class TestLabelSpreading:
             for r in queries.label_spreading(_und_df(spark, chain), sdf, iters=5).collect()
         }
         assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+class TestReciprocity:
+    def test_values(self, spark):
+        edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "c"), ("e", "e")]
+        df = spark.createDataFrame(edges, "src_id string, dst_id string")
+        row = queries.reciprocity(df).collect()[0]
+        # self-loop dropped; 5 directed edges, 4 reciprocal
+        assert row["n_edges"] == 5 and row["n_reciprocal"] == 4
+        assert row["reciprocity"] == 0.8
+
+    def test_dag_is_zero(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("a", "c")]
+        df = spark.createDataFrame(edges, "src_id string, dst_id string")
+        row = queries.reciprocity(df).collect()[0]
+        assert row["n_reciprocal"] == 0 and row["reciprocity"] == 0.0
