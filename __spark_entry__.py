@@ -3023,6 +3023,38 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_kg_taxonomy_reduction(spark, sf_dir):
+    """Transitive reduction audit of the is_a taxonomy
+    (queries.taxonomy_reduction): every direct edge with the minimum
+    alternative-chain length (2..4) that makes it redundant, NULL =
+    the edge is in the reduction — the cleanup dual of
+    kg_taxonomy_closure that strips the skip-level is_a assertions
+    extractors emit."""
+    return q.taxonomy_reduction(_isa_edges(spark, sf_dir), max_depth=4)
+
+
+def q_kg_centralization(spark, sf_dir):
+    """Freeman degree centralization of the co-occurrence graph
+    (queries.degree_centralization): 1.0 = one mega-hub (salt THAT
+    key), 0.0 = regular mesh.  Exact-integer aggregates, one
+    in-engine division; completes the structure-scalar trio with
+    assortativity and reciprocity."""
+    return q.degree_centralization(_kg_cooccur_und(spark, sf_dir))
+
+
+def q_rel_attribution(spark, sf_dir):
+    """First-touch / last-touch conversion attribution
+    (events.conversion_attribution): for every purchase, the first and
+    last non-purchase event type the user emitted before it, rolled up
+    to (first_touch, last_touch, conversions); organic purchases
+    attribute to 'none'.  One per-user window pass."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    return ev.conversion_attribution(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), conversion_type="purchase"
+    )
+
+
 def q_kg_reciprocity(spark, sf_dir):
     """Directed-triple reciprocity (queries.reciprocity): fraction of
     (subj -> obj) facts also asserted in reverse — mutual is_a pairs
@@ -3357,6 +3389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_spreading": q_kg_label_spreading,
         "kg_reciprocity": q_kg_reciprocity,
         "sim_recall_at_k": q_sim_recall_at_k,
+        "kg_taxonomy_reduction": q_kg_taxonomy_reduction,
+        "kg_centralization": q_kg_centralization,
+        "rel_attribution": q_rel_attribution,
         "dd_soft_dedup": q_dd_soft_dedup,
         "rel_decayed_counts": q_rel_decayed_counts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
@@ -5288,6 +5323,38 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         "kg_vertex_cover": f"""WITH {PAIRS_CTE},{_matching_sql(8, final="SELECT id FROM (SELECT a_id AS id FROM mmat_8 UNION SELECT b_id FROM mmat_8) ORDER BY id")}""",
         "kg_label_spreading": f"""WITH {PAIRS_CTE},
 {_label_spreading_sql(5)}""",
+        # transitive reduction: min alternative chain = first hop +
+        # min closure depth (c3 = depths 1..3 -> chains 2..4)
+        "kg_taxonomy_reduction": f"""WITH {TRIPLES_CTE},
+{_ISA_CLOSURE_CTES},
+alt AS (SELECT e.desc_id AS child_id, c.anc_id AS parent_id,
+               CAST(MIN(c.depth) + 1 AS INT) AS redundant_via_depth
+        FROM isa e JOIN c3 c ON e.anc_id = c.desc_id
+        WHERE e.desc_id <> c.anc_id
+        GROUP BY e.desc_id, c.anc_id)
+SELECT i.desc_id AS child_id, i.anc_id AS parent_id, a.redundant_via_depth
+FROM isa i LEFT JOIN alt a ON i.desc_id = a.child_id AND i.anc_id = a.parent_id
+ORDER BY child_id, parent_id""",
+        "kg_centralization": f"""WITH {PAIRS_CTE},
+cadj0 AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+cadj AS (SELECT cid, nbr_id FROM cadj0 WHERE cid <> nbr_id),
+cdeg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS d FROM cadj GROUP BY cid),
+cag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(d) AS BIGINT) AS mx,
+               CAST(SUM(d) AS BIGINT) AS sd FROM cdeg)
+SELECT n AS n_nodes, mx AS max_degree,
+       ROUND(CAST(n * mx - sd AS DOUBLE) / ((n - 1) * (n - 2)), 6) AS centralization
+FROM cag""",
+        "rel_attribution": """
+WITH w AS (
+  SELECT event_type,
+    COALESCE(first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS first_touch,
+    COALESCE(last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'none') AS last_touch
+  FROM events)
+SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS conversions
+FROM w WHERE event_type = 'purchase'
+GROUP BY first_touch, last_touch ORDER BY first_touch, last_touch""",
         "kg_reciprocity": f"""WITH {TRIPLES_CTE},
 re AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM triples WHERE subj_id <> obj_id),
 rr AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM re a

@@ -216,6 +216,10 @@ def main():
         # round-5 wave 10: structure scalar + ANN quality eval
         "kg_reciprocity",
         "sim_recall_at_k",
+        # round-5 wave 11: taxonomy cleanup + structure scalar + attribution
+        "kg_taxonomy_reduction",
+        "kg_centralization",
+        "rel_attribution",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

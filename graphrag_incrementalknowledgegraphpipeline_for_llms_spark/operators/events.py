@@ -475,3 +475,50 @@ def decayed_counts(
         )
         .orderBy(by)
     )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, the FIRST and the LAST non-conversion event type
+    the same user emitted before it (the two classic marketing
+    attribution models), aggregated to (first_touch, last_touch,
+    conversions).  Conversions with no prior touch attribute to
+    'none' (organic).
+
+    Ordering is (ts, event_id) — the same tie-break every sequential
+    op here uses (markov_transitions), so the result is deterministic
+    under timestamp collisions.
+
+    Scale shape: ONE per-user window pass (two IGNORE NULLS frames
+    over the same sort — one shuffle on user_id, the sessionize
+    shape), then a |type^2|-row aggregate.  Event payloads never
+    move twice."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    enriched = events.select(
+        user_col,
+        type_col,
+        F.coalesce(F.first(touch, ignorenulls=True).over(w), F.lit("none")).alias(
+            "first_touch"
+        ),
+        F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit("none")).alias(
+            "last_touch"
+        ),
+    )
+    return (
+        enriched.where(F.col(type_col) == conversion_type)
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .orderBy("first_touch", "last_touch")
+    )

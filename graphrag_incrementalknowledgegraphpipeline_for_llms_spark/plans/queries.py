@@ -3644,3 +3644,97 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.lit(r) / F.lit(n) if n else F.lit(0.0), 6
         ).alias("reciprocity"),
     )
+
+
+def taxonomy_reduction(isa: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Transitive REDUCTION of the is_a taxonomy, the cleanup dual of
+    :func:`taxonomy_closure`: drop every direct edge (a, b) that is
+    also implied by an alternative chain a -> x -> ... -> b of length
+    2..``max_depth`` — the redundant "skip-level" is_a assertions an
+    extractor emits when a page states both "X is a mammal" and "X is
+    an animal".  Keeping only the reduction makes rollups count each
+    mention once per path and renders the taxonomy as a clean layered
+    DAG.  On a DAG with the closure depth bound this is exactly the
+    standard transitive reduction; with extraction-noise cycles the
+    rule stays well-defined (an edge survives iff NO alternative
+    2..max_depth chain exists) and deterministic.
+
+    Returns (child_id, parent_id, redundant_via_depth): ALL direct
+    edges with the min alternative-chain length that condemns them
+    (NULL -> the edge is in the reduction), so the caller can either
+    filter ``redundant_via_depth IS NULL`` or audit what was cut.
+
+    Scale shape: one closure run (semi-naive, vocab-bound) + ONE
+    equi-join composing edge x closure + a left join back — all on
+    the concept-vocabulary relation, never the corpus."""
+    edges = (
+        isa.select(
+            F.col("child_id").cast("string").alias("child_id"),
+            F.col("parent_id").cast("string").alias("parent_id"),
+        )
+        .where(F.col("child_id") != F.col("parent_id"))
+        .distinct()
+    )
+    clo = taxonomy_closure(
+        edges.select(F.col("child_id"), F.col("parent_id")), max_depth=max_depth - 1
+    )
+    # alternative chains of length 2..max_depth: first hop a -> x,
+    # then a closure path x -> b of 1..max_depth-1 hops
+    alt = (
+        edges.select(F.col("child_id"), F.col("parent_id").alias("mid"))
+        .join(
+            clo.select(
+                F.col("desc_id").alias("mid"),
+                F.col("anc_id").alias("parent_id"),
+                "depth",
+            ),
+            "mid",
+        )
+        .where(F.col("child_id") != F.col("parent_id"))
+        .groupBy("child_id", "parent_id")
+        .agg((F.min("depth") + F.lit(1)).cast("int").alias("redundant_via_depth"))
+    )
+    return (
+        edges.join(alt, ["child_id", "parent_id"], "left")
+        .select("child_id", "parent_id", "redundant_via_depth")
+        .orderBy("child_id", "parent_id")
+    )
+
+
+def degree_centralization(und: DataFrame) -> DataFrame:
+    """Freeman degree centralization: sum(max_degree - degree) over
+    nodes, normalized by the star graph's value (n-1)(n-2) — 1.0 for
+    a perfect star, 0.0 for a regular graph.  The third one-scalar
+    structure summary next to :func:`degree_assortativity` and
+    :func:`reciprocity`: "is this co-occurrence graph one mega-hub or
+    a mesh?", i.e. whether per-key salting of the single hottest key
+    is the right skew treatment.  Exact-integer aggregates, one
+    in-engine division.
+
+    Returns one row (n_nodes, max_degree, centralization)."""
+    adj = (
+        und.select(F.col("cid").cast("string"), F.col("nbr_id").cast("string"))
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+    )
+    deg = adj.groupBy(F.col("cid").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("degree").alias("mx"),
+        F.sum("degree").alias("sd"),
+    ).collect()[0]
+    n, mx, sd = row["n"], row["mx"], row["sd"]
+    if n is None or n < 3:
+        return und.sparkSession.createDataFrame(
+            [], "n_nodes bigint, max_degree bigint, centralization double"
+        )
+    return und.sparkSession.range(1).select(
+        F.lit(n).cast("bigint").alias("n_nodes"),
+        F.lit(mx).cast("bigint").alias("max_degree"),
+        F.round(
+            F.lit(int(n) * int(mx) - int(sd)) / F.lit((int(n) - 1) * (int(n) - 2)),
+            6,
+        ).alias("centralization"),
+    )

@@ -484,3 +484,49 @@ class TestDecayedCounts:
             [], "event_id long, ts timestamp, event_type string, value double"
         )
         assert ev.decayed_counts(df).count() == 0
+
+
+class TestConversionAttribution:
+    def test_first_and_last_touch(self, spark):
+        base = datetime(2024, 1, 1)
+        rows = [
+            # user 1: ad -> email -> purchase  (first=ad, last=email)
+            (1, base, 1, "ad", 1.0),
+            (2, base + timedelta(minutes=1), 1, "email", 1.0),
+            (3, base + timedelta(minutes=2), 1, "purchase", 9.0),
+            # user 1 buys again after one more touch: first STILL ad
+            (4, base + timedelta(minutes=3), 1, "search", 1.0),
+            (5, base + timedelta(minutes=4), 1, "purchase", 5.0),
+            # user 2: organic purchase, no touches
+            (6, base, 2, "purchase", 3.0),
+            # user 3: purchase then a touch AFTER it (must not count)
+            (7, base, 3, "purchase", 2.0),
+            (8, base + timedelta(minutes=1), 3, "ad", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        got = {
+            (r["first_touch"], r["last_touch"]): r["conversions"]
+            for r in ev.conversion_attribution(df).collect()
+        }
+        assert got == {
+            ("ad", "email"): 1,
+            ("ad", "search"): 1,
+            ("none", "none"): 2,
+        }
+
+    def test_prior_conversions_are_not_touches(self, spark):
+        base = datetime(2024, 1, 1)
+        rows = [
+            (1, base, 1, "purchase", 1.0),
+            (2, base + timedelta(minutes=1), 1, "purchase", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        got = {
+            (r["first_touch"], r["last_touch"]): r["conversions"]
+            for r in ev.conversion_attribution(df).collect()
+        }
+        assert got == {("none", "none"): 2}
