@@ -3023,6 +3023,27 @@ def q_dd_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_dd_lsh_stats(spark, sf_dir):
+    """LSH index health report (similarity.lsh_bucket_stats): per-band
+    bucket count, max bucket, and EXACT candidate-pair mass
+    sum(sz*(sz-1)/2) — the cost of every bucketed self-join
+    downstream, read off the histogram BEFORE paying for the join;
+    the index-side sibling of sim_recall_at_k.  All-integer."""
+    return similarity.lsh_bucket_stats(
+        _emb(spark, sf_dir), dim=64, n_planes=16, bands=4
+    )
+
+
+def q_txt_zipf_fit(spark, sf_dir):
+    """Zipf's-law OLS fit over the top-100 corpus terms
+    (textsearch.zipf_fit): slope near -1 = natural language,
+    flattening = templated boilerplate, steepening = keyword
+    stuffing.  One-row corpus-health scalar."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    return textsearch.zipf_fit(_docs(spark, sf_dir), top_k=100)
+
+
 def q_kg_taxonomy_reduction(spark, sf_dir):
     """Transitive reduction audit of the is_a taxonomy
     (queries.taxonomy_reduction): every direct edge with the minimum
@@ -3392,6 +3413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_taxonomy_reduction": q_kg_taxonomy_reduction,
         "kg_centralization": q_kg_centralization,
         "rel_attribution": q_rel_attribution,
+        "dd_lsh_stats": q_dd_lsh_stats,
+        "txt_zipf_fit": q_txt_zipf_fit,
         "dd_soft_dedup": q_dd_soft_dedup,
         "rel_decayed_counts": q_rel_decayed_counts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
@@ -5323,6 +5346,25 @@ SELECT id AS concept_id, lb AS wl_label FROM wl3 ORDER BY concept_id""",
         "kg_vertex_cover": f"""WITH {PAIRS_CTE},{_matching_sql(8, final="SELECT id FROM (SELECT a_id AS id FROM mmat_8 UNION SELECT b_id FROM mmat_8) ORDER BY id")}""",
         "kg_label_spreading": f"""WITH {PAIRS_CTE},
 {_label_spreading_sql(5)}""",
+        # LSH health: all-integer bucket aggregates over the shared
+        # SRP band relation
+        "dd_lsh_stats": f"""WITH {_srp_base},
+pb AS (SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS sz FROM bands GROUP BY band, bucket)
+SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz) AS BIGINT) AS n_vectors, CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM pb GROUP BY band ORDER BY band""",
+        "txt_zipf_fit": r"""
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term FROM documents),
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+topk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM vocab QUALIFY rnk <= 100),
+xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM topk),
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+SELECT n AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM ag""",
         # transitive reduction: min alternative chain = first hop +
         # min closure depth (c3 = depths 1..3 -> chains 2..4)
         "kg_taxonomy_reduction": f"""WITH {TRIPLES_CTE},

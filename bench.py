@@ -220,6 +220,9 @@ def main():
         "kg_taxonomy_reduction",
         "kg_centralization",
         "rel_attribution",
+        # round-5 wave 12: index health + corpus fit
+        "dd_lsh_stats",
+        "txt_zipf_fit",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

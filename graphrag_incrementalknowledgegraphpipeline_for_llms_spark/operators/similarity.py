@@ -1110,3 +1110,49 @@ def ann_recall_at_k(
         )
         .orderBy("qid")
     )
+
+
+def lsh_bucket_stats(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH index health report: per band, how the corpus distributes
+    over SRP buckets — n_buckets, max bucket size, and the exact
+    candidate-pair mass sum(size*(size-1)/2).  The pair mass IS the
+    cost of every bucketed self-join downstream (ann candidates,
+    near-dup pairs): a degenerate band (one mega-bucket) shows up here
+    as pair mass ~ n^2/2 BEFORE you pay for the join — the
+    check-the-histogram-first discipline every 100 TB LSH deployment
+    runs, the index-side sibling of :func:`ann_recall_at_k` (recall
+    says "buckets too small", pair mass says "buckets too big").
+
+    All-integer aggregates — engine-exact, no rounding.
+
+    Returns (band, n_buckets, n_vectors, max_bucket, candidate_pairs)
+    ordered by band.
+
+    Scale shape: the bucket relation (id, band, bucket) -> ONE
+    (band, bucket) count aggregate (map-side combined) -> ONE |bands|-
+    row rollup.  Raw vectors never shuffle."""
+    bk = srp_buckets(
+        embeddings, dim, n_planes=n_planes, bands=bands, id_col=id_col, vec_col=vec_col
+    )
+    per_bucket = bk.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_vectors"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(
+                (F.col("sz") * (F.col("sz") - F.lit(1)) / F.lit(2)).cast("bigint")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )

@@ -352,3 +352,61 @@ def bigram_logprob(chunks: DataFrame, text_col: str = "text") -> DataFrame:
         F.round("alp", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
     ).orderBy("avg_logprob", "chunk_id")
+
+
+def zipf_fit(
+    chunks: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term distribution: OLS slope of
+    ln(freq) on ln(rank) for the ``top_k`` most frequent terms —
+    natural language sits near slope -1; templated/boilerplate corpora
+    flatten (slope > -0.8), spam keyword-stuffing steepens it.  A
+    one-row corpus-health scalar for the curation dashboard, the
+    corpus-level sibling of the per-document quality scores.
+
+    Ranks are deterministic (count desc, term asc).  Returns one row
+    (n_terms, slope, intercept), rounded to 6.
+
+    Scale shape: one tokenize pass -> vocab count aggregate -> top-k
+    TakeOrdered (k rows to the driver-side plan, NOT a global sort) ->
+    a 1-row OLS aggregate over k rows.  Corpus text is touched
+    once."""
+    vocab = (
+        chunks.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(top_k)
+    )
+    from pyspark.sql.window import Window
+
+    ranked = vocab.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "term"))
+        .alias("rank"),
+        "cnt",
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") - ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))) * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )

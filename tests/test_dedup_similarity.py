@@ -1145,3 +1145,35 @@ class TestAnnRecallAtK:
         a = [tuple(r) for r in similarity.ann_recall_at_k(emb, k=5, n_queries=4).collect()]
         b = [tuple(r) for r in similarity.ann_recall_at_k(emb.repartition(7), k=5, n_queries=4).collect()]
         assert a == b
+
+
+class TestLshBucketStats:
+    def test_matches_bucket_recomputation(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {
+            r["band"]: (r["n_buckets"], r["n_vectors"], r["max_bucket"], r["candidate_pairs"])
+            for r in similarity.lsh_bucket_stats(emb, dim=64).collect()
+        }
+        bk = similarity.srp_buckets(emb, dim=64).select("id", "band", "bucket").collect()
+        from collections import Counter
+
+        sizes = Counter((r["band"], r["bucket"]) for r in bk)
+        for band in got:
+            szs = [c for (b, _), c in sizes.items() if b == band]
+            want = (
+                len(szs),
+                sum(szs),
+                max(szs),
+                sum(c * (c - 1) // 2 for c in szs),
+            )
+            assert got[band] == want, band
+        # every band indexes the whole corpus
+        n = emb.count()
+        assert all(v[1] == n for v in got.values())
+
+    def test_degenerate_corpus_shows_mega_bucket(self, spark):
+        # identical vectors -> one bucket per band -> pair mass n(n-1)/2
+        rows = [(i, [1.0] * 8) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.lsh_bucket_stats(emb, dim=8, n_planes=8, bands=4).collect()
+        assert all(r["n_buckets"] == 1 and r["candidate_pairs"] == 190 for r in got)

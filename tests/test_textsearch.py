@@ -286,3 +286,37 @@ class TestBigramLogprob:
             [("a", " . , ")], "chunk_id string, text string"
         )
         assert textsearch.bigram_logprob(chunks).count() == 0
+
+
+class TestZipfFit:
+    def _py_fit(self, freqs):
+        xs = [math.log(i + 1) for i in range(len(freqs))]
+        ys = [math.log(c) for c in freqs]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return slope, (sy - slope * sx) / n
+
+    def test_matches_python_ols(self, spark):
+        # an exact power-law corpus: term_i appears ceil(1000/(i+1)) times
+        words = []
+        for i in range(30):
+            words += [f"w{i:02d}"] * (1000 // (i + 1))
+        chunks = spark.createDataFrame(
+            [("d", " ".join(words))], "chunk_id string, text string"
+        )
+        row = textsearch.zipf_fit(chunks.withColumnRenamed("chunk_id", "doc_id"), top_k=30).collect()[0]
+        freqs = sorted((1000 // (i + 1) for i in range(30)), reverse=True)
+        slope, intercept = self._py_fit(freqs)
+        assert row["n_terms"] == 30
+        assert abs(row["slope"] - round(slope, 6)) < 1e-6
+        assert abs(row["intercept"] - round(intercept, 6)) < 1e-6
+        assert -1.1 < row["slope"] < -0.9  # a 1/r law fits slope ~ -1
+
+    def test_flat_corpus_flattens_slope(self, spark):
+        flat = (" ".join(f"t{i}" for i in range(50)) + " ") * 20  # uniform terms
+        chunks = spark.createDataFrame([("d", flat)], "doc_id string, text string")
+        row = textsearch.zipf_fit(chunks, top_k=50).collect()[0]
+        assert abs(row["slope"]) == 0.0  # all equal counts -> zero slope
