@@ -2615,6 +2615,17 @@ def q_kg_eccentricity(spark, sf_dir):
     )
 
 
+def q_kg_distance_distribution(spark, sf_dir):
+    """Sampled hop-distance distribution + 90th-percentile effective
+    diameter (ANF / HyperANF neighbourhood function) from the PPR seed
+    entities.  Shares the multi-source BFS with kg_eccentricity /
+    kg_harmonic; the effective-diameter flag is decided in pure BIGINT
+    arithmetic so the verdict is engine-exact."""
+    return q.distance_distribution(
+        _kg_cooccur_und(spark, sf_dir), _ppr_seeds(), max_hops=6
+    )
+
+
 def q_dd_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (FastCDC-style token-gram boundaries,
     gram=3, divisor=8): boundaries depend only on local content, so a
@@ -3390,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_textrank": q_txt_textrank,
         "txt_heavy_hitters": q_txt_heavy_hitters,
         "kg_eccentricity": q_kg_eccentricity,
+        "kg_distance_distribution": q_kg_distance_distribution,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5727,6 +5739,22 @@ FROM scored ORDER BY doc_id""",
 {_betweenness_ctes(_PPR_SEED_LEMMAS, 6, forward_only=True)}
 SELECT v AS id, MAX(d) AS ecc_lb
 FROM bvis6 GROUP BY v ORDER BY ecc_lb DESC, id LIMIT 20""",
+        # hop-distance distribution + effective diameter: the same
+        # forward BFS; cumulative/total windows over <= 6 hop rows;
+        # the 90th-percentile flag decided in pure BIGINT arithmetic
+        "kg_distance_distribution": f"""WITH {PAIRS_CTE},
+{_betweenness_ctes(_PPR_SEED_LEMMAS, 6, forward_only=True)},
+ddhist AS (SELECT d, COUNT(*) AS n_pairs FROM bvis6 WHERE d > 0 GROUP BY d),
+ddcum AS (SELECT d, n_pairs,
+    CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) AS cum_pairs,
+    CAST(SUM(n_pairs) OVER () AS BIGINT) AS total
+  FROM ddhist)
+SELECT d, n_pairs, cum_pairs,
+  ROUND(CAST(cum_pairs AS DOUBLE) / total, 6) AS cum_frac,
+  cum_pairs * 1000000 >= total * 900000
+    AND COALESCE(LAG(cum_pairs) OVER (ORDER BY d), 0) * 1000000 < total * 900000
+    AS eff_diameter
+FROM ddcum ORDER BY d""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

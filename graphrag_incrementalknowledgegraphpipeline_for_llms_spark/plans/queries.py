@@ -2930,6 +2930,70 @@ def eccentricity_sampled(
     )
 
 
+def distance_distribution(
+    und: DataFrame,
+    sources: list[str],
+    max_hops: int = 6,
+    percentile: float = 0.9,
+) -> DataFrame:
+    """Sampled hop-distance distribution + effective diameter — the
+    neighbourhood-function estimate of the ANF / HyperANF lineage
+    (Palmer et al. KDD'02; Boldi-Rosa-Vigna WWW'11): count reachable
+    (source, node) pairs at each hop distance d from a sampled source
+    set, and flag the smallest d whose cumulative share reaches
+    ``percentile`` — the standard "effective diameter" (90th
+    percentile by default) that web-graph papers report instead of the
+    outlier-dominated true diameter.  Returns one row per hop
+    1..max_hops actually reached: (d, n_pairs, cum_pairs, cum_frac,
+    eff_diameter), ordered by d; cum_frac is ROUND(cum/total, 6) for
+    display, but the eff_diameter flag is decided in pure BIGINT
+    arithmetic (cum * 1e6 >= total * round(percentile * 1e6)) so the
+    verdict is engine/rerun-exact with no float-threshold ambiguity.
+
+    Scale shape: the shared :func:`_multi_source_bfs` visited relation
+    (all sources advance together as a key column — one join + one
+    distinct + one anti-join per level, never |S| traversals), then
+    ONE hash aggregate down to <= max_hops rows; the cumulative /
+    total windows run on that hop-radius-bounded relation, never on
+    the graph.  HyperANF replaces the exact visited set with HLL
+    registers to take this from sampled to all-sources at 100 TB —
+    :func:`~..operators.sketches.hll_distinct` is the building block;
+    the sampled form here is the oracle-exact estimator."""
+    num = int(round(percentile * 1_000_000))
+    hist = (
+        _multi_source_bfs(und, sources, max_hops)
+        .where(F.col("d") > 0)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lag_w = Window.orderBy("d")
+    cum = hist.select(
+        "d",
+        "n_pairs",
+        F.sum("n_pairs").over(cum_w).alias("cum_pairs"),
+        F.sum("n_pairs").over(all_w).alias("total"),
+    ).select(
+        "*",
+        F.coalesce(
+            F.lag("cum_pairs").over(lag_w), F.lit(0).cast("long")
+        ).alias("prev_cum"),
+    )
+    return cum.select(
+        "d",
+        "n_pairs",
+        "cum_pairs",
+        F.round(F.col("cum_pairs") / F.col("total"), 6).alias("cum_frac"),
+        (
+            (F.col("cum_pairs") * 1_000_000 >= F.col("total") * num)
+            & (F.col("prev_cum") * 1_000_000 < F.col("total") * num)
+        ).alias("eff_diameter"),
+    ).orderBy("d")
+
+
 def drift_search(
     und: DataFrame,
     labels: DataFrame,

@@ -2157,6 +2157,73 @@ class TestEccentricity:
         assert "v8" not in got  # beyond the horizon
 
 
+class TestDistanceDistribution:
+    @staticmethod
+    def _py_oracle(edges, sources, max_hops, percentile):
+        from collections import Counter, defaultdict, deque
+
+        sym = set(edges) | {(b, a) for a, b in edges}
+        nbrs = defaultdict(set)
+        for a, b in sym:
+            if a != b:
+                nbrs[a].add(b)
+        hist = Counter()
+        for s in sorted(set(sources)):
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= max_hops:
+                    continue
+                for w in nbrs[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            for d in dist.values():
+                if d > 0:
+                    hist[d] += 1
+        total = sum(hist.values())
+        num = int(round(percentile * 1_000_000))
+        rows, cum, prev = [], 0, 0
+        for d in sorted(hist):
+            cum += hist[d]
+            flag = cum * 1_000_000 >= total * num and prev * 1_000_000 < total * num
+            rows.append((d, hist[d], cum, round(cum / total, 6), flag))
+            prev = cum
+        return rows
+
+    def _run(self, spark, edges, sources, max_hops=6, percentile=0.9):
+        got = [
+            (r["d"], r["n_pairs"], r["cum_pairs"], r["cum_frac"], r["eff_diameter"])
+            for r in queries.distance_distribution(
+                _und_df(spark, edges), sources, max_hops, percentile
+            ).collect()
+        ]
+        assert got == self._py_oracle(edges, sources, max_hops, percentile)
+        assert sum(r[4] for r in got) == 1  # exactly one effective-diameter row
+        return got
+
+    def test_chain_two_sources_matches_python(self, spark):
+        edges = [(f"v{i}", f"v{i+1}") for i in range(8)] + [("x", "y")]
+        got = self._run(spark, edges, ["v0", "v8"])
+        assert {r[0] for r in got} == {1, 2, 3, 4, 5, 6}
+        # island x-y never reached: 2 sources x 6 hops over a 9-chain
+        assert sum(r[1] for r in got) == 12
+
+    def test_star_effective_diameter_is_one(self, spark):
+        edges = [("hub", f"l{i}") for i in range(9)]
+        got = self._run(spark, edges, ["hub"])
+        assert got == [(1, 9, 9, 1.0, True)]
+
+    def test_percentile_moves_the_flag(self, spark):
+        edges = [(f"v{i}", f"v{i+1}") for i in range(8)]
+        # from v0 on a 9-chain: one pair per hop 1..6; median hop = 3
+        got = self._run(spark, edges, ["v0"], percentile=0.5)
+        assert [r[0] for r in got if r[4]] == [3]
+        got90 = self._run(spark, edges, ["v0"], percentile=0.9)
+        assert [r[0] for r in got90 if r[4]] == [6]
+
+
 class TestSccEdgeCases:
     def test_empty_and_self_loop_inputs(self, spark):
         empty = spark.createDataFrame([], "src_id string, dst_id string")
