@@ -2615,6 +2615,15 @@ def q_kg_eccentricity(spark, sf_dir):
     )
 
 
+def q_kg_squares(spark, sf_dir):
+    """4-cycle (square) count over the concept co-occurrence graph —
+    the bipartite-core signal behind link-farm / mirror-cluster
+    detection.  Exact on the deg<=64 subgraph (all four corners
+    capped: the documented hub restriction that keeps both the wedge
+    self-join bounded AND the count-each-square-twice /2 exact)."""
+    return q.squares_count(_kg_cooccur_und(spark, sf_dir), max_degree=64)
+
+
 def q_kg_distance_distribution(spark, sf_dir):
     """Sampled hop-distance distribution + 90th-percentile effective
     diameter (ANF / HyperANF neighbourhood function) from the PPR seed
@@ -3402,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_heavy_hitters": q_txt_heavy_hitters,
         "kg_eccentricity": q_kg_eccentricity,
         "kg_distance_distribution": q_kg_distance_distribution,
+        "kg_squares": q_kg_squares,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5755,6 +5765,22 @@ SELECT d, n_pairs, cum_pairs,
     AND COALESCE(LAG(cum_pairs) OVER (ORDER BY d), 0) * 1000000 < total * 900000
     AS eff_diameter
 FROM ddcum ORDER BY d""",
+        # 4-cycle count: exact on the deg<=64 subgraph; each square
+        # counted at both diagonals, so sum C(c,2) / 2 — all BIGINT
+        "kg_squares": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj0 AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
+keep AS (SELECT cid FROM adj0 GROUP BY cid HAVING COUNT(*) <= 64),
+adj AS (SELECT a.cid, a.nbr_id FROM adj0 a
+        SEMI JOIN keep k1 ON a.cid = k1.cid
+        SEMI JOIN keep k2 ON a.nbr_id = k2.cid),
+diag AS (SELECT n1.nbr_id AS u, n2.nbr_id AS w, CAST(COUNT(*) AS BIGINT) AS c
+         FROM adj n1 JOIN adj n2 ON n1.cid = n2.cid AND n1.nbr_id < n2.nbr_id
+         GROUP BY n1.nbr_id, n2.nbr_id)
+SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS n_squares,
+       CAST(COUNT(*) AS BIGINT) AS n_diag_pairs,
+       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_common
+FROM diag""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

@@ -2994,6 +2994,51 @@ def distance_distribution(
     ).orderBy("d")
 
 
+def squares_count(und: DataFrame, max_degree: int | None = 64) -> DataFrame:
+    """4-cycle (square / rectangle) count — the bipartite-core signal
+    behind link-farm and mirror-cluster detection (Kleinberg et al.'s
+    bipartite cores; Wang et al. VLDB'19 rectangle counting): a square
+    u-v-w-x has two diagonal pairs, and a pair (u, w) with c common
+    neighbours closes C(c, 2) squares on that diagonal, so
+    ``n_squares = sum over unordered pairs C(c, 2) / 2`` (each square
+    counted at both diagonals — the sum is provably even).  Semantics
+    under ``max_degree``: the count is EXACT on the subgraph of nodes
+    with degree <= max_degree (hubs removed up front, the documented
+    betweenness-style restriction) — a center-only cap would break the
+    both-diagonals pairing and make /2 wrong, so all four corners are
+    capped.  Returns ONE row (n_squares, n_diag_pairs, max_common):
+    the square count, the number of wedge-connected pairs, and the
+    largest co-neighbourhood (the worst bipartite core's width).
+
+    Scale shape: degree agg -> two semi-joins to restrict the
+    adjacency -> ONE wedge self-join on the shared middle (never
+    all-pairs; per-center cost deg^2 <= max_degree^2 by construction
+    — the cap IS the skew guard) -> one (u, w) hash agg -> one 1-row
+    rollup, all counts BIGINT-exact."""
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    if max_degree is not None:
+        deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") <= max_degree).select("cid")
+        adj = adj.join(keep, "cid").join(
+            keep.withColumnRenamed("cid", "nbr_id"), "nbr_id"
+        )
+    n1 = adj.select("cid", F.col("nbr_id").alias("u"))
+    n2 = adj.select("cid", F.col("nbr_id").alias("w"))
+    diag = (
+        n1.join(n2, "cid")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return diag.agg(
+        (F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)), F.lit(0)) / 4)
+        .cast("long")
+        .alias("n_squares"),
+        F.count(F.lit(1)).alias("n_diag_pairs"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_common"),
+    )
+
+
 def drift_search(
     und: DataFrame,
     labels: DataFrame,

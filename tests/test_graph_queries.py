@@ -2224,6 +2224,70 @@ class TestDistanceDistribution:
         assert [r[0] for r in got90 if r[4]] == [6]
 
 
+class TestSquaresCount:
+    @staticmethod
+    def _brute(edges, max_degree=None):
+        """Independent oracle: enumerate every 4-subset and check the
+        3 possible cycle arrangements edge-by-edge — no reuse of the
+        diagonal-pair formula under test."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        sym = {tuple(e) for e in edges if e[0] != e[1]}
+        sym |= {(b, a) for a, b in sym}
+        nbrs = defaultdict(set)
+        for a, b in sym:
+            nbrs[a].add(b)
+        nodes = sorted(nbrs)
+        if max_degree is not None:
+            keep = {v for v in nodes if len(nbrs[v]) <= max_degree}
+            nodes = sorted(keep)
+            nbrs = {v: nbrs[v] & keep for v in keep}
+        has = lambda a, b: b in nbrs.get(a, ())
+        n = 0
+        for a, b, c, d in combinations(nodes, 4):
+            for p, q, r, s in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+                if has(p, q) and has(q, r) and has(r, s) and has(s, p):
+                    n += 1
+        return n
+
+    def _run(self, spark, edges, max_degree=None):
+        row = queries.squares_count(
+            _und_df(spark, edges), max_degree=max_degree
+        ).collect()[0]
+        assert row["n_squares"] == self._brute(edges, max_degree)
+        return row
+
+    def test_k4_single_square_and_square_free(self, spark):
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        assert self._run(spark, k4)["n_squares"] == 3
+        cyc = [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]
+        row = self._run(spark, cyc)
+        assert (row["n_squares"], row["max_common"]) == (1, 2)
+        tri = [("x", "y"), ("y", "z"), ("x", "z")]  # square-free
+        assert self._run(spark, tri)["n_squares"] == 0
+
+    def test_random_graph_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(29)
+        nodes = [f"n{i:02d}" for i in range(16)]
+        edges = sorted(
+            {tuple(sorted((rng.choice(nodes), rng.choice(nodes)))) for _ in range(60)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        self._run(spark, edges)
+        self._run(spark, edges, max_degree=5)
+
+    def test_degree_cap_removes_hub_cores(self, spark):
+        # K2,3: C(2,2) * C(3,2) = 3 squares; capping at deg<=2 removes
+        # the two deg-3 left nodes -> 0 squares (the documented
+        # subgraph semantics, all four corners capped)
+        k23 = [(l, r) for l in ("L1", "L2") for r in ("r1", "r2", "r3")]
+        assert self._run(spark, k23)["n_squares"] == 3
+        assert self._run(spark, k23, max_degree=2)["n_squares"] == 0
+
+
 class TestSccEdgeCases:
     def test_empty_and_self_loop_inputs(self, spark):
         empty = spark.createDataFrame([], "src_id string, dst_id string")
