@@ -2615,6 +2615,13 @@ def q_kg_eccentricity(spark, sf_dir):
     )
 
 
+def q_kg_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) over the concept co-occurrence
+    graph at log2 degree thresholds — do the hub concepts wire to each
+    other (link-exchange cartel) or act as independent portals."""
+    return q.rich_club(_kg_cooccur_und(spark, sf_dir))
+
+
 def q_kg_squares(spark, sf_dir):
     """4-cycle (square) count over the concept co-occurrence graph —
     the bipartite-core signal behind link-farm / mirror-cluster
@@ -3412,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eccentricity": q_kg_eccentricity,
         "kg_distance_distribution": q_kg_distance_distribution,
         "kg_squares": q_kg_squares,
+        "kg_rich_club": q_kg_rich_club,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5781,6 +5789,25 @@ SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS n_squares,
        CAST(COUNT(*) AS BIGINT) AS n_diag_pairs,
        CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_common
 FROM diag""",
+        # rich-club coefficient: N_k / E_k at exploded log2 thresholds,
+        # BIGINT counts, one guarded division per row
+        "kg_rich_club": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
+deg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY cid),
+ks AS (SELECT UNNEST([1, 2, 4, 8, 16, 32, 64]) AS k),
+nodes_k AS (SELECT k, CAST(SUM(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes
+            FROM deg, ks GROUP BY k),
+e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS a, GREATEST(cid, nbr_id) AS b FROM adj),
+emin AS (SELECT LEAST(da.deg, db.deg) AS mindeg
+         FROM e JOIN deg da ON e.a = da.cid JOIN deg db ON e.b = db.cid),
+edges_k AS (SELECT k, CAST(SUM(CASE WHEN mindeg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+            FROM emin, ks GROUP BY k)
+SELECT n.k, n.n_nodes, ek.n_edges,
+       CASE WHEN n.n_nodes >= 2
+            THEN ROUND(2.0 * ek.n_edges / (n.n_nodes * (n.n_nodes - 1)), 6)
+       END AS phi
+FROM nodes_k n JOIN edges_k ek ON n.k = ek.k ORDER BY n.k""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

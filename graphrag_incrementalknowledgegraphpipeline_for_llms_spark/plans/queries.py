@@ -3039,6 +3039,69 @@ def squares_count(und: DataFrame, max_degree: int | None = 64) -> DataFrame:
     )
 
 
+def rich_club(
+    und: DataFrame,
+    thresholds: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
+) -> DataFrame:
+    """Rich-club coefficient per degree threshold (Zhou-Mondragon
+    2004; Colizza et al. Nature Physics 2006): phi(k) = 2 * E_k /
+    (N_k * (N_k - 1)) where N_k / E_k count nodes of degree > k and
+    edges with BOTH endpoints of degree > k — the do-the-hubs-wire-
+    to-each-other diagnostic (a rich club near 1.0 on a web graph is
+    a link-exchange cartel; near 0 the hubs are independent portals).
+    Returns one row per threshold: (k, n_nodes, n_edges, phi), phi
+    ROUND(·, 6) and NULL when N_k < 2 (undefined, not zero), ordered
+    by k.  Counts are BIGINT-exact; the single division per row is
+    the only float.
+
+    Scale shape: degree agg -> one two-sided deg join to tag each
+    undirected edge with min(deg_a, deg_b) (node-bound dimension,
+    broadcastable) -> the threshold list EXPLODED as a literal array
+    onto the node / edge relations (|thresholds| x rows, never a
+    cartesian or a per-k pass) -> one hash agg each -> a |thresholds|-
+    row equi-join.  No collect; every count ships as a partial."""
+    ks = F.array(*[F.lit(int(k)) for k in thresholds])
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
+    nodes_k = (
+        deg.select(F.explode(ks).alias("k"), "deg")
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("deg") > F.col("k"), 1).otherwise(0)).alias("n_nodes"))
+    )
+    edges = adj.select(
+        F.least("cid", "nbr_id").alias("a"), F.greatest("cid", "nbr_id").alias("b")
+    ).distinct()
+    emin = (
+        edges.join(deg.withColumnRenamed("cid", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("cid", "b").withColumnRenamed("deg", "db"), "b")
+        .select(F.least("da", "db").alias("mindeg"))
+    )
+    edges_k = (
+        emin.select(F.explode(ks).alias("k"), "mindeg")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("mindeg") > F.col("k"), 1).otherwise(0)).alias("n_edges")
+        )
+    )
+    return (
+        nodes_k.join(edges_k, "k")
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.round(
+                    F.lit(2) * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
 def drift_search(
     und: DataFrame,
     labels: DataFrame,

@@ -2288,6 +2288,60 @@ class TestSquaresCount:
         assert self._run(spark, k23, max_degree=2)["n_squares"] == 0
 
 
+class TestRichClub:
+    @staticmethod
+    def _py_oracle(edges, thresholds):
+        from collections import defaultdict
+
+        sym = {tuple(e) for e in edges if e[0] != e[1]}
+        sym |= {(b, a) for a, b in sym}
+        nbrs = defaultdict(set)
+        for a, b in sym:
+            nbrs[a].add(b)
+        deg = {v: len(ns) for v, ns in nbrs.items()}
+        und = {tuple(sorted((a, b))) for a, b in sym}
+        out = []
+        for k in thresholds:
+            n = sum(1 for d in deg.values() if d > k)
+            e = sum(1 for a, b in und if deg[a] > k and deg[b] > k)
+            phi = round(2 * e / (n * (n - 1)), 6) if n >= 2 else None
+            out.append((k, n, e, phi))
+        return out
+
+    def _run(self, spark, edges, thresholds=(1, 2, 4, 8, 16, 32, 64)):
+        got = [
+            (r["k"], r["n_nodes"], r["n_edges"], r["phi"])
+            for r in queries.rich_club(_und_df(spark, edges), thresholds).collect()
+        ]
+        assert got == self._py_oracle(edges, thresholds)
+        return dict((r[0], r[3]) for r in got)
+
+    def test_clique_with_pendants_is_a_perfect_club(self, spark):
+        # K4 core, one pendant leaf per core node: core deg 4, leaf 1
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        pend = [(v, f"leaf_{v}") for v in "abcd"]
+        phi = self._run(spark, k4 + pend, thresholds=(1, 3, 4))
+        assert phi[1] == 1.0  # deg>1 = the K4 core, fully wired
+        assert phi[3] == 1.0  # core deg = 4 > 3: still the full club
+        assert phi[4] is None  # nobody exceeds deg 4: club undefined
+
+    def test_star_has_no_club(self, spark):
+        star = [("hub", f"l{i}") for i in range(5)]
+        phi = self._run(spark, star, thresholds=(1, 2))
+        assert phi[1] is None and phi[2] is None  # only the hub qualifies
+
+    def test_random_graph_matches_python(self, spark):
+        import random
+
+        rng = random.Random(41)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = sorted(
+            {tuple(sorted((rng.choice(nodes), rng.choice(nodes)))) for _ in range(90)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        self._run(spark, edges, thresholds=(0, 1, 2, 3, 5, 8))
+
+
 class TestSccEdgeCases:
     def test_empty_and_self_loop_inputs(self, spark):
         empty = spark.createDataFrame([], "src_id string, dst_id string")
