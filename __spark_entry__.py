@@ -2615,6 +2615,14 @@ def q_kg_eccentricity(spark, sf_dir):
     )
 
 
+def q_kg_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (Broder et al. WWW 2000) of the directed
+    concept precedence graph (the same cyclic view kg_scc labels):
+    CORE / IN / OUT / TUBES / TENDRILS / DISCONNECTED node counts —
+    the crawl-health macro-shape histogram."""
+    return q.bowtie(_precedence_edges(spark, sf_dir))
+
+
 def q_kg_rich_club(spark, sf_dir):
     """Rich-club coefficient phi(k) over the concept co-occurrence
     graph at log2 degree thresholds — do the hub concepts wire to each
@@ -3420,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distance_distribution": q_kg_distance_distribution,
         "kg_squares": q_kg_squares,
         "kg_rich_club": q_kg_rich_club,
+        "kg_bowtie": q_kg_bowtie,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5808,6 +5817,49 @@ SELECT n.k, n.n_nodes, ek.n_edges,
             THEN ROUND(2.0 * ek.n_edges / (n.n_nodes * (n.n_nodes - 1)), 6)
        END AS phi
 FROM nodes_k n JOIN edges_k ek ON n.k = ek.k ORDER BY n.k""",
+        # bow-tie decomposition: largest SCC as CORE (kg_scc's exact
+        # recursive reachability + mutual-pair labeling), then pure
+        # set algebra over the same closure for IN/OUT/TUBES/TENDRILS
+        "kg_bowtie": f"""WITH {MENTIONS_CTE},
+{_PRECEDENCE_CTES},
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src_id, dst_id FROM sedges
+    UNION
+    SELECT r.a, e2.dst_id FROM r JOIN sedges e2 ON e2.src_id = r.b
+  ) SELECT * FROM r),
+mutual AS (SELECT r1.a AS id, MIN(r1.b) AS mn
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+           GROUP BY r1.a),
+snodes AS (SELECT src_id AS id FROM sedges UNION SELECT dst_id FROM sedges),
+sccl AS MATERIALIZED (SELECT n.id, least(n.id, COALESCE(m.mn, n.id)) AS scc_id
+       FROM snodes n LEFT JOIN mutual m ON m.id = n.id),
+corelab AS (SELECT scc_id FROM sccl GROUP BY scc_id ORDER BY COUNT(*) DESC, scc_id LIMIT 1),
+core AS MATERIALIZED (SELECT s.id FROM sccl s SEMI JOIN corelab c ON s.scc_id = c.scc_id),
+rplus AS MATERIALIZED (SELECT id FROM core UNION SELECT r.b FROM reach r SEMI JOIN core c ON r.a = c.id),
+rminus AS MATERIALIZED (SELECT id FROM core UNION SELECT r.a FROM reach r SEMI JOIN core c ON r.b = c.id),
+inn AS MATERIALIZED (SELECT id FROM rminus EXCEPT SELECT id FROM core),
+outt AS MATERIALIZED (SELECT id FROM rplus EXCEPT SELECT id FROM core),
+fwdin AS MATERIALIZED (SELECT id FROM inn UNION SELECT r.b FROM reach r SEMI JOIN inn i ON r.a = i.id),
+backout AS MATERIALIZED (SELECT id FROM outt UNION SELECT r.a FROM reach r SEMI JOIN outt o ON r.b = o.id),
+known AS (SELECT id FROM core UNION SELECT id FROM inn UNION SELECT id FROM outt),
+tubes AS MATERIALIZED (
+  SELECT id FROM (SELECT id FROM fwdin INTERSECT SELECT id FROM backout)
+  EXCEPT SELECT id FROM known),
+tendrils AS (
+  SELECT id FROM (SELECT id FROM fwdin UNION SELECT id FROM backout)
+  EXCEPT SELECT id FROM known EXCEPT SELECT id FROM tubes),
+disc AS (SELECT id FROM snodes EXCEPT SELECT id FROM known
+         EXCEPT SELECT id FROM fwdin EXCEPT SELECT id FROM backout),
+tagged AS (
+  SELECT 'CORE' AS component, id FROM core
+  UNION ALL SELECT 'IN', id FROM inn
+  UNION ALL SELECT 'OUT', id FROM outt
+  UNION ALL SELECT 'TUBES', id FROM tubes
+  UNION ALL SELECT 'TENDRILS', id FROM tendrils
+  UNION ALL SELECT 'DISCONNECTED', id FROM disc)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM tagged GROUP BY component ORDER BY component""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

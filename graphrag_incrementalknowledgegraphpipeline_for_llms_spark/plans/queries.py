@@ -3362,6 +3362,132 @@ def scc(
     )
 
 
+def _directed_closure(
+    e: DataFrame, seeds: DataFrame, forward: bool, max_rounds: int = 60
+) -> DataFrame:
+    """Reachability closure over a directed (src, dst) edge relation
+    from a seed node set — frontier BFS to an EMPTY-frontier fixpoint
+    (one equi-join + one distinct + one anti-join per round,
+    localCheckpoint lineage truncation; the scc/_multi_source_bfs
+    regime).  ``forward=False`` walks edges backward.  Seeds are
+    included in the returned (id) set.  Raises loudly if ``max_rounds``
+    cuts the fixpoint off — the cap bounds the graph's directed
+    eccentricity from the seeds, never silently truncates."""
+    step = e if forward else e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    visited = seeds.select("id").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_rounds):
+        if frontier.isEmpty():
+            return visited
+        nxt = (
+            frontier.join(step, frontier["id"] == step["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, "id", "left_anti").localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    raise ValueError(
+        "directed closure did not reach a fixpoint in "
+        f"{max_rounds} rounds — raise max_rounds (long directed chain?)"
+    )
+
+
+def bowtie(
+    edges: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al.
+    WWW 2000 — THE web-graph macro-structure result): pick the largest
+    SCC as the CORE (ties broken by min scc_id), then classify every
+    node into exactly one of
+
+    * ``CORE`` — the giant SCC;
+    * ``IN`` — reaches the core but is not in it;
+    * ``OUT`` — reachable from the core but not in it;
+    * ``TUBES`` — on an IN -> OUT path that bypasses the core
+      (reachable from IN and reaching OUT, not CORE/IN/OUT);
+    * ``TENDRILS`` — hanging off IN (forward) or OUT (backward)
+      without closing a tube;
+    * ``DISCONNECTED`` — everything else among the edge-incident
+      nodes (isolated nodes are the caller's to union in, as with
+      :func:`scc`).
+
+    Returns (component, n_nodes), one row per NON-EMPTY class,
+    ordered by component — the macro-shape histogram a crawl-health
+    dashboard reads (a shrinking CORE share round-over-round means
+    the crawler is accumulating dead-end spam islands).
+
+    Scale shape: one :func:`scc` run (trim + coloring peel), then
+    FOUR :func:`_directed_closure` BFS passes (core forward/backward,
+    IN forward, OUT backward) — each one equi-join + distinct +
+    anti-join per round over the live edge relation; classification
+    is pure anti-join set algebra on (id) relations; the final count
+    is one hash aggregate to <= 6 rows.  No collect anywhere — the
+    core is selected with a 1-row orderBy-limit relation, joined, not
+    folded into literals."""
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = scc(edges, src=src, dst=dst)
+    core_lab = (
+        labels.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.desc("sz"), "scc_id")
+        .limit(1)
+        .select("scc_id")
+    )
+    core = labels.join(core_lab, "scc_id").select("id").localCheckpoint(eager=True)
+    rplus = _directed_closure(e, core, forward=True, max_rounds=max_rounds)
+    rminus = _directed_closure(e, core, forward=False, max_rounds=max_rounds)
+    inn = rminus.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    out = rplus.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    fwd_in = _directed_closure(e, inn, forward=True, max_rounds=max_rounds)
+    back_out = _directed_closure(e, out, forward=False, max_rounds=max_rounds)
+    known = core.unionByName(inn).unionByName(out).distinct()
+    tubes = (
+        fwd_in.join(back_out, "id").join(known, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    tendrils = (
+        fwd_in.unionByName(back_out)
+        .distinct()
+        .join(known, "id", "left_anti")
+        .join(tubes, "id", "left_anti")
+    )
+    disc = (
+        nodes.join(known, "id", "left_anti")
+        .join(fwd_in, "id", "left_anti")
+        .join(back_out, "id", "left_anti")
+    )
+    tagged = (
+        core.withColumn("component", F.lit("CORE"))
+        .unionByName(inn.withColumn("component", F.lit("IN")))
+        .unionByName(out.withColumn("component", F.lit("OUT")))
+        .unionByName(tubes.withColumn("component", F.lit("TUBES")))
+        .unionByName(tendrils.withColumn("component", F.lit("TENDRILS")))
+        .unionByName(disc.withColumn("component", F.lit("DISCONNECTED")))
+    )
+    return (
+        tagged.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("component")
+    )
+
+
 def maximal_matching(
     edges: DataFrame,
     a: str = "a_id",

@@ -2288,6 +2288,85 @@ class TestSquaresCount:
         assert self._run(spark, k23, max_degree=2)["n_squares"] == 0
 
 
+class TestBowtie:
+    @staticmethod
+    def _py_oracle(edges):
+        """Independent replay: brute-force transitive closure, then
+        the Broder set algebra."""
+        nodes = sorted({v for e in edges for v in e if e[0] != e[1]})
+        reach = {v: {v} for v in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                if a == b:
+                    continue
+                new = reach[a] | reach[b]
+                if new != reach[a]:
+                    reach[a] = new
+                    changed = True
+        sccs = {}
+        for v in nodes:
+            key = frozenset(u for u in reach[v] if v in reach[u])
+            sccs[v] = key
+        # largest SCC, ties by min member id (the engine's scc_id)
+        core = sorted(set(sccs.values()), key=lambda s: (-len(s), min(s)))[0]
+        rplus = {v for c in core for v in reach[c]}
+        rminus = {v for v in nodes if reach[v] & core}
+        inn = rminus - core
+        out = rplus - core
+        fwd_in = inn | {v for i in inn for v in reach[i]}
+        back_out = out | {v for v in nodes if reach[v] & out}
+        known = core | inn | out
+        tubes = (fwd_in & back_out) - known
+        tendrils = (fwd_in | back_out) - known - tubes
+        disc = set(nodes) - known - fwd_in - back_out
+        exp = {}
+        for name, s in [
+            ("CORE", core), ("IN", inn), ("OUT", out), ("TUBES", tubes),
+            ("TENDRILS", tendrils), ("DISCONNECTED", disc),
+        ]:
+            if s:
+                exp[name] = len(s)
+        return exp
+
+    def _run(self, spark, edges):
+        df = spark.createDataFrame(edges, "src_id string, dst_id string")
+        got = {
+            r["component"]: r["n_nodes"] for r in queries.bowtie(df).collect()
+        }
+        assert got == self._py_oracle(edges)
+        return got
+
+    def test_all_six_classes(self, spark):
+        edges = [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),      # CORE 3-cycle
+            ("i1", "i2"), ("i2", "a1"),                    # IN chain
+            ("a2", "o1"), ("o1", "o2"),                    # OUT chain
+            ("i2", "t1"), ("t1", "o1"),                    # TUBE bypassing core
+            ("i1", "td1"),                                 # tendril off IN
+            ("td2", "o2"),                                 # tendril into OUT
+            ("d1", "d2"),                                  # disconnected pair
+            ("b1", "b2"), ("b2", "b1"),                    # smaller rival SCC
+        ]
+        got = self._run(spark, edges)
+        assert got == {
+            "CORE": 3, "IN": 2, "OUT": 2, "TUBES": 1,
+            "TENDRILS": 2, "DISCONNECTED": 4,
+        }
+
+    def test_pure_cycle_is_all_core(self, spark):
+        cyc = [(f"v{i}", f"v{(i + 1) % 5}") for i in range(5)]
+        assert self._run(spark, cyc) == {"CORE": 5}
+
+    def test_dag_core_is_a_singleton(self, spark):
+        # acyclic chain: every SCC is a singleton; the core is the
+        # min-id node, the rest classify by reachability to/from it
+        chain = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, chain)
+        assert got["CORE"] == 1 and sum(got.values()) == 4
+
+
 class TestRichClub:
     @staticmethod
     def _py_oracle(edges, thresholds):
