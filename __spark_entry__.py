@@ -2442,6 +2442,18 @@ def q_txt_unigram_logprob(spark, sf_dir):
     return textsearch.unigram_logprob(d)
 
 
+def q_txt_lexical_diversity(spark, sf_dir):
+    """Per-document vocabulary-richness trio (type-token ratio, hapax
+    share, Yule's K) — the stylometric curation axis the repetition /
+    entropy / LM-score features don't measure directly."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    return textsearch.lexical_diversity(d)
+
+
 def q_txt_bigram_logprob(spark, sf_dir):
     """Self-fit add-1 bigram LM quality score per document
     (textsearch.bigram_logprob) — one Markov order above
@@ -3429,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_squares": q_kg_squares,
         "kg_rich_club": q_kg_rich_club,
         "kg_bowtie": q_kg_bowtie,
+        "txt_lexical_diversity": q_txt_lexical_diversity,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5860,6 +5873,26 @@ tagged AS (
   UNION ALL SELECT 'DISCONNECTED', id FROM disc)
 SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM tagged GROUP BY component ORDER BY component""",
+        # lexical diversity: integer frequency spectrum per document,
+        # one division per statistic at the end (Yule 1944 K)
+        "txt_lexical_diversity": r"""
+WITH src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, text FROM documents),
+tok AS (
+  SELECT chunk_id,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+  FROM src),
+tf AS (SELECT chunk_id, term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY chunk_id, term),
+agg AS (SELECT chunk_id,
+          CAST(SUM(f) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          CAST(SUM(f * f) AS BIGINT) AS sumsq
+        FROM tf GROUP BY chunk_id)
+SELECT chunk_id, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_ratio,
+       ROUND(10000.0 * (sumsq - n_tokens) / (n_tokens * n_tokens), 6) AS yule_k
+FROM agg ORDER BY chunk_id""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

@@ -223,6 +223,12 @@ def main():
         # round-5 wave 12: index health + corpus fit
         "dd_lsh_stats",
         "txt_zipf_fit",
+        # round-5 wave 13: web-graph macro-structure family
+        "kg_distance_distribution",
+        "kg_squares",
+        "kg_rich_club",
+        "kg_bowtie",
+        "txt_lexical_diversity",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

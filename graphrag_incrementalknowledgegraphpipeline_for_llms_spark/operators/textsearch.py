@@ -239,6 +239,60 @@ def read_postings_index(spark, catalog, table: str = "postings") -> DataFrame:
     return catalog.read(spark, table)
 
 
+def lexical_diversity(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document vocabulary-richness statistics — the classic
+    stylometric trio used as curation features alongside the
+    repetition / entropy / LM-score axes (none of which measure
+    type reuse directly):
+
+    * ``ttr`` — type-token ratio n_types / n_tokens (1.0 = every
+      token distinct; keyword-stuffed and template pages sit low);
+    * ``hapax_ratio`` — share of types occurring exactly once
+      (Zipf-healthy prose sits near 0.4-0.6; machine-generated spin
+      text collapses it);
+    * ``yule_k`` — Yule's characteristic K = 10^4 * (sum_t f_t^2 -
+      N) / N^2 (Yule 1944), the length-robust repeat-rate constant
+      (higher = more repetitive vocabulary; ~0 for all-distinct).
+
+    Every statistic is an integer aggregate (sum f, count, sum f^2,
+    count of f = 1) until ONE final division, ROUND(·, 6) — the
+    cross-engine determinism contract.  Zero-token documents carry no
+    signal and are excluded (the :func:`unigram_logprob` convention).
+    Returns (chunk_id, n_tokens, n_types, ttr, hapax_ratio, yule_k),
+    ordered by chunk_id.
+
+    Scale shape: one tokenize pass -> one (chunk, term) hash agg ->
+    one chunk-keyed hash agg, both map-side combinable; raw text
+    never shuffles (the tf relation ships (chunk_id, 8-ish-byte term,
+    count))."""
+    tf = (
+        chunks.select(
+            "chunk_id", F.explode(tokenize(F.col(text_col))).alias("term")
+        )
+        .groupBy("chunk_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = tf.groupBy("chunk_id").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.col("f") * F.col("f")).alias("sumsq"),
+    )
+    return agg.select(
+        "chunk_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("hapax") / F.col("n_types"), 6).alias("hapax_ratio"),
+        F.round(
+            F.lit(10_000)
+            * (F.col("sumsq") - F.col("n_tokens"))
+            / (F.col("n_tokens") * F.col("n_tokens")),
+            6,
+        ).alias("yule_k"),
+    ).orderBy("chunk_id")
+
+
 def unigram_logprob(chunks: DataFrame, text_col: str = "text") -> DataFrame:
     """CCNet-style self-scored unigram LM quality signal: fit a
     maximum-likelihood unigram model on the corpus itself (p(t) =

@@ -219,6 +219,66 @@ class TestUnigramLogprob:
         assert textsearch.unigram_logprob(chunks).count() == 0
 
 
+class TestLexicalDiversity:
+    @staticmethod
+    def _py(docs):
+        import re as _re
+        from collections import Counter
+
+        out = {}
+        for cid, text in docs:
+            ts = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+            if not ts:
+                continue
+            f = Counter(ts)
+            n, v = len(ts), len(f)
+            hapax = sum(1 for c in f.values() if c == 1)
+            sumsq = sum(c * c for c in f.values())
+            out[cid] = (
+                n, v, round(v / n, 6), round(hapax / v, 6),
+                round(10_000 * (sumsq - n) / (n * n), 6),
+            )
+        return out
+
+    def _run(self, spark, docs):
+        chunks = spark.createDataFrame(docs, "chunk_id string, text string")
+        rows = textsearch.lexical_diversity(chunks).collect()
+        got = {
+            r["chunk_id"]: (
+                r["n_tokens"], r["n_types"], r["ttr"], r["hapax_ratio"], r["yule_k"]
+            )
+            for r in rows
+        }
+        assert got == self._py(docs)
+        assert [r["chunk_id"] for r in rows] == sorted(got)
+        return got
+
+    def test_distinct_vs_repetitive(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("rich", "alpha beta gamma delta epsilon"),
+                ("spam", "buy buy buy buy now"),
+                ("empty", "!!! ???"),
+            ],
+        )
+        assert "empty" not in got
+        n, v, ttr, hapax, k = got["rich"]
+        assert (ttr, hapax, k) == (1.0, 1.0, 0.0)  # all-distinct floor
+        n, v, ttr, hapax, k = got["spam"]
+        assert ttr == 0.4 and k > 0  # repeated vocabulary raises K
+
+    def test_yule_hand_computed(self, spark):
+        # "aa bb aa": f = {aa: 2, bb: 1}, N=3, sumsq=5
+        # K = 10^4 * (5 - 3) / 9
+        got = self._run(spark, [("d", "aa bb aa")])
+        assert got["d"][4] == round(20_000 / 9, 6)
+
+    def test_empty_corpus(self, spark):
+        chunks = spark.createDataFrame([], "chunk_id string, text string")
+        assert textsearch.lexical_diversity(chunks).count() == 0
+
+
 class TestBigramLogprob:
     def _py_bigram(self, docs):
         import re as _re
