@@ -1665,6 +1665,33 @@ def q_rel_rollup(spark, sf_dir):
     )
 
 
+def q_rel_cube(spark, sf_dir):
+    """GROUP BY CUBE(event_type, cohort): every grouping-set
+    combination incl. the per-cohort cross subtotals ROLLUP cannot
+    express; an explicit grouping bitmask (2*g(type) + g(cohort))
+    disambiguates NULL-as-rollup from NULL-as-value.  Sums accumulate
+    in decimal so both engines round the same value."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.pmod("user_id", F.lit(10)).alias("cohort"),
+        F.col("value").cast("decimal(20,6)").alias("dval"),
+    )
+    return (
+        e.cube("event_type", "cohort")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("cohort"))
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("dval"), 4).cast("double").alias("sum_value"),
+        )
+        .orderBy(
+            "gid",
+            F.col("event_type").asc_nulls_first(),
+            F.col("cohort").asc_nulls_first(),
+        )
+    )
+
+
 def q_rel_null_audit(spark, sf_dir):
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.chunks import null_audit
 
@@ -3442,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_club": q_kg_rich_club,
         "kg_bowtie": q_kg_bowtie,
         "txt_lexical_diversity": q_txt_lexical_diversity,
+        "rel_cube": q_rel_cube,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5893,6 +5921,15 @@ SELECT chunk_id, n_tokens, n_types,
        ROUND(CAST(hapax AS DOUBLE) / n_types, 6) AS hapax_ratio,
        ROUND(10000.0 * (sumsq - n_tokens) / (n_tokens * n_tokens), 6) AS yule_k
 FROM agg ORDER BY chunk_id""",
+        # CUBE grouping sets with an explicit grouping bitmask
+        "rel_cube": """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+  CAST(2 * GROUPING(event_type) + GROUPING(CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS gid,
+  COUNT(*) AS cnt,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+ORDER BY gid, event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},
