@@ -1665,6 +1665,20 @@ def q_rel_rollup(spark, sf_dir):
     )
 
 
+def q_kg_source_overlap(spark, sf_dir):
+    """Inter-source shared-concept graph (mirror-farm detection at
+    domain granularity): source pairs ranked by distinct shared
+    concepts + Jaccard, with concepts spread over >12 of the 20
+    sources dropped as corpus vocabulary (the viral-key guard that
+    also bounds the concept self-join fan-out)."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "source"
+    )
+    return curation.source_overlap(
+        _mentions(spark, sf_dir), d, max_spread=12, min_shared=2, top_k=50
+    )
+
+
 def q_rel_cube(spark, sf_dir):
     """GROUP BY CUBE(event_type, cohort): every grouping-set
     combination incl. the per-cohort cross subtotals ROLLUP cannot
@@ -3470,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bowtie": q_kg_bowtie,
         "txt_lexical_diversity": q_txt_lexical_diversity,
         "rel_cube": q_rel_cube,
+        "kg_source_overlap": q_kg_source_overlap,
         "dd_url_quality": q_dd_url_quality,
         "kg_svo_triples": q_kg_svo_triples,
         "kg_svo_linked": q_kg_svo_linked,
@@ -5930,6 +5945,23 @@ SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
 FROM events
 GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
 ORDER BY gid, event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""",
+        # source-pair shared-concept mirror detection: viral-concept
+        # guard (spread <= 12), then a concept-keyed pair self-join
+        "kg_source_overlap": f"""WITH {MENTIONS_CTE},
+dsrc AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, source FROM documents),
+sconc AS (SELECT DISTINCT d.source, m.concept_id
+          FROM mentions m JOIN dsrc d ON m.chunk_id = d.chunk_id),
+keepc AS (SELECT concept_id FROM sconc GROUP BY concept_id HAVING COUNT(*) <= 12),
+scf AS MATERIALIZED (SELECT s.source, s.concept_id FROM sconc s
+       SEMI JOIN keepc k ON s.concept_id = k.concept_id),
+nsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM scf GROUP BY source),
+p AS (SELECT l.source AS source_a, r.source AS source_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM scf l JOIN scf r ON l.concept_id = r.concept_id AND l.source < r.source
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.source_a, p.source_b, p.shared, na.n AS na, nb.n AS nb,
+       ROUND(CAST(p.shared AS DOUBLE) / (na.n + nb.n - p.shared), 6) AS jaccard
+FROM p JOIN nsrc na ON na.source = p.source_a JOIN nsrc nb ON nb.source = p.source_b
+ORDER BY shared DESC, source_a, source_b LIMIT 50""",
         # SemDeDup verdict: SRP bucket candidates -> exact cosine >=
         # 0.30 -> dominated-by-min-lower-id; one row per input vector.
         "dd_semantic_dedup": f"""WITH {_srp_base},

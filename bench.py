@@ -229,6 +229,7 @@ def main():
         "kg_rich_club",
         "kg_bowtie",
         "txt_lexical_diversity",
+        "kg_source_overlap",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -775,3 +775,73 @@ def gopher_quality(
         n_stop.cast("long").alias("n_stop"),
         kept.cast("long").alias("kept"),
     )
+
+
+def source_overlap(
+    mentions: DataFrame,
+    doc_sources: DataFrame,
+    max_spread: int | None = None,
+    min_shared: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Inter-source shared-concept graph — mirror-farm detection at
+    the SOURCE level (the domain-granularity sibling of the document
+    dedup family: two hosts whose pages keep mentioning the same
+    concept set are syndication/mirror candidates even when no single
+    page pair is a near-dup).  For every source pair sharing >=
+    ``min_shared`` distinct concepts, returns (source_a, source_b,
+    shared, na, nb, jaccard) with jaccard = shared / (na + nb -
+    shared) over the guarded concept sets, ranked shared desc /
+    source_a / source_b, top-k.
+
+    ``max_spread`` is the viral-concept guard (the line-dedup
+    anti-join move): a concept present in more than ``max_spread``
+    sources is corpus vocabulary, not mirror evidence — and it is
+    exactly the key that makes the concept self-join quadratic in
+    source count.  Dropping it bounds per-concept join fan-out by
+    C(max_spread, 2).  Per-source totals (na, nb) are computed on the
+    SAME guarded relation so jaccard stays a true set statistic of
+    what was compared.
+
+    Scale shape: one mention->source equi-join (doc-bound), one
+    distinct to (source, concept) — source-vocabulary-bound, tiny vs
+    the corpus; spread guard = one concept-keyed agg + semi-join;
+    the pair self-join keys on concept_id with fan-out capped by the
+    guard; one (a, b) hash agg + two broadcast-sized joins for the
+    totals."""
+    sc = (
+        mentions.select("chunk_id", "concept_id")
+        .join(doc_sources.select("chunk_id", "source"), "chunk_id")
+        .select("source", "concept_id")
+        .distinct()
+    )
+    if max_spread is not None:
+        keep = (
+            sc.groupBy("concept_id")
+            .agg(F.count(F.lit(1)).alias("spread"))
+            .where(F.col("spread") <= max_spread)
+            .select("concept_id")
+        )
+        sc = sc.join(keep, "concept_id")
+    n = sc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    left = sc.select(F.col("source").alias("source_a"), "concept_id")
+    right = sc.select(F.col("source").alias("source_b"), "concept_id")
+    pairs = (
+        left.join(right, "concept_id")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(n.withColumnRenamed("source", "source_a").withColumnRenamed("n", "na"), "source_a")
+        .join(n.withColumnRenamed("source", "source_b").withColumnRenamed("n", "nb"), "source_b")
+        .select(
+            "source_a", "source_b", "shared", "na", "nb",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("shared"), "source_a", "source_b")
+        .limit(top_k)
+    )

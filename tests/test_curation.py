@@ -961,3 +961,75 @@ class TestTemperatureSample:
         a = sorted(map(tuple, sampling.temperature_sample(d).collect()))
         b = sorted(map(tuple, sampling.temperature_sample(d).collect()))
         assert a == b
+
+
+class TestSourceOverlap:
+    @staticmethod
+    def _py(mentions, sources, max_spread, min_shared):
+        from collections import defaultdict
+        from itertools import combinations
+
+        sc = defaultdict(set)
+        src = dict(sources)
+        for cid, concept in mentions:
+            sc[src[cid]].add(concept)
+        if max_spread is not None:
+            spread = defaultdict(int)
+            for s, cs in sc.items():
+                for c in cs:
+                    spread[c] += 1
+            sc = {s: {c for c in cs if spread[c] <= max_spread} for s, cs in sc.items()}
+        out = []
+        for a, b in combinations(sorted(sc), 2):
+            shared = len(sc[a] & sc[b])
+            if shared >= min_shared:
+                na, nb = len(sc[a]), len(sc[b])
+                out.append(
+                    (a, b, shared, na, nb, round(shared / (na + nb - shared), 6))
+                )
+        out.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return out
+
+    def _run(self, spark, mentions, sources, max_spread=None, min_shared=2):
+        m = spark.createDataFrame(mentions, "chunk_id string, concept_id string")
+        d = spark.createDataFrame(sources, "chunk_id string, source string")
+        got = [
+            tuple(r)
+            for r in curation.source_overlap(
+                m, d, max_spread=max_spread, min_shared=min_shared
+            ).collect()
+        ]
+        assert got == self._py(mentions, sources, max_spread, min_shared)
+        return got
+
+    def test_mirror_pair_ranks_first(self, spark):
+        sources = [("d1", "mirrorA"), ("d2", "mirrorB"), ("d3", "other")]
+        mentions = (
+            [("d1", c) for c in ("c1", "c2", "c3", "c4")]
+            + [("d2", c) for c in ("c1", "c2", "c3", "c4")]
+            + [("d3", "c1"), ("d3", "x1")]
+        )
+        got = self._run(spark, mentions, sources)
+        assert got[0][:3] == ("mirrorA", "mirrorB", 4)
+        assert got[0][5] == 1.0  # identical concept sets
+
+    def test_viral_concept_guard(self, spark):
+        # c_viral lives in all 3 sources; with max_spread=2 it stops
+        # counting as mirror evidence AND leaves the totals
+        sources = [("d1", "s1"), ("d2", "s2"), ("d3", "s3")]
+        mentions = [
+            ("d1", "c_viral"), ("d2", "c_viral"), ("d3", "c_viral"),
+            ("d1", "c_pair"), ("d2", "c_pair"),
+            ("d1", "c_solo"),
+        ]
+        unguarded = self._run(spark, mentions, sources, min_shared=1)
+        assert ("s1", "s2", 2, 3, 2, 0.666667) in unguarded
+        guarded = self._run(spark, mentions, sources, max_spread=2, min_shared=1)
+        assert guarded == [("s1", "s2", 1, 2, 1, 0.5)]
+
+    def test_duplicate_mentions_count_once(self, spark):
+        sources = [("d1", "sA"), ("d2", "sA"), ("d3", "sB")]
+        mentions = [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d1", "c2"), ("d3", "c2")]
+        got = self._run(spark, mentions, sources, min_shared=1)
+        # sA's two c1 docs collapse to one distinct concept
+        assert got == [("sA", "sB", 2, 2, 2, 1.0)]
