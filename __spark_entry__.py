@@ -2364,6 +2364,28 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_rel_mad_outliers(spark, sf_dir):
+    """Robust per-event-type anomaly sweep: modified z-score
+    (0.6745*(v-median)/MAD) > 3.5 — the heavy-tail-safe complement to
+    rel_zscore_outliers (median/MAD have a 50% breakdown point; one
+    giant spike can't hide the rest by inflating sigma)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.mad_outliers(e, threshold=3.5)
+
+
+def q_rel_user_growth(spark, sf_dir):
+    """Daily audience growth curve over the event stream: distinct
+    active users, first-ever-seen users, returning remainder, and the
+    running cumulative audience (first-seen histogram running-sum —
+    cumulative-distinct without a cumulative DISTINCT)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.user_growth(e)
+
+
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -3512,6 +3534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_zipf_fit": q_txt_zipf_fit,
         "dd_soft_dedup": q_dd_soft_dedup,
         "rel_decayed_counts": q_rel_decayed_counts,
+        "rel_mad_outliers": q_rel_mad_outliers,
+        "rel_user_growth": q_rel_user_growth,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4253,6 +4277,30 @@ SELECT e.event_id, e.event_type, e.value, ROUND((e.value - st.m) / st.sd, 6) AS 
 FROM events e JOIN st USING (event_type)
 WHERE st.sd IS NOT NULL AND st.sd > 0 AND ABS((e.value - st.m) / st.sd) > 2.5
 ORDER BY event_id""",
+        "rel_mad_outliers": """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY event_type),
+mad AS (SELECT e.event_type, quantile_cont(ABS(e.value - med.m), 0.5) AS md
+        FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(0.6745 * (e.value - med.m) / mad.md, 6) AS z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.md > 0 AND ABS(0.6745 * (e.value - med.m) / mad.md) > 3.5
+ORDER BY event_id""",
+        "rel_user_growth": """
+WITH fs AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+            FROM events GROUP BY user_id),
+nu AS (SELECT strftime(first_ts, '%Y-%m-%d') AS day,
+              CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY 1),
+au AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users FROM
+       (SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+               user_id FROM events) GROUP BY day)
+SELECT au.day, au.active_users,
+       CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(au.active_users - COALESCE(nu.new_users, 0) AS BIGINT) AS returning_users,
+       CAST(SUM(COALESCE(nu.new_users, 0)) OVER
+            (ORDER BY au.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM au LEFT JOIN nu USING (day) ORDER BY day""",
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},

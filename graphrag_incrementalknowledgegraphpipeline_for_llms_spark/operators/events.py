@@ -522,3 +522,103 @@ def conversion_attribution(
         .agg(F.count(F.lit(1)).alias("conversions"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    by: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly detection via the modified z-score
+    (Iglewicz-Hoaglin 1993): z = 0.6745 * (v - median) / MAD, flagged
+    when |z| > ``threshold`` (3.5 is the canonical cut).  The
+    mean/stddev sweep (:func:`zscore_outliers`) is itself corrupted by
+    the outliers it hunts — one 1e9 spike inflates sigma until nothing
+    else trips; median and MAD have a 50% breakdown point, so this is
+    the sweep that still works on the heavy-tailed value streams a web
+    pipeline actually emits.  Groups whose MAD is 0 (>= half the values
+    identical) emit no outliers — same contract as the sd=0 gate.
+
+    -> (id, group, value, z) rounded to 6 dp, full outlier set (no
+    float-ranked LIMIT), ordered by id.
+
+    Scale shape: exact medians cannot partial-aggregate, so the two
+    median passes shuffle (group, value) pairs — 16 bytes/event, never
+    the event payload.  Both |groups|-row stats tables broadcast into
+    the probe joins; the flag itself is a map-side expression.  At the
+    100-TB tier swap the exact percentile for the mergeable t-digest
+    already in rel_quantile_sketch (same call shape, epsilon error) —
+    the exact form here IS the verification oracle for that swap.
+    Both engines interpolate the even-count median as (a+b)/2 over
+    exact parquet doubles, so the cross-engine hash is stable.
+    """
+    med = events.groupBy(by).agg(F.percentile(value_col, 0.5).alias("_med"))
+    dev = events.join(F.broadcast(med), by).select(
+        by, F.abs(F.col(value_col) - F.col("_med")).alias("_adev")
+    )
+    mad = dev.groupBy(by).agg(F.percentile("_adev", 0.5).alias("_mad"))
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return (
+        events.join(F.broadcast(med), by)
+        .join(F.broadcast(mad), by)
+        .where(F.col("_mad") > 0)
+        .where(F.abs(z) > F.lit(threshold))
+        .select(id_col, by, value_col, F.round(z, 6).alias("z"))
+        .orderBy(id_col)
+    )
+
+
+def user_growth(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily audience growth curve: per calendar day, how many DISTINCT
+    users were active, how many were seen for the first time ever, the
+    returning remainder, and the running cumulative user count — the
+    first chart on any ingest/crawl dashboard ("are we still
+    discovering new hosts, or re-crawling the same ones?").  The same
+    first-seen trick gives cumulative-distinct-over-time WITHOUT a
+    cumulative DISTINCT: a user is new on exactly one day, so
+    cumulative_users = running SUM of new_users — an O(|days|) window
+    over a tiny relation instead of a per-day set union.
+
+    -> (day string 'YYYY-MM-DD', active_users, new_users,
+    returning_users, cumulative_users), ordered by day.
+
+    Scale shape: one hash aggregate keyed on user (min ts — map-side
+    combined, shuffles one 16-byte pair per user per partition) + one
+    on (day, user) for activity (combines to one row per user-day
+    before the exchange); the running sum orders |days| rows — dozens,
+    never data-scale.  Event payloads are pruned at the scan.
+    """
+    day = F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+    first_seen = (
+        events.groupBy(user_col)
+        .agg(F.min(F.col(ts_col).cast("timestamp")).alias("_first_ts"))
+        .select(F.date_format("_first_ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    active = (
+        events.select(day.alias("day"), F.col(user_col).alias("_u"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(first_seen, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "returning_users", F.col("active_users") - F.col("new_users")
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )

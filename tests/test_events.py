@@ -530,3 +530,69 @@ class TestConversionAttribution:
             for r in ev.conversion_attribution(df).collect()
         }
         assert got == {("none", "none"): 2}
+
+
+class TestMadOutliers:
+    def test_hand_computed_modified_zscore(self, spark):
+        # group 'a': nine 10.0s and one 100.0 — median 10, MAD 0 would
+        # kill the group, so spread the base: values 1..9 and 100.
+        vals = [float(v) for v in range(1, 10)] + [100.0]
+        rows = [(f"e{i}", "a", v) for i, v in enumerate(vals)]
+        # group 'b': >= half identical -> MAD 0 -> no outliers even
+        # though 1e9 is wildly off (the documented gate)
+        rows += [(f"b{i}", "b", 5.0) for i in range(5)] + [("b9", "b", 1e9)]
+        df = spark.createDataFrame(
+            rows, "event_id string, event_type string, value double"
+        )
+        got = {
+            r["event_id"]: (r["event_type"], r["value"], r["z"])
+            for r in ev.mad_outliers(df, threshold=3.5).collect()
+        }
+        med = 5.5  # median of 1..9,100
+        mad = 2.5  # |v-5.5| = 4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5 -> median 2.5
+        z = round(0.6745 * (100.0 - med) / mad, 6)
+        assert got == {"e9": ("a", 100.0, z)}
+        assert abs(z) > 3.5
+
+    def test_robust_where_zscore_is_blinded(self, spark):
+        # one colossal spike inflates sigma so the second, smaller
+        # outlier hides from the z-score sweep but not from MAD
+        vals = [10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0,
+                60.0, 1e6]
+        rows = [(f"e{i}", "a", v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id string, event_type string, value double"
+        )
+        mad_ids = {r["event_id"] for r in ev.mad_outliers(df).collect()}
+        z_ids = {r["event_id"] for r in ev.zscore_outliers(df).collect()}
+        assert "e10" in mad_ids and "e11" in mad_ids
+        assert "e10" not in z_ids  # sigma ~ 288k: 60 is invisible to z
+
+
+class TestUserGrowth:
+    def test_new_returning_cumulative(self, spark):
+        rows = [
+            (0, _ts(0), 1, "click", 0.0),          # day 1: u1 new
+            (1, _ts(10), 2, "click", 0.0),         # day 1: u2 new
+            (2, _ts(60 * 24), 1, "click", 0.0),    # day 2: u1 returns
+            (3, _ts(60 * 24 + 5), 3, "click", 0.0),# day 2: u3 new
+            (4, _ts(60 * 48), 1, "click", 0.0),    # day 3: u1 returns
+            (5, _ts(60 * 48 + 1), 1, "view", 0.0), # same user same day
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = [tuple(r) for r in ev.user_growth(df).collect()]
+        assert got == [
+            ("2024-01-01", 2, 2, 0, 2),
+            ("2024-01-02", 2, 1, 1, 3),
+            ("2024-01-03", 1, 0, 1, 3),
+        ]
+
+    def test_cumulative_equals_distinct_total(self, spark, edf):
+        rows = ev.user_growth(edf).collect()
+        total = edf.select("user_id").distinct().count()
+        assert rows[-1]["cumulative_users"] == total
+        assert sum(r["new_users"] for r in rows) == total
+        for r in rows:
+            assert r["active_users"] == r["new_users"] + r["returning_users"]
