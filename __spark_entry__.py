@@ -2364,6 +2364,45 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_txt_script_ratios(spark, sf_dir):
+    """Unicode script-composition profile per document (mixed-script
+    spam / homoglyph-cloak detection — the axis the marker-word
+    lang_id can't see).  The synthetic corpus is pure ASCII, so the
+    query plants a deterministic foreign-script suffix per doc_id
+    (Cyrillic / CJK / Arabic phrase repeated 1..25 times, one quarter
+    of docs left pure Latin) before profiling; the oracle plants the
+    identical suffix.  Dominant-script and mixed verdicts compare
+    exact integers — no float enters a branch."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+    d = _docs(spark, sf_dir)
+    sfx = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" 你好世界"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" مرحبا بالعالم"))
+        .otherwise(F.lit(""))
+    )
+    reps = (F.lit(1) + (F.col("doc_id") % 7) * 4).cast("int")
+    planted = F.concat(F.col("text"), F.repeat(sfx, reps))
+    p = tf.script_profile(planted)
+    ratio = F.when(
+        p["n_letters"] > 0,
+        F.round(p["n_latin"].cast("double") / p["n_letters"].cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        p["n_letters"].alias("n_letters"),
+        p["n_latin"].alias("n_latin"),
+        p["n_cyrillic"].alias("n_cyrillic"),
+        p["n_arabic"].alias("n_arabic"),
+        p["n_cjk"].alias("n_cjk"),
+        p["n_digit"].alias("n_digit"),
+        ratio.alias("latin_ratio"),
+        p["dominant_script"].alias("dominant_script"),
+        p["mixed_script"].alias("mixed_script"),
+    ).orderBy("doc_id")
+
+
 def q_rel_mad_outliers(spark, sf_dir):
     """Robust per-event-type anomaly sweep: modified z-score
     (0.6745*(v-median)/MAD) > 3.5 — the heavy-tail-safe complement to
@@ -3536,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_decayed_counts": q_rel_decayed_counts,
         "rel_mad_outliers": q_rel_mad_outliers,
         "rel_user_growth": q_rel_user_growth,
+        "txt_script_ratios": q_txt_script_ratios,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4301,6 +4341,46 @@ SELECT au.day, au.active_users,
        CAST(SUM(COALESCE(nu.new_users, 0)) OVER
             (ORDER BY au.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
 FROM au LEFT JOIN nu USING (day) ORDER BY day""",
+        "txt_script_ratios": """
+WITH planted AS (
+  SELECT doc_id,
+         text || repeat(CASE WHEN doc_id % 4 = 0 THEN ' Привет мир'
+                             WHEN doc_id % 4 = 1 THEN ' 你好世界'
+                             WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم'
+                             ELSE '' END,
+                        CAST(1 + (doc_id % 7) * 4 AS INT)) AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         length(t) - length(regexp_replace(t, '[A-Za-zÀ-ɏ]+', '', 'g')) AS n_latin,
+         length(t) - length(regexp_replace(t, '[Ѐ-ӿ]+', '', 'g')) AS n_cyrillic,
+         length(t) - length(regexp_replace(t, '[؀-ۿ]+', '', 'g')) AS n_arabic,
+         length(t) - length(regexp_replace(t, '[一-鿿぀-ヿ]+', '', 'g')) AS n_cjk,
+         length(t) - length(regexp_replace(t, '[가-힯]+', '', 'g')) AS n_hangul,
+         length(t) - length(regexp_replace(t, '[0-9]+', '', 'g')) AS n_digit
+  FROM planted),
+l AS (SELECT *,
+             n_latin + n_cyrillic + n_arabic + n_cjk + n_hangul AS n_letters,
+             GREATEST(n_latin, n_cyrillic, n_arabic, n_cjk, n_hangul) AS top
+      FROM c)
+SELECT doc_id,
+       CAST(n_letters AS BIGINT) AS n_letters,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_arabic AS BIGINT) AS n_arabic,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_digit AS BIGINT) AS n_digit,
+       CASE WHEN n_letters > 0
+            THEN ROUND(CAST(n_latin AS DOUBLE) / n_letters, 6) ELSE 0.0 END
+         AS latin_ratio,
+       CASE WHEN n_letters = 0 THEN 'none'
+            WHEN n_latin = top THEN 'latin'
+            WHEN n_cyrillic = top THEN 'cyrillic'
+            WHEN n_arabic = top THEN 'arabic'
+            WHEN n_cjk = top THEN 'cjk'
+            ELSE 'hangul' END AS dominant_script,
+       n_letters > 0 AND (n_letters - top) * 100 > 5 * n_letters AS mixed_script
+FROM l ORDER BY doc_id""",
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},

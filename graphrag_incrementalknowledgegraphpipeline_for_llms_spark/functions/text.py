@@ -271,3 +271,77 @@ def readability_features(col: Column) -> dict[str, Column]:
         "flesch": flesch,
         "fk_grade": fk,
     }
+
+
+# Unicode script blocks for script_counts — each class counted as
+# len(text) - len(regexp_replace(text, '[block]+', '')), a formulation
+# both Java regex (Spark) and RE2 (DuckDB) evaluate identically on
+# literal codepoint ranges (no \p{Script=...} — RE2 spells those
+# differently, literal ranges are the dialect intersection).
+SCRIPT_BLOCKS: dict[str, str] = {
+    # Basic Latin letters + Latin-1/Extended-A/B letters
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    # CJK unified ideographs + hiragana/katakana
+    "cjk": "一-鿿぀-ヿ",
+    "hangul": "가-힯",
+    "digit": "0-9",
+}
+
+_SCRIPT_ORDER = ("latin", "cyrillic", "arabic", "cjk", "hangul")
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    """Per-class character counts for each Unicode script block in
+    :data:`SCRIPT_BLOCKS`, plus ``n_chars`` (total length) and
+    ``n_letters`` (sum over letter scripts).  Counting by strip-and-
+    subtract keeps the expression in the Java∩RE2 regex dialect — the
+    same portability constraint pii_counts documents.
+
+    All outputs are exact BIGINTs computed map-side per row; nothing
+    shuffles and the text column never leaves the scan stage."""
+    out: dict[str, Column] = {"n_chars": F.length(col).cast("long")}
+    for name, block in SCRIPT_BLOCKS.items():
+        stripped = F.regexp_replace(col, f"[{block}]+", "")
+        out[f"n_{name}"] = (F.length(col) - F.length(stripped)).cast("long")
+    letters = None
+    for name in _SCRIPT_ORDER:
+        c = out[f"n_{name}"]
+        letters = c if letters is None else letters + c
+    out["n_letters"] = letters
+    return out
+
+
+def script_profile(col: Column, mixed_threshold: float = 0.05) -> dict[str, Column]:
+    """Script-composition features for mixed-script spam / homoglyph
+    detection (the curation axis lang_id's marker-word heuristic is
+    blind to): per-script ratios over the letter mass, the dominant
+    script (first-in-fixed-order tie-break, so the verdict is
+    deterministic), and ``mixed_script`` — true when more than
+    ``mixed_threshold`` of the letters fall OUTSIDE the dominant
+    script (a Latin page with a Cyrillic 'а' sprinkled in is exactly
+    the phishing/SEO-cloak shape).
+
+    Ratios are single IEEE divisions rounded at the consumer; the
+    dominant/mixed verdicts compare exact integers, so the flags are
+    engine-exact, not epsilon-sensitive."""
+    c = script_counts(col)
+    letters = c["n_letters"]
+    top = F.greatest(*[c[f"n_{n}"] for n in _SCRIPT_ORDER])
+    dominant = F.lit("none")
+    for name in reversed(_SCRIPT_ORDER):
+        dominant = F.when(
+            (letters > 0) & (c[f"n_{name}"] == top), F.lit(name)
+        ).otherwise(dominant)
+    # integer-exact mixed test: (letters - top) > threshold * letters
+    # evaluated as 100*(letters-top) > int(100*threshold)*letters so no
+    # float enters the comparison (threshold quantized to percents)
+    pct = int(round(mixed_threshold * 100))
+    mixed = (letters > 0) & (
+        (letters - top) * 100 > F.lit(pct) * letters
+    )
+    out = dict(c)
+    out["dominant_script"] = dominant
+    out["mixed_script"] = mixed
+    return out

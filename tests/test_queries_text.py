@@ -183,3 +183,48 @@ def test_char_entropy(spark):
     want = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
     got2 = tf.char_entropy_report(df2).collect()[0]
     assert abs(got2["char_entropy"] - round(want, 6)) < 1e-9
+
+
+class TestScriptProfile:
+    def _prof(self, spark, text):
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        p = tf.script_profile(F.col("text"))
+        return df.select(
+            *[p[k].alias(k) for k in
+              ("n_latin", "n_cyrillic", "n_cjk", "n_arabic", "n_hangul",
+               "n_digit", "n_letters", "dominant_script", "mixed_script")]
+        ).collect()[0]
+
+    def test_pure_latin(self, spark):
+        r = self._prof(spark, "Hello World 42")
+        assert (r["n_latin"], r["n_digit"], r["n_letters"]) == (10, 2, 10)
+        assert r["dominant_script"] == "latin" and not r["mixed_script"]
+
+    def test_cyrillic_dominant(self, spark):
+        r = self._prof(spark, "Привет мир ok")
+        assert r["n_cyrillic"] == 9 and r["n_latin"] == 2
+        assert r["dominant_script"] == "cyrillic"
+        assert r["mixed_script"]  # 2/11 latin > 5%
+
+    def test_homoglyph_sprinkle_trips_mixed(self, spark):
+        # Latin page with ONE Cyrillic 'а' (U+0430) in 10 letters: 10%
+        r = self._prof(spark, "bаnk login")  # the 'а' is Cyrillic
+        assert r["n_cyrillic"] == 1 and r["n_latin"] == 8
+        assert r["dominant_script"] == "latin" and r["mixed_script"]
+
+    def test_below_threshold_not_mixed(self, spark):
+        # 1 Cyrillic char out of 30 letters = 3.3% < 5%
+        r = self._prof(spark, "a" * 29 + "б")
+        assert not r["mixed_script"] and r["dominant_script"] == "latin"
+
+    def test_cjk_and_tie_break(self, spark):
+        r = self._prof(spark, "你好世界")
+        assert r["n_cjk"] == 4 and r["dominant_script"] == "cjk"
+        # exact tie latin vs cjk -> fixed order picks latin
+        t = self._prof(spark, "ab你好")
+        assert t["dominant_script"] == "latin"
+
+    def test_empty_and_digits_only(self, spark):
+        r = self._prof(spark, "12345")
+        assert r["n_letters"] == 0 and r["dominant_script"] == "none"
+        assert not r["mixed_script"]
