@@ -2364,6 +2364,14 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_topo_layers(spark, sf_dir):
+    """Topological layer assignment over the is_a taxonomy DAG: roots
+    at layer 0, everyone else at max(parent layer)+1 (longest ancestor
+    chain = generality level) — the depth coordinate the closure/
+    rollup pair doesn't expose, keyed on by hierarchy drill-downs."""
+    return q.taxonomy_layers(_isa_edges(spark, sf_dir), max_depth=4)
+
+
 def q_txt_script_ratios(spark, sf_dir):
     """Unicode script-composition profile per document (mixed-script
     spam / homoglyph-cloak detection — the axis the marker-word
@@ -3576,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_mad_outliers": q_rel_mad_outliers,
         "rel_user_growth": q_rel_user_growth,
         "txt_script_ratios": q_txt_script_ratios,
+        "kg_topo_layers": q_kg_topo_layers,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5310,6 +5319,27 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "kg_topo_layers": f"""WITH {TRIPLES_CTE},
+isa AS (SELECT DISTINCT subj_id AS child_id, obj_id AS parent_id FROM triples
+        WHERE predicate = 'is_a' AND subj_id <> obj_id),
+l0 AS (SELECT id, 0 AS layer FROM
+       (SELECT child_id AS id FROM isa UNION SELECT parent_id FROM isa))"""
+        + "".join(
+            f""",
+l{d} AS (SELECT id, MAX(layer) AS layer FROM (
+  SELECT id, layer FROM l{d - 1}
+  UNION ALL
+  SELECT i.child_id, l.layer + 1 FROM l{d - 1} l JOIN isa i ON l.id = i.parent_id
+) GROUP BY id)"""
+            for d in range(1, 5)
+        )
+        + """,
+p AS (SELECT child_id AS id, CAST(COUNT(*) AS BIGINT) AS n_parents
+      FROM isa GROUP BY child_id)
+SELECT l4.id, CAST(l4.layer AS INT) AS layer,
+       CAST(COALESCE(p.n_parents, 0) AS BIGINT) AS n_parents,
+       COALESCE(p.n_parents, 0) = 0 AS is_root
+FROM l4 LEFT JOIN p USING (id) ORDER BY id""",
         "kg_taxonomy_closure": f"""WITH {TRIPLES_CTE},
 {_ISA_CLOSURE_CTES}
 SELECT desc_id, anc_id, CAST(depth AS INT) AS depth FROM c4 ORDER BY desc_id, anc_id""",

@@ -2392,6 +2392,72 @@ def taxonomy_closure(isa: DataFrame, max_depth: int = 4) -> DataFrame:
     return clo.orderBy("desc_id", "anc_id")
 
 
+def taxonomy_layers(isa: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Topological layer assignment over the ``is_a`` DAG: roots (no
+    parent edge) sit at layer 0, every other concept at
+    max(parent layer) + 1 — the longest ancestor chain, i.e. the
+    node's generality LEVEL.  The closure (:func:`taxonomy_closure`)
+    answers "which ancestors"; this answers "how deep", which is what
+    hierarchy visualizers, level-synchronous rollup schedulers, and
+    the GraphRAG community-hierarchy drill-down actually key on.
+    Pair canonicalization makes the edge view acyclic (desc < anc by
+    id), so the recurrence is a fixpoint; ``max_depth`` rounds compute
+    it exactly when max_depth >= the longest chain (4 covers this
+    taxonomy — same bound the closure ships), else the depth-capped
+    value, still deterministic.
+
+    -> (id, layer, n_parents, is_root), ordered by id.
+
+    Scale shape: layer-relaxation is one hash join (frontier x edges,
+    both concept-cardinality) + one max-aggregate per round — the
+    Bellman-Ford shape of shortest_paths with MAX instead of MIN, so
+    each round's shuffle is bounded by |reachable pairs this round|,
+    never all-pairs.  The edge view localCheckpoints once; corpus
+    text never enters the plan."""
+    isa = (
+        isa.select(
+            F.col("child_id").cast("string").alias("child_id"),
+            F.col("parent_id").cast("string").alias("parent_id"),
+        )
+        .where(F.col("child_id") != F.col("parent_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = (
+        isa.select(F.col("child_id").alias("id"))
+        .unionByName(isa.select(F.col("parent_id").alias("id")))
+        .distinct()
+        .select("id", F.lit(0).cast("int").alias("layer"))
+    )
+    for _ in range(max_depth):
+        relaxed = layers.join(
+            isa.select(
+                F.col("parent_id").alias("id"), F.col("child_id").alias("_child")
+            ),
+            "id",
+        ).select(
+            F.col("_child").alias("id"), (F.col("layer") + 1).cast("int").alias("layer")
+        )
+        layers = (
+            layers.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.max("layer").alias("layer"))
+        )
+    parents = isa.groupBy(F.col("child_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_parents")
+    )
+    return (
+        layers.join(parents, "id", "left")
+        .select(
+            "id",
+            "layer",
+            F.coalesce("n_parents", F.lit(0)).cast("long").alias("n_parents"),
+            (F.coalesce("n_parents", F.lit(0)) == 0).alias("is_root"),
+        )
+        .orderBy("id")
+    )
+
+
 def taxonomy_rollup(
     closure: DataFrame, mention_counts: DataFrame, top_k: int = 100
 ) -> DataFrame:

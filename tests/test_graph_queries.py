@@ -3135,3 +3135,34 @@ class TestDegreeCentralization:
         n, mx = len(deg), max(deg.values())
         want = sum(mx - d for d in deg.values()) / ((n - 1) * (n - 2))
         assert abs(row["centralization"] - round(want, 6)) < 1e-9
+
+
+class TestTaxonomyLayers:
+    def _lay(self, spark, edges, depth=4):
+        rows = queries.taxonomy_layers(_isa_df(spark, edges), max_depth=depth).collect()
+        return {r["id"]: (r["layer"], r["n_parents"], r["is_root"]) for r in rows}
+
+    def test_chain_levels(self, spark):
+        # d is the root (no parent); a sits 3 levels below it
+        got = self._lay(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert got == {
+            "d": (0, 0, True), "c": (1, 1, False),
+            "b": (2, 1, False), "a": (3, 1, False),
+        }
+
+    def test_diamond_takes_longest_chain(self, spark):
+        # a -> b -> d, a -> d direct: layer(a) = 2 (longest), not 1
+        got = self._lay(spark, [("a", "b"), ("b", "d"), ("a", "d")])
+        assert got["d"][0] == 0 and got["b"][0] == 1
+        assert got["a"] == (2, 2, False)
+
+    def test_forest_and_depth_cap(self, spark):
+        # two independent trees; a 6-chain capped at depth 4
+        chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+        got = self._lay(spark, chain + [("x", "y")], depth=4)
+        assert got["y"] == (0, 0, True) and got["x"][0] == 1
+        assert got["n6"][0] == 0
+        assert got["n0"][0] == 4  # true level 6, capped at max_depth
+        # uncapped when depth covers the chain
+        full = self._lay(spark, chain, depth=6)
+        assert full["n0"][0] == 6
