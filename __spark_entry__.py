@@ -2364,6 +2364,20 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_txt_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD 2003) over the document
+    corpus: token 3-gram hashes, window-4 rightmost-minimum selection
+    — the guaranteed-recall fingerprint SAMPLE (any shared run of
+    k+w-1=6 tokens yields an identical selected print in both docs).
+    Entirely in-row via array HOFs: zero shuffles."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    return textsearch.winnowing_fingerprints(d, k=3, window=4, hash_family="md5")
+
+
 def q_kg_topo_layers(spark, sf_dir):
     """Topological layer assignment over the is_a taxonomy DAG: roots
     at layer 0, everyone else at max(parent layer)+1 (longest ancestor
@@ -3585,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_user_growth": q_rel_user_growth,
         "txt_script_ratios": q_txt_script_ratios,
         "kg_topo_layers": q_kg_topo_layers,
+        "txt_winnowing": q_txt_winnowing,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4390,6 +4405,25 @@ SELECT doc_id,
             ELSE 'hangul' END AS dominant_script,
        n_letters > 0 AND (n_letters - top) * 100 > 5 * n_letters AS mixed_script
 FROM l ORDER BY doc_id""",
+        "txt_winnowing": f"""
+WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+g AS (SELECT chunk_id, t, len(t) - 2 AS ng FROM toks WHERE len(t) >= 3),
+pos AS (SELECT chunk_id, ng, CAST(i AS INT) AS p,
+               md5(array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) AS hx
+        FROM g, unnest(range(0, ng)) AS u(i)),
+ph AS (SELECT chunk_id, ng, p, ({_nib32_expr("hx")}) AS gh FROM pos),
+win AS (SELECT chunk_id, p, gh, CAST(wi AS INT) AS wi
+        FROM ph, unnest(range(GREATEST(0, p - 3),
+                              LEAST(p, GREATEST(ng - 4, 0)) + 1)) AS w(wi)),
+r AS (SELECT chunk_id, wi, p, gh,
+             ROW_NUMBER() OVER (PARTITION BY chunk_id, wi
+                                ORDER BY gh, p DESC) AS rn
+      FROM win)
+SELECT DISTINCT chunk_id, p AS pos, CAST(gh AS BIGINT) AS gram_hash
+FROM r WHERE rn = 1 ORDER BY chunk_id, pos""",
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},

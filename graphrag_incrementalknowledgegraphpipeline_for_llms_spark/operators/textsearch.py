@@ -464,3 +464,87 @@ def zipf_fit(
             6,
         ).alias("intercept"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide
+    a window of ``window`` consecutive gram hashes, and in each window
+    select the minimum hash (rightmost occurrence on ties).  The
+    guarantee the simpler every-Nth / mod-p sampling schemes lack:
+    any shared substring of at least k + window - 1 tokens produces at
+    least one IDENTICAL selected fingerprint in both documents, so
+    plagiarism / near-verbatim reuse detection has no blind spots,
+    while only ~2/(window+1) of grams are kept.  Complements
+    dd_substring_spans (exact k-gram inventory) with a guaranteed-
+    recall SAMPLE sized for a corpus-wide fingerprint index.
+
+    -> (id, pos, gram_hash) — one row per selected fingerprint, pos =
+    0-based gram position, ordered by (id, pos).  Documents shorter
+    than k tokens emit nothing; shorter than a full window form one
+    window over all their grams.
+
+    ``hash_family``: 'md5' (default) = 32-bit value from the first 8
+    md5 hex chars — cross-engine replayable (the oracle rebuilds it
+    nibble-by-nibble); 'xxh64' = native 64-bit xxhash64, faster at
+    scale, engine-only.
+
+    Scale shape: the entire selection runs INSIDE the row via array
+    HOFs (transform/aggregate over the gram array) — grams, window
+    minima, and dedup never leave the scan stage, so the operator adds
+    ZERO shuffles; the output explode is a map-side flatMap.  At 100 TB
+    the follow-up (group selected hashes across docs to find reuse) is
+    one equi-join on gram_hash — the banded-LSH shape dedup already
+    ships."""
+    toks = tokenize(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).where(
+        F.size("_t") >= k
+    )
+    ng = (F.size("_t") - (k - 1)).alias("_ng")
+    if hash_family == "md5":
+        def _h(g):
+            return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    elif hash_family == "xxh64":
+        _h = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - k),
+        lambda i: _h(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k))),
+    )
+    d = d.select("id", grams.alias("_h"), ng)
+    wn = F.greatest(F.col("_ng") - (window - 1), F.lit(1))
+    init = F.struct(
+        F.lit((1 << 63) - 1).cast("long").alias("h"),
+        F.lit(-1).cast("int").alias("p"),
+    )
+    sel = F.transform(
+        F.sequence(F.lit(0), wn - 1),
+        lambda wi: F.aggregate(
+            F.sequence(wi, F.least(wi + (window - 1), F.col("_ng") - 1)),
+            init,
+            lambda acc, p: F.when(
+                F.element_at(F.col("_h"), p + 1) <= acc["h"],
+                F.struct(
+                    F.element_at(F.col("_h"), p + 1).alias("h"),
+                    p.cast("int").alias("p"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        d.select("id", F.explode(F.array_distinct(sel)).alias("f"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("f.p").alias("pos"),
+            F.col("f.h").alias("gram_hash"),
+        )
+        .orderBy(id_col, "pos")
+    )

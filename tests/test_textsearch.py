@@ -380,3 +380,82 @@ class TestZipfFit:
         chunks = spark.createDataFrame([("d", flat)], "doc_id string, text string")
         row = textsearch.zipf_fit(chunks, top_k=50).collect()[0]
         assert abs(row["slope"]) == 0.0  # all equal counts -> zero slope
+
+
+def _py_winnow(text, k=3, window=4):
+    """Pure-Python winnowing oracle (md5-32bit family)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    ng = len(hs)
+    wn = max(ng - window + 1, 1)
+    sel = set()
+    for wi in range(wn):
+        lo, hi = wi, min(wi + window - 1, ng - 1)
+        best = lo
+        for p in range(lo, hi + 1):
+            if hs[p] <= hs[best]:
+                best = p  # rightmost minimum
+        sel.add((best, hs[best]))
+    return sel
+
+
+class TestWinnowing:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "chunk_id string, text string")
+        out = textsearch.winnowing_fingerprints(df, **kw).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["chunk_id"], set()).add((r["pos"], r["gram_hash"]))
+        return got
+
+    def test_matches_pure_python_oracle(self, spark):
+        texts = {
+            "a": "the quick brown fox jumps over the lazy dog again and again",
+            "b": "one two three four five six seven eight nine ten",
+            "c": "alpha beta gamma",          # exactly k tokens: one gram
+            "d": "repeat repeat repeat repeat repeat repeat repeat",  # all ties
+        }
+        got = self._run(spark, list(texts.items()))
+        for cid, text in texts.items():
+            assert got.get(cid, set()) == _py_winnow(text), cid
+
+    def test_shorter_than_k_emits_nothing(self, spark):
+        got = self._run(spark, [("s", "just two"), ("e", ""), ("o", "one")])
+        assert got == {}
+
+    def test_shared_run_guarantee(self, spark):
+        # the winnowing guarantee: a shared run of k+w-1 = 6 tokens
+        # must yield at least one identical selected hash in both docs
+        shared = "wikipedia is a free online encyclopedia edited daily"
+        got = self._run(
+            spark,
+            [
+                ("x", "completely different lead text then " + shared),
+                ("y", shared + " with an unrelated continuation afterwards"),
+            ],
+        )
+        hx = {h for _, h in got["x"]}
+        hy = {h for _, h in got["y"]}
+        assert hx & hy
+
+    def test_density_bound(self, spark):
+        # selected fraction ~ 2/(w+1); never more than one per window
+        text = " ".join(f"tok{i}" for i in range(200))
+        got = self._run(spark, [("z", text)])
+        ng = 200 - 2
+        assert len(got["z"]) <= ng - 4 + 1
+        assert len(got["z"]) >= ng // 4  # at least one per disjoint window
+
+    def test_xxh64_family_runs(self, spark):
+        got = self._run(
+            spark,
+            [("a", "one two three four five six")],
+            hash_family="xxh64",
+        )
+        assert got["a"]  # engine-native family produces fingerprints
