@@ -2364,6 +2364,22 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_sim_mmr_rerank(spark, sf_dir):
+    """MMR diversification re-rank (Carbonell-Goldstein 1998): top-5
+    from the relevance top-20, each greedy step trading relevance
+    against max-similarity-to-selected at lambda=0.5 — the pass that
+    keeps a GraphRAG context window from being five near-copies.
+    Deterministic greedy trace (round-before-compare + id tie-break),
+    replayed by the oracle as 5 unrolled SQL steps.  The query is the
+    midpoint of vectors 0 and 1 — a query EQUAL to a corpus vector
+    degenerates step 2 (relevance == max_sim for every candidate, all
+    scores 0); the blend keeps every greedy step discriminative."""
+    emb = _emb(spark, sf_dir)
+    two = {r["vec_id"]: r["embedding"] for r in emb.where(F.col("vec_id") < 2).collect()}
+    qv = [(float(a) + float(b)) / 2 for a, b in zip(two[0], two[1])]
+    return similarity.mmr_rerank(emb, qv, k=5, pool=20, lam=0.5)
+
+
 def q_txt_winnowing(spark, sf_dir):
     """Winnowing fingerprints (MOSS, SIGMOD 2003) over the document
     corpus: token 3-gram hashes, window-4 rightmost-minimum selection
@@ -3600,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_script_ratios": q_txt_script_ratios,
         "kg_topo_layers": q_kg_topo_layers,
         "txt_winnowing": q_txt_winnowing,
+        "sim_mmr_rerank": q_sim_mmr_rerank,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -3630,6 +3647,53 @@ def oracle_sql() -> dict[str, str]:
         " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
         " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
     )
+
+    # sim_mmr_rerank: the k greedy MMR steps unrolled (each step =
+    # max-sim agg vs the selected-so-far set, then argmax on the
+    # 6dp-rounded score with id tie-break — replaying the engine's
+    # deterministic greedy trace exactly)
+    def _cosv(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({x}, {y}), p -> p[1]*p[2]))"
+            f" / (sqrt(list_sum(list_transform({x}, t -> t*t)))"
+            f" * sqrt(list_sum(list_transform({y}, t -> t*t))))"
+        )
+
+    _mmr_sql = f"""WITH q0 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+q1 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 1),
+qv AS (SELECT list_transform(list_zip(q0.e, q1.e),
+                             p -> (CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) / 2)
+              AS embedding
+       FROM q0, q1),
+cand AS (SELECT a.vec_id, ROUND({cos}, 6) AS relevance,
+                list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings a, qv b
+         ORDER BY relevance DESC, a.vec_id LIMIT 20),
+mm1 AS (SELECT 1 AS rank, vec_id, relevance, 0.0 AS max_sim,
+               ROUND(0.5 * relevance - 0.5 * 0.0, 6) AS mmr, v
+        FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id, v FROM mm1)"""
+    for _step in range(2, 6):
+        _mmr_sql += f""",
+pool{_step} AS (SELECT * FROM cand
+        WHERE vec_id NOT IN (SELECT vec_id FROM sel{_step - 1})),
+ms{_step} AS (SELECT c.vec_id, MAX(ROUND({_cosv("c.v", "s.v")}, 6)) AS ms
+        FROM pool{_step} c, sel{_step - 1} s GROUP BY c.vec_id),
+mm{_step} AS (SELECT {_step} AS rank, p.vec_id, p.relevance, m.ms AS max_sim,
+               ROUND(0.5 * p.relevance - 0.5 * m.ms, 6) AS mmr, p.v
+        FROM pool{_step} p JOIN ms{_step} m USING (vec_id)
+        ORDER BY mmr DESC, p.vec_id LIMIT 1),
+sel{_step} AS (SELECT vec_id, v FROM sel{_step - 1}
+        UNION ALL SELECT vec_id, v FROM mm{_step})"""
+    _mmr_sql += """
+SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       relevance, max_sim, mmr
+FROM (SELECT rank, vec_id, relevance, max_sim, mmr FROM mm1
+      UNION ALL SELECT rank, vec_id, relevance, max_sim, mmr FROM mm2
+      UNION ALL SELECT rank, vec_id, relevance, max_sim, mmr FROM mm3
+      UNION ALL SELECT rank, vec_id, relevance, max_sim, mmr FROM mm4
+      UNION ALL SELECT rank, vec_id, relevance, max_sim, mmr FROM mm5)
+ORDER BY rank"""
     punct_ratio = (
         "CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
         " / length(text) ELSE 0.0 END"
@@ -4424,6 +4488,7 @@ r AS (SELECT chunk_id, wi, p, gh,
       FROM win)
 SELECT DISTINCT chunk_id, p AS pos, CAST(gh AS BIGINT) AS gram_hash
 FROM r WHERE rn = 1 ORDER BY chunk_id, pos""",
+        "sim_mmr_rerank": _mmr_sql,
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},

@@ -1156,3 +1156,105 @@ def lsh_bucket_stats(
         )
         .orderBy("band")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein,
+    SIGIR 1998): greedily pick ``k`` results from a relevance top-
+    ``pool``, each step maximizing ``lam * relevance - (1-lam) *
+    max-similarity-to-already-selected`` — the diversification pass a
+    GraphRAG retriever runs so the context window isn't five copies of
+    the same paragraph.  Plain top-k is the lam=1 degenerate case;
+    lam=0.5 (default) weighs novelty equal to relevance.
+
+    -> (rank 1..k, vec_id, relevance, max_sim, mmr), ordered by rank.
+    rank 1 is the pure-relevance winner (max_sim 0.0 by definition).
+
+    Determinism contract: relevance and every pairwise similarity are
+    rounded to 6 dp BEFORE any comparison or combination (max over
+    identically-rounded values is exact; ``0.5*rel - 0.5*ms`` over
+    6-dp doubles is one identical IEEE expression per engine), ties
+    broken by id — the greedy trace is engine-exact, which is what
+    lets the oracle replay it as k unrolled SQL steps.  Pass ``lam``
+    values that are exact binary floats (0.5, 0.25, 0.75) if you need
+    that cross-engine property: the complement ``1-lam`` is folded as
+    a literal in both engines.
+
+    Scale shape: candidate generation is the ONLY data-scale stage —
+    the default is the exact brute-force scan; pass ``candidates=``
+    (e.g. srp/ivf ANN top-pool) to prune it.  The pool is then
+    localCheckpointed (pool rows, one short-circuited lineage — the
+    k greedy steps must not re-trigger the corpus scan) and each step
+    is one Catalyst job over <= pool rows: selected vectors fold back
+    as LITERAL arrays (the HITS-norm pattern — never a crossJoin, so
+    the no-cartesian plan audit holds) and the argmax is an
+    orderBy-limit-1 on the rounded score — a bounded 1-row collect
+    per step, k total.  For many queries at once, group per query and
+    run this loop inside applyInPandas instead."""
+    if not 1 <= k <= pool:
+        raise ValueError("need 1 <= k <= pool")
+    qd = [float(x) for x in query]
+    if candidates is None:
+        candidates = brute_force_topk(
+            embeddings, qd, k=pool, id_col=id_col, vec_col=vec_col
+        )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cand = (
+        candidates.select("vec_id", F.col("cosine").alias("relevance"))
+        .join(vecs, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    lam = float(lam)
+    com = 1.0 - lam
+    picked: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    remaining = cand
+    for rank in range(1, k + 1):
+        sims = [
+            F.round(
+                cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in sv])), 6
+            )
+            for sv in sel_vecs
+        ]
+        if len(sims) > 1:
+            ms = F.greatest(*sims)
+        elif sims:
+            ms = sims[0]
+        else:
+            ms = F.lit(0.0)
+        scored = remaining.select(
+            "vec_id",
+            "relevance",
+            "_v",
+            ms.alias("max_sim"),
+            F.round(
+                F.lit(lam) * F.col("relevance") - F.lit(com) * ms, 6
+            ).alias("mmr"),
+        )
+        top = scored.orderBy(F.desc("mmr"), "vec_id").limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        picked.append(
+            (rank, r["vec_id"], float(r["relevance"]), float(r["max_sim"]), float(r["mmr"]))
+        )
+        sel_vecs.append([float(x) for x in r["_v"]])
+        remaining = remaining.where(F.col("vec_id") != F.lit(r["vec_id"]))
+    spark = embeddings.sparkSession
+    picks = spark.createDataFrame(
+        picked,
+        "rank int, vec_id long, relevance double, max_sim double, mmr double",
+    )
+    return picks.orderBy("rank")

@@ -1177,3 +1177,103 @@ class TestLshBucketStats:
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         got = similarity.lsh_bucket_stats(emb, dim=8, n_planes=8, bands=4).collect()
         assert all(r["n_buckets"] == 1 and r["candidate_pairs"] == 190 for r in got)
+
+
+class TestMmrRerank:
+    def _np_mmr(self, vecs, query, k, pool, lam):
+        """Pure-numpy MMR greedy reference (round-before-compare)."""
+        import numpy as np
+
+        ids = sorted(vecs)
+        q = np.asarray(query, dtype="float64")
+
+        def cos(a, b):
+            a, b = np.asarray(a, "float64"), np.asarray(b, "float64")
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        rel = {i: round(cos(vecs[i], q), 6) for i in ids}
+        cand = sorted(ids, key=lambda i: (-rel[i], i))[:pool]
+        sel, out = [], []
+        for rank in range(1, k + 1):
+            best = None
+            for c in cand:
+                if c in sel:
+                    continue
+                ms = max((round(cos(vecs[c], vecs[s]), 6) for s in sel), default=0.0)
+                score = round(lam * rel[c] - (1 - lam) * ms, 6)
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, ms, score)
+            _, c, ms, score = best
+            sel.append(c)
+            out.append((rank, c, rel[c], ms, score))
+        return out
+
+    def test_diversifies_away_from_near_duplicates(self, spark):
+        # ids 0/1 are near-copies of each other (both ~the query
+        # direction), 2 is diverse-but-relevant, 3 is junk.  Plain
+        # top-3 returns [1, 0, 2] (the copies back to back); MMR's
+        # second pick must be the diverse 2, the twin dropping to
+        # rank 3 (margins >= 5e-4, far above the 6dp rounding).
+        q = [1.0, 0.2, 0.0]
+        vecs = {
+            0: [1.0, 0.16, 0.0],
+            1: [1.0, 0.22, 0.0],    # near-copy of 0, closest to q
+            2: [0.6, 0.0, 0.8],     # diverse
+            3: [0.0, 1.0, 0.0],     # junk
+        }
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        got = [tuple(r) for r in similarity.mmr_rerank(
+            emb, q, k=3, pool=4, lam=0.5
+        ).collect()]
+        order = [r[1] for r in got]
+        assert order == [1, 2, 0]
+        top = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=3).collect()]
+        assert top == [1, 0, 2]       # the order MMR deliberately breaks
+        want = self._np_mmr(vecs, q, k=3, pool=4, lam=0.5)
+        assert [(r, i) for r, i, *_ in got] == [(r, i) for r, i, *_ in want]
+        # numpy's pairwise-summed dot can land one 6dp quantum away
+        # from the engine's sequential fold; the picks above are the
+        # hard assertion, scores agree to the rounding grid
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) <= 2e-6 and abs(g[4] - w[4]) <= 2e-6
+
+    def test_matches_numpy_reference_on_random_pool(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = {i: rng.randn(8).round(3).tolist() for i in range(30)}
+        q = vecs[0]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        got = [
+            (r["rank"], r["vec_id"]) for r in
+            similarity.mmr_rerank(emb, q, k=5, pool=12, lam=0.5).collect()
+        ]
+        want = [(r, i) for r, i, *_ in self._np_mmr(vecs, q, k=5, pool=12, lam=0.5)]
+        assert got == want
+
+    def test_lam_one_degenerates_to_topk(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        vecs = {i: rng.randn(6).round(3).tolist() for i in range(15)}
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        got = [r["vec_id"] for r in
+               similarity.mmr_rerank(emb, vecs[3], k=4, pool=10, lam=1.0).collect()]
+        top = [r["vec_id"] for r in
+               similarity.brute_force_topk(emb, vecs[3], k=4).collect()]
+        assert got == top
+
+    def test_k_bounds_validated(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            similarity.mmr_rerank(emb, [1.0, 0.0], k=9, pool=4)
