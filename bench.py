@@ -230,6 +230,14 @@ def main():
         "kg_bowtie",
         "txt_lexical_diversity",
         "kg_source_overlap",
+        # round-5 wave 14: robust anomalies + growth + scripts + layers
+        # + winnowing fingerprints + MMR diversification
+        "rel_mad_outliers",
+        "rel_user_growth",
+        "txt_script_ratios",
+        "kg_topo_layers",
+        "txt_winnowing",
+        "sim_mmr_rerank",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
