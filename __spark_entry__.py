@@ -2364,6 +2364,18 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_txt_source_drift(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus LM over a
+    coarsened top-256+<other> alphabet — the domain-drift curation
+    axis (spam/boilerplate/wrong-language sources sit far from the
+    corpus).  Unseen-term smoothing folded to a closed form from
+    per-source aggregates + two corpus scalars: no source-x-vocab
+    grid ever materializes."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    return curation.source_drift(_docs(spark, sf_dir), top_v=256)
+
+
 def q_sim_mmr_rerank(spark, sf_dir):
     """MMR diversification re-rank (Carbonell-Goldstein 1998): top-5
     from the relevance top-20, each greedy step trading relevance
@@ -3617,6 +3629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topo_layers": q_kg_topo_layers,
         "txt_winnowing": q_txt_winnowing,
         "sim_mmr_rerank": q_sim_mmr_rerank,
+        "txt_source_drift": q_txt_source_drift,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4489,6 +4502,41 @@ r AS (SELECT chunk_id, wi, p, gh,
 SELECT DISTINCT chunk_id, p AS pos, CAST(gh AS BIGINT) AS gram_hash
 FROM r WHERE rn = 1 ORDER BY chunk_id, pos""",
         "sim_mmr_rerank": _mmr_sql,
+        "txt_source_drift": """
+WITH toks AS (SELECT source,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
+ct AS (SELECT term, SUM(c) AS ct FROM st GROUP BY term),
+top AS (SELECT term FROM ct ORDER BY ct DESC, term LIMIT 256),
+b AS (SELECT source,
+             CASE WHEN t.term IS NOT NULL THEN st.term ELSE '<other>' END AS bterm,
+             SUM(st.c) AS c
+      FROM st LEFT JOIN top t ON st.term = t.term GROUP BY source, bterm),
+ctb AS (SELECT bterm, SUM(c) AS ct FROM b GROUP BY bterm),
+scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS v1, SUM(ct) AS n FROM ctb),
+q AS (SELECT bterm, CAST(ct + 1 AS DOUBLE) / (n + v1) AS q_,
+             ln(CAST(ct + 1 AS DOUBLE) / (n + v1)) AS lnq
+      FROM ctb, scal),
+lt AS (SELECT SUM(lnq) AS l_total FROM q),
+ns AS (SELECT source, SUM(c) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_terms_seen
+       FROM b GROUP BY source),
+seen AS (SELECT b.source,
+                SUM((CAST(b.c + 1 AS DOUBLE) / (ns.n_tokens + scal.v1))
+                    * ln((CAST(b.c + 1 AS DOUBLE) / (ns.n_tokens + scal.v1)) / q.q_))
+                  AS kl_seen,
+                SUM(q.lnq) AS lnq_seen
+         FROM b JOIN q USING (bterm) JOIN ns USING (source), scal
+         GROUP BY b.source)
+SELECT ns.source, CAST(ns.n_tokens AS BIGINT) AS n_tokens, ns.n_terms_seen,
+       ROUND(s.kl_seen
+             + (1.0 / (ns.n_tokens + scal.v1))
+               * ((scal.v1 - ns.n_terms_seen) * ln(1.0 / (ns.n_tokens + scal.v1))
+                  - (lt.l_total - s.lnq_seen)),
+             6) AS kl_corpus
+FROM ns JOIN seen s USING (source), scal, lt
+ORDER BY ns.source""",
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},

@@ -845,3 +845,110 @@ def source_overlap(
         .orderBy(F.desc("shared"), "source_a", "source_b")
         .limit(top_k)
     )
+
+
+def source_drift(
+    docs: DataFrame,
+    top_v: int = 2048,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus language model
+    — the domain-drift curation axis: a source whose word distribution
+    sits far from the corpus (KL high) is boilerplate, spam, another
+    language, or machine junk; the axis source_stats' length/quality
+    aggregates and source_overlap's mirror signal don't measure.
+    Distributions are add-1 smoothed over a COARSENED vocabulary (the
+    top ``top_v`` corpus terms + one ``<other>`` tail bucket), so the
+    state is bounded at top_v + 1 regardless of corpus vocabulary.
+
+    -> (source, n_tokens, n_terms_seen, kl_corpus) rounded to 6,
+    ordered by source.  kl_corpus = KL(P_source || Q_corpus) over the
+    coarsened alphabet, always >= 0.
+
+    Scale shape: ONE (source, term) hash aggregate (map-side combined)
+    is the only corpus-scale shuffle; corpus term counts derive from
+    it (vocabulary-bound), the top-V marker broadcasts, and the
+    smoothed-KL sum over UNSEEN terms is folded into a closed form —
+    p0 * (U_s*ln(p0) - (L_total - L_seen)) — computed from per-source
+    aggregates over the SEEN relation plus two corpus scalars folded
+    as literals (the BM25 pattern), so no source-x-vocabulary grid is
+    ever materialized."""
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    ct = st.groupBy("term").agg(F.sum("c").alias("ct"))
+    top = ct.orderBy(F.desc("ct"), "term").limit(top_v).select("term")
+    bucketed = (
+        st.join(F.broadcast(top.withColumn("_keep", F.lit(1))), "term", "left")
+        .select(
+            "source",
+            F.when(F.col("_keep").isNotNull(), F.col("term"))
+            .otherwise(F.lit("<other>"))
+            .alias("bterm"),
+            "c",
+        )
+        .groupBy("source", "bterm")
+        .agg(F.sum("c").alias("c"))
+    )
+    ctb = bucketed.groupBy("bterm").agg(F.sum("c").alias("ct"))
+    scal = ctb.agg(
+        F.count(F.lit(1)).alias("v1"), F.sum("ct").alias("n")
+    ).collect()[0]
+    v1, n = int(scal["v1"]), int(scal["n"])
+    q = ctb.select(
+        "bterm",
+        ((F.col("ct") + 1).cast("double") / F.lit(float(n + v1))).alias("q"),
+    ).withColumn("lnq", F.log("q"))
+    l_total = float(q.agg(F.sum("lnq")).collect()[0][0])
+    joined = bucketed.join(F.broadcast(q), "bterm")
+    # two-pass: N_s first (needed inside every seen term's P), then the
+    # seen-sum with N_s joined back (a |sources|-row broadcast)
+    ns = bucketed.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_terms_seen")
+    )
+    seen = (
+        joined.join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            (
+                ((F.col("c") + 1).cast("double") / (F.col("n_tokens") + F.lit(v1)))
+                * F.log(
+                    ((F.col("c") + 1).cast("double") / (F.col("n_tokens") + F.lit(v1)))
+                    / F.col("q")
+                )
+            ).alias("_kl_term"),
+            F.col("lnq"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_kl_term").alias("kl_seen"),
+            F.sum("lnq").alias("lnq_seen"),
+        )
+    )
+    p0 = F.lit(1.0) / (F.col("n_tokens") + F.lit(v1)).cast("double")
+    return (
+        ns.join(seen, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms_seen",
+            F.round(
+                F.col("kl_seen")
+                + p0
+                * (
+                    (F.lit(v1) - F.col("n_terms_seen")) * F.log(p0)
+                    - (F.lit(l_total) - F.col("lnq_seen"))
+                ),
+                6,
+            ).alias("kl_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -1033,3 +1033,71 @@ class TestSourceOverlap:
         got = self._run(spark, mentions, sources, min_shared=1)
         # sA's two c1 docs collapse to one distinct concept
         assert got == [("sA", "sB", 2, 2, 2, 1.0)]
+
+
+class TestSourceDrift:
+    def _py_kl(self, docs, top_v):
+        """Full-grid smoothed-KL reference (no closed form): the
+        textbook sum over EVERY coarsened term for every source."""
+        import math
+        import re
+        from collections import Counter
+
+        st = Counter()
+        for src, text in docs:
+            for t in re.split(r"[^a-z0-9]+", text.lower()):
+                if t:
+                    st[(src, t)] += 1
+        ct = Counter()
+        for (s, t), c in st.items():
+            ct[t] += c
+        top = {t for t, _ in sorted(ct.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]}
+        b = Counter()
+        for (s, t), c in st.items():
+            b[(s, t if t in top else "<other>")] += c
+        ctb = Counter()
+        for (s, t), c in b.items():
+            ctb[t] += c
+        v1, n = len(ctb), sum(ctb.values())
+        out = {}
+        for s in {s for s, _ in b}:
+            ns = sum(c for (s2, _), c in b.items() if s2 == s)
+            kl = 0.0
+            for t, ctv in ctb.items():
+                q = (ctv + 1) / (n + v1)
+                p = (b.get((s, t), 0) + 1) / (ns + v1)
+                kl += p * math.log(p / q)
+            out[s] = (ns, sum(1 for (s2, _) in b if s2 == s), kl)
+        return out
+
+    def _run(self, spark, docs, top_v):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.curation import source_drift
+
+        df = spark.createDataFrame(docs, "source string, text string")
+        return {
+            r["source"]: (r["n_tokens"], r["n_terms_seen"], r["kl_corpus"])
+            for r in source_drift(df, top_v=top_v).collect()
+        }
+
+    def test_closed_form_matches_full_grid(self, spark):
+        docs = [
+            ("a", "the cat sat on the mat and the cat slept"),
+            ("a", "a dog and a cat met on a mat"),
+            ("b", "the cat sat on the mat and the cat slept"),
+            ("spam", "viagra casino viagra bonus casino jackpot viagra"),
+        ]
+        got = self._run(spark, docs, top_v=5)  # force a real <other> bucket
+        want = self._py_kl(docs, top_v=5)
+        assert set(got) == set(want)
+        for s in want:
+            assert got[s][0] == want[s][0]
+            assert got[s][1] == want[s][1]
+            assert abs(got[s][2] - want[s][2]) < 1e-6, s
+
+    def test_drifted_source_ranks_highest(self, spark):
+        base = "the quick brown fox jumps over the lazy dog near the river bank"
+        docs = [("a", base), ("b", base), ("junk", "zzz qqq xxx zzz qqq vvv www")]
+        got = self._run(spark, docs, top_v=100)
+        assert got["junk"][2] > got["a"][2]
+        assert abs(got["a"][2] - got["b"][2]) < 1e-9  # identical dists
+        assert all(v[2] >= 0 for v in got.values())   # KL non-negativity
