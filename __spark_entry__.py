@@ -2364,6 +2364,15 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_graph_sparsify(spark, sf_dir):
+    """Degree-aware edge sparsification (Spielman-Srivastava shape,
+    1/sqrt(da*db) resistance proxy): keep p = min(1, 4/sqrt(da*db)),
+    weight 1/p — unbiased cut/degree statistics at a fraction of the
+    edge count; the pre-pass that makes iterative graph families
+    affordable at web scale.  Deterministic md5 coin per edge."""
+    return q.sparsify_edges(_kg_cooccur_und(spark, sf_dir), c=4.0)
+
+
 def q_txt_source_drift(spark, sf_dir):
     """Per-source unigram KL divergence from the corpus LM over a
     coarsened top-256+<other> alphabet — the domain-drift curation
@@ -3630,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_winnowing": q_txt_winnowing,
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "txt_source_drift": q_txt_source_drift,
+        "kg_graph_sparsify": q_kg_graph_sparsify,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4502,6 +4512,19 @@ r AS (SELECT chunk_id, wi, p, gh,
 SELECT DISTINCT chunk_id, p AS pos, CAST(gh AS BIGINT) AS gram_hash
 FROM r WHERE rn = 1 ORDER BY chunk_id, pos""",
         "sim_mmr_rerank": _mmr_sql,
+        "kg_graph_sparsify": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+adj AS (SELECT cid, nbr_id FROM und WHERE cid <> nbr_id),
+deg AS (SELECT cid AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY cid),
+e AS (SELECT DISTINCT LEAST(cid, nbr_id) AS a_id, GREATEST(cid, nbr_id) AS b_id FROM adj),
+j AS (SELECT e.a_id, e.b_id,
+             LEAST(1.0, 4.0 / sqrt(CAST(da.deg * db.deg AS DOUBLE))) AS p,
+             ({_nib32_expr("md5('sp|' || e.a_id || '|' || e.b_id)")}) AS h
+      FROM e JOIN deg da ON e.a_id = da.id JOIN deg db ON e.b_id = db.id)
+SELECT a_id, b_id, ROUND(p, 6) AS p, ROUND(1.0 / p, 6) AS weight
+FROM j WHERE (h + 0.5) / 4294967296.0 < p
+ORDER BY a_id, b_id""",
         "txt_source_drift": """
 WITH toks AS (SELECT source,
                      unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -4102,3 +4102,65 @@ def degree_centralization(und: DataFrame) -> DataFrame:
             6,
         ).alias("centralization"),
     )
+
+
+def sparsify_edges(und: DataFrame, c: float = 4.0) -> DataFrame:
+    """Degree-aware spectral-style graph sparsification by effective-
+    resistance PROXY (Spielman-Srivastava shape with the standard
+    1/sqrt(da*db) resistance surrogate): keep edge (a,b) with
+    probability p = min(1, c / sqrt(deg_a * deg_b)) and weight kept
+    edges 1/p so every cut/degree statistic stays unbiased.  Low-
+    degree structure survives intact (p saturates at 1); the dense
+    hub-hub mesh — exactly where a web co-occurrence graph's edge mass
+    explodes — thins quadratically.  The downstream win: PageRank /
+    communities / triangles on the sparsified, weight-corrected graph
+    at a fraction of the edge count.
+
+    Determinism: the coin is the md5-derived 32-bit uniform
+    u = (h + 0.5) / 2^32 on the canonical edge key — rerun-stable,
+    engine-replayable (the DuckDB oracle flips the same coins), and
+    independent of partitioning.  The accept test compares u against
+    one sqrt+divide on exact BIGINT degree products — identical IEEE
+    ops per engine, no accumulated float enters the branch.
+
+    -> (a_id, b_id, p, weight) for kept edges, p/weight rounded 6,
+    ordered (a_id, b_id).
+
+    Scale shape: one degree aggregate + two broadcast-shaped joins of
+    the |nodes|-row degree relation onto the edge list; the coin and
+    the accept test are map-side expressions — the edge list shuffles
+    only for the degree agg.  At 100 TB this is the pre-pass that
+    makes the iterative families (PR/LPA/triangles) affordable."""
+    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
+    edges = adj.select(
+        F.least("cid", "nbr_id").alias("a_id"), F.greatest("cid", "nbr_id").alias("b_id")
+    ).distinct()
+    j = edges.join(
+        deg.withColumnRenamed("cid", "a_id").withColumnRenamed("deg", "da"), "a_id"
+    ).join(deg.withColumnRenamed("cid", "b_id").withColumnRenamed("deg", "db"), "b_id")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(c)) / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sp|"), F.col("a_id"), F.lit("|"), F.col("b_id"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return (
+        j.withColumn("_p", p)
+        .where(u < F.col("_p"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round("_p", 6).alias("p"),
+            F.round(F.lit(1.0) / F.col("_p"), 6).alias("weight"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -3166,3 +3166,69 @@ class TestTaxonomyLayers:
         # uncapped when depth covers the chain
         full = self._lay(spark, chain, depth=6)
         assert full["n0"][0] == 6
+
+
+class TestSparsifyEdges:
+    def _py_replay(self, edges, c=4.0):
+        """Exact pure-python replay of the md5 coin + accept rule."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        adj = set()
+        for a, b in edges:
+            if a != b:
+                adj.add((a, b))
+                adj.add((b, a))
+        deg = Counter(a for a, _ in adj)
+        und = {(min(a, b), max(a, b)) for a, b in adj}
+        kept = {}
+        for a, b in sorted(und):
+            p = min(1.0, c / math.sqrt(deg[a] * deg[b]))
+            h = int(hashlib.md5(f"sp|{a}|{b}".encode()).hexdigest()[:8], 16)
+            if (h + 0.5) / 4294967296.0 < p:
+                kept[(a, b)] = (round(p, 6), round(1.0 / p, 6))
+        return kept
+
+    def _und(self, spark, edges):
+        rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        return spark.createDataFrame(rows, "cid string, nbr_id string")
+
+    def test_matches_python_replay_and_keeps_sparse_structure(self, spark):
+        # K8 hub mesh (deg 7 each: p = 4/7 < 1, thinned) + a path of
+        # low-degree nodes (p = 1: kept verbatim, weight 1)
+        clique = [(f"h{i}", f"h{j}") for i in range(8) for j in range(i + 1, 8)]
+        path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+        edges = clique + path + [("h0", "p0")]
+        got = {
+            (r["a_id"], r["b_id"]): (r["p"], r["weight"])
+            for r in queries.sparsify_edges(self._und(spark, edges), c=4.0).collect()
+        }
+        assert got == self._py_replay(edges, c=4.0)
+        for a, b in path:
+            key = (min(a, b), max(a, b))
+            assert got[key] == (1.0, 1.0)  # low-degree structure intact
+        clique_kept = [k for k in got if k[0].startswith("h") and k[1].startswith("h")]
+        assert len(clique_kept) < len(clique)  # the hub mesh thinned
+
+    def test_deterministic_across_runs(self, spark):
+        edges = [(f"n{i}", f"n{(i * 7 + 1) % 30}") for i in range(60)]
+        und = self._und(spark, edges)
+        a = [tuple(r) for r in queries.sparsify_edges(und, c=2.0).collect()]
+        b = [tuple(r) for r in queries.sparsify_edges(und, c=2.0).collect()]
+        assert a == b and len(a) > 0
+
+    def test_weight_corrects_expected_degree(self, spark):
+        # inverse-probability weighting: the weighted degree of a hub
+        # is an unbiased estimator of the true degree.  The md5 coin is
+        # a FIXED deterministic draw, so this pins that the one draw we
+        # get sits inside a 2-sigma band (p~0.14 -> sd ~ 20 here), not
+        # that the estimator is tight
+        hub_edges = [("hub", f"leaf{i}") for i in range(64)] + [
+            (f"leaf{i}", f"leaf{(i+1)%64}") for i in range(64)
+        ]
+        got = queries.sparsify_edges(self._und(spark, hub_edges), c=2.0).collect()
+        wdeg = sum(
+            r["weight"] for r in got if "hub" in (r["a_id"], r["b_id"])
+        )
+        assert 64 * 0.4 <= wdeg <= 64 * 1.6
