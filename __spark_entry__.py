@@ -2364,6 +2364,18 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_rel_histogram(spark, sf_dir):
+    """Per-event-type equi-width value histogram (10 buckets over the
+    type's [min, max], clamped top bucket) — the distribution-shape
+    profile the mean/stddev (rel_zscore) and t-digest quantile
+    (rel_quantile_sketch) views can't show: bimodality, clipping,
+    heaping.  Bounds broadcast; the stream shuffles zero times."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.value_histogram(e, k=10)
+
+
 def q_kg_graph_sparsify(spark, sf_dir):
     """Degree-aware edge sparsification (Spielman-Srivastava shape,
     1/sqrt(da*db) resistance proxy): keep p = min(1, 4/sqrt(da*db)),
@@ -3640,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_rerank": q_sim_mmr_rerank,
         "txt_source_drift": q_txt_source_drift,
         "kg_graph_sparsify": q_kg_graph_sparsify,
+        "rel_histogram": q_rel_histogram,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4512,6 +4525,20 @@ r AS (SELECT chunk_id, wi, p, gh,
 SELECT DISTINCT chunk_id, p AS pos, CAST(gh AS BIGINT) AS gram_hash
 FROM r WHERE rn = 1 ORDER BY chunk_id, pos""",
         "sim_mmr_rerank": _mmr_sql,
+        "rel_histogram": """
+WITH bounds AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+                FROM events GROUP BY event_type),
+assigned AS (SELECT e.event_type, b.mn, b.mx,
+                    CASE WHEN b.mx = b.mn THEN 0
+                         ELSE CAST(LEAST(FLOOR((e.value - b.mn) / ((b.mx - b.mn) / 10.0)), 9) AS INT)
+                    END AS bucket
+             FROM events e JOIN bounds b USING (event_type))
+SELECT event_type, bucket,
+       ROUND(mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 10.0), 6) AS lo,
+       ROUND(mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 10.0), 6) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM assigned GROUP BY event_type, bucket, mn, mx
+ORDER BY event_type, bucket""",
         "kg_graph_sparsify": f"""WITH {PAIRS_CTE},
 und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs
         UNION SELECT b_id, a_id FROM pairs),

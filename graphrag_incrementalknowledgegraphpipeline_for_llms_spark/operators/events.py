@@ -622,3 +622,63 @@ def user_growth(
         .withColumn("cumulative_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+def value_histogram(
+    events: DataFrame,
+    k: int = 10,
+    by: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group equi-width value histogram: k buckets spanning the
+    group's [min, max], the distribution-shape profile behind every
+    metrics dashboard (and the sanity check the mean/stddev and
+    quantile-sketch views can't give — bimodality, clipping, heaping).
+    The top bucket is closed ([lo, max]) via the standard
+    min(floor((v-min)/width), k-1) clamp; a constant group (max ==
+    min) lands entirely in bucket 0 with width 0.  Only OBSERVED
+    buckets are emitted (it's a group-by, not a dense grid).
+
+    -> (group, bucket, lo, hi, cnt), lo/hi rounded 6, ordered by
+    (group, bucket).
+
+    Scale shape: one min/max aggregate broadcasts per-group bounds
+    back onto the stream (the zscore_outliers shape), then ONE
+    map-side-combined hash aggregate on (group, bucket) — the event
+    stream shuffles zero times; bucket arithmetic is a single
+    subtract/divide/floor per row, identical IEEE ops per engine, so
+    the assignment is deterministic cross-engine."""
+    bounds = events.groupBy(by).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(k))
+    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_mn")) / width).cast("int"),
+            F.lit(k - 1),
+        )
+    )
+    return (
+        events.join(F.broadcast(bounds), by)
+        .select(by, F.col("_mn"), F.col("_mx"), bucket.alias("bucket"))
+        .groupBy(by, "bucket", "_mn", "_mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            by,
+            "bucket",
+            F.round(
+                F.col("_mn")
+                + F.col("bucket").cast("double")
+                * ((F.col("_mx") - F.col("_mn")) / F.lit(float(k))),
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("_mn")
+                + (F.col("bucket") + 1).cast("double")
+                * ((F.col("_mx") - F.col("_mn")) / F.lit(float(k))),
+                6,
+            ).alias("hi"),
+            "cnt",
+        )
+        .orderBy(by, "bucket")
+    )

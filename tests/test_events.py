@@ -596,3 +596,38 @@ class TestUserGrowth:
         assert sum(r["new_users"] for r in rows) == total
         for r in rows:
             assert r["active_users"] == r["new_users"] + r["returning_users"]
+
+
+class TestValueHistogram:
+    def test_hand_computed_buckets(self, spark):
+        # group 'a': values 0..10 over k=5 -> width 2; 10 clamps to 4
+        rows = [(f"a{i}", "a", float(i)) for i in range(11)]
+        # group 'b': constant -> single bucket 0, width 0
+        rows += [(f"b{i}", "b", 7.0) for i in range(3)]
+        df = spark.createDataFrame(
+            rows, "event_id string, event_type string, value double"
+        )
+        got = {
+            (r["event_type"], r["bucket"]): (r["lo"], r["hi"], r["cnt"])
+            for r in ev.value_histogram(df, k=5).collect()
+        }
+        assert got[("a", 0)] == (0.0, 2.0, 2)   # 0, 1
+        assert got[("a", 1)] == (2.0, 4.0, 2)   # 2, 3
+        assert got[("a", 4)] == (8.0, 10.0, 3)  # 8, 9, and clamped 10
+        assert got[("b", 0)] == (7.0, 7.0, 3)
+        assert sum(c for _, _, c in got.values()) == len(rows)
+
+    def test_counts_partition_the_group(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(f"e{i}", "t", rng.uniform(-3, 9)) for i in range(500)]
+        df = spark.createDataFrame(
+            rows, "event_id string, event_type string, value double"
+        )
+        got = ev.value_histogram(df, k=10).collect()
+        assert sum(r["cnt"] for r in got) == 500
+        assert all(0 <= r["bucket"] <= 9 for r in got)
+        # buckets tile [min, max] without gaps in lo/hi arithmetic
+        for r in got:
+            assert r["hi"] > r["lo"] or r["cnt"] == 500
