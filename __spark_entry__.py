@@ -2364,6 +2364,14 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_dag_paths(spark, sf_dir):
+    """Path multiplicity over the is_a DAG (depth <= 4): how many
+    distinct chains connect each (descendant, ancestor) pair — the
+    evidence weight the closure/layers views discard.  Exact BIGINT
+    semi-naive DP, one join + one sum-agg per round."""
+    return q.dag_path_counts(_isa_edges(spark, sf_dir), max_depth=4)
+
+
 def q_rel_histogram(spark, sf_dir):
     """Per-event-type equi-width value histogram (10 buckets over the
     type's [min, max], clamped top bucket) — the distribution-shape
@@ -3653,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_drift": q_txt_source_drift,
         "kg_graph_sparsify": q_kg_graph_sparsify,
         "rel_histogram": q_rel_histogram,
+        "kg_dag_paths": q_kg_dag_paths,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5516,6 +5525,23 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "kg_dag_paths": f"""WITH {TRIPLES_CTE},
+isa AS (SELECT DISTINCT subj_id AS desc_id, obj_id AS anc_id FROM triples
+        WHERE predicate = 'is_a' AND subj_id <> obj_id),
+p1 AS (SELECT desc_id, anc_id, CAST(1 AS BIGINT) AS n, 1 AS depth FROM isa)"""
+        + "".join(
+            f""",
+p{d} AS (SELECT c.desc_id, i.anc_id, SUM(c.n) AS n, {d} AS depth
+        FROM p{d - 1} c JOIN isa i ON c.anc_id = i.desc_id
+        WHERE c.desc_id <> i.anc_id GROUP BY c.desc_id, i.anc_id)"""
+            for d in range(2, 5)
+        )
+        + """
+SELECT desc_id, anc_id, CAST(SUM(n) AS BIGINT) AS n_paths,
+       CAST(MIN(depth) AS INT) AS min_depth
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+GROUP BY desc_id, anc_id ORDER BY desc_id, anc_id""",
         "kg_topo_layers": f"""WITH {TRIPLES_CTE},
 isa AS (SELECT DISTINCT subj_id AS child_id, obj_id AS parent_id FROM triples
         WHERE predicate = 'is_a' AND subj_id <> obj_id),

@@ -4164,3 +4164,59 @@ def sparsify_edges(und: DataFrame, c: float = 4.0) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+def dag_path_counts(isa: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Path multiplicity over the ``is_a`` DAG: for every (descendant,
+    ancestor) pair reachable within ``max_depth`` hops, HOW MANY
+    distinct directed paths connect them — the multiplicity the
+    closure (existence) and layers (depth) views both discard, and the
+    natural evidence weight for rollup/expansion (an ancestor reached
+    along 6 independent chains subsumes its descendant more strongly
+    than one reached along 1).
+
+    -> (desc_id, anc_id, n_paths, min_depth), ordered.
+
+    Scale shape: textbook semi-naive DAG DP — round d joins only the
+    EXACTLY-length-(d-1) frontier against the (localCheckpointed-once)
+    edge list and sum-aggregates path counts; the final merge is one
+    hash aggregate over the accumulated pairs.  Counts are exact
+    BIGINTs (no floats anywhere); pair canonicalization keeps the edge
+    view acyclic so counts are finite and the frontier can only grow
+    toward the closure, never loop."""
+    isa = (
+        isa.select(
+            F.col("child_id").cast("string").alias("desc_id"),
+            F.col("parent_id").cast("string").alias("anc_id"),
+        )
+        .where(F.col("desc_id") != F.col("anc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = isa.select(
+        "desc_id", "anc_id", F.lit(1).cast("long").alias("n_paths"),
+        F.lit(1).cast("int").alias("depth"),
+    )
+    total = frontier
+    for d in range(2, max_depth + 1):
+        frontier = (
+            frontier.join(
+                isa.select(
+                    F.col("desc_id").alias("anc_id"),
+                    F.col("anc_id").alias("_next"),
+                ),
+                "anc_id",
+            )
+            .where(F.col("desc_id") != F.col("_next"))
+            .groupBy("desc_id", F.col("_next").alias("anc_id"))
+            .agg(F.sum("n_paths").alias("n_paths"))
+            .select(
+                "desc_id", "anc_id", "n_paths", F.lit(d).cast("int").alias("depth")
+            )
+        )
+        total = total.unionByName(frontier)
+    return (
+        total.groupBy("desc_id", "anc_id")
+        .agg(F.sum("n_paths").alias("n_paths"), F.min("depth").alias("min_depth"))
+        .orderBy("desc_id", "anc_id")
+    )

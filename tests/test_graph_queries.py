@@ -3232,3 +3232,34 @@ class TestSparsifyEdges:
             r["weight"] for r in got if "hub" in (r["a_id"], r["b_id"])
         )
         assert 64 * 0.4 <= wdeg <= 64 * 1.6
+
+
+class TestDagPathCounts:
+    def _run(self, spark, edges, depth=4):
+        rows = queries.dag_path_counts(_isa_df(spark, edges), max_depth=depth).collect()
+        return {(r["desc_id"], r["anc_id"]): (r["n_paths"], r["min_depth"]) for r in rows}
+
+    def test_diamond_multiplicity(self, spark):
+        # a->b->d, a->c->d, a->d: three distinct paths a~>d
+        got = self._run(
+            spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]
+        )
+        assert got[("a", "d")] == (3, 1)   # shortcut gives min_depth 1
+        assert got[("a", "b")] == (1, 1)
+        assert got[("b", "d")] == (1, 1)
+
+    def test_stacked_diamonds_multiply(self, spark):
+        # two diamonds in series: 2 * 2 = 4 paths end to end
+        edges = [("s", "m1"), ("s", "m2"), ("m1", "t"), ("m2", "t"),
+                 ("t", "n1"), ("t", "n2"), ("n1", "u"), ("n2", "u")]
+        got = self._run(spark, edges, depth=4)
+        assert got[("s", "u")] == (4, 4)
+        assert got[("s", "t")] == (2, 2)
+        assert got[("t", "u")] == (2, 2)
+
+    def test_depth_bound_truncates(self, spark):
+        chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+        got = self._run(spark, chain, depth=4)
+        assert ("n0", "n4") in got and ("n0", "n5") not in got
+        got6 = self._run(spark, chain, depth=6)
+        assert got6[("n0", "n6")] == (1, 6)
