@@ -238,6 +238,11 @@ def main():
         "kg_topo_layers",
         "txt_winnowing",
         "sim_mmr_rerank",
+        # round-5 wave 15: drift + sparsify + histogram + DAG paths
+        "txt_source_drift",
+        "kg_graph_sparsify",
+        "rel_histogram",
+        "kg_dag_paths",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
