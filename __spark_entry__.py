@@ -2364,6 +2364,15 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_egonet_anomaly(spark, sf_dir):
+    """OddBall ego-net anomaly scores (Akoglu 2010) over the concept
+    co-occurrence graph: residual from the fitted degree-vs-ego-edges
+    power law — near-cliques (link farms / boilerplate clusters) and
+    near-stars (spam hubs) light up.  OLS coefficients rounded to 8dp
+    before any per-node expression, so scores are engine-exact."""
+    return q.egonet_anomaly(_kg_cooccur_und(spark, sf_dir), threshold=1.0)
+
+
 def q_kg_dag_paths(spark, sf_dir):
     """Path multiplicity over the is_a DAG (depth <= 4): how many
     distinct chains connect each (descendant, ancestor) pair — the
@@ -3662,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_sparsify": q_kg_graph_sparsify,
         "rel_histogram": q_rel_histogram,
         "kg_dag_paths": q_kg_dag_paths,
+        "kg_egonet_anomaly": q_kg_egonet_anomaly,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5525,6 +5535,29 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "kg_egonet_anomaly": f"""WITH {PAIRS_CTE},
+{_tri_ctes},
+per AS (SELECT deg.id, deg.degree,
+               deg.degree + COALESCE(c.triangles, 0) AS ego_edges
+        FROM deg LEFT JOIN corners c ON deg.id = c.id),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(ln(CAST(degree AS DOUBLE))) AS sx,
+             SUM(ln(CAST(ego_edges AS DOUBLE))) AS sy,
+             SUM(ln(CAST(degree AS DOUBLE)) * ln(CAST(ego_edges AS DOUBLE))) AS sxy,
+             SUM(ln(CAST(degree AS DOUBLE)) * ln(CAST(degree AS DOUBLE))) AS sxx
+      FROM per),
+aa AS (SELECT CASE WHEN n * sxx - sx * sx > 0
+                   THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+                   ELSE 0.0 END AS a, n, sx, sy FROM s),
+ab AS (SELECT a, CASE WHEN n > 0 THEN ROUND((sy - a * sx) / n, 8) ELSE 0.0 END AS b
+       FROM aa)
+SELECT p.id, p.degree, p.ego_edges,
+       ROUND(ab.b + ab.a * ln(CAST(p.degree AS DOUBLE)), 6) AS expected_ln,
+       ROUND(ABS(ln(CAST(p.ego_edges AS DOUBLE))
+                 - (ab.b + ab.a * ln(CAST(p.degree AS DOUBLE)))), 6) AS residual,
+       ABS(ln(CAST(p.ego_edges AS DOUBLE))
+           - (ab.b + ab.a * ln(CAST(p.degree AS DOUBLE)))) > 1.0 AS is_anomalous
+FROM per p, ab ORDER BY p.id""",
         "kg_dag_paths": f"""WITH {TRIPLES_CTE},
 isa AS (SELECT DISTINCT subj_id AS desc_id, obj_id AS anc_id FROM triples
         WHERE predicate = 'is_a' AND subj_id <> obj_id),

@@ -4229,3 +4229,107 @@ def dag_path_counts(isa: DataFrame, max_depth: int = 4) -> DataFrame:
         .agg(F.sum("n_paths").alias("n_paths"), F.min("depth").alias("min_depth"))
         .orderBy("desc_id", "anc_id")
     )
+
+
+def egonet_anomaly(und: DataFrame, threshold: float = 1.0) -> DataFrame:
+    """OddBall-style ego-net anomaly scores (Akoglu-McGlohon-Faloutsos
+    PAKDD 2010): real graphs obey a power law between a node's degree
+    and its ego-net edge count (E_u = d_u + triangles_u); nodes far
+    off the fitted log-log line are the structural anomalies — near-
+    cliques (E >> expected: link farms, copy-paste boilerplate
+    clusters) and near-stars (E << expected: spam hubs that blast
+    unrelated concepts).  The web-graph fraud signal the degree/
+    coreness/clustering columns can't express alone.
+
+    -> (id, degree, ego_edges, expected_ln, residual, is_anomalous),
+    residual = |ln E - (b + a ln d)| rounded 6, ordered by id (no
+    float-ranked LIMIT).
+
+    Determinism contract: the OLS slope/intercept are fitted in log
+    space from four corpus sums, then ROUNDED TO 8 dp before any
+    per-node expression (the fastrp round-before-dot move) — expected
+    and residual are then pure functions of exact integers and two
+    8-dp constants, so the per-node values are engine-exact; only the
+    fit itself carries last-ulp sum-order noise, absorbed by its own
+    rounding.
+
+    Scale shape: the degree-oriented wedge join of triangle_counts
+    (oriented out-degree O(sqrt(m)) bounds hub wedges), one corner
+    aggregate, then the fit is a 1-row aggregate folded back as
+    LITERALS (the BM25 scalar pattern) — the per-node scoring pass is
+    map-side arithmetic."""
+    edges = (
+        und.select(
+            F.least("cid", "nbr_id").alias("lo"),
+            F.greatest("cid", "nbr_id").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("lo").alias("id"))
+        .unionAll(edges.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("id").alias("lo"), F.col("degree").alias("dlo"))
+    db = deg.select(F.col("id").alias("hi"), F.col("degree").alias("dhi"))
+    oriented = (
+        edges.join(da, "lo")
+        .join(db, "hi")
+        .select(
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("src"),
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select("src", F.col("dst").alias("d2"))
+    wedges = o1.join(o2, "src").where(F.col("d1") < F.col("d2"))
+    tris = wedges.join(
+        edges, (F.col("d1") == F.col("lo")) & (F.col("d2") == F.col("hi"))
+    ).select("src", "d1", "d2")
+    corners = (
+        tris.select(F.col("src").alias("id"))
+        .unionAll(tris.select(F.col("d1").alias("id")))
+        .unionAll(tris.select(F.col("d2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    per = deg.join(corners, "id", "left").select(
+        "id",
+        "degree",
+        (F.col("degree") + F.coalesce("triangles", F.lit(0))).alias("ego_edges"),
+    )
+    xy = per.select(
+        F.log(F.col("degree").cast("double")).alias("x"),
+        F.log(F.col("ego_edges").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]
+    n, sx, sy = float(s["n"]), float(s["sx"]), float(s["sy"])
+    sxy, sxx = float(s["sxy"]), float(s["sxx"])
+    denom = n * sxx - sx * sx
+    a = round((n * sxy - sx * sy) / denom, 8) if denom > 0 else 0.0
+    b = round((sy - a * sx) / n, 8) if n > 0 else 0.0
+    x = F.log(F.col("degree").cast("double"))
+    y = F.log(F.col("ego_edges").cast("double"))
+    expected = F.lit(b) + F.lit(a) * x
+    resid = F.abs(y - expected)
+    return per.select(
+        "id",
+        "degree",
+        "ego_edges",
+        F.round(expected, 6).alias("expected_ln"),
+        F.round(resid, 6).alias("residual"),
+        (resid > F.lit(float(threshold))).alias("is_anomalous"),
+    ).orderBy("id")

@@ -3263,3 +3263,69 @@ class TestDagPathCounts:
         assert ("n0", "n4") in got and ("n0", "n5") not in got
         got6 = self._run(spark, chain, depth=6)
         assert got6[("n0", "n6")] == (1, 6)
+
+
+class TestEgonetAnomaly:
+    def _und(self, spark, edges):
+        rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        return spark.createDataFrame(rows, "cid string, nbr_id string")
+
+    def _py_ref(self, edges, threshold=1.0):
+        """Textbook replay: E_u = d_u + tri_u, log-log OLS with the
+        same round-8 coefficient contract."""
+        import math
+        from collections import Counter
+        from itertools import combinations
+
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        per = {}
+        for u, ns in adj.items():
+            tri = sum(1 for x, y in combinations(sorted(ns), 2) if y in adj.get(x, ()))
+            per[u] = (len(ns), len(ns) + tri)
+        xs = [math.log(d) for d, _ in per.values()]
+        ys = [math.log(e) for _, e in per.values()]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        a = round((n * sxy - sx * sy) / den, 8) if den > 0 else 0.0
+        b = round((sy - a * sx) / n, 8) if n > 0 else 0.0
+        out = {}
+        for u, (d, e) in per.items():
+            exp = b + a * math.log(d)
+            r = abs(math.log(e) - exp)
+            out[u] = (d, e, round(exp, 6), round(r, 6), r > threshold)
+        return out
+
+    def test_matches_python_replay(self, spark):
+        # mixed structure: a 5-clique, a 6-star, and a path
+        edges = (
+            [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+            + [("hub", f"s{i}") for i in range(6)]
+            + [(f"p{i}", f"p{i+1}") for i in range(4)]
+        )
+        got = {
+            r["id"]: (r["degree"], r["ego_edges"], r["expected_ln"],
+                      r["residual"], r["is_anomalous"])
+            for r in queries.egonet_anomaly(self._und(spark, edges)).collect()
+        }
+        want = self._py_ref(edges)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0] and got[k][1] == want[k][1], k
+            assert abs(got[k][2] - want[k][2]) < 2e-6, k
+            assert abs(got[k][3] - want[k][3]) < 2e-6, k
+
+    def test_clique_member_beats_path_node(self, spark):
+        # clique members sit far ABOVE the line fitted to a long path
+        edges = [(f"p{i}", f"p{i+1}") for i in range(20)] + [
+            (f"k{i}", f"k{j}") for i in range(6) for j in range(i + 1, 6)
+        ]
+        got = {r["id"]: r["residual"]
+               for r in queries.egonet_anomaly(self._und(spark, edges)).collect()}
+        assert got["k0"] > got["p5"]
