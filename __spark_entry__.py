@@ -2364,6 +2364,17 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_related_chunks(spark, sf_dir):
+    """Chunk-level "more like this" via the bipartite projection:
+    chunks sharing >= 2 guarded concepts, ranked by shared count +
+    concept-set Jaccard — the entity-overlap retrieval signal
+    orthogonal to BM25 and embedding cosine.  max_spread=20 viral-
+    concept guard bounds the self-join fan-out at C(20,2)."""
+    return q.related_chunks(
+        q_kg_mentions(spark, sf_dir), max_spread=20, min_shared=2, top_k=100
+    )
+
+
 def q_kg_egonet_anomaly(spark, sf_dir):
     """OddBall ego-net anomaly scores (Akoglu 2010) over the concept
     co-occurrence graph: residual from the fitted degree-vs-ego-edges
@@ -3672,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_histogram": q_rel_histogram,
         "kg_dag_paths": q_kg_dag_paths,
         "kg_egonet_anomaly": q_kg_egonet_anomaly,
+        "kg_related_chunks": q_kg_related_chunks,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5535,6 +5547,20 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "kg_related_chunks": f"""WITH {MENTIONS_CTE},
+mc AS (SELECT DISTINCT chunk_id, concept_id FROM mentions),
+keep AS (SELECT concept_id FROM mc GROUP BY concept_id HAVING COUNT(*) <= 20),
+g AS (SELECT mc.chunk_id, mc.concept_id FROM mc JOIN keep USING (concept_id)),
+sizes AS (SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY chunk_id),
+p AS (SELECT a.chunk_id AS chunk_a, b.chunk_id AS chunk_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM g a JOIN g b ON a.concept_id = b.concept_id AND a.chunk_id < b.chunk_id
+      GROUP BY a.chunk_id, b.chunk_id HAVING COUNT(*) >= 2)
+SELECT p.chunk_a, p.chunk_b, p.shared, sa.n AS na, sb.n AS nb,
+       ROUND(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS jaccard
+FROM p JOIN sizes sa ON p.chunk_a = sa.chunk_id
+       JOIN sizes sb ON p.chunk_b = sb.chunk_id
+ORDER BY p.shared DESC, p.chunk_a, p.chunk_b LIMIT 100""",
         "kg_egonet_anomaly": f"""WITH {PAIRS_CTE},
 {_tri_ctes},
 per AS (SELECT deg.id, deg.degree,

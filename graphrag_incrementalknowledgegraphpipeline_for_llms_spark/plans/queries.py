@@ -4333,3 +4333,70 @@ def egonet_anomaly(und: DataFrame, threshold: float = 1.0) -> DataFrame:
         F.round(resid, 6).alias("residual"),
         (resid > F.lit(float(threshold))).alias("is_anomalous"),
     ).orderBy("id")
+
+
+def related_chunks(
+    mentions: DataFrame,
+    max_spread: int = 20,
+    min_shared: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """"More like this" at the chunk level: project the chunk-concept
+    bipartite graph onto chunks — two chunks sharing >= ``min_shared``
+    distinct (guarded) concepts are topical siblings, ranked by shared
+    count + Jaccard over their concept sets.  The ENTITY-overlap
+    retrieval signal, orthogonal to lexical BM25 (kg_text_bm25) and
+    embedding cosine (sim_*): two chunks about the same entities
+    relate even with disjoint vocabulary.
+
+    ``max_spread`` is the viral-concept guard (the source_overlap /
+    line-dedup move): a concept mentioned in more than ``max_spread``
+    chunks is corpus vocabulary, not a topical link — and it is
+    exactly the key whose self-join fan-out C(spread, 2) would
+    explode; dropping it bounds the pair blow-up by construction.
+    Chunk concept-set sizes are computed on the SAME guarded relation
+    so jaccard stays a true set statistic.
+
+    -> (chunk_a, chunk_b, shared, na, nb, jaccard) ranked shared desc
+    / chunk_a / chunk_b, top-k (integer-ranked — no float LIMIT).
+
+    Scale shape: one spread aggregate, a semi-join-shaped filter, one
+    self-join keyed on concept_id whose per-key fan-out is capped at
+    C(max_spread, 2), one pair aggregate — the mentions table is the
+    only corpus-scale relation and it never carries text."""
+    mc = mentions.select("chunk_id", "concept_id").distinct()
+    keep = (
+        mc.groupBy("concept_id")
+        .agg(F.count(F.lit(1)).alias("_spread"))
+        .where(F.col("_spread") <= max_spread)
+        .select("concept_id")
+    )
+    g = mc.join(keep, "concept_id").localCheckpoint(eager=True)
+    sizes = g.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("concept_id"), F.col("chunk_id").alias("chunk_a"))
+    b = g.select(F.col("concept_id"), F.col("chunk_id").alias("chunk_b"))
+    pairs = (
+        a.join(b, "concept_id")
+        .where(F.col("chunk_a") < F.col("chunk_b"))
+        .groupBy("chunk_a", "chunk_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("chunk_id", "chunk_a").withColumnRenamed("n", "na"), "chunk_a")
+        .join(sizes.withColumnRenamed("chunk_id", "chunk_b").withColumnRenamed("n", "nb"), "chunk_b")
+        .select(
+            "chunk_a",
+            "chunk_b",
+            "shared",
+            "na",
+            "nb",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("shared"), "chunk_a", "chunk_b")
+        .limit(top_k)
+    )

@@ -3329,3 +3329,36 @@ class TestEgonetAnomaly:
         got = {r["id"]: r["residual"]
                for r in queries.egonet_anomaly(self._und(spark, edges)).collect()}
         assert got["k0"] > got["p5"]
+
+
+class TestRelatedChunks:
+    def _m(self, spark, pairs):
+        return spark.createDataFrame(pairs, "chunk_id string, concept_id string")
+
+    def test_shared_jaccard_and_guards(self, spark):
+        m = [
+            # c1/c2 share x,y,z; c1 has w extra -> jaccard 3/(4+3-3)=0.75
+            ("c1", "x"), ("c1", "y"), ("c1", "z"), ("c1", "w"),
+            ("c2", "x"), ("c2", "y"), ("c2", "z"),
+            # c3 shares only x with c1 -> below min_shared, no pair
+            ("c3", "x"), ("c3", "q"),
+            # viral concept v in every chunk -> guarded out entirely
+            ("c1", "v"), ("c2", "v"), ("c3", "v"), ("c4", "v"), ("c5", "v"),
+        ]
+        got = {
+            (r["chunk_a"], r["chunk_b"]): (r["shared"], r["na"], r["nb"], r["jaccard"])
+            for r in queries.related_chunks(
+                self._m(spark, m), max_spread=4, min_shared=2, top_k=10
+            ).collect()
+        }
+        assert got == {("c1", "c2"): (3, 4, 3, 0.75)}
+
+    def test_duplicate_mentions_collapse(self, spark):
+        # repeated (chunk, concept) mention rows count once
+        m = [("a", "x"), ("a", "x"), ("b", "x"), ("a", "y"), ("b", "y"), ("b", "y")]
+        got = queries.related_chunks(
+            self._m(spark, m), max_spread=10, min_shared=2, top_k=10
+        ).collect()
+        assert len(got) == 1
+        assert (got[0]["shared"], got[0]["na"], got[0]["nb"]) == (2, 2, 2)
+        assert got[0]["jaccard"] == 1.0
