@@ -2364,6 +2364,31 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_txt_source_boilerplate(spark, sf_dir):
+    """Per-source boilerplate profile (the deployable, per-domain form
+    of CCNet line dedup).  The synthetic corpus is single-line, so the
+    query plants the deterministic banner structure a real crawl has:
+    two per-source banners on every page (df 100%) and a newsletter
+    line on doc_id%3==0 pages (df ~33% — straddling the 30% threshold)
+    ahead of the unique body; the oracle plants identically."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    d = _docs(spark, sf_dir)
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("cookie notice "), F.col("source"), F.lit(" accept terms\n"),
+            F.lit("follow us on social media\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("subscribe to "), F.col("source"), F.lit(" newsletter\n")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    return curation.source_boilerplate(planted, min_frac=0.3, min_docs=2)
+
+
 def q_kg_related_chunks(spark, sf_dir):
     """Chunk-level "more like this" via the bipartite projection:
     chunks sharing >= 2 guarded concepts, ranked by shared count +
@@ -3684,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dag_paths": q_kg_dag_paths,
         "kg_egonet_anomaly": q_kg_egonet_anomaly,
         "kg_related_chunks": q_kg_related_chunks,
+        "txt_source_boilerplate": q_txt_source_boilerplate,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5547,6 +5573,39 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "txt_source_boilerplate": """
+WITH planted AS (
+  SELECT source, doc_id,
+         'cookie notice ' || source || ' accept terms' || chr(10)
+         || 'follow us on social media' || chr(10)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN 'subscribe to ' || source || ' newsletter' || chr(10)
+                 ELSE '' END
+         || text AS t
+  FROM documents),
+lines AS (SELECT source, doc_id, md5(line) AS lh,
+                 CAST(length(line) AS BIGINT) AS len
+          FROM (SELECT source, doc_id, unnest(string_split(t, chr(10))) AS line
+                FROM planted)
+          WHERE trim(line) <> ''),
+nd AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM lines GROUP BY source),
+thr AS (SELECT source, GREATEST(CAST(2 AS BIGINT),
+                                CAST(CEIL(0.3 * n_docs) AS BIGINT)) AS thr
+        FROM nd),
+df_ AS (SELECT source, lh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               SUM(len) AS mass
+        FROM lines GROUP BY source, lh),
+per AS (SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN d.df >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boilerplate,
+               SUM(d.mass) AS total_mass,
+               SUM(CASE WHEN d.df >= t.thr THEN d.mass ELSE 0 END) AS bmass
+        FROM df_ d JOIN thr t USING (source) GROUP BY d.source)
+SELECT nd.source, nd.n_docs, per.n_lines, per.n_boilerplate,
+       ROUND(CAST(per.bmass AS DOUBLE) / per.total_mass, 6) AS boiler_char_frac
+FROM nd JOIN per USING (source) ORDER BY nd.source""",
         "kg_related_chunks": f"""WITH {MENTIONS_CTE},
 mc AS (SELECT DISTINCT chunk_id, concept_id FROM mentions),
 keep AS (SELECT concept_id FROM mc GROUP BY concept_id HAVING COUNT(*) <= 20),

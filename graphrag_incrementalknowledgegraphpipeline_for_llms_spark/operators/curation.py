@@ -952,3 +952,81 @@ def source_drift(
         )
         .orderBy("source")
     )
+
+
+def source_boilerplate(
+    docs: DataFrame,
+    min_frac: float = 0.3,
+    min_docs: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-SOURCE boilerplate profile — the production sibling of the
+    corpus-wide line dedup (remove_duplicate_lines): nav menus, cookie
+    banners and footers repeat within a domain, not across the whole
+    web, so the deployable detector keys line document-frequency by
+    source.  A line is boilerplate for its source when it appears in
+    >= max(``min_docs``, ceil(``min_frac`` * source docs)) distinct
+    documents of THAT source.
+
+    -> (source, n_docs, n_lines, n_boilerplate, boiler_char_frac):
+    distinct-line inventory, how many are template lines, and the
+    fraction of the source's non-blank character mass those lines
+    account for (the actual cleanup payoff), rounded 6, ordered by
+    source.
+
+    Scale shape: lines shuffle as (source, md5(line), doc_id) — text
+    leaves the scan stage only as per-line lengths; the per-source
+    doc counts broadcast; char masses are two integer sums with one
+    final division.  The ceil(min_frac * n) threshold is a single
+    identical IEEE expression per engine — no accumulated float
+    enters the verdict."""
+    lines = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .where(F.trim("line") != "")
+        .select(
+            "source", "id", F.md5("line").alias("lh"),
+            F.length("line").cast("long").alias("len"),
+        )
+    )
+    nd = lines.groupBy("source").agg(F.count_distinct("id").alias("n_docs"))
+    thr = nd.select(
+        "source",
+        F.greatest(
+            F.lit(min_docs).cast("long"),
+            F.ceil(F.lit(float(min_frac)) * F.col("n_docs")).cast("long"),
+        ).alias("_thr"),
+    )
+    df_ = lines.groupBy("source", "lh").agg(
+        F.count_distinct("id").alias("_df"),
+        F.count(F.lit(1)).alias("_occ"),
+        F.sum("len").alias("_mass"),
+    )
+    flagged = df_.join(F.broadcast(thr), "source").select(
+        "source", "lh", "_mass",
+        (F.col("_df") >= F.col("_thr")).alias("_boiler"),
+    )
+    per = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).alias("n_boilerplate"),
+        F.sum("_mass").alias("_total_mass"),
+        F.sum(F.when(F.col("_boiler"), F.col("_mass")).otherwise(0)).alias("_bmass"),
+    )
+    return (
+        nd.join(per, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_lines",
+            "n_boilerplate",
+            F.round(
+                F.col("_bmass").cast("double") / F.col("_total_mass"), 6
+            ).alias("boiler_char_frac"),
+        )
+        .orderBy("source")
+    )

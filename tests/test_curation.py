@@ -1101,3 +1101,45 @@ class TestSourceDrift:
         assert got["junk"][2] > got["a"][2]
         assert abs(got["a"][2] - got["b"][2]) < 1e-9  # identical dists
         assert all(v[2] >= 0 for v in got.values())   # KL non-negativity
+
+
+class TestSourceBoilerplate:
+    def _run(self, spark, rows, **kw):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.curation import source_boilerplate
+
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        return {
+            r["source"]: (r["n_docs"], r["n_lines"], r["n_boilerplate"],
+                          r["boiler_char_frac"])
+            for r in source_boilerplate(df, **kw).collect()
+        }
+
+    def test_per_source_banner_detected(self, spark):
+        # src A: banner on all 4 docs + unique bodies; src B: no repeats
+        rows = [("A", i, f"WELCOME BANNER\nunique body {i}") for i in range(4)]
+        rows += [("B", 10 + i, f"only body {i}") for i in range(3)]
+        got = self._run(spark, rows, min_frac=0.3, min_docs=2)
+        n_docs, n_lines, n_boiler, frac = got["A"]
+        assert (n_docs, n_boiler) == (4, 1)
+        assert n_lines == 5  # banner + 4 unique bodies
+        banner_mass = 4 * len("WELCOME BANNER")
+        total_mass = banner_mass + sum(len(f"unique body {i}") for i in range(4))
+        assert frac == round(banner_mass / total_mass, 6)
+        assert got["B"] == (3, 3, 0, 0.0)
+
+    def test_threshold_is_per_source(self, spark):
+        # the same line in 2/10 docs (20% < 30%) is NOT boilerplate,
+        # but in 2/4 docs (50%) of a smaller source it IS
+        rows = [("big", i, ("shared line\nbody %d" % i) if i < 2 else f"body {i}")
+                for i in range(10)]
+        rows += [("small", 100 + i, ("shared line\nbody %d" % i) if i < 2 else f"body {i}")
+                 for i in range(4)]
+        got = self._run(spark, rows, min_frac=0.3, min_docs=2)
+        assert got["big"][2] == 0
+        assert got["small"][2] == 1
+
+    def test_blank_lines_ignored(self, spark):
+        rows = [("s", i, "x\n\n  \nbody") for i in range(3)]
+        got = self._run(spark, rows, min_frac=0.3, min_docs=2)
+        assert got["s"][1] == 2  # 'x' and 'body' only
+        assert got["s"][2] == 2  # both repeat in all docs
