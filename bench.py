@@ -243,6 +243,10 @@ def main():
         "kg_graph_sparsify",
         "rel_histogram",
         "kg_dag_paths",
+        # round-5 wave 16: anomalies + related chunks + boilerplate
+        "kg_egonet_anomaly",
+        "kg_related_chunks",
+        "txt_source_boilerplate",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
