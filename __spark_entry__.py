@@ -2364,6 +2364,17 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_spam_mass(spark, sf_dir):
+    """TrustRank spam mass (Gyongyi et al. VLDB 2004): uniform-teleport
+    PageRank vs trusted-seed TrustRank over the same co-occurrence
+    graph; spam_mass = (PR - TR)/PR flags prominence trust can't reach
+    (SEO/boilerplate concept clusters).  Both vectors ride ONE joint
+    power iteration."""
+    return q.spam_mass(
+        _kg_cooccur_und(spark, sf_dir), trusted_seeds=_ppr_seeds(), iters=10
+    )
+
+
 def q_txt_source_boilerplate(spark, sf_dir):
     """Per-source boilerplate profile (the deployable, per-domain form
     of CCNet line dedup).  The synthetic corpus is single-line, so the
@@ -3710,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_egonet_anomaly": q_kg_egonet_anomaly,
         "kg_related_chunks": q_kg_related_chunks,
         "txt_source_boilerplate": q_txt_source_boilerplate,
+        "kg_spam_mass": q_kg_spam_mass,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4041,6 +4053,36 @@ tnodes AS (SELECT id, CASE WHEN id IN ({seeds_sql}) THEN 1.0 / sk.k ELSE 0.0 END
            FROM nodes CROSS JOIN sk),
 deg AS (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
 pr0 AS (SELECT id, tp AS rank FROM tnodes){iters}"""
+
+    # kg_spam_mass: joint PR+TrustRank power iteration unrolled — one
+    # contribution CTE per round carrying BOTH vectors (mirrors the
+    # engine's single-join-per-round shape)
+    _sm_seeds = ", ".join(
+        f"substr(sha256('{s}'), 1, 16)" for s in _PPR_SEED_LEMMAS
+    )
+    _sm_iters = "".join(
+        f""",
+smc{k} AS (SELECT u.nbr_id AS id, SUM(r.pr / d.deg) AS ia, SUM(r.tr / d.deg) AS ib
+           FROM und u JOIN smr{k - 1} r ON u.cid = r.id JOIN smdeg d ON d.cid = u.cid
+           GROUP BY u.nbr_id),
+smr{k} AS (SELECT t.id, 0.15 / nn.n + 0.85 * COALESCE(c.ia, 0.0) AS pr,
+                  0.15 * t.tp + 0.85 * COALESCE(c.ib, 0.0) AS tr
+           FROM smtn t LEFT JOIN smc{k} c ON c.id = t.id CROSS JOIN smnn nn)"""
+        for k in range(1, 11)
+    )
+    _spam_sql = f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+smnodes AS (SELECT DISTINCT cid AS id FROM und),
+smnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM smnodes),
+smsk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM smnodes WHERE id IN ({_sm_seeds})),
+smtn AS MATERIALIZED (SELECT id, CASE WHEN id IN ({_sm_seeds}) THEN 1.0 / sk.k ELSE 0.0 END AS tp
+       FROM smnodes CROSS JOIN smsk sk),
+smdeg AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY cid),
+smr0 AS (SELECT t.id, 1.0 / nn.n AS pr, t.tp AS tr FROM smtn t CROSS JOIN smnn nn){_sm_iters}
+SELECT id, ROUND(pr, 8) AS pagerank, ROUND(tr, 8) AS trustrank,
+       ROUND((pr - tr) / pr, 6) AS spam_mass,
+       id IN ({_sm_seeds}) AS is_trusted
+FROM smr10 ORDER BY id"""
 
     _drift_ppr_iters = "".join(
         f""",
@@ -5573,6 +5615,7 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "kg_spam_mass": _spam_sql,
         "txt_source_boilerplate": """
 WITH planted AS (
   SELECT source, doc_id,

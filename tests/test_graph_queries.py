@@ -3362,3 +3362,82 @@ class TestRelatedChunks:
         assert len(got) == 1
         assert (got[0]["shared"], got[0]["na"], got[0]["nb"]) == (2, 2, 2)
         assert got[0]["jaccard"] == 1.0
+
+
+class TestSpamMass:
+    def _und(self, spark, edges):
+        rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        return spark.createDataFrame(rows, "cid string, nbr_id string")
+
+    def _np_ref(self, edges, trusted, iters=10, d=0.85):
+        """Exact joint power-iteration replay."""
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        ids = sorted(adj)
+        present = sorted(set(trusted) & set(ids))
+        n, k = len(ids), len(present)
+        pr = {u: 1.0 / n for u in ids}
+        tp = {u: (1.0 / k if u in present else 0.0) for u in ids}
+        tr = dict(tp)
+        base = (1.0 - d) / n
+        for _ in range(iters):
+            ia = {u: 0.0 for u in ids}
+            ib = {u: 0.0 for u in ids}
+            for u in ids:
+                du = len(adj[u])
+                for v in adj[u]:
+                    ia[v] += pr[u] / du
+                    ib[v] += tr[u] / du
+            pr = {u: base + d * ia[u] for u in ids}
+            tr = {u: (1.0 - d) * tp[u] + d * ib[u] for u in ids}
+        return {
+            u: (round(pr[u], 8), round(tr[u], 8), round((pr[u] - tr[u]) / pr[u], 6))
+            for u in ids
+        }
+
+    def _fixture(self):
+        # trusted hub cluster, a legit neighborhood, and a spam clique
+        # hanging off a long thin path (far from trust)
+        edges = [("t0", "t1"), ("t0", "l0"), ("t1", "l1"), ("l0", "l1")]
+        edges += [("l1", "p0"), ("p0", "p1"), ("p1", "p2"), ("p2", "s0")]
+        edges += [(f"s{i}", f"s{j}") for i in range(4) for j in range(i + 1, 4)]
+        return edges
+
+    def test_matches_numpy_replay(self, spark):
+        edges = self._fixture()
+        got = {
+            r["id"]: (r["pagerank"], r["trustrank"], r["spam_mass"])
+            for r in queries.spam_mass(
+                self._und(spark, edges), ["t0", "t1"], iters=10
+            ).collect()
+        }
+        want = self._np_ref(edges, ["t0", "t1"])
+        assert set(got) == set(want)
+        for u in want:
+            assert abs(got[u][0] - want[u][0]) < 2e-8, u
+            assert abs(got[u][1] - want[u][1]) < 2e-8, u
+            assert abs(got[u][2] - want[u][2]) < 2e-5, u
+
+    def test_spam_clique_scores_above_legit(self, spark):
+        got = {
+            r["id"]: (r["spam_mass"], r["is_trusted"])
+            for r in queries.spam_mass(
+                self._und(spark, self._fixture()), ["t0", "t1"], iters=10
+            ).collect()
+        }
+        assert got["t0"][1] and not got["s0"][1]
+        # the far spam clique keeps most of its rank unaccounted by trust
+        assert got["s1"][0] > got["l0"][0]
+        assert got["s1"][0] > 0.5
+        # trusted nodes hold more trustrank than pagerank -> mass <= 0
+        assert got["t0"][0] <= 0
+
+    def test_missing_seeds_raise(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            queries.spam_mass(
+                self._und(spark, [("a", "b")]), ["zz"], iters=2
+            )
