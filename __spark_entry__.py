@@ -2364,6 +2364,17 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_rel_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal anomaly sweep: (type, date, hour) buckets
+    exceeding 2x their same-hour cross-day baseline; the baseline
+    divides slot totals by the stream's DAY SPAN so silent hours count
+    as zeros (absent-bucket bias avoided)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.seasonal_anomalies(e, factor=2.0)
+
+
 def q_kg_spam_mass(spark, sf_dir):
     """TrustRank spam mass (Gyongyi et al. VLDB 2004): uniform-teleport
     PageRank vs trusted-seed TrustRank over the same co-occurrence
@@ -3722,6 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_related_chunks": q_kg_related_chunks,
         "txt_source_boilerplate": q_txt_source_boilerplate,
         "kg_spam_mass": q_kg_spam_mass,
+        "rel_seasonal_baseline": q_rel_seasonal_baseline,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5616,6 +5628,20 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "rel_seasonal_baseline": """
+WITH b AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n FROM b),
+base AS (SELECT event_type, hour, CAST(SUM(cnt) AS DOUBLE) / nd.n AS bs
+         FROM b, nd GROUP BY event_type, hour, nd.n)
+SELECT b.event_type, b.day, b.hour, b.cnt,
+       ROUND(base.bs, 6) AS baseline,
+       ROUND(b.cnt / base.bs, 6) AS ratio
+FROM b JOIN base USING (event_type, hour)
+WHERE b.cnt > 2.0 * base.bs
+ORDER BY b.event_type, b.day, b.hour""",
         "txt_source_boilerplate": """
 WITH planted AS (
   SELECT source, doc_id,

@@ -682,3 +682,54 @@ def value_histogram(
         )
         .orderBy(by, "bucket")
     )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    factor: float = 2.0,
+    by: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day seasonal anomaly sweep: volume spikes relative to
+    the SAME HOUR's cross-day baseline — the detector that doesn't cry
+    wolf at every daily rush hour the way a global threshold does, and
+    catches a 3am burst a daily-total view averages away.  A (group,
+    date, hour) bucket is anomalous when its count exceeds ``factor``
+    x its (group, hour-of-day) baseline.
+
+    The baseline divides each hour-slot's TOTAL by the stream's day
+    span (a folded scalar) rather than averaging observed buckets —
+    silent hours count as zeros, so a slot that fires one day in
+    thirty gets baseline total/30, not total/1 (the classic
+    absent-bucket bias).
+
+    -> (group, day, hour, cnt, baseline, ratio) for anomalous buckets,
+    baseline/ratio rounded 6, ordered (group, day, hour).
+
+    Scale shape: one map-side-combined hash aggregate to (group, day,
+    hour) buckets — the only corpus-scale shuffle; the |groups|x24
+    baseline relation broadcasts; the verdict compares an exact BIGINT
+    against factor x one division — identical IEEE ops per engine."""
+    day = F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+    hour = F.hour(F.col(ts_col).cast("timestamp"))
+    buckets = events.groupBy(
+        by, day.alias("day"), hour.alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    n_days = buckets.select("day").distinct().count()
+    baseline = buckets.groupBy(by, "hour").agg(
+        (F.sum("cnt").cast("double") / F.lit(float(n_days))).alias("_base")
+    )
+    ratio = F.col("cnt") / F.col("_base")
+    return (
+        buckets.join(F.broadcast(baseline), [by, "hour"])
+        .where(F.col("cnt") > F.lit(float(factor)) * F.col("_base"))
+        .select(
+            by,
+            "day",
+            "hour",
+            "cnt",
+            F.round("_base", 6).alias("baseline"),
+            F.round(ratio, 6).alias("ratio"),
+        )
+        .orderBy(by, "day", "hour")
+    )

@@ -631,3 +631,36 @@ class TestValueHistogram:
         # buckets tile [min, max] without gaps in lo/hi arithmetic
         for r in got:
             assert r["hi"] > r["lo"] or r["cnt"] == 500
+
+
+class TestSeasonalAnomalies:
+    def test_spike_flagged_against_same_hour_baseline(self, spark):
+        # type 'a': hour 3 fires 2 events every day for 4 days, then a
+        # 9-event burst on day 5 (ratio vs baseline (2*4+9)/5=3.4 is
+        # 9/3.4 ~ 2.65 > 2).  Hour 5 is steady -> never flagged.
+        rows = []
+        eid = 0
+        for d in range(5):
+            n3 = 9 if d == 4 else 2
+            for i in range(n3):
+                rows.append((eid, _ts(d * 1440 + 3 * 60 + i), 1, "a", 0.0)); eid += 1
+            for i in range(3):
+                rows.append((eid, _ts(d * 1440 + 5 * 60 + i), 1, "a", 0.0)); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = [tuple(r) for r in ev.seasonal_anomalies(df, factor=2.0).collect()]
+        assert got == [("a", "2024-01-05", 3, 9, round(17 / 5, 6), round(9 / (17 / 5), 6))]
+
+    def test_absent_buckets_count_as_zero_in_baseline(self, spark):
+        # hour 7 fires ONLY on day 3 (6 events).  Wrong baseline
+        # (mean over observed buckets) would be 6 -> no flag; correct
+        # baseline 6/3 days = 2 -> flagged at ratio 3.
+        rows = [(0, _ts(0), 1, "b", 0.0), (1, _ts(1440), 1, "b", 0.0)]  # pin 3 days
+        rows += [(10 + i, _ts(2 * 1440 + 7 * 60 + i), 1, "b", 0.0) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = {(r["day"], r["hour"]): r["ratio"] for r in
+               ev.seasonal_anomalies(df, factor=2.0).collect()}
+        assert got[("2024-01-03", 7)] == 3.0
