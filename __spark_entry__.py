@@ -498,6 +498,75 @@ t{r} AS MATERIALIZED (SELECT lhs, rhs, freq FROM p{r} ORDER BY freq DESC, lhs, r
     return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY merge_round"
 
 
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """txt_bpe_encode: the _bpe_oracle learning chain (w0/s0/p{r}/t{r}
+    with the inter-round folds), PLUS a word-keyed encode chain v0..vN
+    applying each learned merge to the VOCAB (same greedy fold), then
+    one doc-word join + per-doc sums — mirroring the engine's
+    encode-vocab-once-join-docs shape."""
+    ctes = [
+        """w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> length(t) > 0)) AS word FROM documents)
+  GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT string_split(regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>', ' ') AS syms, cnt
+  FROM w0)"""
+    ]
+    fold = (
+        "list_reduce({src}, (acc, x) -> CASE "
+        "WHEN (acc = t{r}.lhs OR acc LIKE '% ' || t{r}.lhs) AND x = t{r}.rhs "
+        "THEN acc || t{r}.rhs ELSE acc || ' ' || x END)"
+    )
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT split_part(pr, chr(1), 1) AS lhs, split_part(pr, chr(1), 2) AS rhs,
+         CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+               i -> syms[i] || chr(1) || syms[i + 1])) AS pr, cnt FROM s{r - 1})
+  GROUP BY 1, 2),
+t{r} AS MATERIALIZED (SELECT lhs, rhs, freq FROM p{r} ORDER BY freq DESC, lhs, rhs LIMIT 1)"""
+        )
+        if r < n_merges:
+            ctes.append(
+                f"""s{r} AS MATERIALIZED (
+  SELECT string_split({fold.format(src="syms", r=r)}, ' ') AS syms, cnt
+  FROM s{r - 1}, t{r})"""
+            )
+    ctes.append(
+        """v0 AS MATERIALIZED (
+  SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS enc FROM w0)"""
+    )
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT word, {fold.format(src="string_split(enc, ' ')", r=r)} AS enc
+  FROM v{r - 1}, t{r})"""
+        )
+    ctes.append(
+        f"""encv AS (SELECT word, CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_tok,
+               CAST(length(word) + 1 AS BIGINT) AS n_init FROM v{n_merges}),
+dw AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) > 0)) AS word
+       FROM documents)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT dw.chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_init) AS BIGINT) AS n_init_symbols,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(e.n_tok) AS DOUBLE) / SUM(e.n_init), 6) AS compression
+FROM dw JOIN encv e USING (word)
+GROUP BY dw.chunk_id ORDER BY dw.chunk_id"""
+    )
+
+
 def _densest_ctes(eps: float, rounds: int) -> str:
     """Unrolled Bahmani peeling over an existing ``und`` CTE: per
     round a degree agg, a 1-row stats CTE, the survivor filter
@@ -2364,6 +2433,20 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_txt_bpe_encode(spark, sf_dir):
+    """Per-document tokenization cost under the corpus's own learned
+    BPE (5 merges): BPE token counts + compression over raw character
+    symbols — the fertility statistic context-window budgeting and
+    tokenizer-drift alarms key on.  Encode runs over the VOCAB once;
+    documents get costs back via one word equi-join."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import tokenizer
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "text"
+    )
+    return tokenizer.bpe_encode_stats(d, n_merges=5, id_col="chunk_id")
+
+
 def q_rel_seasonal_baseline(spark, sf_dir):
     """Hour-of-day seasonal anomaly sweep: (type, date, hour) buckets
     exceeding 2x their same-hour cross-day baseline; the baseline
@@ -3734,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_boilerplate": q_txt_source_boilerplate,
         "kg_spam_mass": q_kg_spam_mass,
         "rel_seasonal_baseline": q_rel_seasonal_baseline,
+        "txt_bpe_encode": q_txt_bpe_encode,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -6221,6 +6305,7 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
              + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
 FROM r WHERE n_words > 0 ORDER BY doc_id""",
         "txt_bpe_merges": _bpe_oracle(5),
+        "txt_bpe_encode": _bpe_encode_oracle(5),
         # exact-substring (ExactSubstr, Lee et al. 2022) at 8-token
         # granularity: duplicated 8-gram hashes -> per-doc
         # gaps-and-islands merge into maximal spans -> text re-slice

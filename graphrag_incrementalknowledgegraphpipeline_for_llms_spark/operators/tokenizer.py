@@ -203,3 +203,71 @@ def bpe_segment(
         out_col,
         F.flatten(F.transform(toks, encode_word)),
     )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenization-cost profile of a corpus under its own learned BPE:
+    learn ``n_merges`` merges (:func:`bpe_learn`), encode, and report
+    per document how many BPE tokens it costs and the compression the
+    merges bought over raw character symbols — the fertility/cost
+    statistic a training-data pipeline budgets context windows and
+    preprocessing throughput with (and the drift alarm: a corpus slice
+    whose compression suddenly degrades doesn't match the tokenizer's
+    training distribution).
+
+    -> (id, n_words, n_init_symbols, n_bpe_tokens, compression =
+    bpe/init rounded 6), ordered by id; documents with no tokens are
+    omitted (no symbols to encode).
+
+    Scale shape: the encode loop runs over the VOCAB table, not the
+    corpus — encoded(word) is position-independent, so each distinct
+    word folds through the merge list once (vocab-bound, kilobyte
+    merge table as literals) and documents get their costs back via
+    ONE equi-join on word; the corpus is scanned once for the vocab
+    and once for the join.  The per-doc sums are exact BIGINTs with
+    one final division."""
+    merges_df = bpe_learn(df, text_col=text_col, n_merges=n_merges)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("round").collect()
+    ]
+    enc = word_counts(df, text_col).select(
+        "word", _initial_symbols(F.col("word")).alias("syms")
+    )
+    for lhs, rhs in merges:
+        enc = enc.select(
+            "word", _merge_fold(F.col("syms"), lhs, rhs).alias("syms")
+        ).localCheckpoint(eager=False)
+    enc = enc.select(
+        "word",
+        F.size("syms").cast("long").alias("_n_tok"),
+        (F.length("word") + 1).cast("long").alias("_n_init"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) > 0,
+    )
+    words = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("word"))
+    return (
+        words.join(enc, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_init").alias("n_init_symbols"),
+            F.sum("_n_tok").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "n_init_symbols",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_init_symbols"), 6
+            ).alias("compression"),
+        )
+        .orderBy(id_col)
+    )

@@ -136,3 +136,68 @@ class TestBpeSegment:
             ).alias("n")
         ).collect()[0]["n"]
         assert n_enders == n_words
+
+
+class TestBpeEncodeStats:
+    def _py_ref(self, texts, n_merges):
+        """Pure-python BPE learn + encode replay (greedy left fold,
+        ties lhs/rhs asc — the bpe_learn contract)."""
+        import re
+        from collections import Counter
+
+        def words_of(t):
+            return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+        wc = Counter(w for t in texts.values() for w in words_of(t))
+        syms = {w: list(w) + ["</w>"] for w in wc}
+
+        def fold(seq, lhs, rhs):
+            out = []
+            for x in seq:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            return out
+
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, ss in syms.items():
+                for i in range(len(ss) - 1):
+                    pc[(ss[i], ss[i + 1])] += wc[w]
+            if not pc:
+                break
+            (lhs, rhs), _f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            syms = {w: fold(ss, lhs, rhs) for w, ss in syms.items()}
+        out = {}
+        for cid, t in texts.items():
+            ws = words_of(t)
+            if not ws:
+                continue
+            ni = sum(len(w) + 1 for w in ws)
+            nt = sum(len(syms[w]) for w in ws)
+            out[cid] = (len(ws), ni, nt, round(nt / ni, 6))
+        return out
+
+    def test_matches_python_replay(self, spark):
+        texts = {
+            "a": "low lower lowest low low",
+            "b": "new newer newest new",
+            "c": "low new low new",
+        }
+        df = spark.createDataFrame(list(texts.items()), "chunk_id string, text string")
+        got = {
+            r["chunk_id"]: (r["n_words"], r["n_init_symbols"],
+                            r["n_bpe_tokens"], r["compression"])
+            for r in tokenizer.bpe_encode_stats(df, n_merges=4, id_col="chunk_id").collect()
+        }
+        assert got == self._py_ref(texts, 4)
+        # merges actually compress: fewer BPE tokens than raw symbols
+        assert all(v[2] < v[1] for v in got.values())
+
+    def test_empty_doc_omitted(self, spark):
+        df = spark.createDataFrame(
+            [("a", "hello hello"), ("e", "!!!")], "chunk_id string, text string"
+        )
+        got = tokenizer.bpe_encode_stats(df, n_merges=2, id_col="chunk_id").collect()
+        assert [r["chunk_id"] for r in got] == ["a"]
