@@ -247,6 +247,10 @@ def main():
         "kg_egonet_anomaly",
         "kg_related_chunks",
         "txt_source_boilerplate",
+        # round-5 wave 17: spam mass + seasonal + BPE encode
+        "kg_spam_mass",
+        "rel_seasonal_baseline",
+        "txt_bpe_encode",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
