@@ -2433,6 +2433,14 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_sim_knn_graph(spark, sf_dir):
+    """Batch directed k-NN graph (k=5) over SRP-LSH bucket candidates
+    with exact cosine re-rank — the materialize-the-whole-neighbor-
+    graph shape behind embedding clustering / SemDeDup pruning, vs
+    the one-query-at-a-time ANN path."""
+    return similarity.knn_graph(_emb(spark, sf_dir), dim=64, k=5)
+
+
 def q_txt_bpe_encode(spark, sf_dir):
     """Per-document tokenization cost under the corpus's own learned
     BPE (5 merges): BPE token counts + compression over raw character
@@ -3818,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spam_mass": q_kg_spam_mass,
         "rel_seasonal_baseline": q_rel_seasonal_baseline,
         "txt_bpe_encode": q_txt_bpe_encode,
+        "sim_knn_graph": q_sim_knn_graph,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -3969,6 +3978,17 @@ cand AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id
 SELECT c.a_id, c.b_id, ROUND({_cos_ab}, 6) AS cosine
 FROM cand c JOIN base a ON a.id = c.a_id JOIN base b ON b.id = c.b_id
 WHERE ROUND({_cos_ab}, 6) >= 0.30"""
+    _knn_graph_sql = f"""WITH {_srp_base},
+cand AS (SELECT DISTINCT l.id AS src, r.id AS dst
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.id <> r.id),
+scored AS (SELECT c.src, c.dst, ROUND({_cos_ab}, 6) AS cosine
+           FROM cand c JOIN base a ON a.id = c.src JOIN base b ON b.id = c.dst),
+rk AS (SELECT src, dst, cosine,
+              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+       FROM scored)
+SELECT src AS vec_id, dst AS nbr_id, cosine, CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 5 ORDER BY vec_id, rank"""
     _ann_topk_sql = f"""WITH {_srp_base},
 qb AS (SELECT band, bucket FROM bands WHERE id = 0),
 cand AS (SELECT DISTINCT b.id FROM bands b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket),
@@ -4983,6 +5003,7 @@ r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn){_pr_iters}
 SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20""",
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,
+        "sim_knn_graph": _knn_graph_sql,
         "sim_quantized_ann": _quantized_ann_sql,
         "kg_mentions": f"WITH {MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions",
         "kg_mentions_nlp": f"WITH {MENTIONS_CTE}, {NLP_MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM nlp_mentions",

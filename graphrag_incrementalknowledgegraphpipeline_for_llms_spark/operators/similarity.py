@@ -13,7 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1258,3 +1258,71 @@ def mmr_rerank(
         "rank int, vec_id long, relevance double, max_sim double, mmr double",
     )
     return picks.orderBy("rank")
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN GRAPH construction over SRP-LSH candidates: every
+    vector keeps its top-``k`` bucket-co-members by exact cosine — the
+    all-nodes-at-once shape (one bucketed self-join) behind embedding-
+    graph clustering, SemDeDup-style cluster pruning, label
+    propagation over semantic neighbors, and kNN-classifier features.
+    Per-query ANN (:func:`ann_topk`) answers ONE query cheaply; this
+    materializes the whole directed neighbor graph in two shuffles.
+
+    -> (vec_id, nbr_id, cosine, rank 1..k) directed (each node ranks
+    its own candidates; a node inside a dense near-dup cluster may
+    appear as nbr of many), rounded-6 cosine, ties by nbr id, ordered
+    (vec_id, rank).  Recall caveat shared with every SRP path: only
+    bucket co-members are candidates — a true neighbor hashing into
+    disjoint buckets in all bands is missed (multi-band OR makes that
+    geometrically unlikely for close pairs).
+
+    Scale shape: the candidate self-join keys on (band, bucket) —
+    fan-out bounded by true cluster sizes, never all-pairs; the
+    per-node top-k is ONE window over the candidate relation
+    partitioned by source id (integer-ranked after the 6dp round, id
+    tie-break — deterministic)."""
+    b = srp_buckets(
+        embeddings, dim, n_planes, bands, seed, id_col, vec_col
+    ).select("id", "band", "bucket")
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    scored = (
+        cand.join(vecs.select(F.col("_vid").alias("src"), F.col("_v").alias("_va")), "src")
+        .join(vecs.select(F.col("_vid").alias("dst"), F.col("_v").alias("_vb")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("nbr_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("vec_id", "rank")
+    )

@@ -1277,3 +1277,41 @@ class TestMmrRerank:
         import pytest as _pt
         with _pt.raises(ValueError):
             similarity.mmr_rerank(emb, [1.0, 0.0], k=9, pool=4)
+
+
+class TestKnnGraph:
+    def test_recall_on_planted_clusters(self, spark):
+        import numpy as np
+
+        # three tight clusters: every node's top neighbors must come
+        # from its own cluster (bucket recall + exact re-rank)
+        rng = np.random.RandomState(3)
+        centers = [rng.randn(16) * 5 for _ in range(3)]
+        rows = []
+        for ci, c in enumerate(centers):
+            for j in range(8):
+                rows.append((ci * 100 + j, (c + rng.randn(16) * 0.05).tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.knn_graph(emb, dim=16, k=3).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["vec_id"], []).append(r)
+        assert set(by_src) == {r[0] for r in rows}  # every node has neighbors
+        for src, nbrs in by_src.items():
+            assert [n["rank"] for n in nbrs] == list(range(1, len(nbrs) + 1))
+            for n in nbrs:
+                assert n["nbr_id"] // 100 == src // 100, (src, n["nbr_id"])
+                assert n["cosine"] > 0.99
+
+    def test_directed_and_k_capped(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        rows = [(i, rng.randn(8).tolist()) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.knn_graph(emb, dim=8, k=4).collect()
+        from collections import Counter
+
+        per_src = Counter(r["vec_id"] for r in got)
+        assert max(per_src.values()) <= 4
+        assert all(r["vec_id"] != r["nbr_id"] for r in got)
