@@ -2433,6 +2433,17 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_dd_host_budget(spark, sf_dir):
+    """Per-host page budget (crawl politeness / anti-domination): keep
+    the best 10 pages per source by round-6 quality with doc-id
+    tie-break — the cap that stops one mega-host from dominating a
+    training mix; applied between per-page gates and mixture
+    sampling."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    return curation.host_budget(_docs(spark, sf_dir), budget=10)
+
+
 def q_sim_knn_graph(spark, sf_dir):
     """Batch directed k-NN graph (k=5) over SRP-LSH bucket candidates
     with exact cosine re-rank — the materialize-the-whole-neighbor-
@@ -3827,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_seasonal_baseline": q_rel_seasonal_baseline,
         "txt_bpe_encode": q_txt_bpe_encode,
         "sim_knn_graph": q_sim_knn_graph,
+        "dd_host_budget": q_dd_host_budget,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5004,6 +5016,14 @@ SELECT id, ROUND(rank, 8) AS rank FROM r10 ORDER BY rank DESC, id LIMIT 20""",
         "dd_embed_near_dup_srp": _srp_near_dup_sql,
         "sim_ann_topk": _ann_topk_sql,
         "sim_knn_graph": _knn_graph_sql,
+        "dd_host_budget": f"""
+WITH q AS (SELECT source, doc_id, {quality} AS quality_score FROM documents),
+r AS (SELECT source, doc_id, quality_score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality_score DESC, doc_id) AS rank
+      FROM q)
+SELECT source, doc_id, quality_score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10 ORDER BY source, rank""",
         "sim_quantized_ann": _quantized_ann_sql,
         "kg_mentions": f"WITH {MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM mentions",
         "kg_mentions_nlp": f"WITH {MENTIONS_CTE}, {NLP_MENTIONS_CTE} SELECT chunk_id, concept_id, lemma, surface, origin FROM nlp_mentions",

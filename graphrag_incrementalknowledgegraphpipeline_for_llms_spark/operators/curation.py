@@ -22,7 +22,7 @@ Every output has an exact ANSI-SQL twin (DuckDB oracle entries
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tf
@@ -1029,4 +1029,41 @@ def source_boilerplate(
             ).alias("boiler_char_frac"),
         )
         .orderBy("source")
+    )
+
+
+def host_budget(
+    docs: DataFrame,
+    budget: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host page budget (the crawl-politeness / anti-domination
+    allocator): keep at most ``budget`` pages per source, best quality
+    first — the standard cap that stops one mega-host from dominating
+    a training mix no matter how many pages it serves, applied AFTER
+    per-page gates (curate_corpus) and BEFORE mixture sampling.
+    Complements curate_by_source (which gates WHOLE sources) by
+    rationing within every surviving source.
+
+    Ranking is round-6 quality desc with doc-id tie-break — the
+    round-before-compare + integer-tie contract, so the kept set is
+    deterministic and engine-replayable.
+
+    -> kept rows (source, doc_id, quality_score, rank 1..budget),
+    ordered (source, rank).
+
+    Scale shape: quality is a scan-stage expression; the ONLY shuffle
+    is the per-source window partition — bounded by host fan-out, and
+    hosts are exactly the key a web-table is already partitioned by
+    in practice, making this a map-side window after a bucketed
+    layout."""
+    q = F.round(tf.quality_features(F.col(text_col))["quality_score"], 6)
+    w = Window.partitionBy(source_col).orderBy(F.desc("quality_score"), id_col)
+    return (
+        docs.select(source_col, id_col, q.alias("quality_score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= budget)
+        .orderBy(source_col, "rank")
     )

@@ -1143,3 +1143,33 @@ class TestSourceBoilerplate:
         got = self._run(spark, rows, min_frac=0.3, min_docs=2)
         assert got["s"][1] == 2  # 'x' and 'body' only
         assert got["s"][2] == 2  # both repeat in all docs
+
+
+class TestHostBudget:
+    def test_caps_per_host_best_quality_first(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.curation import host_budget
+
+        good = ("this is a reasonably long, well punctuated sentence with "
+                "the usual english words and a steady flow of text.")
+        junk = "zz qq xx"
+        rows = [("big", i, good if i % 2 == 0 else junk) for i in range(8)]
+        rows += [("small", 100, good), ("small", 101, junk)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = host_budget(df, budget=3).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["big"]) == 3 and len(by_src["small"]) == 2
+        # quality-first: the good docs (even ids) outrank the junk
+        assert [r["doc_id"] for r in by_src["big"]] == [0, 2, 4]
+        assert [r["rank"] for r in by_src["big"]] == [1, 2, 3]
+        # deterministic tie-break on doc_id among equal-quality docs
+        assert by_src["small"][0]["doc_id"] == 100
+
+    def test_budget_one(self, spark):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.curation import host_budget
+
+        rows = [("s", i, f"text {i} words here now okay") for i in range(5)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = host_budget(df, budget=1).collect()
+        assert len(got) == 1 and got[0]["rank"] == 1
