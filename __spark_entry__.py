@@ -2433,6 +2433,17 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_rel_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution per signup cohort: first event
+    -> first purchase, exact avg/median/p90 seconds + conversion rate
+    per first-seen day.  One user-keyed aggregate (two conditional
+    MINs) is the only corpus-scale shuffle."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.time_to_convert(e, conversion_type="purchase")
+
+
 def q_dd_host_budget(spark, sf_dir):
     """Per-host page budget (crawl politeness / anti-domination): keep
     the best 10 pages per source by round-6 quality with doc-id
@@ -3839,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_encode": q_txt_bpe_encode,
         "sim_knn_graph": q_sim_knn_graph,
         "dd_host_budget": q_dd_host_budget,
+        "rel_time_to_convert": q_rel_time_to_convert,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5753,6 +5765,27 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "rel_time_to_convert": """
+WITH pu AS (SELECT user_id,
+                   MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS conv_us
+            FROM events GROUP BY user_id),
+c AS (SELECT strftime(make_timestamp(first_us), '%Y-%m-%d') AS cohort_day,
+             CAST(conv_us - first_us AS DOUBLE) / 1e6 AS ttc
+      FROM pu)
+SELECT cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(ttc) AS BIGINT) AS n_converted,
+       ROUND(CAST(COUNT(ttc) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+       ROUND(AVG(ttc), 6) AS avg_ttc_s,
+       CASE WHEN COUNT(ttc) > 0 THEN ROUND(
+         (array_agg(ttc ORDER BY ttc) FILTER (ttc IS NOT NULL))
+           [CAST(CEIL(0.5 * COUNT(ttc)) AS INT)], 6) END AS median_ttc_s,
+       CASE WHEN COUNT(ttc) > 0 THEN ROUND(
+         (array_agg(ttc ORDER BY ttc) FILTER (ttc IS NOT NULL))
+           [CAST(CEIL(0.9 * COUNT(ttc)) AS INT)], 6) END AS p90_ttc_s
+FROM c GROUP BY cohort_day ORDER BY cohort_day""",
         "rel_seasonal_baseline": """
 WITH b AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
                   CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,

@@ -733,3 +733,81 @@ def seasonal_anomalies(
         )
         .orderBy(by, "day", "hour")
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-latency distribution per signup cohort: for every
+    user, the time from their FIRST event ever to their first
+    ``conversion_type`` event, summarized per first-seen day — the
+    "how long does conversion take, and is it drifting for newer
+    cohorts" panel cohort_retention's did-they-come-back counts can't
+    answer.
+
+    -> (cohort_day, n_users, n_converted, conversion_rate,
+    avg_ttc_s, median_ttc_s, p90_ttc_s), rates/latencies rounded 6,
+    ordered by cohort_day.  Never-converting users count in the rate
+    denominator and contribute NULL latency (excluded from the
+    latency aggregates by definition).
+
+    Scale shape: ONE hash aggregate keyed on user (two conditional
+    MINs, map-side combined — the stream shuffles one 24-byte triple
+    per user per partition), then a |days|-row aggregate.  Latencies
+    are exact integer microsecond differences divided once.
+    Percentiles are NEAREST-RANK (value at ceil(p*n) of the sorted
+    latencies) — selection of an actual value, so there is no
+    interpolation formula to keep in cross-engine parity (Spark's
+    percentile and quantile_cont write (1-g)a+gb vs a+g(b-a): one ulp
+    apart, enough to flip a 6dp round — measured on this very
+    dataset); the per-cohort sorted array is cohort-bounded — swap
+    for the t-digest of rel_quantile_sketch at the 100-TB tier."""
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = events.groupBy(user_col).agg(
+        F.min(_micros(ts)).alias("_first_us"),
+        F.min(F.when(F.col(type_col) == conversion_type, _micros(ts))).alias(
+            "_conv_us"
+        ),
+    )
+    ttc = (F.col("_conv_us") - F.col("_first_us")).cast("double") / F.lit(1e6)
+    per_user = per_user.select(
+        F.date_format(
+            F.timestamp_micros(F.col("_first_us")), "yyyy-MM-dd"
+        ).alias("cohort_day"),
+        ttc.alias("_ttc"),
+    )
+    agg = per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("_ttc").alias("n_converted"),
+        F.round(
+            F.count("_ttc").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+        F.round(F.avg("_ttc"), 6).alias("avg_ttc_s"),
+        F.array_sort(F.collect_list("_ttc")).alias("_arr"),
+    )
+    nc = F.size("_arr")
+
+    def _rank(p: float):
+        return F.when(
+            nc > 0,
+            F.round(
+                F.element_at(
+                    F.col("_arr"), F.ceil(F.lit(p) * nc).cast("int")
+                ),
+                6,
+            ),
+        )
+
+    return agg.select(
+        "cohort_day",
+        "n_users",
+        "n_converted",
+        "conversion_rate",
+        "avg_ttc_s",
+        _rank(0.5).alias("median_ttc_s"),
+        _rank(0.9).alias("p90_ttc_s"),
+    ).orderBy("cohort_day")

@@ -664,3 +664,38 @@ class TestSeasonalAnomalies:
         got = {(r["day"], r["hour"]): r["ratio"] for r in
                ev.seasonal_anomalies(df, factor=2.0).collect()}
         assert got[("2024-01-03", 7)] == 3.0
+
+
+class TestTimeToConvert:
+    def test_hand_computed_cohort_stats(self, spark):
+        rows = [
+            # u1: first at t0, purchase 30 min later
+            (0, _ts(0), 1, "click", 0.0), (1, _ts(30), 1, "purchase", 0.0),
+            # u2: first at t5 same day, purchase 60 min after first
+            (2, _ts(5), 2, "view", 0.0), (3, _ts(65), 2, "purchase", 0.0),
+            # u3: same-day first, never converts
+            (4, _ts(10), 3, "click", 0.0),
+            # u4: first IS a purchase -> ttc 0, next day cohort
+            (5, _ts(60 * 24), 4, "purchase", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as e
+
+        got = {r["cohort_day"]: tuple(r)[1:] for r in e.time_to_convert(df).collect()}
+        # day 1: 3 users, 2 converted; latencies sorted [1800, 3600]
+        # nearest-rank: median = ceil(0.5*2)=1st -> 1800; p90 = 2nd -> 3600
+        assert got["2024-01-01"] == (3, 2, round(2 / 3, 6), 2700.0, 1800.0, 3600.0)
+        assert got["2024-01-02"] == (1, 1, 1.0, 0.0, 0.0, 0.0)
+
+    def test_no_conversions_yield_null_latencies(self, spark):
+        rows = [(0, _ts(0), 1, "click", 0.0), (1, _ts(9), 2, "view", 0.0)]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as e
+
+        r = e.time_to_convert(df).collect()[0]
+        assert r["n_converted"] == 0 and r["conversion_rate"] == 0.0
+        assert r["median_ttc_s"] is None and r["p90_ttc_s"] is None
