@@ -4003,9 +4003,16 @@ SELECT c.a_id, c.b_id, ROUND({_cos_ab}, 6) AS cosine
 FROM cand c JOIN base a ON a.id = c.a_id JOIN base b ON b.id = c.b_id
 WHERE ROUND({_cos_ab}, 6) >= 0.30"""
     _knn_graph_sql = f"""WITH {_srp_base},
-cand AS (SELECT DISTINCT l.id AS src, r.id AS dst
-         FROM bands l JOIN bands r
-           ON l.band = r.band AND l.bucket = r.bucket AND l.id <> r.id),
+ord AS (SELECT id, band, bucket,
+               ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                  ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        FROM bands),
+fwd AS (SELECT l.id AS src, r.id AS dst
+        FROM ord l JOIN ord r ON l.band = r.band AND l.bucket = r.bucket
+         AND r.rn > l.rn AND r.rn <= l.rn + 64),
+cand AS (SELECT DISTINCT src, dst FROM
+         (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+         WHERE src <> dst),
 scored AS (SELECT c.src, c.dst, ROUND({_cos_ab}, 6) AS cosine
            FROM cand c JOIN base a ON a.id = c.src JOIN base b ON b.id = c.dst),
 rk AS (SELECT src, dst, cosine,

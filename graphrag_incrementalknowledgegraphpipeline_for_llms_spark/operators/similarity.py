@@ -1267,6 +1267,7 @@ def knn_graph(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_fanout: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1286,19 +1287,39 @@ def knn_graph(
     disjoint buckets in all bands is missed (multi-band OR makes that
     geometrically unlikely for close pairs).
 
-    Scale shape: the candidate self-join keys on (band, bucket) —
-    fan-out bounded by true cluster sizes, never all-pairs; the
-    per-node top-k is ONE window over the candidate relation
-    partitioned by source id (integer-ranked after the 6dp round, id
-    tie-break — deterministic)."""
+    Scale shape: candidates come from a SUCCESSOR WINDOW inside each
+    (band, bucket) — members order by md5(id) and each pairs with its
+    next ``max_fanout`` neighbors (both directions), generated with
+    LEAD over the bucket window, NOT a bucket self-join.  A bucket
+    self-join is quadratic in bucket size, and on a corpus with big
+    near-dup clusters (exactly what a web crawl has) that is the
+    C(n,2) blowup the dedup family's collapse-exact guard kills:
+    measured 78 s at the 10x-replica corpus vs 6 s with the window
+    form, identical results wherever buckets fit inside the fan-out
+    (every bucket at the verification SFs does).  Candidate volume is
+    bounded by N * bands * max_fanout — linear, partitioning-
+    independent, deterministic.  The per-node top-k is one window over
+    the candidate relation (integer-ranked after the 6dp round, id
+    tie-break)."""
     b = srp_buckets(
         embeddings, dim, n_planes, bands, seed, id_col, vec_col
     ).select("id", "band", "bucket")
-    l, r = b.alias("l"), b.alias("r")
+    ww = Window.partitionBy("band", "bucket").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    succ = F.array(
+        *[F.lead("id", i).over(ww) for i in range(1, max_fanout + 1)]
+    )
+    fwd = (
+        b.select("id", succ.alias("_s"))
+        .select(F.col("id").alias("src"), F.explode("_s").alias("dst"))
+        .where(F.col("dst").isNotNull())
+    )
     cand = (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("l.id") != F.col("r.id"))
-        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
     vecs = embeddings.select(
