@@ -251,6 +251,10 @@ def main():
         "kg_spam_mass",
         "rel_seasonal_baseline",
         "txt_bpe_encode",
+        # round-5 wave 18: kNN graph + host budget + conversion latency
+        "sim_knn_graph",
+        "dd_host_budget",
+        "rel_time_to_convert",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
