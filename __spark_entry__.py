@@ -2433,6 +2433,20 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_mm_tile_stats(spark, sf_dir):
+    """Fixed-size byte tiling with per-tile sha256 + mean — sub-asset
+    fingerprints for segment-level media dedup/diff.  mapInPandas
+    (Arrow-bounded), short last tile, no padding; oracle rebuilds each
+    tile from codepoints (payloads are ASCII text encodings)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return multimodal.tile_stats(d, tile_bytes=64)
+
+
 def q_rel_time_to_convert(spark, sf_dir):
     """Conversion-latency distribution per signup cohort: first event
     -> first purchase, exact avg/median/p90 seconds + conversion rate
@@ -3851,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": q_sim_knn_graph,
         "dd_host_budget": q_dd_host_budget,
         "rel_time_to_convert": q_rel_time_to_convert,
+        "mm_tile_stats": q_mm_tile_stats,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5600,6 +5615,21 @@ SELECT d.url, 'binary' AS media_type,
        ROUND(COALESCE(a.std_byte, 0.0), 6) AS std_byte,
        CAST(COALESCE(t.top_byte, 0) AS INT) AS top_byte
 FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN top t ON d.url = t.url""",
+        "mm_tile_stats": """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents),
+tiles AS (SELECT url, CAST(i AS INT) AS tile_idx,
+                 substr(text, CAST(i * 64 + 1 AS INT), 64) AS t
+          FROM d, unnest(range(0, GREATEST((length(text) + 63) // 64, 1))) u(i)),
+ch AS (SELECT url, tile_idx, unicode(substr(t, CAST(j AS INT), 1)) AS b
+       FROM tiles, unnest(range(1, length(t) + 1)) v(j)),
+m AS (SELECT url, tile_idx, AVG(CAST(b AS DOUBLE)) AS mean_byte
+      FROM ch GROUP BY url, tile_idx)
+SELECT tiles.url, tiles.tile_idx,
+       CAST(length(tiles.t) AS BIGINT) AS tile_len,
+       sha256(tiles.t) AS tile_sha256,
+       ROUND(COALESCE(m.mean_byte, 0.0), 6) AS mean_byte
+FROM tiles LEFT JOIN m USING (url, tile_idx)
+ORDER BY tiles.url, tiles.tile_idx""",
         "mm_frame_sample": """
 SELECT CAST(doc_id AS VARCHAR) AS url,
   unnest(range(0, greatest(octet_length(encode(text)) // 32, 1), 2)) AS frame_idx

@@ -105,3 +105,60 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+TILE_SCHEMA = (
+    "url string, tile_idx int, tile_len long, tile_sha256 string, "
+    "mean_byte double"
+)
+
+
+def tile_stats(
+    df: DataFrame,
+    tile_bytes: int = 64,
+    payload_col: str = "payload",
+    url_col: str = "url",
+) -> DataFrame:
+    """Fixed-size byte tiling of a binary column with per-tile
+    checksums + byte statistics — the chunked-fingerprint plumbing a
+    media pipeline runs before dedup/diff at the sub-asset level
+    (identical tiles across two videos = shared segments, a changed
+    thumbnail flips exactly one tile's sha).  Pure mapInPandas, same
+    Arrow-bounded batch discipline as extract_features; the LAST tile
+    may be short (no padding — padding would make two assets with
+    different lengths collide).
+
+    -> (url, tile_idx, tile_len, tile_sha256, mean_byte round 6),
+    one row per tile, ordered (url, tile_idx).
+
+    Scale shape: narrow flatMap — no shuffle; output volume is
+    byte_len / tile_bytes rows per asset.  At 100 TB the follow-up
+    (group identical tile_sha256 across assets) is one equi-join on
+    the hash — the exact-dedup shape."""
+    src = df.select(F.col(url_col).alias("url"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "url": [], "tile_idx": [], "tile_len": [],
+                "tile_sha256": [], "mean_byte": [],
+            }
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), tile_bytes):
+                    t = b[i : i + tile_bytes]
+                    out["url"].append(url)
+                    out["tile_idx"].append(i // tile_bytes)
+                    out["tile_len"].append(len(t))
+                    out["tile_sha256"].append(hashlib.sha256(t).hexdigest())
+                    # raw mean; the 6dp round happens JVM-side below so
+                    # the rounding rule is Spark's (same as the oracle's
+                    # ROUND), not Python banker's rounding
+                    out["mean_byte"].append(sum(t) / len(t) if t else 0.0)
+            yield pd.DataFrame(out)
+
+    return (
+        src.mapInPandas(run, schema=TILE_SCHEMA)
+        .withColumn("mean_byte", F.round("mean_byte", 6))
+        .orderBy("url", "tile_idx")
+    )

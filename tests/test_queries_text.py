@@ -228,3 +228,42 @@ class TestScriptProfile:
         r = self._prof(spark, "12345")
         assert r["n_letters"] == 0 and r["dominant_script"] == "none"
         assert not r["mixed_script"]
+
+
+class TestTileStats:
+    def test_tiles_exact(self, spark):
+        import hashlib
+
+        payloads = {"a": b"x" * 130, "b": b"hello world", "e": b""}
+        df = spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in payloads.items()],
+            "url string, payload binary",
+        )
+        got = {}
+        for r in multimodal.tile_stats(df, tile_bytes=64).collect():
+            got.setdefault(r["url"], []).append(
+                (r["tile_idx"], r["tile_len"], r["tile_sha256"], r["mean_byte"])
+            )
+        # 130 bytes -> tiles of 64, 64, 2 (short last tile, no padding)
+        assert [t[:2] for t in got["a"]] == [(0, 64), (1, 64), (2, 2)]
+        assert got["a"][0][2] == hashlib.sha256(b"x" * 64).hexdigest()
+        assert got["a"][2][2] == hashlib.sha256(b"xx").hexdigest()
+        assert got["a"][0][3] == float(ord("x"))
+        # sub-tile payload -> one short tile
+        assert [t[:2] for t in got["b"]] == [(0, 11)]
+        assert got["b"][0][2] == hashlib.sha256(b"hello world").hexdigest()
+        # empty payload -> one empty tile (asset still present)
+        assert got["e"] == [(0, 0, hashlib.sha256(b"").hexdigest(), 0.0)]
+
+    def test_shared_segment_detectable_across_assets(self, spark):
+        seg = bytes(range(64))
+        df = spark.createDataFrame(
+            [("v1", bytearray(seg + b"A" * 64)), ("v2", bytearray(seg + b"B" * 64))],
+            "url string, payload binary",
+        )
+        rows = multimodal.tile_stats(df, tile_bytes=64).collect()
+        sha = {}
+        for r in rows:
+            sha.setdefault(r["tile_sha256"], set()).add(r["url"])
+        shared = [k for k, v in sha.items() if v == {"v1", "v2"}]
+        assert len(shared) == 1  # exactly the common first tile
