@@ -2433,6 +2433,17 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_rel_gini(spark, sf_dir):
+    """Per-event-type Gini concentration of value — the one-number
+    inequality diagnostic (histogram and z-score views don't expose
+    concentration directly).  Sorted-rank identity, left-to-right
+    folds in both engines."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.gini_concentration(e)
+
+
 def q_mm_tile_stats(spark, sf_dir):
     """Fixed-size byte tiling with per-tile sha256 + mean — sub-asset
     fingerprints for segment-level media dedup/diff.  mapInPandas
@@ -3866,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_host_budget": q_dd_host_budget,
         "rel_time_to_convert": q_rel_time_to_convert,
         "mm_tile_stats": q_mm_tile_stats,
+        "rel_gini": q_rel_gini,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5802,6 +5814,22 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "rel_gini": """
+WITH g AS (SELECT event_type,
+                  list_sort(list(CAST(value AS DOUBLE))) AS x
+           FROM events GROUP BY event_type),
+s AS (SELECT event_type, len(x) AS n,
+             list_sum(x) AS total,
+             list_sum(list_transform(range(1, len(x) + 1),
+                                     i -> CAST(i AS DOUBLE) * x[CAST(i AS INT)]))
+               AS wsum
+      FROM g)
+SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(total, 6) AS total,
+       ROUND(CASE WHEN total > 0
+                  THEN 2.0 * wsum / (CAST(n AS DOUBLE) * total)
+                       - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS gini
+FROM s ORDER BY event_type""",
         "rel_time_to_convert": """
 WITH pu AS (SELECT user_id,
                    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,

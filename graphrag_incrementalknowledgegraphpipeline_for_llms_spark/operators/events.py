@@ -811,3 +811,54 @@ def time_to_convert(
         _rank(0.5).alias("median_ttc_s"),
         _rank(0.9).alias("p90_ttc_s"),
     ).orderBy("cohort_day")
+
+
+def gini_concentration(
+    events: DataFrame,
+    by: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group Gini coefficient of the value distribution — the
+    concentration diagnostic ("does 1% of the traffic carry 90% of
+    the value?") that a mean/stddev or histogram view doesn't expose
+    as one number.  Standard sorted-rank identity over non-negative
+    values: G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n with x ascending,
+    i = 1..n.  0 = perfectly even, -> 1 = fully concentrated.
+
+    -> (group, n, total, gini round 6), ordered by group.  Groups with
+    zero total emit gini 0.0 (no mass to concentrate).
+
+    Determinism: the rank weights are exact integers; sum(i*x_i) is a
+    LEFT-TO-RIGHT fold over the ascending-sorted array in BOTH engines
+    (F.aggregate vs list_sum over list_transform — the cosine parity
+    precedent), and the final expression is a fixed op chain over two
+    scalars, rounded 6.
+
+    Scale shape: one hash aggregate collects each group's values
+    (group-bounded arrays — the nearest-rank caveat of
+    time_to_convert applies: swap for the binned Lorenz estimate over
+    rel_histogram buckets at the 100-TB tier); everything after is
+    per-group array math in the scan stage."""
+    agg = events.groupBy(by).agg(
+        F.array_sort(F.collect_list(F.col(value_col).cast("double"))).alias("_x")
+    )
+    n = F.size("_x")
+    total = F.aggregate("_x", F.lit(0.0), lambda a, v: a + v)
+    wsum = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), n), F.col("_x"), lambda i, v: i.cast("double") * v
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    gini = F.when(
+        total > 0,
+        F.lit(2.0) * wsum / (n.cast("double") * total)
+        - (n + 1).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        by,
+        n.cast("long").alias("n"),
+        F.round(total, 6).alias("total"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy(by)

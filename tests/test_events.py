@@ -699,3 +699,36 @@ class TestTimeToConvert:
         r = e.time_to_convert(df).collect()[0]
         assert r["n_converted"] == 0 and r["conversion_rate"] == 0.0
         assert r["median_ttc_s"] is None and r["p90_ttc_s"] is None
+
+
+class TestGiniConcentration:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        return {r["event_type"]: (r["n"], r["total"], r["gini"])
+                for r in ev.gini_concentration(df).collect()}
+
+    def test_known_distributions(self, spark):
+        rows = [(i, _ts(i), 1, "even", 5.0) for i in range(4)]        # G = 0
+        rows += [(10, _ts(0), 1, "conc", 0.0), (11, _ts(1), 1, "conc", 0.0),
+                 (12, _ts(2), 1, "conc", 0.0), (13, _ts(3), 1, "conc", 100.0)]
+        rows += [(20, _ts(0), 1, "zero", 0.0)]
+        got = self._run(spark, rows)
+        assert got["even"] == (4, 20.0, 0.0)
+        # all mass on the last of 4: G = 2*4*100/(4*100) - 5/4 = 0.75
+        assert got["conc"] == (4, 100.0, 0.75)
+        assert got["zero"] == (1, 0.0, 0.0)  # no mass -> defined as 0
+
+    def test_bounds_and_ordering_invariance(self, spark):
+        import random
+
+        rng = random.Random(2)
+        vals = [rng.uniform(0, 10) for _ in range(50)]
+        rows = [(i, _ts(i), 1, "t", v) for i, v in enumerate(vals)]
+        g1 = self._run(spark, rows)["t"][2]
+        rng.shuffle(vals)
+        rows2 = [(i, _ts(i), 1, "t", v) for i, v in enumerate(vals)]
+        g2 = self._run(spark, rows2)["t"][2]
+        assert g1 == g2          # input order must not matter (sorted)
+        assert 0.0 <= g1 < 1.0
