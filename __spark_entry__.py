@@ -2433,6 +2433,28 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_txt_ngram_coverage(spark, sf_dir):
+    """Reference n-gram coverage (decontamination's mirror): how much
+    of each reference doc's 8-gram content the corpus already covers —
+    the domain-gap probe.  The corpus replaces each reference doc with
+    its FIRST-HALF truncation (deterministic), so per-doc coverage
+    lands strictly between 0 and 1 and the join paths are exercised."""
+    ref = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0)
+    toks = F.split(F.col("text"), " ")
+    half = F.concat_ws(" ", F.slice(toks, 1, (F.size(toks) / 2).cast("int")))
+    corpus = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            ref.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), half.alias("text")
+            )
+        )
+    )
+    return dedup.ngram_coverage(ref, corpus, shingle_n=8)
+
+
 def q_rel_gini(spark, sf_dir):
     """Per-event-type Gini concentration of value — the one-number
     inequality diagnostic (histogram and z-score views don't expose
@@ -3878,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_time_to_convert": q_rel_time_to_convert,
         "mm_tile_stats": q_mm_tile_stats,
         "rel_gini": q_rel_gini,
+        "txt_ngram_coverage": q_txt_ngram_coverage,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5814,6 +5837,39 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "txt_ngram_coverage": """
+WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+half AS (SELECT doc_id + 2000000 AS doc_id,
+                array_to_string(
+                  (string_split(text, ' '))[1:CAST(len(string_split(text, ' ')) // 2 AS INT)],
+                  ' ') AS text
+         FROM ref),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL SELECT doc_id, text FROM half),
+rsh AS (SELECT doc_id AS id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 6),
+                   i -> array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')))) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                                   x -> x <> '') AS toks
+                FROM ref)
+          WHERE len(toks) >= 8)),
+csh AS (SELECT DISTINCT
+               unnest(list_transform(
+                 range(1, len(toks) - 6),
+                 i -> array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS sh
+        FROM (SELECT list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                                 x -> x <> '') AS toks
+              FROM corpus)
+        WHERE len(toks) >= 8)
+SELECT r.id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       ROUND(CAST(SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage
+FROM rsh r LEFT JOIN csh c USING (sh)
+GROUP BY r.id ORDER BY r.id""",
         "rel_gini": """
 WITH g AS (SELECT event_type,
                   list_sort(list(CAST(value AS DOUBLE))) AS x

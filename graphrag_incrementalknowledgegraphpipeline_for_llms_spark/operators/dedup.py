@@ -1112,3 +1112,80 @@ def soft_dedup_weights(
         )
         .orderBy(id_col)
     )
+
+
+def ngram_coverage(
+    reference: DataFrame,
+    corpus: DataFrame,
+    shingle_n: int = 8,
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    corpus_text_col: str = "text",
+) -> DataFrame:
+    """Reference n-gram coverage — decontamination's mirror question:
+    instead of "which training docs leak eval content" (\
+:func:`decontaminate`), "HOW MUCH of each reference document's
+    content does the corpus already cover?"  The domain-gap probe that
+    decides whether a corpus can support a target eval/domain before
+    training on it, and the novelty audit for an incoming batch
+    against the existing corpus.
+
+    -> (id, n_shingles, n_covered, coverage round 6) per reference doc
+    with >= shingle_n tokens, ordered by id.
+
+    Scale shape: the reference's distinct shingle hashes are the SMALL
+    side — broadcast; the corpus' exploded shingles are filtered
+    map-side by that broadcast semi-join, so the corpus never shuffles
+    (the decontaminate shape, reversed).  The surviving present-hash
+    set is reference-bounded; per-doc counts join against it
+    broadcast."""
+    ref_sh = reference.where(
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(ref_text_col)), r"\s+", " ")),
+                " ",
+            )
+        )
+        >= shingle_n
+    ).select(
+        F.col(ref_id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _word_shingles(F.col(ref_text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("h"),
+    )
+    ref_hashes = ref_sh.select("h").distinct()
+    corpus_sh = corpus.select(
+        F.explode(
+            F.transform(
+                _word_shingles(F.col(corpus_text_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("h")
+    )
+    present = (
+        corpus_sh.join(F.broadcast(ref_hashes), "h", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ref_sh.join(F.broadcast(present), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_covered"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_shingles"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("id")
+    )

@@ -1173,3 +1173,34 @@ class TestHostBudget:
         df = spark.createDataFrame(rows, "source string, doc_id long, text string")
         got = host_budget(df, budget=1).collect()
         assert len(got) == 1 and got[0]["rank"] == 1
+
+
+class TestNgramCoverage:
+    def _run(self, spark, refs, corpus):
+        from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators.dedup import ngram_coverage
+
+        r = spark.createDataFrame(refs, "doc_id long, text string")
+        c = spark.createDataFrame(corpus, "doc_id long, text string")
+        return {row["id"]: (row["n_shingles"], row["n_covered"], row["coverage"])
+                for row in ngram_coverage(r, c, shingle_n=4).collect()}
+
+    def test_full_partial_and_zero_coverage(self, spark):
+        ref_full = " ".join(f"w{i}" for i in range(10))      # all in corpus
+        ref_half = " ".join(f"h{i}" for i in range(10))      # first 6 tokens only
+        ref_none = " ".join(f"z{i}" for i in range(10))      # absent
+        corpus = [
+            (100, "prefix " + ref_full + " suffix"),
+            (101, " ".join(f"h{i}" for i in range(6))),
+        ]
+        got = self._run(
+            spark, [(1, ref_full), (2, ref_half), (3, ref_none)], corpus
+        )
+        # 10 tokens -> 7 distinct 4-gram shingles per ref
+        assert got[1] == (7, 7, 1.0)
+        # first 6 tokens give shingles at positions 1..3
+        assert got[2] == (7, 3, round(3 / 7, 6))
+        assert got[3] == (7, 0, 0.0)
+
+    def test_short_refs_excluded(self, spark):
+        got = self._run(spark, [(1, "only three words")], [(9, "whatever text here is")])
+        assert got == {}
