@@ -255,6 +255,10 @@ def main():
         "sim_knn_graph",
         "dd_host_budget",
         "rel_time_to_convert",
+        # round-5 wave 19: tiles + gini + coverage
+        "mm_tile_stats",
+        "rel_gini",
+        "txt_ngram_coverage",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
