@@ -2433,6 +2433,13 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_typed_degrees(spark, sf_dir):
+    """Per-concept typed in/out degree profile over the directed
+    triple graph (is_a / part_of / causes / related_to) — the
+    relation-aware feature block untyped degree flattens away."""
+    return q.typed_degrees(_triples(spark, sf_dir))
+
+
 def q_txt_ngram_coverage(spark, sf_dir):
     """Reference n-gram coverage (decontamination's mirror): how much
     of each reference doc's 8-gram content the corpus already covers —
@@ -3901,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_tile_stats": q_mm_tile_stats,
         "rel_gini": q_rel_gini,
         "txt_ngram_coverage": q_txt_ngram_coverage,
+        "kg_typed_degrees": q_kg_typed_degrees,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5837,6 +5845,23 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "kg_typed_degrees": f"""WITH {TRIPLES_CTE},
+o AS (SELECT subj_id AS id,
+             CAST(SUM(CASE WHEN predicate = 'is_a' THEN 1 ELSE 0 END) AS BIGINT) AS out_is_a,
+             CAST(SUM(CASE WHEN predicate = 'part_of' THEN 1 ELSE 0 END) AS BIGINT) AS out_part_of,
+             CAST(SUM(CASE WHEN predicate = 'causes' THEN 1 ELSE 0 END) AS BIGINT) AS out_causes,
+             CAST(SUM(CASE WHEN predicate = 'related_to' THEN 1 ELSE 0 END) AS BIGINT) AS out_related,
+             CAST(COUNT(*) AS BIGINT) AS out_total
+      FROM triples GROUP BY subj_id),
+i AS (SELECT obj_id AS id,
+             CAST(SUM(CASE WHEN predicate = 'is_a' THEN 1 ELSE 0 END) AS BIGINT) AS in_is_a,
+             CAST(SUM(CASE WHEN predicate = 'part_of' THEN 1 ELSE 0 END) AS BIGINT) AS in_part_of,
+             CAST(SUM(CASE WHEN predicate = 'causes' THEN 1 ELSE 0 END) AS BIGINT) AS in_causes,
+             CAST(SUM(CASE WHEN predicate = 'related_to' THEN 1 ELSE 0 END) AS BIGINT) AS in_related,
+             CAST(COUNT(*) AS BIGINT) AS in_total
+      FROM triples GROUP BY obj_id)
+SELECT COALESCE(o.id, i.id) AS id, CAST(COALESCE(out_is_a, 0) AS BIGINT) AS out_is_a, CAST(COALESCE(out_part_of, 0) AS BIGINT) AS out_part_of, CAST(COALESCE(out_causes, 0) AS BIGINT) AS out_causes, CAST(COALESCE(out_related, 0) AS BIGINT) AS out_related, CAST(COALESCE(out_total, 0) AS BIGINT) AS out_total, CAST(COALESCE(in_is_a, 0) AS BIGINT) AS in_is_a, CAST(COALESCE(in_part_of, 0) AS BIGINT) AS in_part_of, CAST(COALESCE(in_causes, 0) AS BIGINT) AS in_causes, CAST(COALESCE(in_related, 0) AS BIGINT) AS in_related, CAST(COALESCE(in_total, 0) AS BIGINT) AS in_total
+FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""",
         "txt_ngram_coverage": """
 WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
 half AS (SELECT doc_id + 2000000 AS doc_id,

@@ -4477,3 +4477,41 @@ def spam_mass(
         F.round((F.col("pr") - F.col("tr")) / F.col("pr"), 6).alias("spam_mass"),
         F.col("id").isin(present).alias("is_trusted"),
     ).orderBy("id")
+
+
+def typed_degrees(triples: DataFrame) -> DataFrame:
+    """Per-concept TYPED degree profile over the directed triple graph:
+    out/in counts per relation family (is_a / part_of / causes /
+    related_to) — the edge-type feature block node_features' untyped
+    degree column flattens away, and the first thing a relation-aware
+    GNN or a schema-drift monitor keys on (a concept that suddenly
+    gains causes-in-degree changed role).
+
+    -> (id, out_is_a, in_is_a, out_part_of, in_part_of, out_causes,
+    in_causes, out_related, in_related, out_total, in_total),
+    exact BIGINTs, ordered by id.
+
+    Scale shape: two map-side-combined conditional aggregates (one
+    keyed on subject, one on object) + one outer join on the concept
+    key — the triple relation shuffles as (id, predicate) pairs
+    only."""
+    preds = ("is_a", "part_of", "causes", "related_to")
+    names = ("is_a", "part_of", "causes", "related")
+
+    def _sides(key: str, prefix: str) -> DataFrame:
+        aggs = [
+            F.sum(F.when(F.col("predicate") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{prefix}_{n}")
+            for p, n in zip(preds, names)
+        ]
+        return triples.groupBy(F.col(key).alias("id")).agg(
+            *aggs, F.count(F.lit(1)).alias(f"{prefix}_total")
+        )
+    out = _sides("subj_id", "out")
+    inn = _sides("obj_id", "in")
+    cols = [f"{p}_{n}" for p in ("out", "in") for n in (*names, "total")]
+    joined = out.join(inn, "id", "full_outer")
+    return joined.select(
+        "id", *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in cols]
+    ).orderBy("id")

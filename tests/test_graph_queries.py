@@ -3441,3 +3441,25 @@ class TestSpamMass:
             queries.spam_mass(
                 self._und(spark, [("a", "b")]), ["zz"], iters=2
             )
+
+
+class TestTypedDegrees:
+    def test_hand_profile(self, spark):
+        t = spark.createDataFrame(
+            [
+                ("a", "is_a", "b"), ("a", "is_a", "c"), ("a", "causes", "b"),
+                ("b", "part_of", "c"), ("d", "related_to", "a"),
+            ],
+            "subj_id string, predicate string, obj_id string",
+        )
+        got = {r["id"]: r.asDict() for r in queries.typed_degrees(t).collect()}
+        assert got["a"]["out_is_a"] == 2 and got["a"]["out_causes"] == 1
+        assert got["a"]["out_total"] == 3 and got["a"]["in_related"] == 1
+        assert got["b"]["in_is_a"] == 1 and got["b"]["in_causes"] == 1
+        assert got["b"]["out_part_of"] == 1
+        assert got["d"]["out_related"] == 1 and got["d"]["in_total"] == 0
+        assert got["c"]["out_total"] == 0 and got["c"]["in_total"] == 2
+        # totals always equal the sum of typed counts on this schema
+        for v in got.values():
+            assert v["out_total"] == sum(v[f"out_{n}"] for n in
+                                         ("is_a", "part_of", "causes", "related"))
