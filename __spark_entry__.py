@@ -2433,6 +2433,13 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_metapath_counts(spark, sf_dir):
+    """Typed 2-hop meta-path census (which relation pairs compose):
+    distinct-edge graph, hub mids capped at degree 128 (the
+    squares_count guard — in_deg x out_deg is the quadratic blowup)."""
+    return q.metapath_counts(_triples(spark, sf_dir), max_degree=128)
+
+
 def q_kg_typed_degrees(spark, sf_dir):
     """Per-concept typed in/out degree profile over the directed
     triple graph (is_a / part_of / causes / related_to) — the
@@ -3909,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_gini": q_rel_gini,
         "txt_ngram_coverage": q_txt_ngram_coverage,
         "kg_typed_degrees": q_kg_typed_degrees,
+        "kg_metapath_counts": q_kg_metapath_counts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5845,6 +5853,20 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "kg_metapath_counts": f"""WITH {TRIPLES_CTE},
+e AS (SELECT DISTINCT subj_id, predicate, obj_id FROM triples),
+deg AS (SELECT id FROM (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT subj_id AS id FROM e UNION ALL SELECT obj_id FROM e)
+          GROUP BY id) WHERE d <= 128),
+f AS (SELECT e.predicate AS rel1, e.obj_id AS mid
+      FROM e JOIN deg ON e.obj_id = deg.id),
+s2 AS (SELECT subj_id AS mid, predicate AS rel2 FROM e)
+SELECT f.rel1, s2.rel2,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT f.mid) AS BIGINT) AS n_mids
+FROM f JOIN s2 USING (mid)
+GROUP BY f.rel1, s2.rel2 ORDER BY f.rel1, s2.rel2""",
         "kg_typed_degrees": f"""WITH {TRIPLES_CTE},
 o AS (SELECT subj_id AS id,
              CAST(SUM(CASE WHEN predicate = 'is_a' THEN 1 ELSE 0 END) AS BIGINT) AS out_is_a,

@@ -4515,3 +4515,50 @@ def typed_degrees(triples: DataFrame) -> DataFrame:
     return joined.select(
         "id", *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in cols]
     ).orderBy("id")
+
+
+def metapath_counts(triples: DataFrame, max_degree: int = 128) -> DataFrame:
+    """Typed 2-hop meta-path census over the directed triple graph:
+    for every ordered relation pair (r1, r2), how many distinct
+    2-edge paths  x -[r1]-> m -[r2]-> y  exist — the schema-level
+    composition signal ("causes chains into is_a" vs "part_of never
+    composes") that guides which multi-hop expansions a retriever
+    should even attempt, and the KG-quality smell test (a surge of
+    is_a -> is_a paths = taxonomy spam).
+
+    Edges are DISTINCT (s, p, o) — chunk multiplicity is evidence, not
+    structure.  Midpoints whose total degree exceeds ``max_degree``
+    are excluded (the squares_count cap): a hub mid contributes
+    in_deg x out_deg paths, which is exactly the quadratic blow-up,
+    and hub-mediated compositions are semantically vacuous anyway.
+    Exact on the capped subgraph, deterministic.
+
+    -> (rel1, rel2, n_paths, n_mids), ordered (rel1, rel2).
+
+    Scale shape: one degree aggregate + the capped-mid semi-join, then
+    ONE self-join keyed on the mid (per-key fan-out <= cap^2 by
+    construction) and a |rel|^2-row aggregate."""
+    e = triples.select("subj_id", "predicate", "obj_id").distinct()
+    deg = (
+        e.select(F.col("subj_id").alias("id"))
+        .unionAll(e.select(F.col("obj_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .where(F.col("_d") <= max_degree)
+        .select("id")
+    )
+    first = e.select(
+        F.col("predicate").alias("rel1"), F.col("obj_id").alias("mid")
+    ).join(deg.withColumnRenamed("id", "mid"), "mid")
+    second = e.select(
+        F.col("subj_id").alias("mid"), F.col("predicate").alias("rel2")
+    )
+    return (
+        first.join(second, "mid")
+        .groupBy("rel1", "rel2")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.count_distinct("mid").alias("n_mids"),
+        )
+        .orderBy("rel1", "rel2")
+    )

@@ -3463,3 +3463,32 @@ class TestTypedDegrees:
         for v in got.values():
             assert v["out_total"] == sum(v[f"out_{n}"] for n in
                                          ("is_a", "part_of", "causes", "related"))
+
+
+class TestMetapathCounts:
+    def _t(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj_id string, predicate string, obj_id string"
+        )
+
+    def test_hand_census(self, spark):
+        rows = [
+            ("a", "causes", "m"), ("b", "causes", "m"),     # 2 into m
+            ("m", "is_a", "x"), ("m", "is_a", "y"),          # 2 out of m
+            ("p", "part_of", "q"), ("q", "related_to", "r"),
+            ("a", "causes", "m"),                            # duplicate edge
+        ]
+        got = {(r["rel1"], r["rel2"]): (r["n_paths"], r["n_mids"])
+               for r in queries.metapath_counts(self._t(spark, rows)).collect()}
+        assert got[("causes", "is_a")] == (4, 1)   # 2 x 2 through m
+        assert got[("part_of", "related_to")] == (1, 1)
+        assert len(got) == 2
+
+    def test_hub_mid_capped(self, spark):
+        # hub mid with degree 12 > cap 10 contributes nothing
+        rows = [(f"s{i}", "causes", "hub") for i in range(6)]
+        rows += [("hub", "is_a", f"t{i}") for i in range(6)]
+        rows += [("u", "causes", "m2"), ("m2", "is_a", "v")]
+        got = {(r["rel1"], r["rel2"]): r["n_paths"]
+               for r in queries.metapath_counts(self._t(spark, rows), max_degree=10).collect()}
+        assert got == {("causes", "is_a"): 1}  # only the m2 path survives
