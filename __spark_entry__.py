@@ -2433,6 +2433,14 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_kg_community_bridges(spark, sf_dir):
+    """Inter-community bridge edges (endpoints labeled differently by
+    5-round LPA), ranked by co-occurrence weight — the crossing points
+    a global->local GraphRAG drill-down pivots on."""
+    labels = q.label_propagation(_kg_cooccur_und(spark, sf_dir), iters=5)
+    return q.community_bridges(q_kg_pair_freq(spark, sf_dir), labels, top_k=50)
+
+
 def q_kg_metapath_counts(spark, sf_dir):
     """Typed 2-hop meta-path census (which relation pairs compose):
     distinct-edge graph, hub mids capped at degree 128 (the
@@ -3917,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_ngram_coverage": q_txt_ngram_coverage,
         "kg_typed_degrees": q_kg_typed_degrees,
         "kg_metapath_counts": q_kg_metapath_counts,
+        "kg_community_bridges": q_kg_community_bridges,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5853,6 +5862,16 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "kg_community_bridges": f"""WITH {PAIRS_CTE},
+{_lpa_base},
+pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS weight
+       FROM pairs GROUP BY a_id, b_id)
+SELECT pf.a_id, pf.b_id, pf.weight,
+       LEAST(la.label, lb.label) AS label_a,
+       GREATEST(la.label, lb.label) AS label_b
+FROM pf JOIN l5 la ON pf.a_id = la.id JOIN l5 lb ON pf.b_id = lb.id
+WHERE la.label <> lb.label
+ORDER BY pf.weight DESC, pf.a_id, pf.b_id LIMIT 50""",
         "kg_metapath_counts": f"""WITH {TRIPLES_CTE},
 e AS (SELECT DISTINCT subj_id, predicate, obj_id FROM triples),
 deg AS (SELECT id FROM (

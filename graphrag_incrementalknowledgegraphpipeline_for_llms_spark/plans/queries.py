@@ -4562,3 +4562,48 @@ def metapath_counts(triples: DataFrame, max_degree: int = 128) -> DataFrame:
         )
         .orderBy("rel1", "rel2")
     )
+
+
+def community_bridges(
+    und: DataFrame, labels: DataFrame, weight_col: str | None = "freq", top_k: int = 50
+) -> DataFrame:
+    """Inter-community bridge edges: the connections whose endpoints
+    carry DIFFERENT community labels, ranked by weight — the crossing
+    points a GraphRAG global->local drill-down pivots on (which two
+    topic clusters actually touch, and through which concept pair),
+    and the cut edges a partitioner would pay for.
+
+    ``und`` is the canonical undirected pair view (a_id, b_id [,
+    weight_col]); ``labels`` is (id, label) from label_propagation.
+
+    -> (a_id, b_id, weight, label_a, label_b) with label_a/label_b in
+    canonical (min, max) order, ranked weight desc / a_id / b_id,
+    top-k (weight is an exact BIGINT — integer-ranked LIMIT).
+
+    Scale shape: two hash joins of the |nodes|-row label relation onto
+    the edge list (broadcast at dimension size) + one filter — no new
+    shuffle beyond what LPA already paid."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = und.select(
+        F.col("a_id"), F.col("b_id"), w.alias("weight")
+    ).groupBy("a_id", "b_id").agg(F.sum("weight").alias("weight"))
+    la = labels.select(F.col("id").alias("a_id"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("id").alias("b_id"), F.col("label").alias("_lb"))
+    return (
+        e.join(la, "a_id")
+        .join(lb, "b_id")
+        .where(F.col("_la") != F.col("_lb"))
+        .select(
+            "a_id",
+            "b_id",
+            "weight",
+            F.least("_la", "_lb").alias("label_a"),
+            F.greatest("_la", "_lb").alias("label_b"),
+        )
+        .orderBy(F.desc("weight"), "a_id", "b_id")
+        .limit(top_k)
+    )

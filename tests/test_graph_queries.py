@@ -3492,3 +3492,33 @@ class TestMetapathCounts:
         got = {(r["rel1"], r["rel2"]): r["n_paths"]
                for r in queries.metapath_counts(self._t(spark, rows), max_degree=10).collect()}
         assert got == {("causes", "is_a"): 1}  # only the m2 path survives
+
+
+class TestCommunityBridges:
+    def test_bridges_found_and_ranked(self, spark):
+        # two triangles joined by one weighted bridge
+        und = spark.createDataFrame(
+            [("a1", "a2", 5), ("a1", "a3", 4), ("a2", "a3", 3),
+             ("b1", "b2", 5), ("b1", "b3", 4), ("b2", "b3", 3),
+             ("a1", "b1", 9), ("a3", "b3", 2)],
+            "a_id string, b_id string, freq long",
+        )
+        labels = spark.createDataFrame(
+            [("a1", "A"), ("a2", "A"), ("a3", "A"),
+             ("b1", "B"), ("b2", "B"), ("b3", "B")],
+            "id string, label string",
+        )
+        got = [tuple(r) for r in queries.community_bridges(und, labels, top_k=10).collect()]
+        assert got == [
+            ("a1", "b1", 9, "A", "B"),
+            ("a3", "b3", 2, "A", "B"),
+        ]
+
+    def test_no_bridges_when_single_community(self, spark):
+        und = spark.createDataFrame(
+            [("x", "y", 1)], "a_id string, b_id string, freq long"
+        )
+        labels = spark.createDataFrame(
+            [("x", "C"), ("y", "C")], "id string, label string"
+        )
+        assert queries.community_bridges(und, labels).count() == 0
