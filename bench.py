@@ -259,6 +259,10 @@ def main():
         "mm_tile_stats",
         "rel_gini",
         "txt_ngram_coverage",
+        # round-5 wave 20: typed degrees + metapaths + bridges
+        "kg_typed_degrees",
+        "kg_metapath_counts",
+        "kg_community_bridges",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
