@@ -2433,6 +2433,45 @@ def q_rel_zscore_outliers(spark, sf_dir):
     return ev.zscore_outliers(e, threshold=2.5)
 
 
+def q_rel_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day-WAU stickiness per day — rolling DISTINCT
+    computed exactly by exploding each (day, user) fact onto the 7
+    days it supports (x7 narrow fan-out, no per-day re-scan)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.stickiness(e, window_days=7)
+
+
+def q_kg_peripheral_concepts(spark, sf_dir):
+    """KG cleanup review queue: the 25 weakest-attached concepts
+    (lowest distinct-neighbor degree, mention counts attached) plus
+    any mentioned-but-edgeless concepts at degree 0 — extraction-noise
+    candidates ranked exactly where a pruning pass starts.  Integer-
+    ranked (degree asc, id), never a float LIMIT."""
+    m = q_kg_mentions(spark, sf_dir)
+    pf = q_kg_pair_freq(spark, sf_dir)
+    und = pf.select(F.col("a_id").alias("concept_id"), F.col("b_id").alias("n")).unionByName(
+        pf.select(F.col("b_id").alias("concept_id"), F.col("a_id").alias("n"))
+    )
+    deg = und.distinct().groupBy("concept_id").agg(F.count(F.lit(1)).alias("degree"))
+    mc = m.groupBy("concept_id").agg(
+        F.min("lemma").alias("lemma"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("chunk_id").alias("n_chunks"),
+    )
+    return (
+        mc.join(deg, "concept_id", "left")
+        .select(
+            "concept_id", "lemma",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            "n_mentions", "n_chunks",
+        )
+        .orderBy("degree", "concept_id")
+        .limit(25)
+    )
+
+
 def q_kg_community_bridges(spark, sf_dir):
     """Inter-community bridge edges (endpoints labeled differently by
     5-round LPA), ranked by co-occurrence weight — the crossing points
@@ -3926,6 +3965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_degrees": q_kg_typed_degrees,
         "kg_metapath_counts": q_kg_metapath_counts,
         "kg_community_bridges": q_kg_community_bridges,
+        "rel_stickiness": q_rel_stickiness,
+        "kg_peripheral_concepts": q_kg_peripheral_concepts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5862,6 +5903,30 @@ SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
+        "rel_stickiness": """
+WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u
+            FROM events),
+dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+sup AS (SELECT CAST(d + CAST(i AS INT) AS DATE) AS day, u
+        FROM du, unnest(range(0, 7)) t(i)),
+wau AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau FROM sup GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day""",
+        "kg_peripheral_concepts": f"""WITH {PAIRS_CTE},
+und AS (SELECT DISTINCT a_id AS concept_id, b_id AS n FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+deg AS (SELECT concept_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM und GROUP BY concept_id),
+mc AS (SELECT concept_id, MIN(lemma) AS lemma,
+              CAST(COUNT(*) AS BIGINT) AS n_mentions,
+              CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks
+       FROM mentions GROUP BY concept_id)
+SELECT mc.concept_id, mc.lemma,
+       CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+       mc.n_mentions, mc.n_chunks
+FROM mc LEFT JOIN deg USING (concept_id)
+ORDER BY degree, concept_id LIMIT 25""",
         "kg_community_bridges": f"""WITH {PAIRS_CTE},
 {_lpa_base},
 pf AS (SELECT a_id, b_id, CAST(SUM(freq) AS BIGINT) AS weight

@@ -862,3 +862,56 @@ def gini_concentration(
         F.round(total, 6).alias("total"),
         F.round(gini, 6).alias("gini"),
     ).orderBy(by)
+
+
+def stickiness(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / trailing-WAU stickiness — the engagement-frequency ratio
+    (how much of the weekly audience shows up on a given day) that
+    growth curves (user_growth) and retention cohorts don't express
+    as a daily scalar.  WAU(d) counts distinct users active in
+    [d - window_days + 1, d].
+
+    Rolling DISTINCT doesn't decompose into a running sum, so each
+    (day, user) activity fact is EXPLODED onto the ``window_days``
+    future days it supports and counted distinct per target day —
+    exact, one narrow fan-out of the (day, user) relation (x7, not
+    x|events|), never a per-day re-scan.  Days with activity only in
+    their trailing window (DAU 0) are not emitted — this reports on
+    active days.
+
+    -> (day, dau, wau, stickiness round 6), ordered by day.
+
+    Scale shape: one distinct on (day, user) — the only corpus-scale
+    shuffle; the support explode multiplies the user-day relation by
+    window_days before ONE count-distinct aggregate."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    du = events.select(day.alias("_d"), F.col(user_col).alias("_u")).distinct()
+    dau = du.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    support = du.select(
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+            )
+        ).alias("day"),
+        "_u",
+    )
+    wau = support.groupBy("day").agg(F.count_distinct("_u").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

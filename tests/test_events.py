@@ -732,3 +732,30 @@ class TestGiniConcentration:
         g2 = self._run(spark, rows2)["t"][2]
         assert g1 == g2          # input order must not matter (sorted)
         assert 0.0 <= g1 < 1.0
+
+
+class TestStickiness:
+    def test_hand_dau_wau(self, spark):
+        rows = [
+            (0, _ts(0), 1, "click", 0.0), (1, _ts(5), 2, "click", 0.0),     # day1: u1,u2
+            (2, _ts(60 * 24), 1, "click", 0.0),                              # day2: u1
+            (3, _ts(60 * 24 * 9), 3, "click", 0.0),                          # day10: u3
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = {r["day"]: (r["dau"], r["wau"], r["stickiness"])
+               for r in ev.stickiness(df, window_days=7).collect()}
+        # day1 window covers only day1 activity: wau = 2
+        assert got["2024-01-01"] == (2, 2, 1.0)
+        # day2 window covers day1+day2: users {1,2}
+        assert got["2024-01-02"] == (1, 2, 0.5)
+        # day10 is beyond day1/2's 7-day support: wau = 1
+        assert got["2024-01-10"] == (1, 1, 1.0)
+        # inactive days are not emitted
+        assert "2024-01-03" not in got
+
+    def test_wau_at_least_dau(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        for r in ev.stickiness(e).collect():
+            assert r["wau"] >= r["dau"] and 0 < r["stickiness"] <= 1.0

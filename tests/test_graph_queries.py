@@ -3522,3 +3522,16 @@ class TestCommunityBridges:
             [("x", "C"), ("y", "C")], "id string, label string"
         )
         assert queries.community_bridges(und, labels).count() == 0
+
+
+class TestPeripheralConcepts:
+    def test_degree_ranked_with_zero_degree_first(self, spark):
+        import __spark_entry__ as E
+
+        got = E.queries()["kg_peripheral_concepts"](
+            spark.builder.getOrCreate() if False else spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(got) == 25
+        degs = [r["degree"] for r in got]
+        assert degs == sorted(degs)
+        assert all(r["n_mentions"] >= 1 for r in got)
