@@ -263,6 +263,9 @@ def main():
         "kg_typed_degrees",
         "kg_metapath_counts",
         "kg_community_bridges",
+        # round-5 wave 21: stickiness + periphery
+        "rel_stickiness",
+        "kg_peripheral_concepts",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
