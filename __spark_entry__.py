@@ -3749,6 +3749,109 @@ def q_kg_katz(spark, sf_dir):
     )
 
 
+def q_rel_rfm(spark, sf_dir):
+    """RFM lifecycle segmentation (champion/loyal/at_risk/hibernating)
+    — per-user recency/frequency/monetary scored 1-4 against quartile
+    boundaries folded as literals (no global ntile window; see
+    events.rfm_segments for the 100-TB rationale)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.rfm_segments(e)
+
+
+def q_rel_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority census over orders with an
+    EXISTS'd late-shipped lineitem — the left-semi + non-equi residual
+    join form (this corpus has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_rel_tpch_q6(spark, sf_dir):
+    """TPC-H Q6: single-scan forecast-revenue aggregate — the pure
+    pushed-predicate + map-side-only query (zero shuffle beyond the
+    1-row final agg).  Decimal accumulation for cross-engine cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_rel_tpch_q10(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned-item revenue — ranked
+    on the EXACT decimal sum (identical total order in both engines;
+    never a float-ranked LIMIT), custkey tiebreak, rounded only at
+    output."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        cust.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            li.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3967,6 +4070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_bridges": q_kg_community_bridges,
         "rel_stickiness": q_rel_stickiness,
         "kg_peripheral_concepts": q_kg_peripheral_concepts,
+        "rel_rfm": q_rel_rfm,
+        "rel_tpch_q4": q_rel_tpch_q4,
+        "rel_tpch_q6": q_rel_tpch_q6,
+        "rel_tpch_q10": q_rel_tpch_q10,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5332,6 +5439,66 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+        "rel_rfm": """
+WITH pu AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+                   (SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id),
+b AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS r,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS f,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS m
+      FROM pu),
+s AS (SELECT user_id, recency_days, frequency, monetary,
+             5 - (1 + CAST(recency_days > b.r[1] AS INT)
+                    + CAST(recency_days > b.r[2] AS INT)
+                    + CAST(recency_days > b.r[3] AS INT)) AS r_score,
+             1 + CAST(frequency > b.f[1] AS INT)
+               + CAST(frequency > b.f[2] AS INT)
+               + CAST(frequency > b.f[3] AS INT) AS f_score,
+             1 + CAST(monetary > b.m[1] AS INT)
+               + CAST(monetary > b.m[2] AS INT)
+               + CAST(monetary > b.m[3] AS INT) AS m_score
+      FROM pu, b)
+SELECT user_id, recency_days, frequency, ROUND(monetary, 6) AS monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM s ORDER BY user_id""",
+        "rel_tpch_q4": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "rel_tpch_q6": """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "rel_tpch_q10": """
+WITH r AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM customer
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+SELECT c_custkey, c_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, c_acctbal, n_name
+FROM r ORDER BY rev DESC, c_custkey LIMIT 20""",
         "rel_tpch_q9": """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS amount

@@ -266,6 +266,11 @@ def main():
         # round-5 wave 21: stickiness + periphery
         "rel_stickiness",
         "kg_peripheral_concepts",
+        # round-5 wave 22: RFM + TPCH q4/q6/q10
+        "rel_rfm",
+        "rel_tpch_q4",
+        "rel_tpch_q6",
+        "rel_tpch_q10",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -759,3 +759,39 @@ class TestStickiness:
         e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         for r in ev.stickiness(e).collect():
             assert r["wau"] >= r["dau"] and 0 < r["stickiness"] <= 1.0
+
+
+class TestRFMSegments:
+    def test_hand_quartiles(self, spark):
+        # 4 users: recency [0,2,6,9], frequency [10,6,3,1] -> interpolated
+        # quartile boundaries r(1.5,4,6.75), f(2.5,4.5,7)
+        rows = []
+        eid = 0
+        for u, day, n in [(1, 9, 10), (2, 7, 6), (3, 3, 3), (4, 0, 1)]:
+            for i in range(n):
+                rows.append((eid, _ts(60 * 24 * day + i), u, "click", 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = {r["user_id"]: r for r in ev.rfm_segments(df).collect()}
+        assert got[1]["recency_days"] == 0 and got[4]["recency_days"] == 9
+        assert [got[u]["r_score"] for u in (1, 2, 3, 4)] == [4, 3, 2, 1]
+        assert [got[u]["f_score"] for u in (1, 2, 3, 4)] == [4, 3, 2, 1]
+        assert got[1]["segment"] == "champion"
+        assert got[2]["segment"] == "loyal"
+        assert got[3]["segment"] == "hibernating"
+        assert got[4]["segment"] == "hibernating"
+
+    def test_invariants_real_data(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = ev.rfm_segments(e).collect()
+        assert len(out) == e.select("user_id").distinct().count()
+        for r in out:
+            for s in ("r_score", "f_score", "m_score"):
+                assert 1 <= r[s] <= 4
+            if r["segment"] == "champion":
+                assert r["r_score"] >= 4 and r["f_score"] >= 4
+            if r["segment"] == "hibernating":
+                assert r["r_score"] <= 2 and r["f_score"] <= 2
+            assert r["recency_days"] >= 0 and r["frequency"] >= 1
