@@ -3852,6 +3852,52 @@ def q_rel_tpch_q10(spark, sf_dir):
     )
 
 
+def q_sim_centroid_outliers(spark, sf_dir):
+    """Per-label embedding outliers (z > 2 on squared-L2 distance to
+    the own-label centroid) — the mislabeled/off-distribution curation
+    sweep; kmeans-style rounded-centroid determinism contract."""
+    return similarity.centroid_outliers(_emb(spark, sf_dir), dim=64, z_threshold=2.0)
+
+
+def q_rel_interevent_gaps(spark, sf_dir):
+    """Per-type inter-arrival profile with Goh-Barabási burstiness —
+    the temporal-texture panel between sessionize (gap thresholding)
+    and stickiness (day grain)."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.interevent_gaps(e)
+
+
+def q_kg_extraction_yield(spark, sf_dir):
+    """Per-chunk extraction QA: mention/concept yield normalized per
+    1000 chars — the over/under-extraction audit a KG build reviews
+    before trusting a new corpus slice (feeds the same review queue as
+    kg_peripheral_concepts, from the chunk side)."""
+    m = q_kg_mentions(spark, sf_dir)
+    ch = _chunks(spark, sf_dir).select(
+        "chunk_id", F.length("text").cast("long").alias("n_chars")
+    )
+    per = m.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("concept_id").alias("n_concepts"),
+    )
+    return (
+        ch.join(per, "chunk_id", "left")
+        .select(
+            "chunk_id",
+            "n_chars",
+            F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+            F.coalesce("n_concepts", F.lit(0)).cast("long").alias("n_concepts"),
+            F.round(
+                F.coalesce("n_mentions", F.lit(0)) * F.lit(1000.0) / F.col("n_chars"),
+                6,
+            ).alias("mentions_per_kchar"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4074,6 +4120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q4": q_rel_tpch_q4,
         "rel_tpch_q6": q_rel_tpch_q6,
         "rel_tpch_q10": q_rel_tpch_q10,
+        "sim_centroid_outliers": q_sim_centroid_outliers,
+        "rel_interevent_gaps": q_rel_interevent_gaps,
+        "kg_extraction_yield": q_kg_extraction_yield,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5499,6 +5548,56 @@ WITH r AS (
   GROUP BY c_custkey, c_name, c_acctbal, n_name)
 SELECT c_custkey, c_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, c_acctbal, n_name
 FROM r ORDER BY rev DESC, c_custkey LIMIT 20""",
+        # centroid_outliers: per-label ROUND(AVG,6) centroids (the
+        # kmeans determinism contract), list_sum squared-L2 walk ==
+        # the engine's _sqdist_lit left fold, z over the ROUNDED
+        # distance column (zscore_outliers precedent)
+        "sim_centroid_outliers": """
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INT) AS label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+cent AS (SELECT label, list(m ORDER BY i) AS c FROM (
+           SELECT b.label, r.i, ROUND(AVG(b.v[r.i]), 6) AS m
+           FROM base b, range(1, 65) r(i) GROUP BY b.label, r.i) GROUP BY label),
+scored AS (SELECT b.vec_id, b.label,
+                  ROUND(list_sum(list_transform(list_zip(b.v, c.c),
+                        z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dist2
+           FROM base b JOIN cent c USING (label)),
+st AS (SELECT label, AVG(dist2) AS m, STDDEV(dist2) AS sd FROM scored GROUP BY label)
+SELECT s.vec_id, s.label, s.dist2, ROUND((s.dist2 - st.m) / st.sd, 6) AS z
+FROM scored s JOIN st USING (label)
+WHERE st.sd IS NOT NULL AND st.sd > 0 AND (s.dist2 - st.m) / st.sd > 2.0
+ORDER BY vec_id""",
+        # interevent_gaps: LAG over (user, type) ordered (ts, event_id)
+        # == the engine's window; exact integer-microsecond gaps;
+        # quantile_cont == Spark percentile (rel_percentile precedent)
+        "rel_interevent_gaps": """
+WITH l AS (SELECT event_type, ts,
+                  LAG(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS p
+           FROM events),
+g AS (SELECT event_type, (epoch_us(ts) - epoch_us(p)) / 1000000.0 AS gap
+      FROM l WHERE p IS NOT NULL)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  ROUND(AVG(gap), 6) AS mean_gap,
+  ROUND(quantile_cont(gap, 0.5), 6) AS p50_gap,
+  ROUND(quantile_cont(gap, 0.9), 6) AS p90_gap,
+  ROUND((STDDEV(gap) - AVG(gap)) / (STDDEV(gap) + AVG(gap)), 6) AS burstiness
+FROM g GROUP BY event_type ORDER BY event_type""",
+        # extraction_yield: mentions CTE re-grouped per chunk, LEFT
+        # join back to the cased corpus so zero-mention chunks appear
+        "kg_extraction_yield": f"""WITH {MENTIONS_CTE},
+per AS (SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT concept_id) AS BIGINT) AS n_concepts
+        FROM mentions GROUP BY chunk_id),
+ch AS (SELECT chunk_id, CAST(length(text) AS BIGINT) AS n_chars FROM src)
+SELECT ch.chunk_id, ch.n_chars,
+       CAST(COALESCE(per.n_mentions, 0) AS BIGINT) AS n_mentions,
+       CAST(COALESCE(per.n_concepts, 0) AS BIGINT) AS n_concepts,
+       ROUND(COALESCE(per.n_mentions, 0) * 1000.0 / ch.n_chars, 6) AS mentions_per_kchar
+FROM ch LEFT JOIN per USING (chunk_id)
+ORDER BY chunk_id""",
         "rel_tpch_q9": """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS amount

@@ -271,6 +271,10 @@ def main():
         "rel_tpch_q4",
         "rel_tpch_q6",
         "rel_tpch_q10",
+        # round-5 wave 23: centroid outliers + cadence + extraction QA
+        "sim_centroid_outliers",
+        "rel_interevent_gaps",
+        "kg_extraction_yield",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -999,3 +999,52 @@ def rfm_segments(
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+def interevent_gaps(
+    events: DataFrame,
+    by: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-type inter-arrival profile: gap statistics between a user's
+    consecutive events of the same type — the cadence panel (how often
+    does a user click / purchase) plus Goh-Barabási burstiness
+    B = (sigma - mu) / (sigma + mu) in [-1, 1]: -1 = perfectly
+    periodic, 0 = Poisson, -> 1 = bursty.  The temporal texture view
+    that sessionize (gap THRESHOLDING) and stickiness (day grain)
+    don't expose.
+
+    Gaps are exact integer-microsecond differences scaled to seconds;
+    percentiles interpolate (the rel_percentile parity precedent);
+    mean/stddev follow the zscore_outliers precedent.  Types with <2
+    events per every user emit nothing (no gaps exist); burstiness is
+    NULL when a type has a single gap (stddev undefined).
+
+    -> (event_type, n_gaps, mean_gap, p50_gap, p90_gap, burstiness),
+    seconds, rounded 6, ordered by type.
+
+    Scale shape: ONE shuffle on (user, type) for the lag window (the
+    sessionize partitioning — per-user streams are bounded), then one
+    |types|-row hash aggregate; nothing else moves."""
+    w = Window.partitionBy(user_col, by).orderBy(ts_col, id_col)
+    g = events.withColumn("_p", F.lag(ts_col).over(w))
+    gaps = g.where(F.col("_p").isNotNull()).select(
+        F.col(by),
+        (
+            (_micros(F.col(ts_col)) - _micros(F.col("_p"))) / F.lit(1_000_000.0)
+        ).alias("gap"),
+    )
+    sd, mu = F.stddev("gap"), F.avg("gap")
+    return (
+        gaps.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap"),
+            F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_gap"),
+            F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_gap"),
+            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        )
+        .orderBy(by)
+    )

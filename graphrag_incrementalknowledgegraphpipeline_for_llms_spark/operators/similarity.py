@@ -1347,3 +1347,71 @@ def knn_graph(
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    dim: int = 64,
+    z_threshold: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster embedding outliers — vectors far from their own
+    label's centroid, the mislabeled/off-distribution sweep a
+    curation pass runs before training on a labeled (or clustered)
+    corpus (the SemDeDup/DiverseEvol complement: dedup prunes the
+    too-close, this flags the too-far).
+
+    Same determinism contract as :func:`kmeans_assign`: per-label
+    per-dimension centroid means are ROUNDED TO 6 DP (both engines
+    re-derive them bit-identically regardless of sum order), the
+    squared-L2 distance is a LEFT fold in index order over centroid
+    LITERALS (:func:`_sqdist_lit` — bit-identical to DuckDB's
+    list_sum walk) rounded to 6, and the per-label z-score follows the
+    events.zscore_outliers precedent (stats over the ROUNDED distance
+    column).  Labels with <2 members or zero variance emit nothing.
+
+    Returns (vec_id, label, dist2, z) for vectors with z >
+    ``z_threshold``, ordered by vec_id.
+
+    Scale shape: ONE hash aggregate shuffles |labels| x dim (sum,
+    count) partials; the |labels| x dim centroid table is the only
+    driver round-trip (bounded by construction); distance + z are
+    scan-stage expressions against broadcast per-label stats — the
+    corpus never shuffles."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(label_col).cast("int").alias("label"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cent_rows = (
+        base.groupBy("label")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}") for i in range(dim)])
+        .collect()
+    )
+    if not cent_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, label int, dist2 double, z double"
+        )
+    cents = {r["label"]: [r[f"c{i}"] for i in range(dim)] for r in cent_rows}
+    # chained CASE: label -> squared distance to ITS centroid literals
+    chain = F.lit(None).cast("double")
+    for lbl in sorted(cents):
+        chain = F.when(
+            F.col("label") == lbl, _sqdist_lit(F.col("v"), cents[lbl])
+        ).otherwise(chain)
+    scored = base.select(
+        "vec_id", "label", F.round(chain, 6).alias("dist2")
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("dist2").alias("_m"), F.stddev("dist2").alias("_sd")
+    )
+    z = (F.col("dist2") - F.col("_m")) / F.col("_sd")
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .where(F.col("_sd").isNotNull() & (F.col("_sd") > 0))
+        .where(z > F.lit(z_threshold))
+        .select("vec_id", "label", "dist2", F.round(z, 6).alias("z"))
+        .orderBy("vec_id")
+    )

@@ -1315,3 +1315,48 @@ class TestKnnGraph:
         per_src = Counter(r["vec_id"] for r in got)
         assert max(per_src.values()) <= 4
         assert all(r["vec_id"] != r["nbr_id"] for r in got)
+
+
+class TestCentroidOutliers:
+    def test_planted_outlier(self, spark):
+        # label 0: tight cluster at (0,0) + one point far away -> only
+        # the far point has z > 2 on squared-L2 to the label centroid
+        rows = [(i, [0.01 * i, 0.0], 0) for i in range(9)]
+        rows.append((99, [50.0, 50.0], 0))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = similarity.centroid_outliers(emb, dim=2, z_threshold=2.0).collect()
+        assert [r["vec_id"] for r in got] == [99]
+        assert got[0]["label"] == 0 and got[0]["z"] > 2.0
+
+    def test_degenerate_labels_emit_nothing(self, spark):
+        # label 1 has a single member (no variance possible), label 2
+        # has zero variance (identical points) -> neither emits
+        rows = [(1, [1.0, 1.0], 1), (2, [3.0, 3.0], 2), (3, [3.0, 3.0], 2)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        assert similarity.centroid_outliers(emb, dim=2).collect() == []
+
+    def test_one_sided_far_only(self, spark):
+        # a point CLOSER than the mean distance (negative z) is never
+        # flagged, however extreme — the sweep is for the too-far only
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, (rng.randn(4) + 10).tolist(), 5) for i in range(40)]
+        rows.append((500, [10.0, 10.0, 10.0, 10.0], 5))  # dead center
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = similarity.centroid_outliers(emb, dim=4, z_threshold=2.0).collect()
+        assert all(r["z"] > 2.0 for r in got)
+        assert 500 not in {r["vec_id"] for r in got}
+
+    def test_real_data_invariants(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = similarity.centroid_outliers(emb, dim=64, z_threshold=2.0).collect()
+        assert len(got) > 0
+        ids = [r["vec_id"] for r in got]
+        assert ids == sorted(ids)
+        n = emb.count()
+        # z>2 one-sided can flag at most ~1/4 of rows (Chebyshev); in
+        # practice far fewer — guard against a broken stddev
+        assert len(got) < n / 4
+        for r in got:
+            assert r["dist2"] >= 0 and r["z"] > 2.0

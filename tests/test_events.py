@@ -795,3 +795,58 @@ class TestRFMSegments:
             if r["segment"] == "hibernating":
                 assert r["r_score"] <= 2 and r["f_score"] <= 2
             assert r["recency_days"] >= 0 and r["frequency"] >= 1
+
+
+class TestIntereventGaps:
+    def test_hand_gaps(self, spark):
+        # one user, one type, events at t=0,10s,30s -> gaps [10, 20]
+        rows = [
+            (0, _ts(0), 1, "click", 1.0),
+            (1, _ts(0).__class__.fromtimestamp(_ts(0).timestamp() + 10), 1, "click", 1.0),
+            (2, _ts(0).__class__.fromtimestamp(_ts(0).timestamp() + 30), 1, "click", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = ev.interevent_gaps(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_gaps"] == 2 and r["mean_gap"] == 15.0
+        # interpolating percentile over [10, 20]: p50=15, p90=19
+        assert r["p50_gap"] == 15.0 and r["p90_gap"] == 19.0
+        import statistics
+
+        sd, mu = statistics.stdev([10.0, 20.0]), 15.0
+        assert abs(r["burstiness"] - round((sd - mu) / (sd + mu), 6)) < 1e-9
+
+    def test_single_gap_null_burstiness(self, spark):
+        rows = [(0, _ts(0), 1, "buy", 1.0), (1, _ts(5), 1, "buy", 1.0)]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = ev.interevent_gaps(df).collect()
+        assert len(got) == 1 and got[0]["n_gaps"] == 1
+        assert got[0]["burstiness"] is None
+
+    def test_gaps_never_span_users_or_types(self, spark):
+        # two users each with ONE event of a type -> no gap rows for it
+        rows = [
+            (0, _ts(0), 1, "view", 1.0),
+            (1, _ts(1), 2, "view", 1.0),
+            (2, _ts(2), 1, "click", 1.0),
+            (3, _ts(9), 1, "click", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id int, ts timestamp, user_id int, event_type string, value double"
+        )
+        got = {r["event_type"]: r for r in ev.interevent_gaps(df).collect()}
+        assert "view" not in got
+        assert got["click"]["n_gaps"] == 1 and got["click"]["mean_gap"] == 420.0
+
+    def test_real_data_invariants(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        for r in ev.interevent_gaps(e).collect():
+            assert r["n_gaps"] > 0 and r["mean_gap"] > 0
+            assert r["p50_gap"] <= r["p90_gap"]
+            if r["burstiness"] is not None:
+                assert -1.0 <= r["burstiness"] <= 1.0
