@@ -3898,6 +3898,140 @@ def q_kg_extraction_yield(spark, sf_dir):
     )
 
 
+def q_rel_market_basket(spark, sf_dir):
+    """Association pair mining over TPC-H order baskets: per-pair
+    support and lift with the Apriori pushdown (item-support semi-join
+    BEFORE the pair self-join) and the mega-basket C(n,2) guard —
+    the "frequently bought together" / co-cited-sources panel."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import cooccur
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cooccur.market_basket(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_item_support=5, min_pair_count=2,
+    )
+
+
+def q_txt_effective_tokens(spark, sf_dir):
+    """Dedup-aware token-budget accounting per source (raw vs
+    effective tokens, duplicates credited once to the min-id winner's
+    source) — the planning number behind per-source sampling weights.
+    Runs over the corpus + planted exact dups so the dup fraction is
+    non-degenerate."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    return curation.effective_tokens(_docs_with_dups(spark, sf_dir))
+
+
+def q_dd_edit_distance(spark, sf_dir):
+    """LSH candidates -> EXACT Levenshtein verify (md5 hash family so
+    the oracle replays the whole chain): the sequence-exact member of
+    the dedup family — catches reorders/in-place edits that set-based
+    Jaccard scores identically."""
+    return dedup.edit_distance_near_dup(
+        _docs_with_dups(spark, sf_dir), max_rel=0.3, hash_family="md5"
+    )
+
+
+def q_rel_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): orders-per-customer
+    via LEFT join (zero-order customers kept), then the counts-of-
+    counts histogram — the classic two-phase re-aggregation."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_rel_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): per-order quantity
+    sum in EXACT decimal, HAVING > 150 as a pre-join reducer, then the
+    customer/order detail join; ranked LIMIT on the STORED
+    o_totalprice (never a float-ranked computed aggregate) with
+    orderkey tie-break."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tot = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("tq"))
+        .where(F.col("tq") > 150)
+    )
+    return (
+        tot.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_sim_cluster_purity(spark, sf_dir):
+    """Per-cluster label purity of the oracled k-means (k=8, 2
+    rounds) against the embedding table's ground-truth label — the
+    external clustering evaluation that tells semantic dedup /
+    balanced sampling which clusters to trust; majority tie-break is
+    min label."""
+    out = similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    return similarity.cluster_label_purity(
+        out.select("id", "cluster"), _emb(spark, sf_dir)
+    )
+
+
+def q_rel_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-part relationship census): DISTINCT
+    supplier count per (brand, type, size) with a brand exclusion and
+    a size IN-list — the distinct-agg + pushed anti-predicate query."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin([1, 5, 11, 17, 23, 29, 36, 42])
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_txt_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the marker-word heuristic's
+    prediction vs the table's ground-truth lang column — the
+    classifier-quality audit run before trusting lang gates in the
+    curation funnel."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", tf.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred")
+    )
+
+
+def q_sim_kcenter_sample(spark, sf_dir):
+    """Greedy k-center (farthest-point) diversity selection, k=6 —
+    the pure-novelty whole-corpus coreset pick (MMR without a query).
+    Deterministic greedy trace (min-id seed, round-before-compare,
+    id tie-break) replayed by the oracle as 6 unrolled SQL steps."""
+    return similarity.kcenter_sample(_emb(spark, sf_dir), k=6)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4123,6 +4257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_centroid_outliers": q_sim_centroid_outliers,
         "rel_interevent_gaps": q_rel_interevent_gaps,
         "kg_extraction_yield": q_kg_extraction_yield,
+        "rel_market_basket": q_rel_market_basket,
+        "txt_effective_tokens": q_txt_effective_tokens,
+        "sim_kcenter_sample": q_sim_kcenter_sample,
+        "dd_edit_distance": q_dd_edit_distance,
+        "rel_tpch_q13": q_rel_tpch_q13,
+        "rel_tpch_q18": q_rel_tpch_q18,
+        "sim_cluster_purity": q_sim_cluster_purity,
+        "rel_tpch_q16": q_rel_tpch_q16,
+        "txt_langid_confusion": q_txt_langid_confusion,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -4200,6 +4343,36 @@ FROM (SELECT rank, vec_id, relevance, max_sim, mmr FROM mm1
       UNION ALL SELECT rank, vec_id, relevance, max_sim, mmr FROM mm4
       UNION ALL SELECT rank, vec_id, relevance, max_sim, mmr FROM mm5)
 ORDER BY rank"""
+
+    # sim_kcenter_sample: the 6 greedy farthest-point steps unrolled —
+    # min-id seed, then per step MAX 6dp-rounded cosine to the selected
+    # set and an argmin with id tie-break (the same engine-exact greedy
+    # trace contract as _mmr_sql, without the query/pool stage).
+    _kcenter_sql = """WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s1 AS (SELECT 1 AS rank, vec_id, 0.0 AS max_sim, v FROM base
+       ORDER BY vec_id LIMIT 1),
+sel1 AS (SELECT vec_id, v FROM s1)"""
+    for _step in range(2, 7):
+        _kcenter_sql += f""",
+ms{_step} AS (SELECT c.vec_id, ANY_VALUE(c.v) AS v,
+               MAX(ROUND({_cosv("c.v", "s.v")}, 6)) AS ms
+        FROM base c, sel{_step - 1} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{_step - 1})
+        GROUP BY c.vec_id),
+s{_step} AS (SELECT {_step} AS rank, vec_id, ms AS max_sim, v
+        FROM ms{_step} ORDER BY ms, vec_id LIMIT 1),
+sel{_step} AS (SELECT vec_id, v FROM sel{_step - 1}
+        UNION ALL SELECT vec_id, v FROM s{_step})"""
+    _kcenter_sql += (
+        "\nSELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,"
+        " max_sim FROM ("
+        + " UNION ALL ".join(
+            f"SELECT rank, vec_id, max_sim FROM s{i}" for i in range(1, 7)
+        )
+        + ") ORDER BY rank"
+    )
     punct_ratio = (
         "CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
         " / length(text) ELSE 0.0 END"
@@ -5598,6 +5771,110 @@ SELECT ch.chunk_id, ch.n_chars,
        ROUND(COALESCE(per.n_mentions, 0) * 1000.0 / ch.n_chars, 6) AS mentions_per_kchar
 FROM ch LEFT JOIN per USING (chunk_id)
 ORDER BY chunk_id""",
+        # rel_market_basket: Apriori pushdown replayed — item support
+        # HAVING >= 5 before the pair self-join, basket-size guard 64,
+        # lift/support as the same (pair*N)/(ca*cb) expression shape.
+        "rel_market_basket": """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi),
+sup AS (SELECT i, COUNT(*) AS cnt FROM bi GROUP BY i HAVING COUNT(*) >= 5),
+freq AS (SELECT bi.b, bi.i FROM bi JOIN sup USING (i)),
+small AS (SELECT b FROM freq GROUP BY b HAVING COUNT(*) <= 64),
+f2 AS (SELECT freq.b, freq.i FROM freq JOIN small USING (b)),
+pairs AS (SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS pair_count
+          FROM f2 l JOIN f2 r ON l.b = r.b AND l.i < r.i
+          GROUP BY l.i, r.i HAVING COUNT(*) >= 2)
+SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+       CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(a.cnt AS BIGINT) AS count_a, CAST(bb.cnt AS BIGINT) AS count_b,
+       ROUND((CAST(pair_count AS DOUBLE) * nb.n)
+             / CAST(a.cnt * bb.cnt AS DOUBLE), 6) AS lift,
+       ROUND(CAST(pair_count AS DOUBLE) / nb.n, 6) AS support
+FROM pairs JOIN sup a ON a.i = item_a JOIN sup bb ON bb.i = item_b
+CROSS JOIN nb
+ORDER BY lift DESC, item_a, item_b""",
+        # txt_effective_tokens: fingerprint winner = arg_min on id (ids
+        # unique -> exact), same token/fp expressions as dd_fingerprint
+        # and txt_stats.
+        "txt_effective_tokens": """
+WITH d AS (SELECT * FROM documents
+           UNION ALL
+           SELECT * REPLACE (doc_id + 1000000 AS doc_id) FROM documents
+           WHERE doc_id < 50),
+feats AS (
+  SELECT doc_id AS id, source,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM d),
+raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens
+        FROM feats GROUP BY source),
+w AS (SELECT fp, arg_min(source, id) AS source,
+             arg_min(n_tokens, id) AS n_tokens
+      FROM feats GROUP BY fp),
+eff AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS unique_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS effective_tokens
+        FROM w GROUP BY source)
+SELECT r.source, r.n_docs, r.raw_tokens,
+       CAST(COALESCE(e.unique_docs, 0) AS BIGINT) AS unique_docs,
+       CAST(COALESCE(e.effective_tokens, 0) AS BIGINT) AS effective_tokens,
+       CASE WHEN r.raw_tokens > 0
+            THEN ROUND(1.0 - CAST(COALESCE(e.effective_tokens, 0) AS DOUBLE)
+                             / CAST(r.raw_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_token_frac
+FROM raw r LEFT JOIN eff e USING (source) ORDER BY r.source""",
+        "rel_tpch_q16": """
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 11, 17, 23, 29, 36, 42)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        # txt_langid_confusion: the same marker-hit CASE as the
+        # curation feats CTE, cross-tabbed against the ground truth
+        "txt_langid_confusion": f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN ({en_hits}) > ({de_hits}) THEN 'en'
+              WHEN ({de_hits}) > ({en_hits}) THEN 'de'
+              ELSE 'und' END AS pred
+  FROM documents)
+SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred ORDER BY lang, pred""",
+        "sim_kcenter_sample": _kcenter_sql,
+        # dd_edit_distance: the md5 minhash/banding chain (shared
+        # _MH_CTES cand relation) + DuckDB's exact integer levenshtein
+        # on the same fingerprint normalization.
+        "dd_edit_distance": f"""WITH {_MH_CTES},
+ntxt AS (SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         FROM d),
+ed AS (SELECT c.a_id, c.b_id,
+              CAST(levenshtein(xa.t, xb.t) AS INT) AS edit_dist,
+              ROUND(CAST(levenshtein(xa.t, xb.t) AS DOUBLE)
+                    / CAST(GREATEST(length(xa.t), length(xb.t)) AS DOUBLE), 6) AS rel_dist
+       FROM cand c
+       JOIN ntxt xa ON xa.id = c.a_id
+       JOIN ntxt xb ON xb.id = c.b_id)
+SELECT a_id, b_id, edit_dist, rel_dist FROM ed
+WHERE rel_dist <= 0.3 ORDER BY a_id, b_id""",
+        "rel_tpch_q13": """
+WITH per AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "rel_tpch_q18": """
+WITH tot AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate, o_totalprice,
+       CAST(tq AS DOUBLE) AS total_qty
+FROM tot JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         "rel_tpch_q9": """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS amount
@@ -6966,6 +7243,20 @@ FROM events CROSS JOIN tm GROUP BY event_type ORDER BY event_type""",
         "sim_kmeans": f"""WITH {_KMEANS_CTES}
 SELECT CAST(id AS BIGINT) AS vec_id, cluster, ROUND(d, 6) AS dist2
 FROM ka2 ORDER BY vec_id""",
+        # sim_cluster_purity: the same k-means chain joined to the
+        # ground-truth label column; majority tie-break = MIN(label)
+        "sim_cluster_purity": f"""WITH {_KMEANS_CTES},
+lab AS (SELECT ka2.cluster, e.label, COUNT(*) AS cnt
+        FROM ka2 JOIN embeddings e ON e.vec_id = ka2.id
+        GROUP BY ka2.cluster, e.label),
+mx AS (SELECT cluster, MAX(cnt) AS majority_n, SUM(cnt) AS n
+       FROM lab GROUP BY cluster)
+SELECT m.cluster, CAST(m.n AS BIGINT) AS n,
+       CAST(MIN(l.label) AS INT) AS majority_label,
+       CAST(m.majority_n AS BIGINT) AS majority_n,
+       ROUND(CAST(m.majority_n AS DOUBLE) / CAST(m.n AS DOUBLE), 6) AS purity
+FROM mx m JOIN lab l ON l.cluster = m.cluster AND l.cnt = m.majority_n
+GROUP BY m.cluster, m.n, m.majority_n ORDER BY m.cluster""",
         "dd_cluster_balanced": f"""WITH {_KMEANS_CTES},
 kcnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cluster FROM ka2 GROUP BY cluster)
 SELECT CAST(a.id AS BIGINT) AS vec_id, a.cluster, c.n_cluster,

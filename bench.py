@@ -275,6 +275,18 @@ def main():
         "sim_centroid_outliers",
         "rel_interevent_gaps",
         "kg_extraction_yield",
+        # round-5 wave 24: basket lift + token budget + k-center coreset
+        "rel_market_basket",
+        "txt_effective_tokens",
+        "sim_kcenter_sample",
+        # round-5 wave 25: levenshtein verify + TPC-H Q13/Q18 shapes
+        "dd_edit_distance",
+        "rel_tpch_q13",
+        "rel_tpch_q18",
+        # round-5 wave 26: clustering eval + Q16 + lang-id audit
+        "sim_cluster_purity",
+        "rel_tpch_q16",
+        "txt_langid_confusion",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

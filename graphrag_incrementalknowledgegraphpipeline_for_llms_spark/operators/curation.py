@@ -1067,3 +1067,78 @@ def host_budget(
         .where(F.col("rank") <= budget)
         .orderBy(source_col, "rank")
     )
+
+
+def effective_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dedup-aware token-budget accounting per source: how many tokens
+    a source CLAIMS to contribute vs how many it actually adds once
+    exact duplicates are counted once — the planning number behind
+    "how big is the training set really" and per-source sampling
+    weights (a mirror source with 10^9 raw tokens and 10^6 effective
+    ones should be weighted by the latter).
+
+    A duplicate's tokens are attributed to the fingerprint WINNER's
+    source (min id across the whole corpus — the same survivor rule as
+    ``curate_corpus``), so cross-source duplicates are credited to the
+    source that contributed the earliest copy and every fingerprint is
+    counted exactly once globally (the per-source effective columns
+    sum to the corpus-level unique totals).
+
+    -> (source, n_docs, raw_tokens, unique_docs, effective_tokens,
+    dup_token_frac), ordered by source.  ``dup_token_frac`` is
+    1 - effective/raw (round 6), 0.0 for an empty-token source; a
+    source whose every document loses its fingerprint race elsewhere
+    shows effective_tokens 0.
+
+    Scale shape: one narrow scan projection (source, id, 16-byte fp,
+    token count — text never shuffles), then two hash aggs: by source
+    (raw) and by fingerprint (min_by winner, the exact-dedup shuffle
+    already paid by ``curate_corpus``), re-agged by winner source and
+    joined back on the LOW-cardinality source key.  No windows, no
+    self-joins."""
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        tf.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        tf.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    raw = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+    )
+    winners = (
+        feats.groupBy("fp")
+        .agg(F.min_by(F.struct("source", "n_tokens"), F.col("id")).alias("w"))
+        .select(F.col("w.source").alias("source"), F.col("w.n_tokens").alias("n_tokens"))
+    )
+    eff = winners.groupBy("source").agg(
+        F.count(F.lit(1)).alias("unique_docs"),
+        F.sum("n_tokens").alias("effective_tokens"),
+    )
+    return (
+        raw.join(eff, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.coalesce("unique_docs", F.lit(0)).cast("long").alias("unique_docs"),
+            F.coalesce("effective_tokens", F.lit(0)).cast("long").alias("effective_tokens"),
+            F.when(
+                F.col("raw_tokens") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.coalesce("effective_tokens", F.lit(0)).cast("double")
+                    / F.col("raw_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+        )
+        .orderBy("source")
+    )

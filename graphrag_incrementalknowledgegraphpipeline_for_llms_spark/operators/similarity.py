@@ -1415,3 +1415,134 @@ def centroid_outliers(
         .select("vec_id", "label", "dist2", F.round(z, 6).alias("z"))
         .orderBy("vec_id")
     )
+
+
+def kcenter_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy k-center / farthest-point traversal (Gonzalez 1985):
+    pick ``k`` vectors that maximally SPREAD over the embedding space
+    — each step adds the point whose maximum cosine to the already-
+    selected centers is smallest (i.e. the farthest point).  The
+    data-selection pass behind diverse coreset sampling, seed picking
+    for clustering, and eval-set construction; 2-approximation of the
+    optimal k-center cover.  :func:`mmr_rerank` trades relevance
+    against novelty inside a retrieval pool; this is the pure-novelty,
+    whole-corpus variant (no query).
+
+    Determinism contract (the MMR contract, reused): every pairwise
+    cosine is rounded to 6 dp BEFORE comparison, the argmin breaks
+    ties on min id, and the seed center is the MINIMUM id — not a
+    random row — so the greedy trace is engine-exact and the oracle
+    replays it as k unrolled SQL steps.
+
+    -> (rank 1..k, vec_id, max_sim), ordered by rank; ``max_sim`` is
+    the winner's cosine to its nearest selected center at pick time
+    (0.0 for the seed) — the coverage radius trace, non-decreasing-ish
+    as the space fills.
+
+    Scale shape: k bounded passes, each ONE scan-stage map (cosines
+    against <= k selected vectors folded back as LITERAL arrays — the
+    HITS-norm / MMR pattern, never a crossJoin) + a 1-row argmin
+    reduce (orderBy-limit-1 collect, bounded).  No shuffle of the
+    corpus, no state beyond k * dim floats on the driver.  At real
+    corpus scale pass ``candidates=`` (e.g. a hash-sampled or
+    SRP-bucket-thinned pool) to bound the per-step scan — greedy
+    k-center on a uniform pool is the standard coreset recipe."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    src = candidates if candidates is not None else embeddings
+    vecs = src.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seed = vecs.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return embeddings.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, max_sim double"
+        )
+    picked = [(1, int(seed[0]["vec_id"]), 0.0)]
+    sel_vecs = [[float(x) for x in seed[0]["_v"]]]
+    for rank in range(2, k + 1):
+        sims = [
+            F.round(
+                cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in sv])), 6
+            )
+            for sv in sel_vecs
+        ]
+        ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        top = (
+            vecs.where(~F.col("vec_id").isin([p[1] for p in picked]))
+            .select("vec_id", "_v", ms.alias("max_sim"))
+            .orderBy("max_sim", "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        picked.append((rank, int(r["vec_id"]), float(r["max_sim"])))
+        sel_vecs.append([float(x) for x in r["_v"]])
+    out = embeddings.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, max_sim double"
+    )
+    return out.orderBy("rank")
+
+
+def cluster_label_purity(
+    assignments: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    label_id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster label purity — the standard external clustering
+    evaluation when a ground-truth label column exists: for each
+    cluster, its size, the majority label (smallest label on count
+    ties — deterministic), the majority count, and purity =
+    majority_n / n.  Weighted-average purity over clusters is the
+    corpus purity score; per-cluster rows localize WHICH clusters are
+    mixed (the ones semantic dedup / balanced sampling should not
+    trust).
+
+    Scale shape: one (cluster, label) hash agg over the assignment
+    join (map-side combined; cardinality k x |labels|, tiny), then a
+    k-row max/sum re-agg and a tie-break min — never a window over
+    the corpus.  The assignment-label join is id-keyed; at corpus
+    scale both sides are already co-partitioned by the id they were
+    produced with."""
+    a = assignments.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("cluster")
+    )
+    l = labels.select(
+        F.col(label_id_col).alias("_id"), F.col(label_col).alias("label")
+    )
+    counts = (
+        a.join(l, "_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mx = counts.groupBy("cluster").agg(
+        F.max("cnt").alias("majority_n"), F.sum("cnt").alias("n")
+    )
+    return (
+        counts.join(mx, "cluster")
+        .where(F.col("cnt") == F.col("majority_n"))
+        .groupBy("cluster", "n", "majority_n")
+        .agg(F.min("label").alias("majority_label"))
+        .select(
+            "cluster",
+            F.col("n").cast("long").alias("n"),
+            "majority_label",
+            F.col("majority_n").cast("long").alias("majority_n"),
+            F.round(
+                F.col("majority_n").cast("double") / F.col("n").cast("double"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cluster")
+    )

@@ -1204,3 +1204,49 @@ class TestNgramCoverage:
     def test_short_refs_excluded(self, spark):
         got = self._run(spark, [(1, "only three words")], [(9, "whatever text here is")])
         assert got == {}
+
+
+class TestEffectiveTokens:
+    def test_dup_tokens_credited_once_to_min_id_winner(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # source a: doc 1 ("x y z", 3 tokens) duplicated by
+                # doc 2 (whitespace/case variant -> same fingerprint)
+                (1, "x y z", "a"),
+                (2, "  X  y   Z ", "a"),
+                # source b: its only doc is a dup of a's doc 1 ->
+                # loses the fingerprint race entirely
+                (3, "x y z", "b"),
+                # source c: unique doc, 2 tokens
+                (4, "hello world", "c"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {r["source"]: r for r in curation.effective_tokens(docs).collect()}
+        a, b, c = got["a"], got["b"], got["c"]
+        assert (a["n_docs"], a["raw_tokens"]) == (2, 6)
+        assert (a["unique_docs"], a["effective_tokens"]) == (1, 3)
+        assert a["dup_token_frac"] == 0.5
+        assert (b["n_docs"], b["raw_tokens"]) == (1, 3)
+        assert (b["unique_docs"], b["effective_tokens"]) == (0, 0)
+        assert b["dup_token_frac"] == 1.0
+        assert (c["unique_docs"], c["effective_tokens"]) == (1, 2)
+        assert c["dup_token_frac"] == 0.0
+
+    def test_effective_sums_to_corpus_unique_totals(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 3} tail", f"s{i % 2}") for i in range(12)],
+            "doc_id long, text string, source string",
+        )
+        rows = curation.effective_tokens(docs).collect()
+        # 3 distinct fingerprints -> 3 unique docs, 6 effective tokens
+        assert sum(r["unique_docs"] for r in rows) == 3
+        assert sum(r["effective_tokens"] for r in rows) == 6
+        assert sum(r["n_docs"] for r in rows) == 12
+
+    def test_empty_source_zero_frac(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "", "a")], "doc_id long, text string, source string"
+        )
+        r = curation.effective_tokens(docs).collect()[0]
+        assert r["raw_tokens"] == 0 and r["dup_token_frac"] == 0.0

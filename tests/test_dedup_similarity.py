@@ -1360,3 +1360,161 @@ class TestCentroidOutliers:
         assert len(got) < n / 4
         for r in got:
             assert r["dist2"] >= 0 and r["z"] > 2.0
+
+
+class TestKCenterSample:
+    def _np_kcenter(self, vecs, k):
+        """Pure-numpy greedy farthest-point reference (min-id seed,
+        round-before-compare, id tie-break)."""
+        import numpy as np
+
+        def cos(a, b):
+            a, b = np.asarray(a, "float64"), np.asarray(b, "float64")
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        ids = sorted(vecs)
+        sel = [ids[0]]
+        out = [(1, ids[0], 0.0)]
+        for rank in range(2, k + 1):
+            best = None
+            for c in ids:
+                if c in sel:
+                    continue
+                ms = max(round(cos(vecs[c], vecs[s]), 6) for s in sel)
+                key = (ms, c)
+                if best is None or key < best[0]:
+                    best = (key, c, ms)
+            if best is None:
+                break
+            _, c, ms = best
+            sel.append(c)
+            out.append((rank, c, ms))
+        return out
+
+    def test_matches_numpy_greedy_trace(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = {i: rng.randn(8).tolist() for i in range(40)}
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        want = self._np_kcenter(
+            {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}, 6
+        )
+        got = [
+            (r["rank"], r["vec_id"], r["max_sim"])
+            for r in similarity.kcenter_sample(emb, k=6).collect()
+        ]
+        assert got == [(r, i, pytest.approx(m, abs=1e-9)) for r, i, m in want]
+
+    def test_spreads_across_planted_clusters(self, spark):
+        # three tight orthogonal clusters; k=3 must pick one vector
+        # from EACH cluster (farthest-point never takes two near-dups
+        # before covering an untouched cluster).
+        rows = []
+        for cid, axis in enumerate([0, 1, 2]):
+            for j in range(5):
+                v = [0.001 * j] * 3
+                v[axis] = 1.0
+                rows.append((cid * 100 + j, v))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.kcenter_sample(emb, k=3).collect()
+        clusters = {r["vec_id"] // 100 for r in got}
+        assert clusters == {0, 1, 2}
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        assert got[0]["vec_id"] == 0 and got[0]["max_sim"] == 0.0
+
+    def test_k_exceeding_corpus_truncates(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        got = similarity.kcenter_sample(emb, k=5).collect()
+        assert [r["vec_id"] for r in got] == [1, 2]
+
+
+class TestEditDistanceNearDup:
+    @staticmethod
+    def _lev(a, b):
+        """Textbook Wagner-Fischer reference."""
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def test_exact_and_near_pairs_hand_checked(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "  The QUICK  brown fox jumps over the lazy dog again and again "),
+                (3, base.replace("lazy", "hazy")),  # 1 substitution
+                (4, "completely unrelated text about spark catalyst optimizer internals"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["a_id"], r["b_id"]): r
+            for r in dedup.edit_distance_near_dup(docs, max_rel=0.3).collect()
+        }
+        # normalization makes 1 and 2 identical
+        assert got[(1, 2)]["edit_dist"] == 0
+        assert got[(1, 2)]["rel_dist"] == 0.0
+        # 1 vs 3: exactly one substitution (l -> h)
+        assert got[(1, 3)]["edit_dist"] == self._lev(base, base.replace("lazy", "hazy")) == 1
+        assert got[(1, 3)]["rel_dist"] == pytest.approx(round(1 / len(base), 6))
+        # the unrelated doc shares no shingles -> never a candidate
+        assert not any(4 in k for k in got)
+
+    def test_distance_matches_reference_on_candidates(self, spark):
+        # perturbed replicas of one passage: every surviving pair's
+        # edit_dist must equal the textbook DP on normalized text
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        variants = {
+            10: base,
+            11: base + " lambda",
+            12: base.replace("delta", "delt"),
+            13: "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu",
+        }
+        docs = spark.createDataFrame(
+            list(variants.items()), "doc_id long, text string"
+        )
+        rows = dedup.edit_distance_near_dup(docs, max_rel=0.5).collect()
+        assert rows, "LSH must propose candidates for shared-shingle variants"
+        for r in rows:
+            want = self._lev(variants[r["a_id"]], variants[r["b_id"]])
+            assert r["edit_dist"] == want
+
+
+class TestClusterLabelPurity:
+    def test_hand_computed_purity_and_tie_break(self, spark):
+        assigns = spark.createDataFrame(
+            [(i, 0) for i in range(4)] + [(i, 1) for i in range(4, 8)],
+            "id long, cluster int",
+        )
+        # cluster 0: labels 7,7,7,3 -> purity 0.75; cluster 1: 2-2 tie
+        # between labels 1 and 5 -> majority_label = min(1)
+        labels = spark.createDataFrame(
+            [(0, 7), (1, 7), (2, 7), (3, 3), (4, 1), (5, 1), (6, 5), (7, 5)],
+            "vec_id long, label int",
+        )
+        got = {r["cluster"]: r for r in
+               similarity.cluster_label_purity(assigns, labels).collect()}
+        assert got[0]["majority_label"] == 7 and got[0]["purity"] == 0.75
+        assert got[0]["n"] == 4 and got[0]["majority_n"] == 3
+        assert got[1]["majority_label"] == 1 and got[1]["purity"] == 0.5
+
+    def test_pure_cluster_purity_one(self, spark):
+        assigns = spark.createDataFrame([(0, 0), (1, 0)], "id long, cluster int")
+        labels = spark.createDataFrame([(0, 9), (1, 9)], "vec_id long, label int")
+        r = similarity.cluster_label_purity(assigns, labels).collect()[0]
+        assert r["purity"] == 1.0 and r["majority_label"] == 9
