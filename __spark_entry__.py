@@ -3981,6 +3981,59 @@ def q_rel_tpch_q18(spark, sf_dir):
     )
 
 
+def q_kg_concept_drift(spark, sf_dir):
+    """Per-source concept-distribution KL from the corpus — the KG
+    twin of txt_source_drift: which sources skew the GRAPH (not just
+    the token stream).  Same closed-form smoothed-KL core
+    (curation.kl_divergence_from_counts) over (source, concept_id)
+    mention counts; top-256 coarsened alphabet."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import curation
+
+    m = q_kg_mentions(spark, sf_dir).select(
+        "chunk_id", F.col("concept_id").alias("term")
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "source"
+    )
+    st = (
+        m.join(d, "chunk_id")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = curation.kl_divergence_from_counts(st, top_v=256)
+    return out.select(
+        "source",
+        F.col("n_tokens").alias("n_mentions"),
+        F.col("n_terms_seen").alias("n_concepts_seen"),
+        "kl_corpus",
+    )
+
+
+def q_dd_dup_family_stats(spark, sf_dir):
+    """Dup-FAMILY size census: the LSH pair relation closed into
+    components, then the cluster-size histogram (n_clusters, n_docs
+    per size) — the number that says whether dedup output is many
+    twins or a few viral mega-families (the C(n,2) risk dd_simhash's
+    collapse guard and dd_edit_distance's verify both key on).
+    Families are size >= 2 by construction (components of the pair
+    graph); singletons aren't dup families."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
+
+    pairs = dedup.minhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5, hash_family="md5"
+    )
+    cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
+    szs = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        szs.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4266,6 +4319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_purity": q_sim_cluster_purity,
         "rel_tpch_q16": q_rel_tpch_q16,
         "txt_langid_confusion": q_txt_langid_confusion,
+        "kg_concept_drift": q_kg_concept_drift,
+        "dd_dup_family_stats": q_dd_dup_family_stats,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5278,6 +5333,43 @@ SELECT ns.source, CAST(ns.n_tokens AS BIGINT) AS n_tokens, ns.n_terms_seen,
              6) AS kl_corpus
 FROM ns JOIN seen s USING (source), scal, lt
 ORDER BY ns.source""",
+        # kg_concept_drift: txt_source_drift's exact smoothed-KL
+        # algebra over (source, concept_id) mention counts, top-256
+        "kg_concept_drift": f"""WITH {MENTIONS_CTE},
+docsrc AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, source FROM documents),
+st AS (SELECT d.source, m.concept_id AS term, CAST(COUNT(*) AS BIGINT) AS c
+       FROM mentions m JOIN docsrc d USING (chunk_id)
+       GROUP BY d.source, m.concept_id),
+ct AS (SELECT term, SUM(c) AS ct FROM st GROUP BY term),
+top AS (SELECT term FROM ct ORDER BY ct DESC, term LIMIT 256),
+b AS (SELECT source,
+             CASE WHEN t.term IS NOT NULL THEN st.term ELSE '<other>' END AS bterm,
+             SUM(st.c) AS c
+      FROM st LEFT JOIN top t ON st.term = t.term GROUP BY source, bterm),
+ctb AS (SELECT bterm, SUM(c) AS ct FROM b GROUP BY bterm),
+scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS v1, SUM(ct) AS n FROM ctb),
+q AS (SELECT bterm, CAST(ct + 1 AS DOUBLE) / (n + v1) AS q_,
+             ln(CAST(ct + 1 AS DOUBLE) / (n + v1)) AS lnq
+      FROM ctb, scal),
+lt AS (SELECT SUM(lnq) AS l_total FROM q),
+ns AS (SELECT source, SUM(c) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_terms_seen
+       FROM b GROUP BY source),
+seen AS (SELECT b.source,
+                SUM((CAST(b.c + 1 AS DOUBLE) / (ns.n_tokens + scal.v1))
+                    * ln((CAST(b.c + 1 AS DOUBLE) / (ns.n_tokens + scal.v1)) / q.q_))
+                  AS kl_seen,
+                SUM(q.lnq) AS lnq_seen
+         FROM b JOIN q USING (bterm) JOIN ns USING (source), scal
+         GROUP BY b.source)
+SELECT ns.source, CAST(ns.n_tokens AS BIGINT) AS n_mentions,
+       ns.n_terms_seen AS n_concepts_seen,
+       ROUND(s.kl_seen
+             + (1.0 / (ns.n_tokens + scal.v1))
+               * ((scal.v1 - ns.n_terms_seen) * ln(1.0 / (ns.n_tokens + scal.v1))
+                  - (lt.l_total - s.lnq_seen)),
+             6) AS kl_corpus
+FROM ns JOIN seen s USING (source), scal, lt
+ORDER BY ns.source""",
         "kg_fastrp_neighbors": _frn_sql,
         "kg_context_pack": f"""WITH {PAIRS_CTE},
 {_ppr_ctes(_PPR_SEED_LEMMAS)},
@@ -6142,6 +6234,22 @@ SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
        CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
 FROM comp c JOIN szs s ON c.cluster_id = s.cluster_id
 ORDER BY c.cluster_id, doc_id""",
+        # dd_dup_family_stats: the same recursive closure, re-agged
+        # into the family-size census
+        "dd_dup_family_stats": f"""WITH RECURSIVE {_MH_CTES},
+mp AS (SELECT a_id, b_id FROM est WHERE est_jaccard >= 0.5),
+sym AS (SELECT a_id AS id, b_id AS nbr FROM mp UNION SELECT b_id, a_id FROM mp),
+dnodes AS (SELECT DISTINCT id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM dnodes
+  UNION
+    SELECT rc.id, s.nbr FROM reach rc JOIN sym s ON rc.r = s.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM szs GROUP BY cluster_size ORDER BY cluster_size""",
         # simhash, md5 family: token hash = first 16 hex chars of md5
         # as a 64-bit value, rebuilt nibble-by-nibble (bit b lives in
         # hex char (63-b)//4+1 at in-nibble position b%4); fingerprints

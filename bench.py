@@ -287,6 +287,9 @@ def main():
         "sim_cluster_purity",
         "rel_tpch_q16",
         "txt_langid_confusion",
+        # round-5 wave 27: concept drift + dup-family census
+        "kg_concept_drift",
+        "dd_dup_family_stats",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

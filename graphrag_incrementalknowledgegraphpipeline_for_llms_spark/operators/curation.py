@@ -884,6 +884,16 @@ def source_drift(
         ).alias("term"),
     )
     st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return kl_divergence_from_counts(st, top_v)
+
+
+def kl_divergence_from_counts(st: DataFrame, top_v: int = 2048) -> DataFrame:
+    """The smoothed-KL core of :func:`source_drift`, factored over a
+    pre-aggregated ``(source, term, c)`` count relation so any
+    categorical distribution per group — unigrams, extracted concept
+    ids, URL hosts — gets the same closed-form drift score with the
+    same engine-exact expression shapes (the exact arithmetic the
+    ``txt_source_drift`` oracle replays)."""
     ct = st.groupBy("term").agg(F.sum("c").alias("ct"))
     top = ct.orderBy(F.desc("ct"), "term").limit(top_v).select("term")
     bucketed = (
