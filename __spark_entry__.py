@@ -4034,6 +4034,50 @@ def q_dd_dup_family_stats(spark, sf_dir):
     )
 
 
+def q_sim_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the oracled k-means model
+    (k=8, 2 rounds): (b - a) / max(a, b) with a/b = Euclidean distance
+    to own / nearest-other centroid — the internal clustering-quality
+    panel (no ground truth needed, unlike sim_cluster_purity).  One
+    scan + one k-row agg; engine-exact via the kmeans centroid
+    contract + order-statistic tie rule."""
+    return similarity.simplified_silhouette(_emb(spark, sf_dir), k=8, iters=2)
+
+
+def q_sim_davies_bouldin(spark, sf_dir):
+    """Per-cluster Davies-Bouldin similarity R_i = max (S_i+S_j)/M_ij
+    over the same fitted k-means — localizes WHICH cluster overlaps
+    which rival (the scalar DB index is the mean of r_db).  Corpus
+    cost = one scan + one k-row scatter agg; the k(k-1) separation
+    table folds from the fitted centroids."""
+    return similarity.davies_bouldin(_emb(spark, sf_dir), k=8, iters=2)
+
+
+def q_kg_predicate_conflicts(spark, sf_dir):
+    """Contradiction census over the triple store: (subj, obj) pairs
+    asserted under MORE THAN ONE predicate (is_a in one chunk, part_of
+    in another...) — the KG-QA review queue an ontology curator works
+    before trusting downstream reasoning.  Predicate disagreement is
+    evidence-driven (scorer._verdict keys on the chunk text), so the
+    census localizes genuinely ambiguous pairs, not extractor noise.
+    One (subj, obj) hash agg over the triples relation; the sorted
+    comma-joined predicate list keeps the row hashable cross-engine."""
+    t = _triples(spark, sf_dir)
+    return (
+        t.groupBy("subj_id", "obj_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assertions"),
+            F.count_distinct("predicate").cast("long").alias("n_predicates"),
+            F.array_join(F.array_sort(F.collect_set("predicate")), ",").alias(
+                "predicates"
+            ),
+            F.round(F.max("confidence"), 6).alias("max_confidence"),
+        )
+        .where(F.col("n_predicates") >= 2)
+        .orderBy("subj_id", "obj_id")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4321,6 +4365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid_confusion": q_txt_langid_confusion,
         "kg_concept_drift": q_kg_concept_drift,
         "dd_dup_family_stats": q_dd_dup_family_stats,
+        "sim_silhouette": q_sim_silhouette,
+        "sim_davies_bouldin": q_sim_davies_bouldin,
+        "kg_predicate_conflicts": q_kg_predicate_conflicts,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5595,6 +5642,16 @@ FROM pf, n
 JOIN cfreq ca ON pf.a_id = ca.concept_id
 JOIN cfreq cb ON pf.b_id = cb.concept_id""",
         "kg_triples": f"WITH {TRIPLES_CTE} SELECT subj_id, predicate, obj_id, confidence, evidence, chunk_id FROM triples",
+        # kg_predicate_conflicts: (subj, obj) pairs asserted under >1
+        # predicate; sorted comma-join keeps the set hashable
+        "kg_predicate_conflicts": f"""WITH {TRIPLES_CTE}
+SELECT subj_id, obj_id, CAST(COUNT(*) AS BIGINT) AS n_assertions,
+       CAST(COUNT(DISTINCT predicate) AS BIGINT) AS n_predicates,
+       string_agg(DISTINCT predicate, ',' ORDER BY predicate) AS predicates,
+       ROUND(MAX(confidence), 6) AS max_confidence
+FROM triples GROUP BY subj_id, obj_id
+HAVING COUNT(DISTINCT predicate) >= 2
+ORDER BY subj_id, obj_id""",
         "kg_edge_histogram": f"""WITH {TRIPLES_CTE}
 SELECT regexp_replace(upper(predicate), '[^A-Z0-9_]', '_', 'g') AS rel, COUNT(*) AS cnt
 FROM triples GROUP BY 1 ORDER BY cnt DESC, rel""",
@@ -7365,6 +7422,38 @@ SELECT m.cluster, CAST(m.n AS BIGINT) AS n,
        ROUND(CAST(m.majority_n AS DOUBLE) / CAST(m.n AS DOUBLE), 6) AS purity
 FROM mx m JOIN lab l ON l.cluster = m.cluster AND l.cnt = m.majority_n
 GROUP BY m.cluster, m.n, m.majority_n ORDER BY m.cluster""",
+        # sim_silhouette: own/runner = order statistics 1/2 of the
+        # per-point (d, cluster) sort over the fitted centroids —
+        # exactly _kmeans_argmin's tie rule; b >= a so max(a,b) = b
+        "sim_silhouette": f"""WITH {_KMEANS_CTES},
+sdist AS (SELECT b.id, c.cluster,
+                 list_sum(list_transform(list_zip(b.v, c.c), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+          FROM kb b CROSS JOIN kc2 c),
+sranked AS (SELECT id, cluster, d,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+            FROM sdist),
+own AS (SELECT id, cluster, sqrt(d) AS sa FROM sranked WHERE rn = 1),
+runner AS (SELECT id, sqrt(d) AS sb FROM sranked WHERE rn = 2),
+per AS (SELECT o.cluster,
+               CASE WHEN r.sb > 0 THEN (r.sb - o.sa) / r.sb ELSE 0.0 END AS s
+        FROM own o JOIN runner r USING (id))
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points, ROUND(AVG(s), 6) AS silhouette
+FROM per GROUP BY cluster ORDER BY cluster""",
+        # sim_davies_bouldin: scatter ROUNDed before the ratio (the
+        # kmeans determinism contract); M = 0 rivals excluded
+        "sim_davies_bouldin": f"""WITH {_KMEANS_CTES},
+scat AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+                ROUND(AVG(sqrt(d)), 6) AS s
+         FROM ka2 GROUP BY cluster),
+msep AS (SELECT a.cluster AS i, b.cluster AS j,
+                sqrt(list_sum(list_transform(list_zip(a.c, b.c), z -> (z[1]-z[2])*(z[1]-z[2])))) AS m
+         FROM kc2 a JOIN kc2 b ON a.cluster <> b.cluster)
+SELECT si.cluster, si.n_points, si.s AS scatter,
+       ROUND(MAX((si.s + sj.s) / ms.m), 6) AS r_db
+FROM msep ms JOIN scat si ON ms.i = si.cluster JOIN scat sj ON ms.j = sj.cluster
+WHERE ms.m > 0
+GROUP BY si.cluster, si.n_points, si.s
+ORDER BY si.cluster""",
         "dd_cluster_balanced": f"""WITH {_KMEANS_CTES},
 kcnt AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cluster FROM ka2 GROUP BY cluster)
 SELECT CAST(a.id AS BIGINT) AS vec_id, a.cluster, c.n_cluster,

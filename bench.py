@@ -290,6 +290,10 @@ def main():
         # round-5 wave 27: concept drift + dup-family census
         "kg_concept_drift",
         "dd_dup_family_stats",
+        # round-5 wave 28: clustering-quality panel + KG contradiction census
+        "sim_silhouette",
+        "sim_davies_bouldin",
+        "kg_predicate_conflicts",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -928,10 +928,53 @@ def kmeans_assign(
     doubles here) is the only driver round-trip.  At 100 TB this is
     the canonical map-side-combine k-means; raise ``iters`` for
     quality, each round costs one pass."""
-    base = embeddings.select(
+    base = _kmeans_base(embeddings, id_col, vec_col)
+    cents = _kmeans_fit(base, k, iters)
+    if cents is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id string, cluster int, dist2 double"
+        )
+    return (
+        _kmeans_argmin(base, cents)
+        .select("id", "cluster", F.round("dist2", 6).alias("dist2"))
+        .orderBy("id")
+    )
+
+
+def _kmeans_base(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
         F.col(id_col).cast("string").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+
+
+def _kmeans_argmin(base: DataFrame, cents: dict) -> DataFrame:
+    """Scan-stage argmin over centroid LITERALS: (id, v, cluster,
+    dist2), ties to the lower cluster id — the kmeans_assign
+    assignment rule, shared by every consumer of a fitted model."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_lit(F.col("v"), cents[ci]).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci in sorted(cents)
+            ]
+        )
+    )
+    return base.select(
+        "id", "v", best["c"].alias("cluster"), best["d"].alias("dist2")
+    )
+
+
+def _kmeans_fit(base: DataFrame, k: int, iters: int) -> dict | None:
+    """The Lloyd loop factored out of :func:`kmeans_assign` (identical
+    semantics, pinned by its python-replay + oracle): md5-ordered
+    seeds, ``iters`` rounds of assign + ROUND(AVG, 6) centroid update,
+    empty clusters carry forward.  Returns {cluster: centroid} or
+    None on empty input — the fitted model the clustering-quality
+    evaluators (silhouette / Davies-Bouldin) score against."""
     seed_rows = (
         base.select("id", "v", F.md5(F.col("id")).alias("h"))
         .orderBy("h")
@@ -939,33 +982,14 @@ def kmeans_assign(
         .collect()
     )
     if not seed_rows:
-        return embeddings.sparkSession.createDataFrame(
-            [], "id string, cluster int, dist2 double"
-        )
+        return None
     cents = {
         i: list(r["v"]) for i, r in enumerate(sorted(seed_rows, key=lambda r: r["h"]))
     }
     dims = len(cents[0])
-
-    def _assign(c: dict) -> DataFrame:
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist_lit(F.col("v"), c[ci]).alias("d"),
-                        F.lit(ci).alias("c"),
-                    )
-                    for ci in sorted(c)
-                ]
-            )
-        )
-        return base.select(
-            "id", "v", best["c"].alias("cluster"), best["d"].alias("dist2")
-        )
-
     for _ in range(iters):
         upd = (
-            _assign(cents)
+            _kmeans_argmin(base, cents)
             .groupBy("cluster")
             .agg(
                 *[
@@ -977,10 +1001,142 @@ def kmeans_assign(
         )
         for r in upd:
             cents[r["cluster"]] = [r[f"c{i}"] for i in range(dims)]
+    return cents
+
+
+def simplified_silhouette(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster simplified silhouette of the :func:`kmeans_assign`
+    model — the internal clustering-quality panel next to
+    :func:`cluster_label_purity` (external, needs ground truth) and
+    :func:`davies_bouldin` (the between/within ratio): for each point
+    a = Euclidean distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b - a) / max(a, b) ∈ [-1, 1]
+    (the Hruschka/Vendramin centroid approximation of Rousseeuw's
+    silhouette — O(n·k) instead of the O(n²) pairwise original, the
+    only formulation that exists at corpus scale).
+
+    Engine-exact trace: distances are left-fold squared-L2 against
+    centroid literals (the kmeans determinism contract); own/runner
+    are order statistics 1 and 2 of the per-point (d, cluster) sort —
+    ties to the lower cluster, so a point equidistant to two centroids
+    scores exactly 0 in both engines.  Since b >= a by construction,
+    max(a, b) = b and s = (√b - √a) / √b, guarded to 0 when √b = 0.
+
+    Returns (cluster, n_points, silhouette) ordered by cluster;
+    silhouette = ROUND(AVG(s), 6).
+
+    Scale shape: ONE scan with a k-literal sort expression + ONE
+    k-row hash aggregate — identical cost to the assignment pass
+    itself; nothing but (cluster, s) pairs ever shuffles."""
+    base = _kmeans_base(embeddings, id_col, vec_col)
+    cents = _kmeans_fit(base, k, iters)
+    if cents is None or len(cents) < 2:
+        return embeddings.sparkSession.createDataFrame(
+            [], "cluster int, n_points bigint, silhouette double"
+        )
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_lit(F.col("v"), cents[ci]).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci in sorted(cents)
+            ]
+        )
+    )
+    own, runner = ranked[0], ranked[1]
+    sa, sb = F.sqrt(own["d"]), F.sqrt(runner["d"])
+    s = F.when(sb > 0, (sb - sa) / sb).otherwise(F.lit(0.0))
     return (
-        _assign(cents)
-        .select("id", "cluster", F.round("dist2", 6).alias("dist2"))
-        .orderBy("id")
+        base.select(own["c"].alias("cluster"), s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("s"), 6).alias("silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def davies_bouldin(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster Davies-Bouldin similarity R_i = max_{j≠i}
+    (S_i + S_j) / M_ij over the :func:`kmeans_assign` model, where
+    S_i = mean Euclidean distance of cluster i's members to their
+    centroid (ROUND 6 — the cross-engine rounding contract applied to
+    the scatter before any division) and M_ij = centroid separation.
+    The DB index is the mean of R_i; per-cluster rows localize WHICH
+    cluster is entangled with which neighbourhood (high R = overlap —
+    split or re-seed), which the scalar index hides.
+
+    Returns (cluster, n_points, scatter, r_db) ordered by cluster.
+    Duplicate centroids (M = 0) are excluded from the max, same rule
+    both engines; a cluster whose every rival collapsed onto it
+    drops out rather than emitting an infinity.
+
+    Scale shape: the corpus contributes ONE scan + ONE k-row hash
+    aggregate (the scatter); the k(k-1) separation table is computed
+    from the fitted centroids driver-side (k·dims doubles, the same
+    bounded round-trip the fit already made — left-fold order matches
+    list_sum / F.aggregate bit-for-bit) and broadcast-joined against
+    the k-row scatter.  The corpus never shuffles."""
+    import math
+
+    base = _kmeans_base(embeddings, id_col, vec_col)
+    cents = _kmeans_fit(base, k, iters)
+    if cents is None or len(cents) < 2:
+        return embeddings.sparkSession.createDataFrame(
+            [], "cluster int, n_points bigint, scatter double, r_db double"
+        )
+    scat = (
+        _kmeans_argmin(base, cents)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg(F.sqrt("dist2")), 6).alias("scatter"),
+        )
+    )
+    mrows = []
+    for i in sorted(cents):
+        for j in sorted(cents):
+            if i == j:
+                continue
+            d = 0.0
+            for a, b in zip(cents[i], cents[j]):
+                d += (a - b) * (a - b)
+            mrows.append((i, j, math.sqrt(d)))
+    sep = embeddings.sparkSession.createDataFrame(mrows, "i int, j int, m double")
+    si = scat.select(
+        F.col("cluster").alias("i"), "n_points", F.col("scatter").alias("s_i")
+    )
+    sj = scat.select(F.col("cluster").alias("j"), F.col("scatter").alias("s_j"))
+    return (
+        sep.where(F.col("m") > 0)
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy(
+            F.col("i").alias("cluster"),
+            F.col("n_points"),
+            F.col("s_i").alias("scatter"),
+        )
+        .agg(
+            F.round(
+                F.max((F.col("s_i") + F.col("s_j")) / F.col("m")), 6
+            ).alias("r_db")
+        )
+        .orderBy("cluster")
     )
 
 

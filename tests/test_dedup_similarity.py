@@ -1518,3 +1518,164 @@ class TestClusterLabelPurity:
         labels = spark.createDataFrame([(0, 9), (1, 9)], "vec_id long, label int")
         r = similarity.cluster_label_purity(assigns, labels).collect()[0]
         assert r["purity"] == 1.0 and r["majority_label"] == 9
+
+
+def _py_kmeans_fit(rows, k, iters):
+    """Pure-python replay of similarity._kmeans_fit (md5 seeds,
+    ROUND-6 HALF_UP centroid updates, empty clusters carry forward)."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    ids = [str(i) for i, _ in rows]
+    vecs = {str(i): [float(x) for x in v] for i, v in rows}
+    seeds = sorted(ids, key=lambda i: hashlib.md5(i.encode()).hexdigest())[:k]
+    cents = {c: list(vecs[s]) for c, s in enumerate(seeds)}
+    dims = len(next(iter(vecs.values())))
+
+    def assign(c):
+        return {
+            i: min(
+                (sum((a - b) * (a - b) for a, b in zip(vecs[i], c[ci])), ci)
+                for ci in sorted(c)
+            )
+            for i in ids
+        }
+
+    for _ in range(iters):
+        a = assign(cents)
+        for ci in sorted(cents):
+            members = [i for i in ids if a[i][1] == ci]
+            if members:
+                cents[ci] = [
+                    r6(sum(vecs[i][d] for i in members) / len(members))
+                    for d in range(dims)
+                ]
+    return vecs, cents
+
+
+class TestSimplifiedSilhouette:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id string, embedding array<float>",
+        )
+
+    def test_matches_python_replay(self, spark):
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(5)]) for i in range(50)]
+        vecs, cents = _py_kmeans_fit([(str(i), v) for i, v in rows], 4, 2)
+        per = {}
+        for i, v in vecs.items():
+            ds = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c)
+                for c in sorted(cents)
+            )
+            sa, sb = math.sqrt(ds[0][0]), math.sqrt(ds[1][0])
+            s = (sb - sa) / sb if sb > 0 else 0.0
+            per.setdefault(ds[0][1], []).append(s)
+        got = {
+            r["cluster"]: r
+            for r in similarity.simplified_silhouette(
+                self._df(spark, rows), k=4, iters=2
+            ).collect()
+        }
+        assert set(got) == set(per)
+        for c in per:
+            assert got[c]["n_points"] == len(per[c])
+            assert abs(got[c]["silhouette"] - sum(per[c]) / len(per[c])) < 2e-6
+
+    def test_separated_blobs_score_high(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        for b, center in enumerate([50.0, -50.0]):
+            for j in range(25):
+                rows.append(
+                    (b * 100 + j, [center + rng.gauss(0, 0.5) for _ in range(4)])
+                )
+        out = similarity.simplified_silhouette(self._df(spark, rows), k=2, iters=3)
+        for r in out.collect():
+            assert r["silhouette"] > 0.9, r
+
+    def test_empty_and_k1_guard(self, spark):
+        empty = self._df(spark, [])
+        assert similarity.simplified_silhouette(empty, k=3).count() == 0
+
+
+class TestDaviesBouldin:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id string, embedding array<float>",
+        )
+
+    def test_matches_python_replay(self, spark):
+        import math
+        import random
+        from decimal import Decimal, ROUND_HALF_UP
+
+        def r6(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        rng = random.Random(13)
+        rows = [(i, [rng.gauss(0, 2) for _ in range(5)]) for i in range(60)]
+        vecs, cents = _py_kmeans_fit([(str(i), v) for i, v in rows], 4, 2)
+        members = {}
+        for i, v in vecs.items():
+            d, c = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cents[ci])), ci)
+                for ci in sorted(cents)
+            )
+            members.setdefault(c, []).append(math.sqrt(d))
+        scatter = {c: r6(sum(ds) / len(ds)) for c, ds in members.items()}
+        want = {}
+        for i in scatter:
+            rs = []
+            for j in scatter:
+                if i == j:
+                    continue
+                m = math.sqrt(
+                    sum((a - b) * (a - b) for a, b in zip(cents[i], cents[j]))
+                )
+                if m > 0:
+                    rs.append((scatter[i] + scatter[j]) / m)
+            if rs:
+                want[i] = (len(members[i]), scatter[i], max(rs))
+        got = {
+            r["cluster"]: r
+            for r in similarity.davies_bouldin(
+                self._df(spark, rows), k=4, iters=2
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for c in want:
+            n, s, r_db = want[c]
+            assert got[c]["n_points"] == n
+            assert abs(got[c]["scatter"] - s) < 2e-6
+            assert abs(got[c]["r_db"] - r_db) < 2e-6
+
+    def test_separated_blobs_low_overlap(self, spark):
+        import random
+
+        rng = random.Random(4)
+        rows = []
+        for b, center in enumerate([100.0, -100.0, 0.0]):
+            for j in range(20):
+                rows.append(
+                    (b * 100 + j, [center + rng.gauss(0, 0.5) for _ in range(4)])
+                )
+        out = similarity.davies_bouldin(self._df(spark, rows), k=3, iters=3)
+        rows_out = out.collect()
+        assert len(rows_out) == 3
+        # tight well-separated blobs: within-scatter << between-separation
+        for r in rows_out:
+            assert r["r_db"] < 0.1, r
