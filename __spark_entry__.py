@@ -4078,6 +4078,71 @@ def q_kg_predicate_conflicts(spark, sf_dir):
     )
 
 
+def q_kg_triple_support(spark, sf_dir):
+    """Assertion-support census: how many DISTINCT chunks assert each
+    (subj, pred, obj) triple, histogrammed per predicate — the KG
+    trust panel (support-1 triples are single-witness extractions a
+    curator samples; high-support triples are corpus-confirmed).  Two
+    narrow hash aggs: (triple)-keyed distinct-chunk count, then a
+    (predicate, support) re-agg — nothing wider than ids shuffles."""
+    t = _triples(spark, sf_dir)
+    sup = t.groupBy("subj_id", "predicate", "obj_id").agg(
+        F.count_distinct("chunk_id").cast("long").alias("support")
+    )
+    return (
+        sup.groupBy("predicate", "support")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+        .orderBy("predicate", "support")
+    )
+
+
+def q_kg_concept_roles(spark, sf_dir):
+    """Per-concept ROLE profile over the triple store: how often it
+    asserts (subject) vs is asserted about (object), how many distinct
+    partners and predicates it touches — the hub-taxonomy census that
+    separates schema-like concepts (high in-degree is_a targets) from
+    narrative entities (balanced roles), read before choosing
+    canonicalization survivors or query-expansion anchors.  Canonical
+    pair ordering makes the triple graph a DAG on ids, so role
+    asymmetry here is REAL signal about each concept's position.  One
+    union + one (concept)-keyed hash agg + a broadcast lemma join."""
+    t = _triples(spark, sf_dir)
+    roles = t.select(
+        F.col("subj_id").alias("concept_id"),
+        F.lit(1).alias("as_subj"),
+        F.lit(0).alias("as_obj"),
+        "predicate",
+        F.col("obj_id").alias("partner"),
+    ).unionByName(
+        t.select(
+            F.col("obj_id").alias("concept_id"),
+            F.lit(0).alias("as_subj"),
+            F.lit(1).alias("as_obj"),
+            "predicate",
+            F.col("subj_id").alias("partner"),
+        )
+    )
+    prof = roles.groupBy("concept_id").agg(
+        F.sum("as_subj").cast("long").alias("n_as_subj"),
+        F.sum("as_obj").cast("long").alias("n_as_obj"),
+        F.count_distinct("partner").cast("long").alias("n_partners"),
+        F.count_distinct("predicate").cast("long").alias("n_predicates"),
+    )
+    lem = (
+        q_kg_mentions(spark, sf_dir)
+        .groupBy("concept_id")
+        .agg(F.min("lemma").alias("lemma"))
+    )
+    return (
+        prof.join(F.broadcast(lem), "concept_id", "left")
+        .select(
+            "concept_id", "lemma", "n_as_subj", "n_as_obj",
+            "n_partners", "n_predicates",
+        )
+        .orderBy("concept_id")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4368,6 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_silhouette": q_sim_silhouette,
         "sim_davies_bouldin": q_sim_davies_bouldin,
         "kg_predicate_conflicts": q_kg_predicate_conflicts,
+        "kg_triple_support": q_kg_triple_support,
+        "kg_concept_roles": q_kg_concept_roles,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5652,6 +5719,32 @@ SELECT subj_id, obj_id, CAST(COUNT(*) AS BIGINT) AS n_assertions,
 FROM triples GROUP BY subj_id, obj_id
 HAVING COUNT(DISTINCT predicate) >= 2
 ORDER BY subj_id, obj_id""",
+        # kg_triple_support: distinct-chunk support per triple,
+        # histogrammed per predicate
+        "kg_triple_support": f"""WITH {TRIPLES_CTE},
+sup AS (SELECT subj_id, predicate, obj_id,
+               CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS support
+        FROM triples GROUP BY subj_id, predicate, obj_id)
+SELECT predicate, support, CAST(COUNT(*) AS BIGINT) AS n_triples
+FROM sup GROUP BY predicate, support ORDER BY predicate, support""",
+        # kg_concept_roles: per-concept subj/obj role profile over the
+        # triple DAG (one union + one hash agg + lemma join)
+        "kg_concept_roles": f"""WITH {TRIPLES_CTE},
+roles AS (
+  SELECT subj_id AS concept_id, 1 AS as_subj, 0 AS as_obj, predicate, obj_id AS partner FROM triples
+  UNION ALL
+  SELECT obj_id, 0, 1, predicate, subj_id FROM triples
+),
+prof AS (SELECT concept_id,
+                CAST(SUM(as_subj) AS BIGINT) AS n_as_subj,
+                CAST(SUM(as_obj) AS BIGINT) AS n_as_obj,
+                CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_partners,
+                CAST(COUNT(DISTINCT predicate) AS BIGINT) AS n_predicates
+         FROM roles GROUP BY concept_id),
+lem AS (SELECT concept_id, MIN(lemma) AS lemma FROM mentions GROUP BY concept_id)
+SELECT p.concept_id, l.lemma, p.n_as_subj, p.n_as_obj, p.n_partners, p.n_predicates
+FROM prof p LEFT JOIN lem l ON p.concept_id = l.concept_id
+ORDER BY p.concept_id""",
         "kg_edge_histogram": f"""WITH {TRIPLES_CTE}
 SELECT regexp_replace(upper(predicate), '[^A-Z0-9_]', '_', 'g') AS rel, COUNT(*) AS cnt
 FROM triples GROUP BY 1 ORDER BY cnt DESC, rel""",

@@ -294,6 +294,9 @@ def main():
         "sim_silhouette",
         "sim_davies_bouldin",
         "kg_predicate_conflicts",
+        # round-5 wave 29: KG trust + role censuses
+        "kg_triple_support",
+        "kg_concept_roles",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
