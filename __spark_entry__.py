@@ -4143,6 +4143,98 @@ def q_kg_concept_roles(spark, sf_dir):
     )
 
 
+def q_rel_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment priority split — per return
+    flag, how many LATE lineitems (shipped after the order date; this
+    corpus has no commit/receipt dates) belong to high- vs low-
+    priority orders.  The fact-fact equi-join carries a non-equi
+    residual; the year predicate is pushed to the lineitem scan; the
+    split is ONE conditional aggregate, never two passes."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_rel_tpch_q14(spark, sf_dir):
+    """TPC-H Q14: promo-revenue share for one ship month — the
+    conditional-numerator / total-denominator ratio computed in ONE
+    pass over the month's lineitems joined to the (broadcast) part
+    dimension; decimal accumulation on both arms, the division done
+    once on the two exact sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_rel_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity branches —
+    the OR-of-conjunctions filter that tests whether the partkey
+    equi-join still drives the plan (it must: the disjunction is a
+    residual on the joined row, with the per-branch part predicates
+    pushable into the broadcast dimension scan).  One decimal
+    revenue aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4435,6 +4527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_conflicts": q_kg_predicate_conflicts,
         "kg_triple_support": q_kg_triple_support,
         "kg_concept_roles": q_kg_concept_roles,
+        "rel_tpch_q12": q_rel_tpch_q12,
+        "rel_tpch_q14": q_rel_tpch_q14,
+        "rel_tpch_q19": q_rel_tpch_q19,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5963,6 +6058,35 @@ WITH r AS (
   GROUP BY c_custkey, c_name, c_acctbal, n_name)
 SELECT c_custkey, c_name, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, c_acctbal, n_name
 FROM r ORDER BY rev DESC, c_custkey LIMIT 20""",
+        # Q12 shape: late = l_shipdate > o_orderdate (no commit/receipt
+        # dates in this corpus); one conditional aggregate
+        "rel_tpch_q12": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+        # Q14: decimal sums on both arms, one division at the end
+        "rel_tpch_q14": """
+WITH a AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+SELECT ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) AS promo_revenue_pct FROM a""",
+        # Q19 shape: OR-of-conjunctions residual on the partkey join
+        "rel_tpch_q19": """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
         # centroid_outliers: per-label ROUND(AVG,6) centroids (the
         # kmeans determinism contract), list_sum squared-L2 walk ==
         # the engine's _sqdist_lit left fold, z over the ROUNDED

@@ -297,6 +297,10 @@ def main():
         # round-5 wave 29: KG trust + role censuses
         "kg_triple_support",
         "kg_concept_roles",
+        # round-5 wave 30: TPC-H Q12/Q14/Q19 shapes
+        "rel_tpch_q12",
+        "rel_tpch_q14",
+        "rel_tpch_q19",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
