@@ -4235,6 +4235,158 @@ def q_rel_tpch_q19(spark, sf_dir):
     )
 
 
+def q_rel_tpch_q15(spark, sf_dir):
+    """TPC-H Q15: top supplier(s) by quarterly revenue — the
+    view-plus-scalar-max shape.  The per-supplier revenue aggregate
+    runs ONCE; the max is a 1-row aggregate folded back as a literal
+    (the HITS-norm precedent: never a 1-row crossJoin, never a global
+    window), and the equality filter runs on the ROUNDED decimal so
+    ties are exact cross-engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")
+                    )
+                ),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    rev = dedup.stage_parquet(rev, "q15_rev")
+    mx = rev.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    return (
+        rev.where(F.col("total_revenue") == F.lit(mx))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_rel_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity revenue loss for one brand —
+    the correlated per-part AVG subquery DECORRELATED into a per-part
+    aggregate + broadcast join (the only shape that survives scale:
+    the correlated form re-scans lineitem per part).  The brand filter
+    semi-joins lineitem BEFORE the avg, so the aggregate only touches
+    the brand's rows — legal because the avg is per-partkey.  The
+    0.2*avg threshold stays in IEEE doubles (sum of integral
+    quantities / count — exact in both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bparts = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    bli = li.join(F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey"))
+    avgq = bli.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_limit")
+    )
+    return (
+        bli.join(F.broadcast(avgq.withColumnRenamed("l_partkey", "ap")),
+                 F.col("l_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_rel_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: rich-but-CHURNED customers per nation — the
+    scalar-avg + anti-join classic (no phone country codes in this
+    corpus, so the cohort is a nationkey IN-list; every customer has
+    SOME order here, so "inactive" = no order in the corpus's final
+    year — the realistic churn reading).  The "above average" test is
+    CROSS-MULTIPLIED in exact decimals (acctbal * n > total) — the
+    cluster_balanced move: no decimal-division dialect, no float
+    boundary; the recency anti-join is a true LEFT ANTI on custkey
+    against the date-pruned order scan."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sel = cust.where(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    pos = sel.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("total"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total, n = pos["total"], pos["n"]
+    rich = sel.where(
+        F.col("bal") * F.lit(n) > F.lit(total).cast("decimal(28,2)")
+    )
+    inactive = rich.join(
+        orders.where(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "numcust", "totacctbal")
+        .orderBy("n_name")
+    )
+
+
+def q_rel_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue exceeds 1.5x the MEAN
+    part revenue (this corpus has no partsupp, so "value" is lineitem
+    revenue, and per-part revenue is near-uniform — a fixed global
+    fraction like the original's 0.0001/SF is scale-fragile, 0 rows
+    at sf0.01) — the group-vs-global-scalar HAVING.  The mean test is
+    cross-multiplied in exact decimals (value * 2n > total * 3), so
+    no engine ever divides; the two global scalars fold back as
+    literals."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per = li.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    per = dedup.stage_parquet(per, "q11_value")
+    scal = per.agg(
+        F.sum("value").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total, n = scal["t"], scal["n"]
+    return (
+        per.where(
+            F.col("value") * F.lit(2 * n)
+            > F.lit(total).cast("decimal(38,4)") * F.lit(3)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4530,6 +4682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q12": q_rel_tpch_q12,
         "rel_tpch_q14": q_rel_tpch_q14,
         "rel_tpch_q19": q_rel_tpch_q19,
+        "rel_tpch_q15": q_rel_tpch_q15,
+        "rel_tpch_q17": q_rel_tpch_q17,
+        "rel_tpch_q22": q_rel_tpch_q22,
+        "rel_tpch_q11": q_rel_tpch_q11,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -6087,6 +6243,59 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+        # Q15: rounded-decimal equality picks the max-revenue tie set
+        "rel_tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey""",
+        # Q17 shape: decorrelated per-part avg; threshold in IEEE
+        # doubles (integral quantity sums / count — exact both engines)
+        "rel_tpch_q17": """
+WITH bli AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'),
+av AS (SELECT l_partkey AS ap, 0.2 * (SUM(l_quantity) / COUNT(*)) AS qty_limit
+       FROM bli GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM bli JOIN av ON l_partkey = ap
+WHERE l_quantity < qty_limit""",
+        # Q22 shape: cross-multiplied decimal "above average" test +
+        # LEFT ANTI on custkey
+        "rel_tpch_q22": """
+WITH sel AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13, 15, 17, 19)),
+scal AS (SELECT SUM(bal) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM sel WHERE bal > 0),
+rich AS (SELECT s.* FROM sel s, scal
+         WHERE s.bal * scal.n > CAST(scal.total AS DECIMAL(28,2))),
+inactive AS (SELECT * FROM rich r
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+                                 AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'))
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(SUM(i.bal), 2) AS DOUBLE) AS totacctbal
+FROM inactive i JOIN nation n ON n.n_nationkey = i.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name""",
+        # Q11 shape: group-vs-global HAVING (1.5x mean), cross-
+        # multiplied decimals — no division in either engine
+        "rel_tpch_q11": """
+WITH per AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS value
+  FROM lineitem GROUP BY l_partkey),
+scal AS (SELECT SUM(value) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM per)
+SELECT per.l_partkey AS p_partkey, CAST(ROUND(per.value, 2) AS DOUBLE) AS value
+FROM per, scal
+WHERE per.value * (2 * scal.n) > CAST(scal.total AS DECIMAL(38,4)) * 3
+ORDER BY per.value DESC, per.l_partkey""",
         # centroid_outliers: per-label ROUND(AVG,6) centroids (the
         # kmeans determinism contract), list_sum squared-L2 walk ==
         # the engine's _sqdist_lit left fold, z over the ROUNDED

@@ -301,6 +301,11 @@ def main():
         "rel_tpch_q12",
         "rel_tpch_q14",
         "rel_tpch_q19",
+        # round-5 wave 31: TPC-H scalar-subquery shapes
+        "rel_tpch_q15",
+        "rel_tpch_q17",
+        "rel_tpch_q22",
+        "rel_tpch_q11",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
