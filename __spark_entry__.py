@@ -4387,6 +4387,178 @@ def q_rel_tpch_q11(spark, sf_dir):
     )
 
 
+def q_rel_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest-source supplier per part — the
+    correlated MIN subquery decorrelated into two hash aggregates +
+    an equality join back (no partsupp in this corpus, so "cost" is
+    the minimum observed unit price l_extendedprice/l_quantity over
+    the EUROPEAN suppliers' lineitems; unit price rounded to 6 so the
+    tie set is engine-exact).  The region restriction applies BEFORE
+    the min — the original's correlated subquery is region-scoped
+    too — and rides a broadcast supplier-nation-region chain."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cohort = part.where(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    eu_sup = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(cohort), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+            ).alias("unit_cost")
+        )
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bp"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def q_rel_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — of the revenue ASIA's
+    customers generated in 1996-1997, what fraction was supplied by
+    NATION_2, per order year.  Two decimal sums in ONE pass over the
+    region-pruned order-lineitem join (customer/nation/region and
+    supplier sides both broadcast dimension chains); the single
+    division happens on the two exact sums per year."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    asia_cust = (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_regionkey") == 2)
+        .select("c_custkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("s_nationkey") == 2, rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("nation_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q_rel_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved excess PROMO volume in
+    1996 — the nested-EXISTS chain decorrelated into a broadcast
+    part-cohort semi-join, ONE per-supplier quantity aggregate, and a
+    mean-relative threshold CROSS-MULTIPLIED in exact integers
+    (integral quantity sums: qty*n*10 > total*11 is exact in doubles
+    below 2^53 — no division in either engine; the original's
+    0.5*availqty needs partsupp, absent here)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    q = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    q = dedup.stage_parquet(q, "q20_qty")
+    scal = q.agg(F.sum("qty").alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+    total, n = scal["t"], scal["n"]
+    return (
+        q.where(F.col("qty") * F.lit(10 * n) > F.lit(11.0 * total))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_rel_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who kept finished orders waiting —
+    the EXISTS + NOT-EXISTS double self-join decorrelated into ONE
+    per-order aggregate: over 'F' orders, an order blames supplier s
+    iff s shipped late (l_shipdate > o_orderdate; no receipt/commit
+    dates here), the order had MORE THAN ONE supplier, and s was the
+    ONLY late one — i.e. n_late_suppliers = 1, so the blamed key IS
+    max(late supplier).  numwait = blamed orders per supplier.  The
+    per-order relation never widens past four small columns; the
+    original's two correlated lineitem re-scans become one hash
+    aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    late = F.col("l_shipdate") > F.col("o_orderdate")
+    per = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("blamed"),
+        )
+    )
+    return (
+        per.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("blamed")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(sup), F.col("blamed") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4686,6 +4858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q17": q_rel_tpch_q17,
         "rel_tpch_q22": q_rel_tpch_q22,
         "rel_tpch_q11": q_rel_tpch_q11,
+        "rel_tpch_q2": q_rel_tpch_q2,
+        "rel_tpch_q8": q_rel_tpch_q8,
+        "rel_tpch_q20": q_rel_tpch_q20,
+        "rel_tpch_q21": q_rel_tpch_q21,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -6296,6 +6472,79 @@ SELECT per.l_partkey AS p_partkey, CAST(ROUND(per.value, 2) AS DOUBLE) AS value
 FROM per, scal
 WHERE per.value * (2 * scal.n) > CAST(scal.total AS DECIMAL(38,4)) * 3
 ORDER BY per.value DESC, per.l_partkey""",
+        # Q2 shape: correlated MIN decorrelated; region-scoped BEFORE
+        # the min; unit price rounded 6 for the exact tie set
+        "rel_tpch_q2": """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(ROUND(l_extendedprice / l_quantity, 6)) AS unit_cost
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20) p
+    ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name),
+best AS (SELECT p_partkey AS bp, MIN(unit_cost) AS best_cost FROM offers GROUP BY p_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+FROM offers JOIN best ON p_partkey = bp AND unit_cost = best_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""",
+        # Q8 shape: two decimal sums per year, one division at the end
+        "rel_tpch_q8": """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_regionkey = 2),
+a AS (
+  SELECT YEAR(o_orderdate) AS o_year,
+         SUM(CASE WHEN s_nationkey = 2
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_rev,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM orders
+  JOIN asia_cust ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY YEAR(o_orderdate))
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       ROUND(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS mkt_share
+FROM a ORDER BY o_year""",
+        # Q20 shape: cohort semi-join + mean-relative integer test
+        "rel_tpch_q20": """
+WITH q AS (
+  SELECT l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_type = 'PROMO') p ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey),
+scal AS (SELECT SUM(qty) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM q)
+SELECT s_suppkey, s_name, n_name, CAST(q.qty AS DOUBLE) AS total_qty
+FROM q, scal
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE q.qty * (10 * scal.n) > scal.t * 11
+ORDER BY s_suppkey""",
+        # Q21 shape: EXISTS/NOT-EXISTS decorrelated into one per-order
+        # aggregate; blamed = the unique late supplier
+        "rel_tpch_q21": """
+WITH per AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS blamed
+  FROM lineitem
+  JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F') o
+    ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per JOIN supplier ON blamed = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
         # centroid_outliers: per-label ROUND(AVG,6) centroids (the
         # kmeans determinism contract), list_sum squared-L2 walk ==
         # the engine's _sqdist_lit left fold, z over the ROUNDED

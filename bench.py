@@ -306,6 +306,11 @@ def main():
         "rel_tpch_q17",
         "rel_tpch_q22",
         "rel_tpch_q11",
+        # round-5 wave 32: TPC-H sweep completed (all 22 as shapes)
+        "rel_tpch_q2",
+        "rel_tpch_q8",
+        "rel_tpch_q20",
+        "rel_tpch_q21",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
