@@ -4559,6 +4559,27 @@ def q_rel_tpch_q21(spark, sf_dir):
     )
 
 
+def q_sim_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation eval: recall@10 of ranking by the first
+    16 of 64 dims vs the full-dim exact ranking — decides whether a
+    4x-cheaper truncated index is safe for this corpus; one shared
+    scored relation, both cosines computed in the same scan."""
+    return similarity.matryoshka_recall_at_k(
+        _emb(spark, sf_dir), trunc_dim=16, k=10, n_queries=10
+    )
+
+
+def q_rel_cusum_shift(spark, sf_dir):
+    """Batch CUSUM mean-shift detection over daily per-type event
+    counts: S_t = P_t - min(0, prefix-min P) — the sequential
+    recurrence closed-form over two window frames on the tiny
+    (type, day) aggregate."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.cusum_changepoints(e, h_mult=3.0)
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4862,6 +4883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q8": q_rel_tpch_q8,
         "rel_tpch_q20": q_rel_tpch_q20,
         "rel_tpch_q21": q_rel_tpch_q21,
+        "sim_matryoshka_recall": q_sim_matryoshka_recall,
+        "rel_cusum_shift": q_rel_cusum_shift,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7882,6 +7905,51 @@ ht AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS hits FROM ex e JOIN annx a ON e
 SELECT q.id AS qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
        COALESCE(ht.hits, 0) AS hits, ROUND(COALESCE(ht.hits, 0) / 10.0, 6) AS recall
 FROM qs q LEFT JOIN nc ON q.id = nc.qid LEFT JOIN ht ON q.id = ht.qid ORDER BY qid""",
+        # matryoshka: same shared-scored-relation shape as recall_at_k,
+        # second arm ranks by the dim-16 prefix cosine; zero prefix
+        # norm scores -2 in both engines
+        "sim_matryoshka_recall": """
+WITH mbase AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+mqs AS MATERIALIZED (SELECT id, v FROM (
+    SELECT id, v, ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS rn FROM mbase) WHERE rn <= 10),
+msc AS MATERIALIZED (SELECT b.id, q.id AS qid,
+    list_sum(list_transform(list_zip(b.v, q.v), z -> z[1]*z[2]))
+      / (sqrt(list_sum(list_transform(b.v, x -> x*x))) * sqrt(list_sum(list_transform(q.v, x -> x*x)))) AS cf,
+    CASE WHEN list_sum(list_transform(list_slice(b.v, 1, 16), x -> x*x)) = 0
+           OR list_sum(list_transform(list_slice(q.v, 1, 16), x -> x*x)) = 0 THEN -2.0
+         ELSE list_sum(list_transform(list_zip(list_slice(b.v, 1, 16), list_slice(q.v, 1, 16)), z -> z[1]*z[2]))
+           / (sqrt(list_sum(list_transform(list_slice(b.v, 1, 16), x -> x*x)))
+              * sqrt(list_sum(list_transform(list_slice(q.v, 1, 16), x -> x*x)))) END AS ct
+    FROM mbase b CROSS JOIN mqs q),
+mex AS (SELECT qid, id FROM (
+    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cf DESC, id) AS rn FROM msc) WHERE rn <= 10),
+mtr AS (SELECT qid, id FROM (
+    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ct DESC, id) AS rn FROM msc) WHERE rn <= 10),
+mh AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS hits
+       FROM mex e JOIN mtr t ON e.qid = t.qid AND e.id = t.id GROUP BY e.qid)
+SELECT q.id AS qid, COALESCE(mh.hits, 0) AS hits,
+       ROUND(COALESCE(mh.hits, 0) / 10.0, 6) AS recall
+FROM mqs q LEFT JOIN mh ON q.id = mh.qid ORDER BY qid""",
+        # CUSUM: prefix-sum minus prefix-min closed form; both
+        # running aggregates walk the same (day) order in both engines
+        "rel_cusum_shift": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+st AS (SELECT event_type, CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+       FROM daily GROUP BY event_type),
+wp AS (SELECT d.event_type, d.day, d.cnt, s.mean,
+              SUM(d.cnt - s.mean) OVER (PARTITION BY d.event_type ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       FROM daily d JOIN st s ON d.event_type = s.event_type),
+ws AS (SELECT event_type, day, cnt, mean,
+              p - least(0.0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+       FROM wp)
+SELECT event_type, day, cnt, ROUND(s, 6) AS cusum,
+       CAST(CASE WHEN s > 3.0 * sqrt(mean) THEN 1 ELSE 0 END AS BIGINT) AS shift
+FROM ws ORDER BY event_type, day""",
         # temperature mixture: sqrt is IEEE-correctly-rounded and the
         # denominator accumulates as DECIMAL -> engine-exact rates
         "txt_temperature_mixture": f"""

@@ -311,6 +311,9 @@ def main():
         "rel_tpch_q8",
         "rel_tpch_q20",
         "rel_tpch_q21",
+        # round-5 wave 33: matryoshka eval + CUSUM
+        "sim_matryoshka_recall",
+        "rel_cusum_shift",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -1048,3 +1048,61 @@ def interevent_gaps(
         )
         .orderBy(by)
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    h_mult: float = 3.0,
+) -> DataFrame:
+    """Batch CUSUM mean-shift detection over the daily per-type event
+    counts — the change-point sweep run over a metrics table before
+    trusting a trend (did ingestion of this event type STEP up, or
+    just wiggle?).  The sequential recurrence
+    S_t = max(0, S_{t-1} + (x_t - mean)) is re-expressed CLOSED-FORM
+    over windows: with P_t the running sum of (x_t - mean),
+    S_t = P_t - min(0, min_{j<=t} P_j) — two frames over ONE
+    per-type sort, no recursion, no driver loop (the prefix-min trick;
+    the same move that turned kg_path_between's argmin into hash
+    aggs).  Threshold h = h_mult * sqrt(mean), the Poisson-scaled
+    rule of thumb.
+
+    Engine-exact: counts are integers, mean is one IEEE division,
+    both running aggregates accumulate in the SAME defined (day)
+    order in either engine, and the emitted cusum is ROUND 6.
+
+    Returns (event_type, day, cnt, cusum, shift) ordered by
+    (event_type, day).
+
+    Scale shape: one (type, day) hash agg shrinks the corpus to
+    |types|x|days| rows; every window after that runs on the tiny
+    aggregate — the raw event table never feels the sort."""
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("cnt") / F.count(F.lit(1))).alias("mean")
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col("cnt") - F.col("mean")).over(run)
+    withp = j.select("event_type", "day", "cnt", "mean", p.alias("p"))
+    s = F.col("p") - F.least(F.lit(0.0), F.min("p").over(run))
+    return (
+        withp.select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round(s, 6).alias("cusum"),
+            (s > F.lit(h_mult) * F.sqrt(F.col("mean")))
+            .cast("long")
+            .alias("shift"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1268,6 +1268,129 @@ def ann_recall_at_k(
     )
 
 
+def matryoshka_recall_at_k(
+    embeddings: DataFrame,
+    trunc_dim: int = 16,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation eval: recall@k of ranking by the FIRST
+    ``trunc_dim`` dimensions against the full-dim exact ranking — the
+    measurement that decides whether an MRL-style truncated index (4×
+    less storage and scan at dim 16 of 64) is safe for this corpus,
+    computed in-engine like :func:`ann_recall_at_k` (same
+    deterministic md5 query draw, same shared-scored-relation shape:
+    ONE scan computes BOTH cosines per (row, query) from literal
+    query arrays — prefix slices are scan-stage expressions, no
+    second pass, no join).  A zero prefix norm scores -2 (below any
+    cosine) in both engines rather than NaN-sorting first.
+
+    Returns (qid, hits, recall) ordered by qid.
+
+    Scale shape: identical to the ANN eval — n_queries * n scored
+    rows through two (qid)-keyed rank windows; at 100 TB run it on a
+    hash sample, the estimate doesn't need the full corpus."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    qrows = (
+        base.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_queries)
+        .collect()
+    )
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "qid long, hits bigint, recall double"
+        )
+
+    def _tcos(vt, qt_lit):
+        qt = F.array(*[F.lit(float(x)) for x in qt_lit])
+        nv = F.aggregate(
+            F.transform(vt, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+        nq = F.aggregate(
+            F.transform(qt, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+        return F.when(
+            (nv == 0) | (nq == 0), F.lit(-2.0)
+        ).otherwise(_dot(vt, qt) / (F.sqrt(nv) * F.sqrt(nq)))
+
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(r["id"]).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in r["v"]]).alias("qv"),
+            )
+            for r in sorted(qrows, key=lambda r: r["id"])
+        ]
+    )
+    vt = F.slice(F.col("v"), 1, trunc_dim)
+    # full cosine from the struct array; truncated cosine per query as
+    # a separate literal expression (keyed by qid through a map)
+    sc = base.select(
+        "id",
+        vt.alias("vt"),
+        F.explode(
+            F.transform(
+                qlit,
+                lambda q: F.struct(
+                    q["qid"].alias("qid"),
+                    (
+                        _dot(F.col("v"), q["qv"])
+                        / (_norm(F.col("v")) * _norm(q["qv"]))
+                    ).alias("cf"),
+                ),
+            )
+        ).alias("s"),
+    ).select("id", "vt", F.col("s.qid").alias("qid"), F.col("s.cf").alias("cf"))
+    trunc_score = None
+    for r in sorted(qrows, key=lambda r: r["id"]):
+        expr = _tcos(F.col("vt"), list(r["v"])[:trunc_dim])
+        trunc_score = (
+            F.when(F.col("qid") == r["id"], expr)
+            if trunc_score is None
+            else trunc_score.when(F.col("qid") == r["id"], expr)
+        )
+    sc = sc.select("id", "qid", "cf", trunc_score.alias("ct"))
+    rank_w = Window.partitionBy("qid").orderBy(F.desc("cf"), "id")
+    rank_t = Window.partitionBy("qid").orderBy(F.desc("ct"), "id")
+    exact = (
+        sc.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+        .select("qid", "id")
+    )
+    trunc = (
+        sc.withColumn("rn", F.row_number().over(rank_t))
+        .where(F.col("rn") <= k)
+        .select("qid", "id")
+    )
+    hits = (
+        exact.join(trunc, ["qid", "id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(int(r["id"]),) for r in qrows], "qid long"
+    )
+    return (
+        qdf.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
 def lsh_bucket_stats(
     embeddings: DataFrame,
     dim: int,

@@ -1679,3 +1679,61 @@ class TestDaviesBouldin:
         # tight well-separated blobs: within-scatter << between-separation
         for r in rows_out:
             assert r["r_db"] < 0.1, r
+
+
+class TestMatryoshkaRecall:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_signal_in_prefix_gives_high_recall(self, spark):
+        import random
+
+        rng = random.Random(9)
+        rows = []
+        for i in range(60):
+            # all ranking signal lives in the first 4 dims; the tail is
+            # near-zero noise, so dim-4 truncation preserves the order
+            head = [rng.gauss(0, 1) for _ in range(4)]
+            tail = [rng.gauss(0, 1e-4) for _ in range(12)]
+            rows.append((i, head + tail))
+        out = similarity.matryoshka_recall_at_k(
+            self._df(spark, rows), trunc_dim=4, k=5, n_queries=5
+        ).collect()
+        assert len(out) == 5
+        assert sum(r["recall"] for r in out) / 5 >= 0.8
+
+    def test_matches_python_replay(self, spark):
+        import hashlib
+        import math
+        import random
+
+        rng = random.Random(21)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+        vecs = {i: [float(x) for x in v] for i, v in rows}
+        qids = sorted(
+            vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )[:4]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return -2.0 if na == 0 or nb == 0 else d / (na * nb)
+
+        want = {}
+        for q in qids:
+            full = sorted(vecs, key=lambda i: (-cos(vecs[i], vecs[q]), i))[:5]
+            trun = sorted(
+                vecs, key=lambda i: (-cos(vecs[i][:3], vecs[q][:3]), i)
+            )[:5]
+            want[q] = len(set(full) & set(trun))
+        got = {
+            r["qid"]: r["hits"]
+            for r in similarity.matryoshka_recall_at_k(
+                self._df(spark, rows), trunc_dim=3, k=5, n_queries=4
+            ).collect()
+        }
+        assert got == want

@@ -850,3 +850,45 @@ class TestIntereventGaps:
             assert r["p50_gap"] <= r["p90_gap"]
             if r["burstiness"] is not None:
                 assert -1.0 <= r["burstiness"] <= 1.0
+
+
+class TestCusumChangepoints:
+    def _df(self, spark, days_counts, etype="click"):
+        rows = []
+        eid = 0
+        for d, cnt in enumerate(days_counts):
+            for _ in range(cnt):
+                rows.append((eid, datetime(2024, 1, 1 + d, 12, 0, 0), 1, etype, 1.0))
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id int, ts timestamp, user_id int, event_type string, value double",
+        )
+
+    def test_matches_python_replay(self, spark):
+        counts = [5, 6, 4, 7, 5, 20, 22, 21, 19, 23]
+        got = ev.cusum_changepoints(self._df(spark, counts), h_mult=3.0).collect()
+        mean = sum(counts) / len(counts)
+        p, mn, want = 0.0, 0.0, []
+        for c in counts:
+            p += c - mean
+            mn = min(mn, p)
+            want.append(p - mn)
+        assert len(got) == len(counts)
+        for r, w in zip(sorted(got, key=lambda r: r["day"]), want):
+            assert abs(r["cusum"] - w) < 2e-6
+
+    def test_step_shift_fires_after_step_only(self, spark):
+        counts = [5, 5, 5, 5, 5, 30, 30, 30, 30, 30]
+        got = sorted(
+            ev.cusum_changepoints(self._df(spark, counts), h_mult=3.0).collect(),
+            key=lambda r: r["day"],
+        )
+        # pre-step days never flag; the post-step regime does
+        assert all(r["shift"] == 0 for r in got[:5])
+        assert any(r["shift"] == 1 for r in got[5:])
+
+    def test_stationary_no_shift(self, spark):
+        counts = [10, 11, 9, 10, 10, 9, 11, 10]
+        got = ev.cusum_changepoints(self._df(spark, counts), h_mult=3.0).collect()
+        assert all(r["shift"] == 0 for r in got)
