@@ -4580,6 +4580,16 @@ def q_rel_cusum_shift(spark, sf_dir):
     return ev.cusum_changepoints(e, h_mult=3.0)
 
 
+def q_kg_simrank(spark, sf_dir):
+    """SimRank top-50 over the co-occurrence concept graph (c=0.8, 2
+    iterations): similar-because-neighbours-are-similar — surfaces
+    structurally-equivalent concepts sharing NO direct edge, the
+    signal CN/jaccard link prediction can't see.  Vocab-bound dense
+    pair state by design (open-vocab alternative: kg_fastrp_neighbors)."""
+    pairs = q_kg_pair_freq(spark, sf_dir).select("a_id", "b_id")
+    return q.simrank(pairs, c=0.8, iters=2, top_k=50)
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4885,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_tpch_q21": q_rel_tpch_q21,
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
         "rel_cusum_shift": q_rel_cusum_shift,
+        "kg_simrank": q_kg_simrank,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7905,6 +7916,29 @@ ht AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS hits FROM ex e JOIN annx a ON e
 SELECT q.id AS qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
        COALESCE(ht.hits, 0) AS hits, ROUND(COALESCE(ht.hits, 0) / 10.0, 6) AS recall
 FROM qs q LEFT JOIN nc ON q.id = nc.qid LEFT JOIN ht ON q.id = ht.qid ORDER BY qid""",
+        # simrank: 2 unrolled iterations, ROUND-6 per round, diagonal
+        # re-unioned each step; top-50 on the ROUNDED score
+        "kg_simrank": f"""WITH {PAIRS_CTE},
+su AS MATERIALIZED (
+  SELECT DISTINCT a_id AS node, b_id AS nbr FROM pairs WHERE a_id <> b_id
+  UNION
+  SELECT DISTINCT b_id, a_id FROM pairs WHERE a_id <> b_id),
+sdeg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM su GROUP BY node),
+sr0 AS (SELECT node AS i, node AS j, CAST(1.0 AS DECIMAL(18,6)) AS v FROM sdeg),
+srt1 AS (SELECT ua.node AS a, ub.node AS b,
+                CAST(ROUND(0.8 * CAST(SUM(s.v) AS DOUBLE) / (da.d * db.d), 6) AS DECIMAL(18,6)) AS v
+         FROM su ua JOIN sr0 s ON ua.nbr = s.i JOIN su ub ON s.j = ub.nbr
+         JOIN sdeg da ON da.node = ua.node JOIN sdeg db ON db.node = ub.node
+         WHERE ua.node <> ub.node GROUP BY ua.node, ub.node, da.d, db.d),
+sr1 AS MATERIALIZED (SELECT a AS i, b AS j, v FROM srt1
+                     UNION ALL SELECT node, node, CAST(1.0 AS DECIMAL(18,6)) FROM sdeg),
+srt2 AS (SELECT ua.node AS a, ub.node AS b,
+                CAST(ROUND(0.8 * CAST(SUM(s.v) AS DOUBLE) / (da.d * db.d), 6) AS DECIMAL(18,6)) AS v
+         FROM su ua JOIN sr1 s ON ua.nbr = s.i JOIN su ub ON s.j = ub.nbr
+         JOIN sdeg da ON da.node = ua.node JOIN sdeg db ON db.node = ub.node
+         WHERE ua.node <> ub.node GROUP BY ua.node, ub.node, da.d, db.d)
+SELECT a AS a_id, b AS b_id, CAST(v AS DOUBLE) AS simrank FROM srt2
+WHERE a < b ORDER BY v DESC, a_id, b_id LIMIT 50""",
         # matryoshka: same shared-scored-relation shape as recall_at_k,
         # second arm ranks by the dim-16 prefix cosine; zero prefix
         # norm scores -2 in both engines

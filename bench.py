@@ -314,6 +314,8 @@ def main():
         # round-5 wave 33: matryoshka eval + CUSUM
         "sim_matryoshka_recall",
         "rel_cusum_shift",
+        # round-5 wave 34: SimRank
+        "kg_simrank",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -3535,3 +3535,68 @@ class TestPeripheralConcepts:
         degs = [r["degree"] for r in got]
         assert degs == sorted(degs)
         assert all(r["n_mentions"] >= 1 for r in got)
+
+
+class TestSimrank:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "a_id string, b_id string")
+
+    def _py_simrank(self, edges, c=0.8, iters=2):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        def r6(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        nbr = {}
+        for a, b in edges:
+            if a != b:
+                nbr.setdefault(a, set()).add(b)
+                nbr.setdefault(b, set()).add(a)
+        nodes = sorted(nbr)
+        s = {(u, u): 1.0 for u in nodes}
+        for _ in range(iters):
+            nxt = {}
+            for a in nodes:
+                for b in nodes:
+                    if a == b:
+                        continue
+                    tot = sum(
+                        s.get((i, j), 0.0) for i in nbr[a] for j in nbr[b]
+                    )
+                    if tot:
+                        nxt[(a, b)] = r6(c * tot / (len(nbr[a]) * len(nbr[b])))
+            s = {(u, u): 1.0 for u in nodes}
+            s.update(nxt)
+        return s
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        rng = random.Random(17)
+        nodes = [f"n{i}" for i in range(12)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(25)
+            }
+        )
+        want = self._py_simrank(edges)
+        got = queries.simrank(self._pairs(spark, edges), top_k=1000).collect()
+        for r in got:
+            w = want.get((r["a_id"], r["b_id"]), 0.0)
+            assert abs(r["simrank"] - w) < 2e-6, (r, w)
+
+    def test_structural_equivalence_without_shared_edge(self, spark):
+        # a and b both link only to {x, y} but not to each other and
+        # share no neighbour with c: SimRank(a,b) high, (a,c) zero
+        edges = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "z")]
+        got = {
+            (r["a_id"], r["b_id"]): r["simrank"]
+            for r in queries.simrank(
+                self._pairs(spark, edges), top_k=1000
+            ).collect()
+        }
+        assert got[("a", "b")] >= 0.5
+        assert ("a", "c") not in got or got[("a", "c")] == 0.0
