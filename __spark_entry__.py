@@ -152,6 +152,12 @@ def _triples(spark, sf_dir):
 
 STOPWORDS_SQL = ",".join(f"'{w}'" for w in sorted(purecore.STOP_WORDS))
 
+
+def _rake_stops_sql() -> str:
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    return ",".join(f"'{w}'" for w in sorted(textsearch.RAKE_STOP_WORDS))
+
 # mentions CTE shared by most KG oracles (semantics: purecore T1-T3)
 MENTIONS_CTE = f"""
 src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, {_cased_sql()} AS text FROM documents),
@@ -4590,6 +4596,42 @@ def q_kg_simrank(spark, sf_dir):
     return q.simrank(pairs, c=0.8, iters=2, top_k=50)
 
 
+def q_txt_rake_keywords(spark, sf_dir):
+    """RAKE corpus keyphrases (top 50): maximal non-stopword runs
+    scored by summed word deg/freq — the phrase-level complement of
+    txt_textrank's word-level voting; word scores ride DECIMAL(18,6)
+    so phrase sums are exact cross-engine."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    return textsearch.rake_keywords(_docs(spark, sf_dir))
+
+
+def q_kg_confidence_calibration(spark, sf_dir):
+    """Confidence-calibration census: per (predicate, confidence
+    level), how many assertions exist and how many DISTINCT triples
+    they collapse to — assertions-per-triple read across confidence
+    levels answers "does the scorer's confidence actually track
+    corpus support?", the QA read next to kg_triple_support."""
+    t = _triples(spark, sf_dir)
+    return (
+        t.groupBy("predicate", "confidence")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assertions"),
+            F.count_distinct("subj_id", "obj_id").cast("long").alias("n_triples"),
+        )
+        .select(
+            "predicate",
+            "confidence",
+            "n_assertions",
+            "n_triples",
+            F.round(F.col("n_assertions") / F.col("n_triples"), 6).alias(
+                "assertions_per_triple"
+            ),
+        )
+        .orderBy("predicate", "confidence")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4896,6 +4938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
         "rel_cusum_shift": q_rel_cusum_shift,
         "kg_simrank": q_kg_simrank,
+        "txt_rake_keywords": q_txt_rake_keywords,
+        "kg_confidence_calibration": q_kg_confidence_calibration,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7916,6 +7960,43 @@ ht AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS hits FROM ex e JOIN annx a ON e
 SELECT q.id AS qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
        COALESCE(ht.hits, 0) AS hits, ROUND(COALESCE(ht.hits, 0) / 10.0, 6) AS recall
 FROM qs q LEFT JOIN nc ON q.id = nc.qid LEFT JOIN ht ON q.id = ht.qid ORDER BY qid""",
+        # RAKE: island grouping via running stopword count; word
+        # scores DECIMAL(18,6) so phrase sums are exact
+        "txt_rake_keywords": f"""
+WITH rsplit AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+                       string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+                FROM documents),
+rtok AS (SELECT id, r.i AS pos, ts[r.i] AS tok
+         FROM rsplit, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) r
+         WHERE ts[r.i] <> ''),
+rflag AS (SELECT id, pos, tok,
+                 CASE WHEN tok IN ({_rake_stops_sql()}) THEN 1 ELSE 0 END AS st
+          FROM rtok),
+rgrp AS (SELECT id, pos, tok, st,
+                SUM(st) OVER (PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         FROM rflag),
+rphr AS MATERIALIZED (SELECT id, grp, list(tok ORDER BY pos) AS words
+         FROM rgrp WHERE st = 0 GROUP BY id, grp HAVING COUNT(*) <= 4),
+rocc AS (SELECT u.word, len(p.words) AS plen
+         FROM rphr p, LATERAL (SELECT unnest(p.words) AS word) u),
+rws AS (SELECT word,
+               CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS wscore
+        FROM rocc GROUP BY word),
+rps AS (SELECT p.id, p.grp, array_to_string(p.words, ' ') AS phrase, SUM(w.wscore) AS score
+        FROM rphr p, LATERAL (SELECT unnest(p.words) AS word) u
+        JOIN rws w ON w.word = u.word
+        GROUP BY p.id, p.grp, phrase)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score) AS DOUBLE) AS score
+FROM rps GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50""",
+        # confidence calibration: assertions vs distinct triples per
+        # (predicate, confidence) level
+        "kg_confidence_calibration": f"""WITH {TRIPLES_CTE}
+SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
+       CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
+FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
         # simrank: 2 unrolled iterations, ROUND-6 per round, diagonal
         # re-unioned each step; top-50 on the ROUNDED score
         "kg_simrank": f"""WITH {PAIRS_CTE},

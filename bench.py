@@ -316,6 +316,9 @@ def main():
         "rel_cusum_shift",
         # round-5 wave 34: SimRank
         "kg_simrank",
+        # round-5 wave 35: RAKE + confidence calibration
+        "txt_rake_keywords",
+        "kg_confidence_calibration",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -548,3 +548,110 @@ def winnowing_fingerprints(
         )
         .orderBy(id_col, "pos")
     )
+
+
+# RAKE needs FUNCTION-word boundaries (lowercase), not the extractor's
+# capitalized NER stoplist (purecore.STOP_WORDS) — a deliberate second
+# list: these words DELIMIT phrases, they are not candidate content.
+RAKE_STOP_WORDS = frozenset(
+    {
+        "a", "about", "all", "an", "and", "are", "as", "at", "be", "been",
+        "but", "by", "can", "did", "do", "does", "each", "for", "from",
+        "had", "has", "have", "he", "her", "his", "how", "if", "in", "is",
+        "it", "its", "no", "not", "of", "on", "or", "our", "she", "so",
+        "than", "that", "the", "their", "then", "these", "they", "this",
+        "those", "to", "was", "we", "were", "what", "when", "where",
+        "which", "who", "will", "with", "you", "your",
+    }
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_phrase_len: int = 4,
+    top_k: int = 50,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal runs of non-stopword tokens (the
+    islands between function-word/punctuation boundaries), each word
+    scores deg/freq (deg = summed length of every phrase it appears
+    in — rewards words that live in long collocations), and a phrase
+    scores the sum of its word scores.  The PHRASE-level complement
+    of :func:`textrank_keywords` (word-level co-occurrence voting):
+    RAKE surfaces multi-word terms ("knowledge graph pipeline") that
+    word-rank fragments.
+
+    Determinism: boundary grouping is a running stopword count over
+    the token order (each engine walks the same filtered sequence);
+    word scores are ROUND(deg/freq, 6) carried as DECIMAL(18,6) so
+    the per-phrase score SUM is exact and order-independent (the
+    simrank lesson), and the top-k ranks (score desc, phrase).
+
+    Returns (phrase, n_occurrences, score) — the corpus's top_k
+    keyphrases.
+
+    Scale shape: one scan explodes tokens; the boundary window is
+    (doc)-keyed over positions (narrow rows); word stats are a
+    vocabulary-sized hash agg broadcast back onto phrases.  Raw text
+    never shuffles — only (doc, grp, pos, tok) quads."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), _TOKEN_RE)).alias(
+                "pos", "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+    )
+    stop = sorted(RAKE_STOP_WORDS)
+    run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = F.sum(F.col("tok").isin(stop).cast("int")).over(run)
+    words = toks.select(
+        "id", "pos", "tok", grp.alias("grp")
+    ).where(~F.col("tok").isin(stop))
+    phrases = (
+        words.groupBy("id", "grp")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pt"))
+        .select(
+            "id",
+            "grp",
+            F.transform("pt", lambda s: s["tok"]).alias("words"),
+        )
+        .where(F.size("words") <= max_phrase_len)
+    )
+    occ = phrases.select(
+        F.explode("words").alias("word"), F.size("words").alias("plen")
+    )
+    ws = occ.groupBy("word").agg(
+        F.round(F.sum("plen") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("wscore")
+    )
+    pscore = (
+        phrases.select(
+            "id",
+            "grp",
+            F.array_join("words", " ").alias("phrase"),
+            F.explode("words").alias("word"),
+        )
+        .join(F.broadcast(ws), "word")
+        .groupBy("id", "grp", "phrase")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_k)
+    )

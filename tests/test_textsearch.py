@@ -459,3 +459,77 @@ class TestWinnowing:
             hash_family="xxh64",
         )
         assert got["a"]  # engine-native family produces fingerprints
+
+
+class TestRakeKeywords:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def _py_rake(self, texts, max_len=4):
+        import re
+        from collections import defaultdict
+        from decimal import Decimal, ROUND_HALF_UP
+
+        def r6(x):
+            return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+        stops = textsearch.RAKE_STOP_WORDS
+        phrases = []
+        for t in texts:
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            cur = []
+            for w in toks:
+                if w in stops:
+                    if cur:
+                        phrases.append(cur)
+                    cur = []
+                else:
+                    cur.append(w)
+            if cur:
+                phrases.append(cur)
+        phrases = [p for p in phrases if len(p) <= max_len]
+        freq, deg = defaultdict(int), defaultdict(int)
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+        ws = {w: r6(deg[w] / freq[w]) for w in freq}
+        out = defaultdict(lambda: [0, Decimal(0)])
+        for p in phrases:
+            key = " ".join(p)
+            out[key][0] += 1
+            out[key][1] = sum((ws[w] for w in p), Decimal(0))
+        return {k: (n, float(s)) for k, (n, s) in out.items()}
+
+    def test_matches_python_replay(self, spark):
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "a knowledge graph pipeline builds the knowledge graph",
+            "graph pipeline quality is a moving target for the pipeline",
+        ]
+        want = self._py_rake(texts)
+        got = textsearch.rake_keywords(
+            self._df(spark, texts), top_k=1000
+        ).collect()
+        assert {r["phrase"] for r in got} == set(want)
+        for r in got:
+            n, s = want[r["phrase"]]
+            assert r["n_occurrences"] == n, r
+            assert abs(r["score"] - s) < 2e-6, (r, s)
+
+    def test_multiword_collocation_outranks_fragments(self, spark):
+        texts = [
+            "deep learning models and deep learning systems",
+            "the deep learning approach for deep learning",
+            "models are useful and systems are useful",
+        ]
+        got = textsearch.rake_keywords(self._df(spark, texts), top_k=5).collect()
+        assert got[0]["phrase"].startswith("deep learning"), got[0]
+
+    def test_stopword_only_doc_is_silent(self, spark):
+        got = textsearch.rake_keywords(
+            self._df(spark, ["the of and to", "is a but for"]), top_k=10
+        ).collect()
+        assert got == []
