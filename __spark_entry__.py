@@ -158,6 +158,33 @@ def _rake_stops_sql() -> str:
 
     return ",".join(f"'{w}'" for w in sorted(textsearch.RAKE_STOP_WORDS))
 
+
+def _attack_block(k: int) -> str:
+    """One hub-removal closure for the kg_attack_tolerance oracle:
+    filtered edges -> recursive reachability -> component sizes ->
+    per-k scalars (mirrors queries.attack_tolerance)."""
+    filt = (
+        f"WHERE u NOT IN (SELECT id FROM athub WHERE rn <= {k}) "
+        f"AND v NOT IN (SELECT id FROM athub WHERE rn <= {k})"
+        if k
+        else ""
+    )
+    return f""",
+ae{k} AS MATERIALIZED (SELECT u, v FROM au {filt}),
+asym{k} AS (SELECT u AS id, v AS nbr FROM ae{k} UNION SELECT v, u FROM ae{k}),
+an{k} AS (SELECT DISTINCT id FROM asym{k}),
+ar{k}(id, r) AS (SELECT id, id FROM an{k}
+  UNION SELECT rc.id, s.nbr FROM ar{k} rc JOIN asym{k} s ON rc.r = s.id),
+ac{k} AS (SELECT id, MIN(r) AS comp FROM ar{k} GROUP BY id),
+asz{k} AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM ac{k} GROUP BY comp),
+ast{k} AS (SELECT CAST({k} AS INT) AS k_removed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM adeg
+    WHERE id NOT IN (SELECT id FROM athub WHERE rn <= {k})) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ae{k}) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM asz{k}) AS n_cc,
+  COALESCE((SELECT CAST(MAX(sz) AS BIGINT) FROM asz{k}), 0) AS largest0,
+  COALESCE((SELECT CAST(SUM(sz) AS BIGINT) FROM asz{k}), 0) AS covered)"""
+
 # mentions CTE shared by most KG oracles (semantics: purecore T1-T3)
 MENTIONS_CTE = f"""
 src AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, {_cased_sql()} AS text FROM documents),
@@ -4632,6 +4659,25 @@ def q_kg_confidence_calibration(spark, sf_dir):
     )
 
 
+def q_kg_attack_tolerance(spark, sf_dir):
+    """Targeted-attack robustness curve: fragmentation of the concept
+    graph after removing the top-0/5/20 hubs — how much KG
+    connectivity hangs off a handful of hub concepts (scale-free
+    graphs shatter under this, stay robust to random failure)."""
+    pairs = q_kg_pair_freq(spark, sf_dir).select("a_id", "b_id")
+    return q.attack_tolerance(pairs, ks=(0, 5, 20))
+
+
+def q_txt_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(n) = K*n^beta in ingestion
+    order — how fast NEW vocabulary keeps arriving as the crawl
+    grows; the corpus-size sibling of txt_zipf_fit's frequency
+    view."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import textsearch
+
+    return textsearch.heaps_fit(_docs(spark, sf_dir))
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4940,6 +4986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_simrank": q_kg_simrank,
         "txt_rake_keywords": q_txt_rake_keywords,
         "kg_confidence_calibration": q_kg_confidence_calibration,
+        "kg_attack_tolerance": q_kg_attack_tolerance,
+        "txt_heaps_law": q_txt_heaps_law,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7997,6 +8045,45 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # attack tolerance: three recursive closures over hub-filtered
+        # edge sets; singleton survivors counted as components
+        "kg_attack_tolerance": f"""WITH RECURSIVE {PAIRS_CTE},
+au AS MATERIALIZED (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+                    FROM pairs WHERE a_id <> b_id),
+adeg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS id FROM au UNION ALL SELECT v FROM au) GROUP BY id),
+athub AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY d DESC, id) AS rn FROM adeg)
+{_attack_block(0)}{_attack_block(5)}{_attack_block(20)}
+SELECT k_removed, n_nodes, n_edges,
+       n_cc + (n_nodes - covered) AS n_components,
+       GREATEST(largest0, CASE WHEN n_nodes - covered > 0 THEN 1 ELSE 0 END) AS largest_cc,
+       ROUND(CAST(GREATEST(largest0, CASE WHEN n_nodes - covered > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / n_nodes, 6) AS largest_frac
+FROM (SELECT * FROM ast0 UNION ALL SELECT * FROM ast5 UNION ALL SELECT * FROM ast20)
+ORDER BY k_removed""",
+        # heaps: first-seen MIN(doc) vocabulary curve + OLS on ln-ln
+        "txt_heaps_law": """
+WITH htok AS (SELECT CAST(doc_id AS BIGINT) AS doc, u.term
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term) u),
+hper AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_toks FROM htok GROUP BY doc),
+hfirst AS (SELECT term, MIN(doc) AS doc FROM htok GROUP BY term),
+hnew AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_new FROM hfirst GROUP BY doc),
+hcurve AS (SELECT p.doc,
+                  SUM(p.n_toks) OVER w AS cum_toks,
+                  SUM(COALESCE(n.n_new, 0)) OVER w AS cum_vocab
+           FROM hper p LEFT JOIN hnew n ON p.doc = n.doc
+           WINDOW w AS (ORDER BY p.doc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+hxy AS (SELECT ln(CAST(cum_toks AS DOUBLE)) AS x, ln(CAST(cum_vocab AS DOUBLE)) AS y,
+               cum_toks, cum_vocab FROM hcurve WHERE cum_toks > 0),
+hagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+                CAST(MAX(cum_toks) AS BIGINT) AS total_tokens,
+                CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size FROM hxy)
+SELECT n AS n_docs, total_tokens, vocab_size,
+       ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS heaps_beta,
+       ROUND(exp((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n), 6) AS heaps_k
+FROM hagg""",
         # simrank: 2 unrolled iterations, ROUND-6 per round, diagonal
         # re-unioned each step; top-50 on the ROUNDED score
         "kg_simrank": f"""WITH {PAIRS_CTE},

@@ -319,6 +319,9 @@ def main():
         # round-5 wave 35: RAKE + confidence calibration
         "txt_rake_keywords",
         "kg_confidence_calibration",
+        # round-5 wave 36: robustness curve + Heaps fit
+        "kg_attack_tolerance",
+        "txt_heaps_law",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -655,3 +655,73 @@ def rake_keywords(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_k)
     )
+
+
+def heaps_fit(
+    chunks: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth V(n) ≈ K·n^β over the
+    corpus in ingestion (doc-id) order — the planning scalar that says
+    how fast NEW vocabulary keeps arriving as the crawl grows (β near
+    0.5 = natural text; β → 0 = templated/closed vocabulary; β → 1 =
+    id-like noise where every token is new).  The corpus-size sibling
+    of :func:`zipf_fit`'s frequency view.
+
+    First-seen attribution is MIN(doc_id) per term (the
+    ingestion-order semantics :func:`dedup.ngram_novelty` pins);
+    cumulative token/vocab counts come from ONE running window over
+    the per-doc aggregate — the user_growth first-seen-histogram
+    trick, never per-doc set unions.  OLS of ln V on ln n over the
+    per-doc curve, rounded 6.
+
+    Returns one row (n_docs, total_tokens, vocab_size, heaps_beta,
+    heaps_k).
+
+    Scale shape: one tokenize pass -> (term) MIN-agg + (doc) count
+    agg -> the window runs over |docs| narrow rows."""
+    from pyspark.sql.window import Window
+
+    toks = chunks.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    per_doc = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_toks"))
+    first = toks.groupBy("term").agg(F.min("doc").alias("doc"))
+    new_terms = first.groupBy("doc").agg(F.count(F.lit(1)).alias("n_new"))
+    run = Window.orderBy("doc").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_terms, "doc", "left")
+        .select(
+            "doc",
+            F.sum("n_toks").over(run).alias("cum_toks"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(run).alias("cum_vocab"),
+        )
+        .where(F.col("cum_toks") > 0)
+        .select(
+            F.log(F.col("cum_toks").cast("double")).alias("x"),
+            F.log(F.col("cum_vocab").cast("double")).alias("y"),
+            "cum_toks",
+            "cum_vocab",
+        )
+    )
+    agg = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("cum_toks").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("vocab_size"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "total_tokens",
+        "vocab_size",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6).alias(
+            "heaps_k"
+        ),
+    )

@@ -4699,3 +4699,97 @@ def simrank(
         .orderBy(F.desc("simrank"), "a_id", "b_id")
         .limit(top_k)
     )
+
+
+def attack_tolerance(
+    pairs: DataFrame,
+    ks=(0, 5, 20),
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Targeted-attack robustness (Albert, Jeong & Barabási 2000):
+    remove the k highest-degree hubs (deg desc, id tie-break) and
+    measure fragmentation of the remaining subgraph — scale-free
+    graphs shatter under hub removal while staying robust to random
+    failure, and the giant-component fraction as k grows is THE
+    robustness curve for a co-occurrence graph (how much of the KG's
+    connectivity hangs off a handful of hub concepts).
+
+    Isolated survivors count as singleton components (removal can
+    orphan a node without deleting it).  Per k: one pushed isin
+    filter over the canonical edge list + one connected-components
+    run; the per-k scalars (bounded: |ks| rows) assemble driver-side
+    with HALF_UP rounding so the fraction matches SQL ROUND.
+
+    Returns (k_removed, n_nodes, n_edges, n_components, largest_cc,
+    largest_frac) ordered by k_removed.
+
+    Scale shape: degree + hub ranking is one hash agg + a k-row
+    TakeOrdered; each k pays one CC (large-star/small-star, one
+    shuffle per round).  |ks| is small by design — this is a
+    robustness CURVE, not a sweep over every k."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from ..operators import canonicalize
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    und = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ranked_hubs = [
+        r["id"]
+        for r in deg.orderBy(F.desc("d"), "id").limit(max(ks)).collect()
+    ]
+    n_all = deg.count()
+    rows = []
+    for k in sorted(ks):
+        hubs = set(ranked_hubs[:k])
+        nodes_k = n_all - len(hubs)
+        e = und
+        if hubs:
+            e = und.where(
+                ~F.col("u").isin(sorted(hubs)) & ~F.col("v").isin(sorted(hubs))
+            )
+        n_edges = e.count()
+        if n_edges:
+            cc = canonicalize.connected_components(e, src="u", dst="v")
+            sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+            st = sizes.agg(
+                F.count(F.lit(1)).alias("n_cc"),
+                F.max("sz").alias("largest"),
+                F.sum("sz").alias("covered"),
+            ).collect()[0]
+            n_cc, largest, covered = st["n_cc"], st["largest"], st["covered"]
+        else:
+            n_cc, largest, covered = 0, 0, 0
+        singles = nodes_k - covered
+        largest = max(largest, 1 if singles > 0 else 0)
+        rows.append(
+            (
+                k,
+                nodes_k,
+                n_edges,
+                n_cc + singles,
+                largest,
+                r6(largest / nodes_k) if nodes_k else 0.0,
+            )
+        )
+    return pairs.sparkSession.createDataFrame(
+        rows,
+        "k_removed int, n_nodes bigint, n_edges bigint, n_components bigint, "
+        "largest_cc bigint, largest_frac double",
+    )

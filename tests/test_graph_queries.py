@@ -3600,3 +3600,65 @@ class TestSimrank:
         }
         assert got[("a", "b")] >= 0.5
         assert ("a", "c") not in got or got[("a", "c")] == 0.0
+
+
+class TestAttackTolerance:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "a_id string, b_id string")
+
+    def test_star_shatters_on_hub_removal(self, spark):
+        edges = [("hub", f"s{i}") for i in range(6)]
+        got = {
+            r["k_removed"]: r
+            for r in queries.attack_tolerance(
+                self._pairs(spark, edges), ks=(0, 1)
+            ).collect()
+        }
+        assert got[0]["n_components"] == 1 and got[0]["largest_cc"] == 7
+        # removing the hub leaves 6 isolated singletons
+        assert got[1]["n_nodes"] == 6 and got[1]["n_edges"] == 0
+        assert got[1]["n_components"] == 6 and got[1]["largest_cc"] == 1
+
+    def test_matches_python_replay(self, spark):
+        import random
+
+        rng = random.Random(31)
+        nodes = [f"n{i:02d}" for i in range(20)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)})
+
+        def replay(k):
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            hubs = set(sorted(deg, key=lambda n: (-deg[n], n))[:k])
+            keep = [e for e in edges if e[0] not in hubs and e[1] not in hubs]
+            ns = set(deg) - hubs
+            parent = {n: n for n in ns}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in keep:
+                parent[find(a)] = find(b)
+            comps = {}
+            for n in ns:
+                comps.setdefault(find(n), []).append(n)
+            sizes = [len(v) for v in comps.values()]
+            return (len(ns), len(keep), len(sizes), max(sizes) if sizes else 0)
+
+        got = {
+            r["k_removed"]: r
+            for r in queries.attack_tolerance(
+                self._pairs(spark, edges), ks=(0, 2, 5)
+            ).collect()
+        }
+        for k in (0, 2, 5):
+            n, e, nc, lg = replay(k)
+            r = got[k]
+            assert (r["n_nodes"], r["n_edges"], r["n_components"], r["largest_cc"]) == (
+                n, e, nc, lg,
+            ), (k, r)

@@ -533,3 +533,50 @@ class TestRakeKeywords:
             self._df(spark, ["the of and to", "is a but for"]), top_k=10
         ).collect()
         assert got == []
+
+
+class TestHeapsFit:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_closed_vocabulary_flat_beta(self, spark):
+        texts = ["alpha beta gamma delta"] * 20
+        r = textsearch.heaps_fit(self._df(spark, texts)).collect()[0]
+        assert r["vocab_size"] == 4 and r["n_docs"] == 20
+        assert r["heaps_beta"] < 0.35
+
+    def test_all_new_tokens_beta_one(self, spark):
+        texts = [f"w{4*i} w{4*i+1} w{4*i+2} w{4*i+3}" for i in range(20)]
+        r = textsearch.heaps_fit(self._df(spark, texts)).collect()[0]
+        assert r["vocab_size"] == 80
+        assert abs(r["heaps_beta"] - 1.0) < 1e-6
+        assert abs(r["heaps_k"] - 1.0) < 1e-6
+
+    def test_matches_python_replay(self, spark):
+        import math
+        import random
+
+        rng = random.Random(41)
+        vocab = [f"t{i}" for i in range(60)]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 15)))
+            for _ in range(30)
+        ]
+        seen, cum_t, cum_v, pts = set(), 0, 0, []
+        for t in texts:
+            toks = t.split()
+            cum_t += len(toks)
+            for w in toks:
+                if w not in seen:
+                    seen.add(w)
+                    cum_v += 1
+            pts.append((math.log(cum_t), math.log(cum_v)))
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r = textsearch.heaps_fit(self._df(spark, texts)).collect()[0]
+        assert r["n_docs"] == n and r["vocab_size"] == len(seen)
+        assert abs(r["heaps_beta"] - beta) < 2e-6
