@@ -4678,6 +4678,25 @@ def q_txt_heaps_law(spark, sf_dir):
     return textsearch.heaps_fit(_docs(spark, sf_dir))
 
 
+def q_kg_rpq_reachability(spark, sf_dir):
+    """Regular path query is_a*/part_of (SPARQL property-path shape):
+    which categories each concept is PART OF, including through its
+    is_a ancestors — the subsumption-aware typed-edge expansion a KG
+    retriever needs; closure + one equi-join, no query-time
+    recursion."""
+    return q.property_path(
+        _triples(spark, sf_dir), star_pred="is_a", final_pred="part_of", max_star=4
+    )
+
+
+def q_kg_wu_palmer(spark, sf_dir):
+    """Wu-Palmer taxonomy similarity top-50: 2*d(lcs)/(d(a)+d(b))
+    over the extracted is_a DAG — hierarchy-native closeness,
+    independent of co-occurrence (kg_pmi) or neighbourhood shape
+    (kg_simrank)."""
+    return q.wu_palmer_similarity(_isa_edges(spark, sf_dir), max_depth=4, top_k=50)
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -4988,6 +5007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_confidence_calibration": q_kg_confidence_calibration,
         "kg_attack_tolerance": q_kg_attack_tolerance,
         "txt_heaps_law": q_txt_heaps_law,
+        "kg_rpq_reachability": q_kg_rpq_reachability,
+        "kg_wu_palmer": q_kg_wu_palmer,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8045,6 +8066,47 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # RPQ is_a*/part_of: depth-bounded closure + identity, one
+        # equi-join with the final predicate, MIN over converging paths
+        "kg_rpq_reachability": f"""WITH {TRIPLES_CTE},
+{_ISA_CLOSURE_CTES},
+rqnodes AS (SELECT DISTINCT subj_id AS id FROM triples UNION SELECT obj_id FROM triples),
+rqclo AS (SELECT desc_id, anc_id, depth FROM c4
+          UNION ALL SELECT id, id, 0 FROM rqnodes),
+rqfin AS (SELECT DISTINCT subj_id AS anc_id, obj_id AS dst_id FROM triples
+          WHERE predicate = 'part_of')
+SELECT r.desc_id AS src_id, f.dst_id, CAST(MIN(r.depth) AS INT) AS min_star_hops
+FROM rqclo r JOIN rqfin f ON r.anc_id = f.anc_id
+GROUP BY r.desc_id, f.dst_id ORDER BY src_id, dst_id""",
+        # Wu-Palmer: ancestors-or-self self-join, deepest common
+        # subsumer via two-aggregate argmax, layer-based depths
+        "kg_wu_palmer": f"""WITH {TRIPLES_CTE},
+{_ISA_CLOSURE_CTES},
+wl0 AS (SELECT id, 0 AS layer FROM
+        (SELECT desc_id AS id FROM isa UNION SELECT anc_id FROM isa))"""
+        + "".join(
+            f""",
+wl{d} AS (SELECT id, MAX(layer) AS layer FROM (
+  SELECT id, layer FROM wl{d - 1}
+  UNION ALL
+  SELECT i.desc_id, l.layer + 1 FROM wl{d - 1} l JOIN isa i ON l.id = i.anc_id
+) GROUP BY id)"""
+            for d in range(1, 5)
+        )
+        + """,
+wanc AS (SELECT desc_id AS node, anc_id AS anc FROM c4
+         UNION SELECT id, id FROM wl0),
+wcom AS (SELECT a.node AS a, b.node AS b, a.anc, lc.layer AS lc
+         FROM wanc a JOIN wanc b ON a.anc = b.anc AND a.node < b.node
+         JOIN wl4 lc ON lc.id = a.anc),
+wbest AS (SELECT a, b, MAX(lc) AS lca_layer FROM wcom GROUP BY a, b),
+wlca AS (SELECT c.a, c.b, w.lca_layer, MIN(c.anc) AS lca_id
+         FROM wcom c JOIN wbest w ON c.a = w.a AND c.b = w.b AND c.lc = w.lca_layer
+         GROUP BY c.a, c.b, w.lca_layer)
+SELECT l.a AS a_id, l.b AS b_id, l.lca_id, CAST(l.lca_layer AS INT) AS lca_layer,
+       ROUND(2.0 * (l.lca_layer + 1) / ((la.layer + 1) + (lb.layer + 1)), 6) AS score
+FROM wlca l JOIN wl4 la ON la.id = l.a JOIN wl4 lb ON lb.id = l.b
+ORDER BY score DESC, a_id, b_id LIMIT 50""",
         # attack tolerance: three recursive closures over hub-filtered
         # edge sets; singleton survivors counted as components
         "kg_attack_tolerance": f"""WITH RECURSIVE {PAIRS_CTE},

@@ -322,6 +322,9 @@ def main():
         # round-5 wave 36: robustness curve + Heaps fit
         "kg_attack_tolerance",
         "txt_heaps_law",
+        # round-5 wave 37: RPQ + Wu-Palmer
+        "kg_rpq_reachability",
+        "kg_wu_palmer",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

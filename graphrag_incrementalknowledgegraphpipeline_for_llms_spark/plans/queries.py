@@ -4793,3 +4793,134 @@ def attack_tolerance(
         "k_removed int, n_nodes bigint, n_edges bigint, n_components bigint, "
         "largest_cc bigint, largest_frac double",
     )
+
+
+def property_path(
+    triples: DataFrame,
+    star_pred: str = "is_a",
+    final_pred: str = "part_of",
+    max_star: int = 4,
+) -> DataFrame:
+    """Regular path query (SPARQL property path / Cypher variable-
+    length pattern) ``star_pred*/final_pred``: every (src, dst) such
+    that src reaches dst through 0..max_star ``star_pred`` hops
+    followed by exactly one ``final_pred`` edge — e.g. "which
+    categories is this concept PART OF, including through its is_a
+    ancestors", the query-expansion primitive a KG retriever runs to
+    honor subsumption when following a typed edge.
+
+    Evaluated as the depth-bounded :func:`taxonomy_closure` of the
+    star predicate (+ the identity relation for the 0-hop case) piped
+    through ONE equi-join with the final predicate's edge set, then a
+    MIN(depth) aggregate over converging paths.  No recursion at
+    query time, no per-row expansion — the RPQ automaton's two states
+    become two relational stages.
+
+    Returns (src_id, dst_id, min_star_hops) ordered by (src, dst).
+
+    Scale shape: the closure is vocab-bound (the taxonomy_closure
+    contract); the final join keys on concept ids only."""
+    star = (
+        triples.where(F.col("predicate") == star_pred)
+        .select(
+            F.col("subj_id").alias("child_id"),
+            F.col("obj_id").alias("parent_id"),
+        )
+        .where(F.col("child_id") != F.col("parent_id"))
+        .distinct()
+    )
+    clo = taxonomy_closure(star, max_depth=max_star)
+    nodes = (
+        triples.select(F.col("subj_id").alias("id"))
+        .unionByName(triples.select(F.col("obj_id").alias("id")))
+        .distinct()
+    )
+    clo0 = clo.unionByName(
+        nodes.select(
+            F.col("id").alias("desc_id"),
+            F.col("id").alias("anc_id"),
+            F.lit(0).cast("int").alias("depth"),
+        )
+    )
+    fin = (
+        triples.where(F.col("predicate") == final_pred)
+        .select(F.col("subj_id").alias("anc_id"), F.col("obj_id").alias("dst_id"))
+        .distinct()
+    )
+    return (
+        clo0.join(fin, "anc_id")
+        .groupBy(F.col("desc_id").alias("src_id"), "dst_id")
+        .agg(F.min("depth").cast("int").alias("min_star_hops"))
+        .orderBy("src_id", "dst_id")
+    )
+
+
+def wu_palmer_similarity(
+    isa: DataFrame, max_depth: int = 4, top_k: int = 50
+) -> DataFrame:
+    """Wu-Palmer taxonomy similarity over the is_a DAG:
+    sim(a, b) = 2·d(lcs) / (d(a) + d(b)) with d = topological layer
+    (:func:`taxonomy_layers`) + 1 and lcs = the deepest common
+    subsumer (ancestor-or-self shared by both, max layer; reported id
+    = MIN among ties) — the classic WordNet-style semantic-similarity
+    measure, here over the EXTRACTED taxonomy: which concept pairs
+    the hierarchy itself considers close, independent of
+    co-occurrence (kg_pmi) or neighbourhood shape (kg_simrank).
+
+    Ancestors come from the depth-bounded closure (+self), so the lcs
+    is exact whenever max_depth covers the taxonomy (the closure's
+    own contract).  Scores are small-integer rationals — one IEEE
+    division, ROUND 6, bit-identical cross-engine — ranked
+    (score desc, a, b).
+
+    Returns the top_k (a_id, b_id, lca_id, lca_layer, score).
+
+    Scale shape: the ancestor-self-join fans out by Σ_c |desc(c)|² —
+    vocab-bound here like simrank; the two-aggregate argmax (max
+    layer, then MIN id at that layer) avoids any window over the
+    pair relation."""
+    clo = taxonomy_closure(isa, max_depth=max_depth)
+    layers = taxonomy_layers(isa, max_depth=max_depth).select("id", "layer")
+    nodes = layers.select("id")
+    anc = clo.select(
+        F.col("desc_id").alias("node"), F.col("anc_id").alias("anc")
+    ).unionByName(
+        nodes.select(F.col("id").alias("node"), F.col("id").alias("anc"))
+    ).distinct()
+    common = (
+        anc.select(F.col("node").alias("a"), "anc")
+        .join(anc.select(F.col("node").alias("b"), "anc"), "anc")
+        .where(F.col("a") < F.col("b"))
+        .join(
+            F.broadcast(
+                layers.select(F.col("id").alias("anc"), F.col("layer").alias("lc"))
+            ),
+            "anc",
+        )
+    )
+    best = common.groupBy("a", "b").agg(F.max("lc").alias("lca_layer"))
+    lca = (
+        common.join(best, ["a", "b"])
+        .where(F.col("lc") == F.col("lca_layer"))
+        .groupBy("a", "b", "lca_layer")
+        .agg(F.min("anc").alias("lca_id"))
+    )
+    la = layers.select(F.col("id").alias("a"), F.col("layer").alias("la"))
+    lb = layers.select(F.col("id").alias("b"), F.col("layer").alias("lb"))
+    return (
+        lca.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .select(
+            F.col("a").alias("a_id"),
+            F.col("b").alias("b_id"),
+            "lca_id",
+            F.col("lca_layer").cast("int").alias("lca_layer"),
+            F.round(
+                F.lit(2.0) * (F.col("lca_layer") + 1)
+                / ((F.col("la") + 1) + (F.col("lb") + 1)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "a_id", "b_id")
+        .limit(top_k)
+    )

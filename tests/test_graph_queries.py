@@ -3662,3 +3662,60 @@ class TestAttackTolerance:
             assert (r["n_nodes"], r["n_edges"], r["n_components"], r["largest_cc"]) == (
                 n, e, nc, lg,
             ), (k, r)
+
+
+class TestPropertyPath:
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj_id string, predicate string, obj_id string"
+        )
+
+    def test_star_then_final_with_min_hops(self, spark):
+        rows = [
+            ("a", "is_a", "b"),
+            ("b", "is_a", "c"),
+            ("c", "part_of", "d"),
+            ("x", "part_of", "y"),
+            ("a", "part_of", "d"),  # also a direct 0-hop path for a
+        ]
+        got = {
+            (r["src_id"], r["dst_id"]): r["min_star_hops"]
+            for r in queries.property_path(self._triples(spark, rows)).collect()
+        }
+        assert got[("c", "d")] == 0
+        assert got[("b", "d")] == 1
+        assert got[("a", "d")] == 0  # direct part_of wins over the 2-hop chain
+        assert got[("x", "y")] == 0
+        assert ("x", "d") not in got
+
+    def test_depth_cap(self, spark):
+        chain = [(f"n{i}", "is_a", f"n{i+1}") for i in range(6)] + [
+            ("n6", "part_of", "z")
+        ]
+        got = {
+            (r["src_id"], r["dst_id"]): r["min_star_hops"]
+            for r in queries.property_path(
+                self._triples(spark, chain), max_star=4
+            ).collect()
+        }
+        assert got[("n2", "z")] == 4
+        assert ("n0", "z") not in got  # 6 hops > cap
+
+
+class TestWuPalmer:
+    def test_hand_taxonomy(self, spark):
+        isa = spark.createDataFrame(
+            [("a", "r"), ("b", "r"), ("c", "a")],
+            "child_id string, parent_id string",
+        )
+        got = {
+            (r["a_id"], r["b_id"]): r
+            for r in queries.wu_palmer_similarity(isa, top_k=100).collect()
+        }
+        # layers: r=0, a=b=1, c=2; d = layer+1
+        assert got[("a", "b")]["score"] == 0.5 and got[("a", "b")]["lca_id"] == "r"
+        assert got[("a", "c")]["score"] == 0.8 and got[("a", "c")]["lca_id"] == "a"
+        assert got[("b", "c")]["score"] == 0.4
+        # ranking: deepest-lcs pair first
+        top = queries.wu_palmer_similarity(isa, top_k=1).collect()[0]
+        assert (top["a_id"], top["b_id"]) == ("a", "c")
