@@ -4697,6 +4697,94 @@ def q_kg_wu_palmer(spark, sf_dir):
     return q.wu_palmer_similarity(_isa_edges(spark, sf_dir), max_depth=4, top_k=50)
 
 
+_CODE_TAIL_A = "def fn"
+_CODE_TAIL_B = (
+    "(a, b) { if (a != b) { return a[0] == b[1]; }; } "
+    "let camelCaseVar = fooBar(a); x := y -> z; arr[2] => ok;"
+)
+
+
+def q_txt_code_detection(spark, sf_dir):
+    """Code-vs-prose detection features per document (brace/semicolon/
+    operator/camelCase densities; is_codey decided in pure integer
+    arithmetic) — the curation gate run BEFORE lang-ID/quality scores,
+    both of which misbehave on source code.  The corpus prose is
+    symbol-free, so a deterministic planted code tail (doc_id < 50,
+    the _docs_with_dups planting discipline) gives the classifier
+    both classes to separate — prose rows score 0, planted rows trip
+    the integer 1.5% gate."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.functions import text as tf
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.lit(_CODE_TAIL_A),
+                F.col("doc_id").cast("string"),
+                F.lit(_CODE_TAIL_B),
+            ).alias("text"),
+        )
+    )
+    feats = tf.code_features(F.col("text"))
+    return (
+        d.unionByName(planted)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            *[v.alias(k) for k, v in feats.items()],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_rel_sequential_patterns(spark, sf_dir):
+    """Frequent sequential 3-grams of event types per user timeline
+    (SPADE-lite): the sequence-mining step above rel_markov_transitions'
+    bigram view — which three-step behavioural motifs recur, and
+    across how many users.  Per-user order is the (ts, event_id)
+    total order; the 3-grams are array HOFs INSIDE the per-user row
+    (zero extra shuffle past the one per-user sort)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.transform("evs", lambda s: s["event_type"]).alias("types"),
+        )
+        .where(F.size("types") >= 3)
+    )
+    grams = seq.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("types") - 3),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at(F.col("types"), i + 1),
+                    F.element_at(F.col("types"), i + 2),
+                    F.element_at(F.col("types"), i + 3),
+                ),
+            )
+        ).alias("pattern"),
+    )
+    return (
+        grams.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pattern")
+        .limit(50)
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5009,6 +5097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_heaps_law": q_txt_heaps_law,
         "kg_rpq_reachability": q_kg_rpq_reachability,
         "kg_wu_palmer": q_kg_wu_palmer,
+        "txt_code_detection": q_txt_code_detection,
+        "rel_sequential_patterns": q_rel_sequential_patterns,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8066,6 +8156,39 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # code detection: strip-and-subtract counts, integer verdict;
+        # deterministic planted code tail (doc_id < 50) supplies the
+        # positive class on this symbol-free prose corpus
+        "txt_code_detection": r"""
+WITH cdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'def fn' || CAST(doc_id AS VARCHAR) ||
+         '(a, b) { if (a != b) { return a[0] == b[1]; }; } let camelCaseVar = fooBar(a); x := y -> z; arr[2] => ok;'
+  FROM documents WHERE doc_id < 50),
+cfx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(text) - length(regexp_replace(text, '[{}()\[\]]', '', 'g')) AS BIGINT) AS n_braces,
+  CAST(length(text) - length(regexp_replace(text, ';', '', 'g')) AS BIGINT) AS n_semicolons,
+  CAST((length(text) - length(regexp_replace(text, '==|=>|->|::|:=|!=', '', 'g'))) / 2 AS BIGINT) AS n_operators,
+  CAST(len(string_split_regex(text, '[a-z][A-Z]')) - 1 AS BIGINT) AS n_camel
+  FROM cdocs)
+SELECT doc_id, n_chars, n_braces, n_semicolons, n_operators, n_camel,
+  ROUND((n_braces + n_semicolons + n_operators) * 1000.0 / GREATEST(n_chars, 1), 6) AS symbol_per_kchar,
+  CAST(CASE WHEN (n_braces + n_semicolons + n_operators) * 1000 > 15 * n_chars
+            THEN 1 ELSE 0 END AS BIGINT) AS is_codey
+FROM cfx ORDER BY doc_id""",
+        # sequential 3-grams: one per-user ordered list, in-row grams
+        "rel_sequential_patterns": """
+WITH sq AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+            FROM events GROUP BY user_id),
+sq3 AS (SELECT user_id, types FROM sq WHERE len(types) >= 3),
+gr AS (SELECT user_id, types[r.i] || '>' || types[r.i+1] || '>' || types[r.i+2] AS pattern
+       FROM sq3, LATERAL (SELECT unnest(range(1, len(types) - 1)) AS i) r)
+SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM gr GROUP BY pattern ORDER BY n_occurrences DESC, pattern LIMIT 50""",
         # RPQ is_a*/part_of: depth-bounded closure + identity, one
         # equi-join with the final predicate, MIN over converging paths
         "kg_rpq_reachability": f"""WITH {TRIPLES_CTE},

@@ -325,6 +325,9 @@ def main():
         # round-5 wave 37: RPQ + Wu-Palmer
         "kg_rpq_reachability",
         "kg_wu_palmer",
+        # round-5 wave 38: code detection + sequence mining
+        "txt_code_detection",
+        "rel_sequential_patterns",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -345,3 +345,41 @@ def script_profile(col: Column, mixed_threshold: float = 0.05) -> dict[str, Colu
     out["dominant_script"] = dominant
     out["mixed_script"] = mixed
     return out
+
+
+def code_features(col: Column) -> dict[str, Column]:
+    """Code-vs-prose detection features — the curation axis that
+    separates source code from natural text in a web corpus BEFORE
+    language-ID or quality scoring is trusted (both misbehave on
+    code).  Pure scan-stage counts in the Java∩RE2 regex dialect:
+
+    * ``n_braces``      — {}()[] occurrences
+    * ``n_semicolons``  — ';' occurrences
+    * ``n_operators``   — ==  =>  ->  ::  :=  != occurrences
+    * ``n_camel``       — lower→Upper transitions (identifier style)
+    * ``symbol_per_kchar`` — (braces+semicolons+operators)·1000/chars
+    * ``is_codey``      — decided in pure INTEGER arithmetic
+      (1000·symbols > 15·chars, i.e. >1.5% symbol density), the
+      script_profile no-float-in-any-branch contract.
+    """
+    n = F.length(col)
+    braces = F.length(col) - F.length(F.regexp_replace(col, r"[{}()\[\]]", ""))
+    semis = F.length(col) - F.length(F.regexp_replace(col, ";", ""))
+    ops2 = (
+        F.length(col) - F.length(F.regexp_replace(col, r"==|=>|->|::|:=|!=", ""))
+    ) / 2
+    camel = F.size(F.split(col, r"[a-z][A-Z]")) - 1
+    symbols = braces + semis + ops2.cast("long")
+    return {
+        "n_chars": n.cast("long"),
+        "n_braces": braces.cast("long"),
+        "n_semicolons": semis.cast("long"),
+        "n_operators": ops2.cast("long"),
+        "n_camel": camel.cast("long"),
+        "symbol_per_kchar": F.round(
+            symbols * F.lit(1000.0) / F.greatest(n, F.lit(1)), 6
+        ),
+        "is_codey": (
+            symbols * 1000 > F.lit(15) * n
+        ).cast("long"),
+    }

@@ -267,3 +267,40 @@ class TestTileStats:
             sha.setdefault(r["tile_sha256"], set()).add(r["url"])
         shared = [k for k, v in sha.items() if v == {"v1", "v2"}]
         assert len(shared) == 1  # exactly the common first tile
+
+
+class TestCodeFeatures:
+    def _run(self, spark, text):
+        df = spark.createDataFrame([(0, text)], "id int, text string")
+        feats = tf.code_features(F.col("text"))
+        return df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+
+    def test_code_snippet_counts_and_verdict(self, spark):
+        r = self._run(spark, "def f(a) { if (a != b) { return x[0] == y; }; }")
+        assert r["n_braces"] == 10  # ()(){}{}[] + closing braces
+        assert r["n_semicolons"] == 2
+        assert r["n_operators"] == 2  # != and ==
+        assert r["is_codey"] == 1
+
+    def test_prose_is_not_codey(self, spark):
+        r = self._run(
+            spark,
+            "the quick brown fox jumps over the lazy dog and keeps running",
+        )
+        assert r["n_braces"] == 0 and r["n_semicolons"] == 0
+        assert r["is_codey"] == 0 and r["symbol_per_kchar"] == 0.0
+
+    def test_camel_transitions(self, spark):
+        r = self._run(spark, "camelCaseVar and fooBarBaz")
+        # camelCase transitions: lC, eV | oB, rB
+        assert r["n_camel"] == 4
+
+    def test_boundary_is_strict_integer(self, spark):
+        # exactly 1.5% symbol density must NOT trip the > gate:
+        # 3 symbols in 200 chars -> 3*1000 == 15*200
+        text = ";;;" + "a" * 197
+        r = self._run(spark, text)
+        assert r["n_chars"] == 200 and r["n_semicolons"] == 3
+        assert r["is_codey"] == 0
+        r2 = self._run(spark, ";;;;" + "a" * 196)
+        assert r2["is_codey"] == 1
