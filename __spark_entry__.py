@@ -4785,6 +4785,74 @@ def q_rel_sequential_patterns(spark, sf_dir):
     )
 
 
+def q_kg_alias_census(spark, sf_dir):
+    """Alias-dictionary audit: per concept, how many DISTINCT surface
+    forms and extraction origins collapse into it (plus mention/chunk
+    mass) — the census an entity-linking alias table is built from
+    and reviewed against (a concept with many surfaces is a linking
+    hub; one surface per concept means the lemma normalizer is doing
+    nothing).  One (concept)-keyed hash agg over the mention table."""
+    m = q_kg_mentions(spark, sf_dir)
+    return (
+        m.groupBy("concept_id")
+        .agg(
+            F.min("lemma").alias("lemma"),
+            F.count_distinct("surface").cast("long").alias("n_surfaces"),
+            F.count_distinct("origin").cast("long").alias("n_origins"),
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.count_distinct("chunk_id").cast("long").alias("n_chunks"),
+        )
+        .orderBy("concept_id")
+    )
+
+
+def q_rel_pareto_coverage(spark, sf_dir):
+    """Pareto concentration of event volume: the minimum number of
+    top users covering 50/80/90% of all events — the 80/20 ops
+    number next to rel_gini's scalar.  One per-user agg + one ranked
+    cumulative window over |users| narrow rows; the coverage test is
+    CROSS-MULTIPLIED in integers (cum*100 >= t*total), and the
+    reported row per threshold is a MIN(rank) aggregate, never a
+    float comparison or a second sort."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.window import Window
+
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.orderBy(F.desc("cnt"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "user_id")).alias("rank"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    total_users = per.count()
+    total = per.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    hit = (
+        ranked.select(
+            "*",
+            F.explode(
+                F.array(F.lit(50), F.lit(80), F.lit(90))
+            ).alias("threshold_pct"),
+        )
+        .where(F.col("cum") * 100 >= F.col("threshold_pct") * F.lit(total))
+        .groupBy("threshold_pct")
+        .agg(F.min("rank").cast("long").alias("n_users"))
+    )
+    cov = ranked.select(F.col("rank").alias("n_users"), F.col("cum").alias("events_covered"))
+    return (
+        hit.join(F.broadcast(cov), "n_users")
+        .select(
+            "threshold_pct",
+            "n_users",
+            F.col("events_covered").cast("long").alias("events_covered"),
+            F.round(F.col("n_users") / F.lit(float(total_users)), 6).alias("user_frac"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5099,6 +5167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wu_palmer": q_kg_wu_palmer,
         "txt_code_detection": q_txt_code_detection,
         "rel_sequential_patterns": q_rel_sequential_patterns,
+        "kg_alias_census": q_kg_alias_census,
+        "rel_pareto_coverage": q_rel_pareto_coverage,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8156,6 +8226,32 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # alias census: one concept-keyed agg over mentions
+        "kg_alias_census": f"""WITH {MENTIONS_CTE}
+SELECT concept_id, MIN(lemma) AS lemma,
+       CAST(COUNT(DISTINCT surface) AS BIGINT) AS n_surfaces,
+       CAST(COUNT(DISTINCT origin) AS BIGINT) AS n_origins,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks
+FROM mentions GROUP BY concept_id ORDER BY concept_id""",
+        # pareto: ranked cumulative + integer cross-multiplied
+        # coverage test, MIN(rank) per threshold
+        "rel_pareto_coverage": """
+WITH pper AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id),
+ptot AS (SELECT SUM(cnt) AS total, CAST(COUNT(*) AS BIGINT) AS n_users_total FROM pper),
+prank AS (SELECT cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank,
+                 SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM pper),
+phit AS (SELECT t.threshold_pct, CAST(MIN(r.rank) AS BIGINT) AS n_users
+         FROM prank r, (SELECT unnest([50, 80, 90]) AS threshold_pct) t, ptot
+         WHERE r.cum * 100 >= t.threshold_pct * ptot.total
+         GROUP BY t.threshold_pct)
+SELECT h.threshold_pct, h.n_users, CAST(r.cum AS BIGINT) AS events_covered,
+       ROUND(CAST(h.n_users AS DOUBLE) / pt.n_users_total, 6) AS user_frac
+FROM phit h JOIN prank r ON r.rank = h.n_users, ptot pt
+ORDER BY h.threshold_pct""",
         # code detection: strip-and-subtract counts, integer verdict;
         # deterministic planted code tail (doc_id < 50) supplies the
         # positive class on this symbol-free prose corpus

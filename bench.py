@@ -328,6 +328,9 @@ def main():
         # round-5 wave 38: code detection + sequence mining
         "txt_code_detection",
         "rel_sequential_patterns",
+        # round-5 wave 39: alias census + pareto coverage
+        "kg_alias_census",
+        "rel_pareto_coverage",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
