@@ -4853,6 +4853,41 @@ def q_rel_pareto_coverage(spark, sf_dir):
     )
 
 
+def q_dd_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: |est - exact| Jaccard error
+    census over ALL LSH candidate pairs (threshold 0 — the index's
+    full candidate stream, not just accepted dups) — the
+    index-quality eval that says whether 32 hashes are enough BEFORE
+    trusting dedup verdicts; the MinHash sibling of sim_recall_at_k.
+    2%-wide error buckets (floor(err*50)); md5 hash family so the
+    oracle replays the whole chain."""
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(d, threshold=0.0, hash_family="md5")
+    exact = dedup.ngram_jaccard_verify(
+        d, pairs.select("a_id", "b_id"), threshold=0.0, shingle_n=3
+    )
+    err = F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6)
+    return (
+        pairs.join(exact, ["a_id", "b_id"])
+        .select(err.alias("err"))
+        .select(F.floor(F.col("err") * 50).cast("int").alias("err_bucket"), "err")
+        .groupBy("err_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
+def q_sim_kcenter_radius(spark, sf_dir):
+    """Coverage audit of the k-center coreset (k=6): the
+    worst-covered point's cosine to its nearest center (= the
+    k-center objective), mean coverage, and the stranded point's id —
+    did the diversity pick actually span the space?"""
+    return similarity.kcenter_coverage(_emb(spark, sf_dir), k=6)
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5169,6 +5204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sequential_patterns": q_rel_sequential_patterns,
         "kg_alias_census": q_kg_alias_census,
         "rel_pareto_coverage": q_rel_pareto_coverage,
+        "dd_minhash_calibration": q_dd_minhash_calibration,
+        "sim_kcenter_radius": q_sim_kcenter_radius,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -5268,6 +5305,7 @@ s{_step} AS (SELECT {_step} AS rank, vec_id, ms AS max_sim, v
         FROM ms{_step} ORDER BY ms, vec_id LIMIT 1),
 sel{_step} AS (SELECT vec_id, v FROM sel{_step - 1}
         UNION ALL SELECT vec_id, v FROM s{_step})"""
+    _kcenter_ctes = _kcenter_sql  # CTE chain reused by the coverage oracle
     _kcenter_sql += (
         "\nSELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,"
         " max_sim FROM ("
@@ -5275,6 +5313,20 @@ sel{_step} AS (SELECT vec_id, v FROM sel{_step - 1}
             f"SELECT rank, vec_id, max_sim FROM s{i}" for i in range(1, 7)
         )
         + ") ORDER BY rank"
+    )
+    _kcenter_radius_sql = (
+        _kcenter_ctes
+        + f""",
+kcov AS (SELECT c.vec_id, MAX(ROUND({_cosv("c.v", "s.v")}, 6)) AS ms
+         FROM base c, sel6 s
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel6)
+         GROUP BY c.vec_id),
+kagg AS (SELECT MIN(ms) AS radius_cos, ROUND(AVG(ms), 6) AS mean_cos,
+                CAST(COUNT(*) AS BIGINT) AS n_covered FROM kcov)
+SELECT CAST(6 AS INT) AS k, a.radius_cos, a.mean_cos, a.n_covered,
+       CAST(MIN(c.vec_id) AS BIGINT) AS worst_id
+FROM kagg a JOIN kcov c ON c.ms = a.radius_cos
+GROUP BY a.radius_cos, a.mean_cos, a.n_covered"""
     )
     punct_ratio = (
         "CASE WHEN length(text) > 0 THEN CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)"
@@ -8226,6 +8278,27 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # minhash calibration: est (sig agreement / 32) vs exact
+        # Jaccard from the SAME shingle relation, error decile census
+        "dd_minhash_calibration": f"""WITH {_MH_CTES},
+xsh AS (SELECT id, s FROM sh GROUP BY id, s),
+xn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM xsh GROUP BY id),
+xint AS (SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+         FROM cand c JOIN xsh a ON a.id = c.a_id
+         JOIN xsh b ON b.id = c.b_id AND b.s = a.s
+         GROUP BY c.a_id, c.b_id),
+xerr AS (SELECT e.a_id, e.b_id,
+                ROUND(ABS(e.est_jaccard
+                  - ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                          / (na.n + nb.n - COALESCE(i.inter, 0)), 6)), 6) AS err
+         FROM est e
+         JOIN xn na ON na.id = e.a_id JOIN xn nb ON nb.id = e.b_id
+         LEFT JOIN xint i ON i.a_id = e.a_id AND i.b_id = e.b_id)
+SELECT CAST(FLOOR(err * 50) AS INT) AS err_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MAX(err), 6) AS max_err
+FROM xerr GROUP BY err_bucket ORDER BY err_bucket""",
+        "sim_kcenter_radius": _kcenter_radius_sql,
         # alias census: one concept-keyed agg over mentions
         "kg_alias_census": f"""WITH {MENTIONS_CTE}
 SELECT concept_id, MIN(lemma) AS lemma,

@@ -331,6 +331,9 @@ def main():
         # round-5 wave 39: alias census + pareto coverage
         "kg_alias_census",
         "rel_pareto_coverage",
+        # round-5 wave 40: index-quality evals
+        "dd_minhash_calibration",
+        "sim_kcenter_radius",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -1772,6 +1772,69 @@ def kcenter_sample(
     return out.orderBy("rank")
 
 
+def kcenter_coverage(
+    embeddings: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage audit of the greedy k-center pick: after
+    :func:`kcenter_sample` selects k centers (same exact trace),
+    every NON-center point scores its cosine to the nearest center —
+    the minimum of those (the worst-covered point) IS the k-center
+    objective in cosine form, the number that says whether the
+    coreset actually spans the space or left a region stranded.
+    Reports (k, radius_cos, mean_cos, n_covered, worst_id); worst_id
+    = MIN id among radius ties (deterministic).
+
+    Same determinism contract as the selection itself: per-center
+    cosines ROUND(·, 6) before the max, so both engines agree on the
+    nearest center and on the radius.
+
+    Scale shape: the selection's k bounded passes + ONE more scan
+    with k literal-center cosines and a 1-row aggregate — no joins,
+    no shuffle beyond the final reduce."""
+    sel = kcenter_sample(embeddings, k=k, id_col=id_col, vec_col=vec_col).collect()
+    ids = [int(r["vec_id"]) for r in sel]
+    spark = embeddings.sparkSession
+    schema = (
+        "k int, radius_cos double, mean_cos double, n_covered bigint, "
+        "worst_id long"
+    )
+    if not ids:
+        return spark.createDataFrame([], schema)
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cmap = {
+        int(r["vec_id"]): [float(x) for x in r["_v"]]
+        for r in vecs.where(F.col("vec_id").isin(ids)).collect()
+    }
+    sims = [
+        F.round(cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in cmap[i]])), 6)
+        for i in ids
+    ]
+    ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    cov = vecs.where(~F.col("vec_id").isin(ids)).select(
+        "vec_id", ms.alias("ms")
+    )
+    a = cov.agg(
+        F.min("ms").alias("radius_cos"),
+        F.round(F.avg("ms"), 6).alias("mean_cos"),
+        F.count(F.lit(1)).cast("long").alias("n_covered"),
+    ).collect()[0]
+    worst = (
+        cov.where(F.col("ms") == F.lit(a["radius_cos"]))
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(k, a["radius_cos"], a["mean_cos"], a["n_covered"], int(worst))],
+        schema,
+    )
+
+
 def cluster_label_purity(
     assignments: DataFrame,
     labels: DataFrame,
