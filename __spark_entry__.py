@@ -4888,6 +4888,29 @@ def q_sim_kcenter_radius(spark, sf_dir):
     return similarity.kcenter_coverage(_emb(spark, sf_dir), k=6)
 
 
+def q_kg_typed_triangles(spark, sf_dir):
+    """Closed typed-triangle census (rel1, rel2, rel3): metapath
+    composition WITH the consequence edge — which relation
+    compositions actually close (taxonomy redundancy, causal
+    inheritance) vs compose-but-never-close (inference
+    opportunities).  Capped-mid guard shared with kg_metapath_counts."""
+    return q.typed_triangle_census(_triples(spark, sf_dir), max_degree=128)
+
+
+def q_rel_scd2_history(spark, sf_dir):
+    """SCD type-2 validity history of each user's props.k tier
+    (k // 25): the gaps-and-islands warehouse pattern — change flag
+    -> running island id -> interval agg -> LEAD closing bound, all
+    on ONE per-user sort; open intervals carry is_current = 1."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tier = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") / F.lit(25)
+    ).cast("int")
+    return ev.scd2_history(e, attr=tier)
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5206,6 +5229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pareto_coverage": q_rel_pareto_coverage,
         "dd_minhash_calibration": q_dd_minhash_calibration,
         "sim_kcenter_radius": q_sim_kcenter_radius,
+        "kg_typed_triangles": q_kg_typed_triangles,
+        "rel_scd2_history": q_rel_scd2_history,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8278,6 +8303,46 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # typed triangles: capped-mid wedge + closing equi-join
+        "kg_typed_triangles": f"""WITH {TRIPLES_CTE},
+tte AS (SELECT DISTINCT subj_id, predicate, obj_id FROM triples),
+ttdeg AS (SELECT id FROM (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      SELECT subj_id AS id FROM tte UNION ALL SELECT obj_id FROM tte) GROUP BY id)
+  WHERE d <= 128),
+ttw AS (SELECT f.subj_id AS x, f.predicate AS rel1, f.obj_id AS mid,
+               s.predicate AS rel2, s.obj_id AS y
+        FROM tte f JOIN ttdeg d ON f.obj_id = d.id
+        JOIN tte s ON s.subj_id = f.obj_id
+        WHERE f.subj_id <> s.obj_id)
+SELECT w.rel1, w.rel2, c.predicate AS rel3,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(COUNT(DISTINCT w.mid) AS BIGINT) AS n_mids
+FROM ttw w JOIN tte c ON c.subj_id = w.x AND c.obj_id = w.y
+GROUP BY w.rel1, w.rel2, c.predicate
+ORDER BY w.rel1, w.rel2, rel3""",
+        # SCD2: change flag -> running island -> interval agg -> LEAD
+        "rel_scd2_history": """
+WITH sbase AS (SELECT user_id AS usr, ts, event_id AS oid,
+                      CAST(json_extract_string(props, '$.k') AS INT) // 25 AS attr_value
+               FROM events),
+sflag AS (SELECT usr, ts, oid, attr_value,
+                 CASE WHEN LAG(attr_value) OVER w IS NULL
+                        OR attr_value <> LAG(attr_value) OVER w THEN 1 ELSE 0 END AS chg
+          FROM sbase WINDOW w AS (PARTITION BY usr ORDER BY ts, oid)),
+sisl AS (SELECT usr, ts, attr_value,
+                SUM(chg) OVER (PARTITION BY usr ORDER BY ts, oid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM sflag),
+sint AS (SELECT usr, island, MIN(attr_value) AS attr_value, MIN(ts) AS valid_from,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM sisl GROUP BY usr, island)
+SELECT usr AS user, attr_value, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY usr ORDER BY valid_from) AS valid_to,
+       n_events,
+       CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY usr ORDER BY valid_from) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM sint ORDER BY user, valid_from""",
         # minhash calibration: est (sig agreement / 32) vs exact
         # Jaccard from the SAME shingle relation, error decile census
         "dd_minhash_calibration": f"""WITH {_MH_CTES},

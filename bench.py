@@ -334,6 +334,9 @@ def main():
         # round-5 wave 40: index-quality evals
         "dd_minhash_calibration",
         "sim_kcenter_radius",
+        # round-5 wave 41: typed triangles + SCD2
+        "kg_typed_triangles",
+        "rel_scd2_history",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

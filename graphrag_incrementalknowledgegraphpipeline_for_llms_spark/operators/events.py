@@ -1106,3 +1106,85 @@ def cusum_changepoints(
         )
         .orderBy("event_type", "day")
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    attr,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of a per-user
+    attribute: consecutive runs of the same ``attr`` value collapse
+    into validity intervals (valid_from, valid_to, is_current) — the
+    gaps-and-islands pattern every warehouse dimension load runs,
+    expressed as change-flag -> running island id -> one interval
+    aggregate -> LEAD for the closing bound.  ``attr`` is a Column
+    evaluated per event (e.g. a JSON field projection), so the
+    change detection happens in the scan stage.
+
+    Deterministic: the per-user order is the (ts, order_col) total
+    order (the markov/attribution tie-break), islands are integer
+    running sums, and intervals carry exact event timestamps.
+
+    Returns (user, attr_value, valid_from, valid_to, n_events,
+    is_current) ordered by (user, valid_from); the open interval has
+    valid_to NULL and is_current = 1.
+
+    Scale shape: everything rides ONE per-user sort — the change
+    flag, the island sum, and (after a (user, island) hash agg
+    shrinks rows to intervals) the LEAD all reuse it; nothing wider
+    than (user, ts, attr) shuffles."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    base = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("oid"),
+        attr.alias("attr_value"),
+    )
+    wo = Window.partitionBy("user").orderBy("ts", "oid")
+    flag = base.select(
+        "user",
+        "ts",
+        "oid",
+        "attr_value",
+        F.when(
+            F.lag("attr_value").over(wo).isNull()
+            | (F.col("attr_value") != F.lag("attr_value").over(wo)),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    flagged = flag.select(
+        "user",
+        "ts",
+        "attr_value",
+        F.sum("chg")
+        .over(
+            Window.partitionBy("user")
+            .orderBy("ts", "oid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    intervals = flagged.groupBy("user", "island").agg(
+        F.min("attr_value").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wi = Window.partitionBy("user").orderBy("valid_from")
+    return (
+        intervals.select(
+            "user",
+            "attr_value",
+            "valid_from",
+            F.lead("valid_from").over(wi).alias("valid_to"),
+            "n_events",
+        )
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("long")
+        )
+        .orderBy("user", "valid_from")
+    )

@@ -4924,3 +4924,62 @@ def wu_palmer_similarity(
         .orderBy(F.desc("score"), "a_id", "b_id")
         .limit(top_k)
     )
+
+
+def typed_triangle_census(triples: DataFrame, max_degree: int = 128) -> DataFrame:
+    """CLOSED typed-triangle census: for every ordered relation
+    triple (r1, r2, r3), how many x -[r1]-> m -[r2]-> y paths are
+    CLOSED by a direct x -[r3]-> y edge — :func:`metapath_counts`'
+    composition signal upgraded with the consequence edge.  The
+    (is_a, is_a, is_a) cell is taxonomy redundancy (what
+    taxonomy_reduction strips); (causes, is_a, causes) is causal
+    inheritance; a cell that composes often but NEVER closes is an
+    inference opportunity, one that always closes is extractor
+    redundancy.
+
+    Same guards as metapath_counts: DISTINCT (s, p, o) edges, mids
+    capped at ``max_degree`` (hub-mediated triangles are vacuous and
+    quadratic) — note x and y stay uncapped, so the closing join is
+    output-bound.  Exact on the capped subgraph.
+
+    -> (rel1, rel2, rel3, n_triangles, n_mids), ordered by the
+    relation triple.
+
+    Scale shape: metapath's capped mid self-join (fan-out <= cap^2
+    per mid) + ONE (x, y)-keyed equi-join against the distinct edge
+    list + a <=|rel|^3-row aggregate."""
+    e = triples.select("subj_id", "predicate", "obj_id").distinct()
+    deg = (
+        e.select(F.col("subj_id").alias("id"))
+        .unionAll(e.select(F.col("obj_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .where(F.col("_d") <= max_degree)
+        .select("id")
+    )
+    first = e.select(
+        F.col("subj_id").alias("x"),
+        F.col("predicate").alias("rel1"),
+        F.col("obj_id").alias("mid"),
+    ).join(deg.withColumnRenamed("id", "mid"), "mid")
+    second = e.select(
+        F.col("subj_id").alias("mid"),
+        F.col("predicate").alias("rel2"),
+        F.col("obj_id").alias("y"),
+    )
+    closing = e.select(
+        F.col("subj_id").alias("x"),
+        F.col("predicate").alias("rel3"),
+        F.col("obj_id").alias("y"),
+    )
+    return (
+        first.join(second, "mid")
+        .where(F.col("x") != F.col("y"))
+        .join(closing, ["x", "y"])
+        .groupBy("rel1", "rel2", "rel3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles"),
+            F.count_distinct("mid").cast("long").alias("n_mids"),
+        )
+        .orderBy("rel1", "rel2", "rel3")
+    )

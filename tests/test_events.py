@@ -892,3 +892,42 @@ class TestCusumChangepoints:
         counts = [10, 11, 9, 10, 10, 9, 11, 10]
         got = ev.cusum_changepoints(self._df(spark, counts), h_mult=3.0).collect()
         assert all(r["shift"] == 0 for r in got)
+
+
+class TestScd2History:
+    def test_runs_collapse_and_intervals(self, spark):
+        rows = [
+            (0, datetime(2024, 1, 1, 10), 1, "e", 1.0, "A"),
+            (1, datetime(2024, 1, 1, 11), 1, "e", 1.0, "A"),
+            (2, datetime(2024, 1, 1, 12), 1, "e", 1.0, "B"),
+            (3, datetime(2024, 1, 1, 13), 1, "e", 1.0, "A"),
+            (4, datetime(2024, 1, 1, 9), 2, "e", 1.0, "Z"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id int, ts timestamp, user_id int, event_type string,"
+            " value double, attr string",
+        )
+        got = ev.scd2_history(df, attr=F.col("attr")).collect()
+        u1 = [r for r in got if r["user"] == 1]
+        assert [r["attr_value"] for r in u1] == ["A", "B", "A"]
+        assert [r["n_events"] for r in u1] == [2, 1, 1]
+        # each interval closes at the next one's open; last is current
+        assert u1[0]["valid_to"] == u1[1]["valid_from"]
+        assert u1[1]["valid_to"] == u1[2]["valid_from"]
+        assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+        assert u1[0]["is_current"] == 0
+        u2 = [r for r in got if r["user"] == 2]
+        assert len(u2) == 1 and u2[0]["is_current"] == 1
+
+    def test_single_run_per_user(self, spark):
+        rows = [
+            (i, datetime(2024, 1, 1, 1 + i), 1, "e", 1.0, "X") for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id int, ts timestamp, user_id int, event_type string,"
+            " value double, attr string",
+        )
+        got = ev.scd2_history(df, attr=F.col("attr")).collect()
+        assert len(got) == 1 and got[0]["n_events"] == 4

@@ -3719,3 +3719,34 @@ class TestWuPalmer:
         # ranking: deepest-lcs pair first
         top = queries.wu_palmer_similarity(isa, top_k=1).collect()[0]
         assert (top["a_id"], top["b_id"]) == ("a", "c")
+
+
+class TestTypedTriangleCensus:
+    def test_hand_motifs(self, spark):
+        t = spark.createDataFrame(
+            [
+                ("a", "causes", "b"),
+                ("b", "is_a", "c"),
+                ("a", "causes", "c"),   # closes (causes, is_a) with causes
+                ("x", "is_a", "y"),
+                ("y", "is_a", "z"),     # open 2-path, never closes
+            ],
+            "subj_id string, predicate string, obj_id string",
+        )
+        got = {
+            (r["rel1"], r["rel2"], r["rel3"]): r["n_triangles"]
+            for r in queries.typed_triangle_census(t).collect()
+        }
+        assert got == {("causes", "is_a", "causes"): 1}
+
+    def test_hub_mid_capped(self, spark):
+        rows = [("s", "is_a", "hub")] + [
+            ("hub", "is_a", f"o{i}") for i in range(5)
+        ] + [("s", "is_a", f"o{i}") for i in range(5)]
+        t = spark.createDataFrame(
+            rows, "subj_id string, predicate string, obj_id string"
+        )
+        full = queries.typed_triangle_census(t, max_degree=128).collect()
+        assert full and full[0]["n_triangles"] == 5
+        capped = queries.typed_triangle_census(t, max_degree=3).collect()
+        assert capped == []
