@@ -4911,6 +4911,20 @@ def q_rel_scd2_history(spark, sf_dir):
     return ev.scd2_history(e, attr=tier)
 
 
+def q_kg_landmark_distances(spark, sf_dir):
+    """Landmark distance-oracle build + quality eval in one pass:
+    4 md5-drawn landmarks, 10 sample endpoints, one multi-source BFS;
+    stretch = est/exact per sample pair (1.0 = landmark on a shortest
+    path, NULL = coverage gap)."""
+    pf = q_kg_pair_freq(spark, sf_dir)
+    und = pf.select(
+        F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")
+    ).unionByName(
+        pf.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
+    )
+    return q.landmark_distance_eval(und, n_landmarks=4, n_samples=10, max_hops=4)
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5231,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kcenter_radius": q_sim_kcenter_radius,
         "kg_typed_triangles": q_kg_typed_triangles,
         "rel_scd2_history": q_rel_scd2_history,
+        "kg_landmark_distances": q_kg_landmark_distances,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8303,6 +8318,41 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # landmark distance oracle: one unrolled multi-source BFS over
+        # landmarks+samples; est = min_l d(a,l)+d(l,b)
+        "kg_landmark_distances": f"""WITH {PAIRS_CTE},
+lund AS MATERIALIZED (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs
+                      UNION SELECT b_id, a_id FROM pairs),
+ladj AS MATERIALIZED (SELECT cid, nbr_id FROM lund WHERE cid <> nbr_id),
+lrank AS (SELECT id, ROW_NUMBER() OVER (ORDER BY md5(id)) AS rn
+          FROM (SELECT DISTINCT cid AS id FROM lund)),
+lsrc AS MATERIALIZED (SELECT id AS s, rn <= 4 AS is_landmark FROM lrank WHERE rn <= 14),
+lv0 AS MATERIALIZED (SELECT s, s AS v, 0 AS d FROM lsrc),
+lvis0 AS MATERIALIZED (SELECT * FROM lv0)"""
+        + "".join(
+            f""",
+lf{k} AS (SELECT DISTINCT x.s, a.nbr_id AS v FROM lv{k - 1} x JOIN ladj a ON a.cid = x.v),
+lv{k} AS MATERIALIZED (SELECT f.s, f.v, {k} AS d FROM lf{k} f
+  ANTI JOIN lvis{k - 1} vv ON f.s = vv.s AND f.v = vv.v),
+lvis{k} AS MATERIALIZED (SELECT * FROM lvis{k - 1} UNION ALL SELECT * FROM lv{k})"""
+            for k in range(1, 5)
+        )
+        + """,
+lsamp AS (SELECT s FROM lsrc WHERE NOT is_landmark),
+lex AS (SELECT x.s AS a_id, x.v AS b_id, CAST(x.d AS INT) AS exact_dist
+        FROM lvis4 x
+        WHERE x.s IN (SELECT s FROM lsamp) AND x.v IN (SELECT s FROM lsamp)
+          AND x.s < x.v),
+llab AS (SELECT x.s AS l, x.v, x.d FROM lvis4 x
+         WHERE x.s IN (SELECT s FROM lsrc WHERE is_landmark)
+           AND x.v IN (SELECT s FROM lsamp)),
+les AS (SELECT la.v AS a_id, lb.v AS b_id, CAST(MIN(la.d + lb.d) AS INT) AS est_dist
+        FROM llab la JOIN llab lb ON la.l = lb.l
+        WHERE la.v < lb.v GROUP BY la.v, lb.v)
+SELECT e.a_id, e.b_id, e.exact_dist, s.est_dist,
+       ROUND(CAST(s.est_dist AS DOUBLE) / e.exact_dist, 6) AS stretch
+FROM lex e LEFT JOIN les s ON e.a_id = s.a_id AND e.b_id = s.b_id
+ORDER BY e.a_id, e.b_id""",
         # typed triangles: capped-mid wedge + closing equi-join
         "kg_typed_triangles": f"""WITH {TRIPLES_CTE},
 tte AS (SELECT DISTINCT subj_id, predicate, obj_id FROM triples),

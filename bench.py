@@ -337,6 +337,8 @@ def main():
         # round-5 wave 41: typed triangles + SCD2
         "kg_typed_triangles",
         "rel_scd2_history",
+        # round-5 wave 42: landmark distance oracle
+        "kg_landmark_distances",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -4983,3 +4983,86 @@ def typed_triangle_census(triples: DataFrame, max_degree: int = 128) -> DataFram
         )
         .orderBy("rel1", "rel2", "rel3")
     )
+
+
+def landmark_distance_eval(
+    und: DataFrame,
+    n_landmarks: int = 4,
+    n_samples: int = 10,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Landmark distance-oracle evaluation (Das Sarma et al. WSDM
+    2010): pick L landmarks, precompute hop distances from each, and
+    answer d(a, b) as min_l d(a, l) + d(l, b) — the sketch that turns
+    web-graph shortest-path queries into two label lookups.  This op
+    BUILDS the label table and MEASURES its quality in one pass: the
+    md5-ranked draw takes the first ``n_landmarks`` nodes as
+    landmarks and the next ``n_samples`` as evaluation endpoints, ONE
+    multi-source BFS covers landmarks and samples together (the
+    Brandes forward machinery — sources ride as a key column, never
+    |S| traversals), exact distances come from the sample sources'
+    own rows, and the stretch column est/exact IS the oracle's
+    quality: 1.0 = a landmark sits on a shortest path, NULL = no
+    common landmark within the hop cap (a coverage gap — add
+    landmarks).
+
+    Returns (a_id, b_id, exact_dist, est_dist, stretch) for sample
+    pairs reachable within ``max_hops``, ordered (a_id, b_id).
+
+    Scale shape: one hop-bounded multi-source BFS (one join + one
+    anti-join per level over (s, v) pairs) + a landmark-keyed label
+    self-join bounded by n_landmarks * n_samples rows."""
+    nodes = und.select(F.col("cid").alias("id")).distinct()
+    ranked = (
+        nodes.select("id", F.md5("id").alias("h"))
+        .orderBy("h")
+        .limit(n_landmarks + n_samples)
+        .collect()
+    )
+    ids = [r["id"] for r in ranked]
+    landmarks, samples = ids[:n_landmarks], ids[n_landmarks:]
+    if not samples:
+        return und.sparkSession.createDataFrame(
+            [], "a_id string, b_id string, exact_dist int, est_dist int, stretch double"
+        )
+    visited = _multi_source_bfs(und, landmarks + samples, max_hops)
+    ex = (
+        visited.where(
+            F.col("s").isin(samples)
+            & F.col("v").isin(samples)
+            & (F.col("s") < F.col("v"))
+        )
+        .select(
+            F.col("s").alias("a_id"),
+            F.col("v").alias("b_id"),
+            F.col("d").cast("int").alias("exact_dist"),
+        )
+    )
+    lab = visited.where(
+        F.col("s").isin(landmarks) & F.col("v").isin(samples)
+    )
+    la = lab.select(
+        F.col("s").alias("l"), F.col("v").alias("a_id"), F.col("d").alias("d1")
+    )
+    lb = lab.select(
+        F.col("s").alias("l"), F.col("v").alias("b_id"), F.col("d").alias("d2")
+    )
+    es = (
+        la.join(lb, "l")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.min(F.col("d1") + F.col("d2")).cast("int").alias("est_dist"))
+    )
+    return (
+        ex.join(es, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            "exact_dist",
+            "est_dist",
+            F.round(
+                F.col("est_dist").cast("double") / F.col("exact_dist"), 6
+            ).alias("stretch"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -3750,3 +3750,62 @@ class TestTypedTriangleCensus:
         assert full and full[0]["n_triangles"] == 5
         capped = queries.typed_triangle_census(t, max_degree=3).collect()
         assert capped == []
+
+
+class TestLandmarkDistanceEval:
+    def test_matches_python_replay(self, spark):
+        import hashlib
+        import random
+        from collections import deque
+
+        rng = random.Random(23)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        present = sorted(adj)
+        ranked = sorted(present, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+        lms, samps = ranked[:3], ranked[3:9]
+
+        def bfs(src, cap=4):
+            d = {src: 0}
+            q = deque([src])
+            while q:
+                u = q.popleft()
+                if d[u] == cap:
+                    continue
+                for w in adj[u]:
+                    if w not in d:
+                        d[w] = d[u] + 1
+                        q.append(w)
+            return d
+
+        dist = {s: bfs(s) for s in lms + samps}
+        want = {}
+        for a in samps:
+            for b in samps:
+                if a >= b or b not in dist[a]:
+                    continue
+                ests = [
+                    dist[l][a] + dist[l][b]
+                    for l in lms
+                    if a in dist[l] and b in dist[l]
+                ]
+                want[(a, b)] = (dist[a][b], min(ests) if ests else None)
+        und = spark.createDataFrame(
+            [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+            "cid string, nbr_id string",
+        )
+        got = {
+            (r["a_id"], r["b_id"]): (r["exact_dist"], r["est_dist"])
+            for r in queries.landmark_distance_eval(
+                und, n_landmarks=3, n_samples=6, max_hops=4
+            ).collect()
+        }
+        assert got == want
+        # the triangle inequality must hold wherever est exists
+        for (a, b), (ex, es) in got.items():
+            if es is not None:
+                assert es >= ex
