@@ -4925,6 +4925,47 @@ def q_kg_landmark_distances(spark, sf_dir):
     return q.landmark_distance_eval(und, n_landmarks=4, n_samples=10, max_hops=4)
 
 
+def q_dd_bloom_fp_rate(spark, sf_dir):
+    """Bloom-filter false-positive calibration: probe 2,000
+    known-ABSENT keys against the document-fingerprint filter and
+    compare the measured FP rate with the closed-form
+    (1 - e^(-kn/m))^k — the sketch-calibration row next to
+    dd_minhash_calibration and sim_recall_at_k (is m=8192 bits
+    actually enough for this key count, measured not assumed).
+    md5 family so the oracle replays the exact bit pattern; theory
+    computed IN-ENGINE from the same literals."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+    d = _docs(spark, sf_dir)
+    keys = d.select(tf.fingerprint(F.col("text")).alias("key")).distinct()
+    keys = dedup.stage_parquet(keys, "bloomfp_keys")
+    n = keys.count()
+    m_words, kk = 256, 4
+    sk = sketches.bloom_build(keys, "key", m_words=m_words, k=kk, hash_family="md5")
+    novel = spark.range(2000).select(
+        F.concat(F.lit("absent|"), F.col("id").cast("string")).alias("key")
+    )
+    probed = sketches.bloom_probe(
+        novel, sk, "key", m_words=m_words, k=kk, hash_family="md5"
+    )
+    m_bits = m_words * 32
+    theory = F.round(
+        F.pow(
+            F.lit(1.0) - F.exp(F.lit(-float(kk) * n / m_bits)), F.lit(float(kk))
+        ),
+        6,
+    )
+    return probed.agg(
+        F.lit(n).cast("long").alias("n_inserted"),
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(kk).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("maybe_present").cast("long").alias("n_false_pos"),
+        F.round(F.sum("maybe_present") / F.count(F.lit(1)), 6).alias("fp_rate"),
+        theory.alias("fp_theory"),
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5246,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_triangles": q_kg_typed_triangles,
         "rel_scd2_history": q_rel_scd2_history,
         "kg_landmark_distances": q_kg_landmark_distances,
+        "dd_bloom_fp_rate": q_dd_bloom_fp_rate,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8318,6 +8360,36 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # bloom FP calibration: same bit pattern as dd_bloom_membership,
+        # 2000 absent probes, theory from the same literals
+        "dd_bloom_fp_rate": f"""
+WITH allkeys AS MATERIALIZED (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS key
+  FROM documents),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM allkeys),
+pos AS MATERIALIZED (
+  {" UNION ALL ".join(f'''SELECT ({_nib32_expr(f"md5('{i}:' || key)")}) % 8192 AS p FROM allkeys''' for i in range(4))}),
+flt AS MATERIALIZED (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1),
+fprobes AS MATERIALIZED (
+  SELECT 'absent|' || CAST(i AS VARCHAR) AS key FROM range(0, 2000) t(i)),
+fpp AS MATERIALIZED (
+  {" UNION ALL ".join(f'''SELECT key, ({_nib32_expr(f"md5('{i}:' || key)")}) % 8192 AS p FROM fprobes''' for i in range(4))}),
+fhits AS (
+  SELECT fpp.key,
+         CASE WHEN f.bits IS NOT NULL
+               AND (f.bits & (CAST(1 AS BIGINT) << CAST(fpp.p % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM fpp LEFT JOIN flt f ON fpp.p // 32 = f.word),
+fmp AS (SELECT key, MIN(hit) AS maybe_present FROM fhits GROUP BY key)
+SELECT nk.n AS n_inserted, CAST(8192 AS BIGINT) AS m_bits, CAST(4 AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(maybe_present) AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(maybe_present) AS DOUBLE) / COUNT(*), 6) AS fp_rate,
+       ROUND(POW(1.0 - EXP((-4.0 * nk.n) / 8192.0), 4.0), 6) AS fp_theory
+FROM fmp, nk GROUP BY nk.n""",
         # landmark distance oracle: one unrolled multi-source BFS over
         # landmarks+samples; est = min_l d(a,l)+d(l,b)
         "kg_landmark_distances": f"""WITH {PAIRS_CTE},

@@ -339,6 +339,8 @@ def main():
         "rel_scd2_history",
         # round-5 wave 42: landmark distance oracle
         "kg_landmark_distances",
+        # round-5 wave 43: bloom FP calibration
+        "dd_bloom_fp_rate",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
