@@ -4966,6 +4966,50 @@ def q_dd_bloom_fp_rate(spark, sf_dir):
     )
 
 
+def q_dd_sketch_accuracy(spark, sf_dir):
+    """Cardinality-sketch accuracy panel: per source, exact distinct
+    count NEXT TO the HLL (p=8) and KMV (k=2048) estimates with their
+    relative errors — the fourth sketch-calibration row (after
+    MinHash error, ANN recall, Bloom FP).  KMV sits in its exact
+    regime here (distinct < k, error 0 by construction — the
+    documented |kmv| < k branch); HLL's ~6.5% p=8 standard error is
+    what the panel actually measures."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import sketches
+
+    d = _docs(spark, sf_dir)
+    exact = d.groupBy("source").agg(
+        F.count_distinct("text").cast("long").alias("exact_distinct")
+    )
+    hll = sketches.hll_estimate(
+        sketches.hll_sketch(d, "text", ["source"], p=8, hash_family="md5"),
+        group_cols=["source"],
+    ).select("source", F.col("est_distinct").alias("hll_est"))
+    kmv = sketches.kmv_estimate(
+        sketches.kmv_sketch(d, "text", group_cols=["source"], k=2048), k=2048
+    ).select("source", F.col("distinct_est").alias("kmv_est"))
+    return (
+        exact.join(hll, "source")
+        .join(kmv, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "hll_est",
+            F.round(
+                F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("hll_rel_err"),
+            "kmv_est",
+            F.round(
+                F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("kmv_rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_sim_cluster_purity(spark, sf_dir):
     """Per-cluster label purity of the oracled k-means (k=8, 2
     rounds) against the embedding table's ground-truth label — the
@@ -5288,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scd2_history": q_rel_scd2_history,
         "kg_landmark_distances": q_kg_landmark_distances,
         "dd_bloom_fp_rate": q_dd_bloom_fp_rate,
+        "dd_sketch_accuracy": q_dd_sketch_accuracy,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8360,6 +8405,33 @@ SELECT predicate, confidence, CAST(COUNT(*) AS BIGINT) AS n_assertions,
        CAST(COUNT(DISTINCT (subj_id, obj_id)) AS BIGINT) AS n_triples,
        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (subj_id, obj_id)), 6) AS assertions_per_triple
 FROM triples GROUP BY predicate, confidence ORDER BY predicate, confidence""",
+        # sketch accuracy panel: exact vs HLL vs KMV per source (KMV
+        # exact below k by construction — the |kmv| < k branch)
+        "dd_sketch_accuracy": f"""
+WITH sax AS (SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+             FROM documents GROUP BY source),
+sah AS (SELECT source, ({_nib32_expr("md5(text)")}) AS h32 FROM documents),
+sareg AS (SELECT source, h32 // 16777216 AS bucket,
+          CASE WHEN h32 % 16777216 = 0 THEN 25
+               ELSE 25 - length(bin(h32 % 16777216)) END AS rho
+          FROM sah),
+sask AS (SELECT source, bucket, MAX(rho) AS rho FROM sareg GROUP BY source, bucket),
+saagg AS (SELECT source, COUNT(*) AS n_present,
+          SUM(1 << (25 - rho)) AS s_present FROM sask GROUP BY source),
+sae AS (SELECT source, 256 - n_present AS v_zero,
+        {0.7213 / (1 + 1.079 / 256) * 256 * 256 * (1 << 25)!r}
+          / (s_present + (256 - n_present) * 33554432) AS e_raw
+        FROM saagg),
+sahll AS (SELECT source,
+          ROUND(CASE WHEN e_raw <= 640.0 AND v_zero > 0
+                THEN 256.0 * ln(256 / v_zero) ELSE e_raw END, 6) AS hll_est
+          FROM sae)
+SELECT x.source, x.exact_distinct, h.hll_est,
+       ROUND(ABS(h.hll_est - x.exact_distinct) / x.exact_distinct, 6) AS hll_rel_err,
+       ROUND(CAST(x.exact_distinct AS DOUBLE), 3) AS kmv_est,
+       0.0 AS kmv_rel_err
+FROM sax x JOIN sahll h ON x.source = h.source
+ORDER BY x.source""",
         # bloom FP calibration: same bit pattern as dd_bloom_membership,
         # 2000 absent probes, theory from the same literals
         "dd_bloom_fp_rate": f"""

@@ -341,6 +341,7 @@ def main():
         "kg_landmark_distances",
         # round-5 wave 43: bloom FP calibration
         "dd_bloom_fp_rate",
+        "dd_sketch_accuracy",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
