@@ -766,6 +766,26 @@ h{iters}n AS (SELECT f.id, f.raw / nn.nrm AS h FROM hf f CROSS JOIN (SELECT sqrt
 _HITS_CTES = _hits_ctes(8)
 
 
+def _eig_ctes(iters: int = 8) -> str:
+    # mirrors queries.eigenvector_centrality: raw power-iteration
+    # rounds over the undirected co-occurrence view (linear, so L2
+    # normalization moves to the very end — the HITS finding), one
+    # join + one cid-keyed SUM per round.  Every node of `und` has
+    # >=1 neighbor (edge-derived view), so no zero-fill mid-loop.
+    # MATERIALIZED for the same CTE-inlining reason as _hits_ctes.
+    s = """eund AS MATERIALIZED (SELECT DISTINCT a_id AS cid, b_id AS nbr_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+ex0 AS (SELECT DISTINCT cid AS id, CAST(1.0 AS DOUBLE) AS x FROM eund)"""
+    for i in range(1, iters + 1):
+        s += f""",
+ex{i} AS MATERIALIZED (SELECT u.cid AS id, SUM(x.x) AS x FROM eund u JOIN ex{i - 1} x ON u.nbr_id = x.id GROUP BY u.cid)"""
+    s += f""",
+exn AS (SELECT f.id, f.x / nn.nrm AS score FROM ex{iters} f CROSS JOIN (SELECT sqrt(SUM(x * x)) AS nrm FROM ex{iters}) nn)"""
+    return s
+
+
+_EIG_CTES = _eig_ctes(8)
+
+
 def _katz_ctes(iters: int = 8, alpha: str = "0.1", beta: str = "1.0") -> str:
     # mirrors queries.katz_centrality: x0 = beta, each round ONE
     # join + ONE dst-keyed SUM, then x = beta + alpha * inflow with a
@@ -2315,6 +2335,16 @@ def q_kg_hits(spark, sf_dir):
         iters=8,
         top_k=20,
     )
+
+
+def q_kg_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (8 power-iteration rounds, end-L2-norm)
+    over the undirected co-occurrence concept graph, top 20 — the
+    dense-core influence reading that PageRank's 1/deg split dampens;
+    completes the centrality panel (pagerank / katz / hits / harmonic
+    / betweenness / eccentricity).  DuckDB oracle unrolls the 8
+    rounds as MATERIALIZED CTEs."""
+    return q.eigenvector_centrality(_kg_cooccur_und(spark, sf_dir), iters=8, top_k=20)
 
 
 def q_kg_drift_search(spark, sf_dir):
@@ -5333,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_landmark_distances": q_kg_landmark_distances,
         "dd_bloom_fp_rate": q_dd_bloom_fp_rate,
         "dd_sketch_accuracy": q_dd_sketch_accuracy,
+        "kg_eigenvector": q_kg_eigenvector,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7771,6 +7802,9 @@ GROUP BY c.cohort, a.p - c.cohort ORDER BY cohort, week_offset""",
 SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
 FROM a8n a JOIN h8n h ON a.id = h.id
 ORDER BY auth DESC, a.id LIMIT 20""",
+        "kg_eigenvector": f"""WITH {PAIRS_CTE},
+{_EIG_CTES}
+SELECT id, ROUND(score, 6) AS score FROM exn ORDER BY score DESC, id LIMIT 20""",
         "kg_spam_mass": _spam_sql,
         "rel_stickiness": """
 WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u

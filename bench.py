@@ -342,6 +342,8 @@ def main():
         # round-5 wave 43: bloom FP calibration
         "dd_bloom_fp_rate",
         "dd_sketch_accuracy",
+        # round-5 wave 45: eigenvector centrality (centrality panel)
+        "kg_eigenvector",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -2588,6 +2588,72 @@ def hits(
     )
 
 
+def eigenvector_centrality(
+    und: DataFrame,
+    iters: int = 8,
+    top_k: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1987) over an undirected
+    ``(cid, nbr_id)`` view by power iteration: x0 = 1, each round
+    x(v) = Σ x(u) over v's neighbors — the influence measure where a
+    node is central in proportion to how central its neighbors are,
+    WITHOUT PageRank's teleport smoothing or degree division.  On the
+    co-occurrence concept graph it surfaces the dense-core concepts
+    (the hub cluster PageRank's 1/deg split deliberately dampens),
+    the complement reading to :func:`pagerank_und` / :func:`katz
+    <katz_centrality>` in the centrality panel.  Returns
+    ``(id, score)`` L2-normalized, rounded to 6 dp, score desc / id,
+    top-k.
+
+    Scale shape: identical to :func:`hits` — adjacency materialized
+    once (localCheckpoint) at a size-derived partition count, each
+    round ONE equi-join + ONE hash aggregate, lineage truncated every
+    ``checkpoint_every`` rounds.  Power iteration is LINEAR, so the
+    per-round L2 normalization the textbook writes only rescales —
+    normalizing ONCE at the end yields the identical direction and
+    removes a 1-row aggregate per round (the measured HITS finding).
+    Numerically: scores stay exact integers in double (x0 = 1, each
+    round integer sum-of-integers) until they pass 2^53, which needs
+    max-degree^iters beyond ~9e15 — at that point the end-norm ratio
+    is still stable to far more than the 6 rounded dp.  Every node of
+    ``und`` has ≥1 neighbor by construction (edge-derived view), so
+    no zero-fill join is needed mid-loop.
+
+    Semantics caveat (documented, same as the LPA oscillation note):
+    on a BIPARTITE component the adjacency spectrum is symmetric
+    (±λ1), so fixed-iteration power iteration reflects the round-
+    count parity rather than converging — the output is defined as
+    "the normalized iterate after ``iters`` rounds", deterministic
+    and oracle-matched.  Real co-occurrence graphs are triangle-rich
+    (non-bipartite), where the iteration converges geometrically."""
+    sc = und.sparkSession.sparkContext
+    und = und.select("cid", "nbr_id").distinct().localCheckpoint(eager=True)
+    n_edges = und.count()
+    parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
+    und = und.coalesce(parts)
+    x = und.select(F.col("cid").alias("id")).distinct().withColumn(
+        "x", F.lit(1.0)
+    )
+    for i in range(iters):
+        x = (
+            und.join(x.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            .groupBy(F.col("cid").alias("id"))
+            .agg(F.sum("x").alias("x"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            x = x.coalesce(parts).localCheckpoint(eager=True)
+    # end-of-iteration L2 norm: one bounded 1-row collect folded back
+    # as a literal (the HITS/BM25 scalar pattern — a crossJoin of the
+    # 1-row agg would plan as a nested-loop join)
+    nrm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n")).collect()[0]["n"]
+    return (
+        x.select("id", F.round(F.col("x") / F.lit(nrm), 6).alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(top_k)
+    )
+
+
 def fastrp_embeddings(
     und: DataFrame,
     dims: int = 8,

@@ -3809,3 +3809,50 @@ class TestLandmarkDistanceEval:
         for (a, b), (ex, es) in got.items():
             if es is not None:
                 assert es >= ex
+
+
+class TestEigenvectorCentrality:
+    def test_matches_numpy_power_iteration(self, spark):
+        got = {
+            r["id"]: r["score"]
+            for r in queries.eigenvector_centrality(
+                _und_df(spark, EDGES), iters=8, top_k=100
+            ).collect()
+        }
+        sym = set(EDGES) | {(b, a) for a, b in EDGES}
+        nodes = sorted({a for a, _ in sym})
+        idx = {v: i for i, v in enumerate(nodes)}
+        x = np.ones(len(nodes))
+        for _ in range(8):
+            nxt = np.zeros(len(nodes))
+            for a, b in sym:
+                nxt[idx[a]] += x[idx[b]]
+            x = nxt
+        x = x / np.sqrt((x * x).sum())
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert abs(got[v] - round(x[idx[v]], 6)) < 1e-9, v
+
+    def test_star_center_dominates(self, spark):
+        # star K1,4 is bipartite (eigenvalues ±2), so EVEN round
+        # counts land on the parity where hub == leaf — odd iters
+        # show the hub strictly above every leaf, leaves tied by
+        # symmetry (the same parity caveat the LPA docstring carries)
+        star = [("hub", f"l{i}") for i in range(4)]
+        got = {
+            r["id"]: r["score"]
+            for r in queries.eigenvector_centrality(
+                _und_df(spark, star), iters=7, top_k=100
+            ).collect()
+        }
+        leaves = {got[f"l{i}"] for i in range(4)}
+        assert len(leaves) == 1
+        assert got["hub"] > leaves.pop()
+
+    def test_top_k_ordering(self, spark):
+        out = queries.eigenvector_centrality(
+            _und_df(spark, EDGES), iters=8, top_k=3
+        ).collect()
+        assert len(out) == 3
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
