@@ -2337,6 +2337,76 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_kg_graph_growth(spark, sf_dir):
+    """Temporal KG-growth panel over per-minute crawl buckets — per bucket the
+    NEW concepts / co-occurrence edges (first-seen bucket), running
+    cumulative totals, and the densification ratio cum_edges/cum_nodes
+    (the Leskovec et al. 2005 densification-law probe).  The evolution
+    dashboard an INCREMENTAL crawl pipeline watches: a bend in the
+    new-node curve is a crawl-frontier change, a densification jump is
+    a template/boilerplate source flooding the graph.  Crawl hour is
+    derived from the deterministic warc_ts ramp (epoch + doc_id, the
+    dd_url_dedup convention); the 60 s bucket width is a literal in
+    the query — widen to hours/days at production crawl rates, the
+    plan shape is identical.
+
+    Scale shape: two first-seen hash aggregates (concept-keyed,
+    pair-keyed — the same shuffle keys the KG build already uses),
+    then the cumulative window runs over the BUCKET-level aggregate:
+    O(buckets) rows (a decade of hourly buckets is ~10^5 rows), so the
+    unpartitioned running-sum window is bounded by construction, never
+    by corpus size."""
+    h_expr = lambda c: F.floor(F.col(c).cast("long") / F.lit(60)).alias("h")
+    m = q_kg_mentions(spark, sf_dir)
+    nn = (
+        m.select("concept_id", h_expr("chunk_id"))
+        .groupBy("concept_id")
+        .agg(F.min("h").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("new_nodes"))
+    )
+    p = q_kg_pairs(spark, sf_dir)
+    ee = (
+        p.where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", h_expr("window_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.min("h").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("new_edges"))
+    )
+    hs = nn.select("h").unionByName(ee.select("h")).distinct()
+    j = (
+        hs.join(nn, "h", "left")
+        .join(ee, "h", "left")
+        .select(
+            "h",
+            F.coalesce("new_nodes", F.lit(0)).alias("new_nodes"),
+            F.coalesce("new_edges", F.lit(0)).alias("new_edges"),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        j.select(
+            "h",
+            "new_nodes",
+            "new_edges",
+            F.sum("new_nodes").over(w).alias("cum_nodes"),
+            F.sum("new_edges").over(w).alias("cum_edges"),
+        )
+        .select(
+            "h",
+            "new_nodes",
+            "new_edges",
+            "cum_nodes",
+            "cum_edges",
+            F.round(
+                F.col("cum_edges").cast("double") / F.col("cum_nodes"), 6
+            ).alias("densification"),
+        )
+        .orderBy("h")
+    )
+
+
 def q_kg_eigenvector(spark, sf_dir):
     """Eigenvector centrality (8 power-iteration rounds, end-L2-norm)
     over the undirected co-occurrence concept graph, top 20 — the
@@ -5364,6 +5434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_bloom_fp_rate": q_dd_bloom_fp_rate,
         "dd_sketch_accuracy": q_dd_sketch_accuracy,
         "kg_eigenvector": q_kg_eigenvector,
+        "kg_graph_growth": q_kg_graph_growth,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7805,6 +7876,23 @@ ORDER BY auth DESC, a.id LIMIT 20""",
         "kg_eigenvector": f"""WITH {PAIRS_CTE},
 {_EIG_CTES}
 SELECT id, ROUND(score, 6) AS score FROM exn ORDER BY score DESC, id LIMIT 20""",
+        "kg_graph_growth": f"""WITH {PAIRS_CTE},
+nf AS (SELECT concept_id, MIN(CAST(FLOOR(CAST(chunk_id AS BIGINT) / 60) AS BIGINT)) AS h
+       FROM mentions GROUP BY concept_id),
+gnn AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS new_nodes FROM nf GROUP BY h),
+ef AS (SELECT a_id, b_id, MIN(CAST(FLOOR(CAST(window_id AS BIGINT) / 60) AS BIGINT)) AS h
+       FROM pairs WHERE a_id <> b_id GROUP BY a_id, b_id),
+gee AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS new_edges FROM ef GROUP BY h),
+ghs AS (SELECT h FROM gnn UNION SELECT h FROM gee),
+gj AS (SELECT ghs.h, CAST(COALESCE(gnn.new_nodes, 0) AS BIGINT) AS new_nodes,
+              CAST(COALESCE(gee.new_edges, 0) AS BIGINT) AS new_edges
+       FROM ghs LEFT JOIN gnn USING (h) LEFT JOIN gee USING (h))
+SELECT h, new_nodes, new_edges,
+       CAST(SUM(new_nodes) OVER (ORDER BY h) AS BIGINT) AS cum_nodes,
+       CAST(SUM(new_edges) OVER (ORDER BY h) AS BIGINT) AS cum_edges,
+       ROUND(CAST(SUM(new_edges) OVER (ORDER BY h) AS DOUBLE)
+             / SUM(new_nodes) OVER (ORDER BY h), 6) AS densification
+FROM gj ORDER BY h""",
         "kg_spam_mass": _spam_sql,
         "rel_stickiness": """
 WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u

@@ -344,6 +344,8 @@ def main():
         "dd_sketch_accuracy",
         # round-5 wave 45: eigenvector centrality (centrality panel)
         "kg_eigenvector",
+        # round-5 wave 46: temporal KG-growth / densification panel
+        "kg_graph_growth",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);
