@@ -2337,6 +2337,15 @@ def q_kg_hits(spark, sf_dir):
     )
 
 
+def q_kg_tie_strength(spark, sf_dir):
+    """Granovetter tie-strength census: per existing co-occurrence
+    edge the triangle support + neighborhood-overlap embeddedness —
+    strong intra-community ties vs support-0 local bridges; the
+    structure-based twin of kg_community_bridges and the adjacent-pair
+    complement of kg_link_prediction."""
+    return q.tie_strength(_kg_cooccur_und(spark, sf_dir), top_k=50)
+
+
 def q_kg_graph_growth(spark, sf_dir):
     """Temporal KG-growth panel over per-minute crawl buckets — per bucket the
     NEW concepts / co-occurrence edges (first-seen bucket), running
@@ -5435,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_sketch_accuracy": q_dd_sketch_accuracy,
         "kg_eigenvector": q_kg_eigenvector,
         "kg_graph_growth": q_kg_graph_growth,
+        "kg_tie_strength": q_kg_tie_strength,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7893,6 +7903,27 @@ SELECT h, new_nodes, new_edges,
        ROUND(CAST(SUM(new_edges) OVER (ORDER BY h) AS DOUBLE)
              / SUM(new_nodes) OVER (ORDER BY h), 6) AS densification
 FROM gj ORDER BY h""",
+        "kg_tie_strength": f"""WITH {PAIRS_CTE},
+te AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a_id, b_id) AS lo, GREATEST(a_id, b_id) AS hi
+  FROM pairs WHERE a_id <> b_id),
+tdeg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+  SELECT lo AS id FROM te UNION ALL SELECT hi FROM te) GROUP BY id),
+ttri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM te e1 JOIN te e2 ON e1.hi = e2.lo
+  JOIN te e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+tsup AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS support FROM (
+  SELECT a AS lo, b AS hi FROM ttri UNION ALL SELECT a, c FROM ttri
+  UNION ALL SELECT b, c FROM ttri) GROUP BY lo, hi)
+SELECT te.lo AS a_id, te.hi AS b_id, da.d AS degree_a, db.d AS degree_b,
+       CAST(COALESCE(tsup.support, 0) AS BIGINT) AS common_nbrs,
+       ROUND(CASE WHEN da.d + db.d - 2 - COALESCE(tsup.support, 0) = 0 THEN 0.0
+             ELSE CAST(COALESCE(tsup.support, 0) AS DOUBLE)
+                  / (da.d + db.d - 2 - COALESCE(tsup.support, 0)) END, 6) AS embeddedness
+FROM te JOIN tdeg da ON te.lo = da.id JOIN tdeg db ON te.hi = db.id
+LEFT JOIN tsup ON te.lo = tsup.lo AND te.hi = tsup.hi
+ORDER BY embeddedness DESC, a_id, b_id LIMIT 50""",
         "kg_spam_mass": _spam_sql,
         "rel_stickiness": """
 WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u

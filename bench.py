@@ -346,6 +346,8 @@ def main():
         "kg_eigenvector",
         # round-5 wave 46: temporal KG-growth / densification panel
         "kg_graph_growth",
+        # round-5 wave 47: Granovetter tie-strength census
+        "kg_tie_strength",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -1137,6 +1137,72 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     return sides.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("support"))
 
 
+def tie_strength(und: DataFrame, top_k: int = 50) -> DataFrame:
+    """Granovetter tie-strength census over the EXISTING co-occurrence
+    edges (Granovetter 1973; Onnela et al. 2007's neighborhood-overlap
+    operationalization): per edge the common-neighbor count (triangle
+    support) and embeddedness = |N(a)∩N(b)| / |N(a)∪N(b)∖{a,b}| —
+    the adjacent-pair complement of :func:`link_prediction` (which
+    scores NON-adjacent pairs).  Embedded edges are intra-community
+    "strong ties" a GraphRAG context pruner should keep; support-0
+    edges are local bridges (the weak ties that carry cross-community
+    reach, the structure-based twin of the label-based
+    kg_community_bridges).  Returns (a_id, b_id, degree_a, degree_b,
+    common_nbrs, embeddedness) rounded to 6 dp, embeddedness desc /
+    a_id / b_id, top-k — a deterministic total order.
+
+    Scale shape: one canonical edge materialization (localCheckpoint,
+    reused by the degree agg, the wedge join, and the final join),
+    triangle support via the same degree-oriented wedge join as
+    :func:`triangle_counts` (oriented out-degree O(sqrt(m)) caps hub
+    wedges), then two broadcast-shaped degree joins + one left join —
+    all key-partitioned equi-joins.  Degree-1–degree-1 edges have an
+    empty neighborhood union; embeddedness is defined 0.0 there."""
+    edges = (
+        und.select(
+            F.least("cid", "nbr_id").alias("lo"),
+            F.greatest("cid", "nbr_id").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("lo").alias("id"))
+        .unionAll(edges.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sup = _edge_support(edges)
+    j = (
+        edges.join(deg.select(F.col("id").alias("lo"), F.col("d").alias("degree_a")), "lo")
+        .join(deg.select(F.col("id").alias("hi"), F.col("d").alias("degree_b")), "hi")
+        .join(sup, ["lo", "hi"], "left")
+        .select(
+            "lo", "hi", "degree_a", "degree_b",
+            F.coalesce("support", F.lit(0)).alias("common_nbrs"),
+        )
+    )
+    den = (
+        F.col("degree_a") + F.col("degree_b") - F.lit(2) - F.col("common_nbrs")
+    )
+    emb = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.col("common_nbrs").cast("double") / den
+    )
+    return (
+        j.select(
+            F.col("lo").alias("a_id"),
+            F.col("hi").alias("b_id"),
+            "degree_a",
+            "degree_b",
+            "common_nbrs",
+            F.round(emb, 6).alias("embeddedness"),
+        )
+        .orderBy(F.desc("embeddedness"), "a_id", "b_id")
+        .limit(top_k)
+    )
+
+
 def ktruss(und: DataFrame, k: int = 12, iters: int = 3) -> DataFrame:
     """Iterated k-truss peeling over the undirected (cid, nbr_id) view:
     each round drops every edge in fewer than k-2 triangles, then

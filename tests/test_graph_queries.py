@@ -3856,3 +3856,36 @@ class TestEigenvectorCentrality:
         assert len(out) == 3
         scores = [r["score"] for r in out]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestTieStrength:
+    # kite + tail: triangles (a,b,c),(b,c,d); (d,e) is a local bridge
+    EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+
+    def test_hand_computed_embeddedness(self, spark):
+        got = {
+            (r["a_id"], r["b_id"]): (
+                r["degree_a"], r["degree_b"], r["common_nbrs"], r["embeddedness"]
+            )
+            for r in queries.tie_strength(_und_df(spark, self.EDGES), top_k=100).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 3, 1, 0.5),
+            ("a", "c"): (2, 3, 1, 0.5),
+            ("b", "c"): (3, 3, 2, 1.0),
+            ("b", "d"): (3, 3, 1, 0.333333),
+            ("c", "d"): (3, 3, 1, 0.333333),
+            ("d", "e"): (3, 1, 0, 0.0),
+        }
+
+    def test_isolated_edge_defined_zero(self, spark):
+        # degree-1 -- degree-1 edge: empty neighborhood union -> 0.0
+        got = queries.tie_strength(_und_df(spark, [("x", "y")]), top_k=10).collect()
+        assert len(got) == 1 and got[0]["embeddedness"] == 0.0
+
+    def test_ordering_and_limit(self, spark):
+        out = queries.tie_strength(_und_df(spark, self.EDGES), top_k=3).collect()
+        assert [r["embeddedness"] for r in out] == sorted(
+            [r["embeddedness"] for r in out], reverse=True
+        )
+        assert len(out) == 3
