@@ -2364,7 +2364,10 @@ def q_kg_graph_growth(spark, sf_dir):
     then the cumulative window runs over the BUCKET-level aggregate:
     O(buckets) rows (a decade of hourly buckets is ~10^5 rows), so the
     unpartitioned running-sum window is bounded by construction, never
-    by corpus size."""
+    by corpus size.  Buckets contributing ZERO novelty are omitted
+    (the panel is sparse in first-seen events — on the 10x replica
+    corpus the row count stays at the novel-content bucket count, not
+    10x, which is the desired output-bounded-by-novelty shape)."""
     h_expr = lambda c: F.floor(F.col(c).cast("long") / F.lit(60)).alias("h")
     m = q_kg_mentions(spark, sf_dir)
     nn = (
