@@ -20,6 +20,9 @@ thin interface:
 9. spec immutability (bucket spec / mor spec cannot silently change)
 10. expire/GC invariants (retained snapshots stay readable, expired
     dirs actually leave the filesystem)
+11. row-level CDC changelog between snapshots (snapshot_diff =
+    create_changelog_view parity: insert/delete/update_before/
+    update_after images, null-bitmap row equality, schema evolution)
 
 Reference parity notes: MERGE ON keys / WHEN MATCHED UPDATE / WHEN NOT
 MATCHED INSERT mirrors the reference's Neo4j MERGE upserts
@@ -255,3 +258,75 @@ class TestExpireAndGc:
             dirs = {os.path.basename(d) for d in glob.glob(os.path.join(catalog.root, "t", "[de]*"))}
             assert dirs == {"d00003", "d00004"}
         assert _rows(catalog.read(spark, "t")) == [(4, "d", 0.5)]
+
+
+class TestSnapshotDiff:
+    """Contract 11: row-level CDC changelog between two snapshots
+    (Iceberg create_changelog_view parity) — exact across MERGE,
+    delete, overwrite, and schema-evolution commits, unlike the
+    append-dirs-only read_version_delta."""
+
+    def test_insert_and_update_images(self, spark, catalog):
+        # both snapshots inside the retention window (GC keeps the
+        # current + previous manifests' dirs — same bound read_as_of
+        # documents)
+        catalog.merge_upsert(
+            spark, "t", _mk(spark, [(1, "a", 0.5), (2, "b", 0.5)]), ["k"]
+        )
+        v1 = catalog.current_version("t")
+        catalog.merge_upsert(
+            spark, "t", _mk(spark, [(2, "B", 0.9), (4, "d", 0.5)]), ["k"]
+        )
+        v2 = catalog.current_version("t")
+        got = sorted(
+            (r["_change_type"], r["k"], r["val"])
+            for r in catalog.snapshot_diff(spark, "t", v1, v2, ["k"]).collect()
+        )
+        assert got == [
+            ("insert", 4, "d"),
+            ("update_after", 2, "B"),
+            ("update_before", 2, "b"),
+        ]
+
+    def test_delete_image(self, spark, catalog):
+        catalog.merge_upsert(
+            spark, "t", _mk(spark, [(1, "a", 0.5), (3, "c", 0.5)]), ["k"]
+        )
+        v1 = catalog.current_version("t")
+        catalog.delete_keys(spark, "t", spark.createDataFrame([(3,)], "k long"))
+        v2 = catalog.current_version("t")
+        got = [
+            (r["_change_type"], r["k"], r["val"])
+            for r in catalog.snapshot_diff(spark, "t", v1, v2, ["k"]).collect()
+        ]
+        assert got == [("delete", 3, "c")]
+
+    def test_identical_snapshots_empty_diff(self, spark, catalog):
+        catalog.overwrite(_mk(spark, [(1, "a", 0.5)]), "t")
+        catalog.append(spark, _mk(spark, [(2, "b", 0.5)]), "t")
+        v = catalog.current_version("t")
+        assert catalog.snapshot_diff(spark, "t", v, v, ["k"]).count() == 0
+
+    def test_null_vs_value_is_an_update(self, spark, catalog):
+        # the null-bitmap guard: NULL -> value must register as update
+        df1 = spark.createDataFrame([(1, None)], "k long, val string")
+        df2 = spark.createDataFrame([(1, "x")], "k long, val string")
+        catalog.overwrite(df1, "t")
+        catalog.overwrite(df2, "t")
+        got = {r["_change_type"] for r in catalog.snapshot_diff(spark, "t", 1, 2, ["k"]).collect()}
+        assert got == {"update_before", "update_after"}
+
+    def test_schema_evolution_diff_is_wellformed(self, spark, catalog):
+        catalog.overwrite(_mk(spark, [(1, "a", 0.5)]), "t")
+        evolved = spark.createDataFrame(
+            [(1, "a", 0.5, "en"), (2, "b", 0.5, "de")],
+            "k long, val string, conf double, lang string",
+        )
+        catalog.overwrite(evolved, "t")
+        diff = catalog.snapshot_diff(spark, "t", 1, 2, ["k"])
+        assert set(diff.columns) == {"_change_type", "k", "val", "conf", "lang"}
+        by = {(r["_change_type"], r["k"]): r["lang"] for r in diff.collect()}
+        # k=1 gained a lang value -> update; k=2 is new
+        assert ("insert", 2) in by and by[("insert", 2)] == "de"
+        assert ("update_before", 1) in by and by[("update_before", 1)] is None
+        assert by[("update_after", 1)] == "en"
