@@ -281,3 +281,83 @@ class TestIncrementalDegreeView:
         assert deg2 == full
         # idempotent when current
         assert ivm.refresh(spark, cat, "uedges", "deg_view", ["src"]) == 0
+
+
+class TestIvmChangelogFold:
+    """The changelog-fold rung (refresh ladder #2): with source_keys,
+    merge/delete/MOR commits fold the signed snapshot_diff changelog
+    instead of rebuilding.  Return-value discriminates the rungs:
+    changelog returns cur - wm, rebuild returns cur."""
+
+    def test_merge_source_folds_changelog_not_rebuild(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.append(spark, _df(spark, [(1, 1.0), (2, 2.0)]), "facts")
+        ivm.refresh(spark, cat, "facts", "by_k", ["k"], "v", source_keys=["k"])
+        # MERGE: update k=2, insert k=3 — a dir-rewriting commit
+        cat.merge_upsert(spark, "facts", _df(spark, [(2, 9.0), (3, 3.0)]), ["k"])
+        folded = ivm.refresh(
+            spark, cat, "facts", "by_k", ["k"], "v", source_keys=["k"]
+        )
+        assert folded == 1  # cur - wm: the changelog rung, not rebuild (=2)
+        got = {
+            (r["k"], r["cnt"], r["sum_value"])
+            for r in ivm.read_view(spark, cat, "by_k").collect()
+        }
+        assert got == {(1, 1, 1.0), (2, 1, 9.0), (3, 1, 3.0)}
+
+    def test_emptied_group_leaves_the_view(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.append(spark, _df(spark, [(1, 1.0), (2, 2.0)]), "facts")
+        ivm.refresh(spark, cat, "facts", "by_k", ["k"], "v", source_keys=["k"])
+        cat.delete_keys(spark, "facts", spark.createDataFrame([(2,)], "k long"))
+        folded = ivm.refresh(
+            spark, cat, "facts", "by_k", ["k"], "v", source_keys=["k"]
+        )
+        assert folded == 1
+        got = {(r["k"], r["cnt"]) for r in ivm.read_view(spark, cat, "by_k").collect()}
+        assert got == {(1, 1)}  # group 2 reached cnt 0 and was dropped
+
+    def test_mor_source_folds_with_keys(self, spark, tmp_path):
+        # the counterpart of TestIvm.test_mor_source_rebuilds_not_folds:
+        # with source_keys the MOR replace/tombstone semantics fold
+        # exactly through the signed changelog
+        cat = ParquetCatalog(str(tmp_path))
+        cat.merge_upsert_mor(
+            spark,
+            "m",
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "b", 2.0)], "k long, val string, v double"
+            ),
+            keys=["k"],
+        )
+        ivm.refresh(spark, cat, "m", "by_k_mor", ["k"], "v", source_keys=["k"])
+        cat.merge_upsert_mor(
+            spark,
+            "m",
+            spark.createDataFrame(
+                [(2, "B9", 9.0), (3, "c", 3.0)], "k long, val string, v double"
+            ),
+            keys=["k"],
+        )
+        folded = ivm.refresh(
+            spark, cat, "m", "by_k_mor", ["k"], "v", source_keys=["k"]
+        )
+        assert folded == 1  # changelog rung (rebuild would return 2)
+        got = {
+            (r["k"], r["cnt"], r["sum_value"])
+            for r in ivm.read_view(spark, cat, "by_k_mor").collect()
+        }
+        assert got == {(1, 1, 1.0), (2, 1, 9.0), (3, 1, 3.0)}
+
+    def test_without_keys_behavior_unchanged(self, spark, tmp_path):
+        cat = ParquetCatalog(str(tmp_path))
+        cat.append(spark, _df(spark, [(1, 1.0)]), "facts")
+        ivm.refresh(spark, cat, "facts", "by_k", ["k"], "v")
+        cat.merge_upsert(spark, "facts", _df(spark, [(1, 5.0)]), ["k"])
+        folded = ivm.refresh(spark, cat, "facts", "by_k", ["k"], "v")
+        assert folded == 2  # rebuild rung: returns cur
+        got = {
+            (r["k"], r["cnt"], r["sum_value"])
+            for r in ivm.read_view(spark, cat, "by_k").collect()
+        }
+        assert got == {(1, 1, 5.0)}
