@@ -337,6 +337,60 @@ class GraphApiService:
             ]
         }
 
+    def graph_changelog(
+        self,
+        table: str = "nodes",
+        v_from: int | None = None,
+        v_to: int | None = None,
+        limit: int = 100,
+    ) -> dict:
+        """GET /v1/graph/changelog — row-level CDC between two
+        snapshots of a graph table (catalog.snapshot_diff; Iceberg
+        create_changelog_view parity): what a batch MERGE actually
+        changed, per _change_type image.  Defaults compare the LAST
+        commit (v_to = current, v_from = v_to - 1) — the audit
+        surface an incremental consumer reads after POST /v1/refresh.
+        Counts are exact; row images are capped at ``limit`` with a
+        ``truncated`` flag (the full feed is the library call)."""
+        if self.catalog is None:
+            raise ValueError("service started without a catalog")
+        from ..operators.graph import EDGE_KEY
+
+        if table not in ("nodes", "edges"):
+            raise KeyError(f"unknown graph table {table!r}")
+        keys = ["label", "id"] if table == "nodes" else list(EDGE_KEY)
+        cur = self.catalog.current_version(table)
+        v_to = cur if v_to is None else v_to
+        v_from = max(1, v_to - 1) if v_from is None else v_from
+        if v_from < 1 or v_to > cur or v_from > v_to:
+            raise KeyError(
+                f"snapshot range [{v_from}, {v_to}] outside 1..{cur}"
+            )
+        diff = self.catalog.snapshot_diff(self.spark, table, v_from, v_to, keys)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in diff.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(counts.values())
+        rows = [
+            {
+                k: (v if isinstance(v, (str, int, float, bool)) or v is None else str(v))
+                for k, v in r.asDict().items()
+            }
+            for r in diff.limit(limit).collect()
+        ]
+        return {
+            "table": table,
+            "from": v_from,
+            "to": v_to,
+            "counts": {
+                t: counts.get(t, 0)
+                for t in ("insert", "delete", "update_before", "update_after")
+            },
+            "changes": rows,
+            "truncated": total > len(rows),
+        }
+
     def graph_stats(self) -> dict:
         """One-row structural summary of the concept graph (cached per
         service instance like the LPA labels — it is a pure function
@@ -739,6 +793,21 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
                 if path == "/v1/graph/stats":
                     return self._send(200, service.graph_stats())
+                if path == "/v1/graph/changelog":
+                    try:
+                        return self._send(
+                            200,
+                            service.graph_changelog(
+                                table=qs.get("table", "nodes"),
+                                v_from=int(qs["from"]) if "from" in qs else None,
+                                v_to=int(qs["to"]) if "to" in qs else None,
+                                limit=int(qs.get("limit", "100")),
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(404, "SNAPSHOT_NOT_FOUND", str(e))
+                    except ValueError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
                 if path == "/v1/graph/features":
                     return self._send(
                         200,

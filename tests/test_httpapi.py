@@ -410,3 +410,79 @@ class TestRefreshEndpoint:
         code, body = _post(base, "/v1/refresh", {"pagesPath": "/nope"})
         assert code == 409
         assert body["error"]["code"] == "NO_CATALOG"
+
+
+class TestChangelogEndpoint:
+    """GET /v1/graph/changelog — snapshot_diff CDC images over the
+    graph tables (create_changelog_view parity at the API surface)."""
+
+    def test_graph_changelog_images_and_counts(self, spark, tmp_path_factory):
+        import datetime
+
+        root = tmp_path_factory.mktemp("api_changelog")
+        cat = ParquetCatalog(str(root / "cat"))
+        n1 = spark.createDataFrame(
+            [("Concept", "c1", "alice"), ("Concept", "c2", "bob")],
+            "label string, id string, name string",
+        )
+        cat.merge_upsert(spark, "nodes", n1, keys=["label", "id"])
+        n2 = spark.createDataFrame(
+            [("Concept", "c2", "bobby"), ("Concept", "c3", "carol")],
+            "label string, id string, name string",
+        )
+        cat.merge_upsert(spark, "nodes", n2, keys=["label", "id"])
+        ts = datetime.datetime(2026, 1, 1)
+        e1 = spark.createDataFrame(
+            [("Concept", "c1", "RELATED_TO", "Concept", "c2", 0.7, ts)],
+            "src_label string, src_id string, rel string, dst_label string,"
+            " dst_id string, confidence double, updated_at timestamp",
+        )
+        cat.merge_upsert(
+            spark, "edges", e1,
+            keys=["src_label", "src_id", "rel", "dst_label", "dst_id"],
+        )
+        e2 = e1.withColumn("confidence", F.lit(0.9))
+        cat.merge_upsert(
+            spark, "edges", e2,
+            keys=["src_label", "src_id", "rel", "dst_label", "dst_id"],
+        )
+        svc = httpapi.GraphApiService(
+            spark, cat.read(spark, "nodes"), cat.read(spark, "edges"),
+            catalog=cat,
+        )
+        srv, port = httpapi.serve_background(svc)
+        base = f"http://127.0.0.1:{port}"
+        try:
+            # default = the last commit (from=1, to=2 here)
+            code, body = _get_raw(base, "/v1/graph/changelog")
+            assert code == 200, body
+            d = body["data"]
+            assert (d["table"], d["from"], d["to"]) == ("nodes", 1, 2)
+            assert d["counts"] == {
+                "insert": 1, "delete": 0,
+                "update_before": 1, "update_after": 1,
+            }
+            by = {(c["_change_type"], c["id"]): c for c in d["changes"]}
+            assert by[("insert", "c3")]["name"] == "carol"
+            assert by[("update_before", "c2")]["name"] == "bob"
+            assert by[("update_after", "c2")]["name"] == "bobby"
+            assert d["truncated"] is False
+            # edges: timestamp column must arrive JSON-stringified
+            code, eb = _get_raw(base, "/v1/graph/changelog?table=edges")
+            assert code == 200
+            ed = eb["data"]
+            assert ed["counts"]["update_after"] == 1
+            assert all(isinstance(c["updated_at"], str) for c in ed["changes"])
+            # limit + truncated flag
+            code, lb = _get_raw(base, "/v1/graph/changelog?limit=1")
+            assert code == 200 and len(lb["data"]["changes"]) == 1
+            assert lb["data"]["truncated"] is True
+            # out-of-range and unknown table -> 404
+            assert _get_raw(base, "/v1/graph/changelog?from=5&to=9")[0] == 404
+            assert _get_raw(base, "/v1/graph/changelog?table=zzz")[0] == 404
+        finally:
+            srv.shutdown()
+
+    def test_changelog_without_catalog_is_400(self, server):
+        base, _ = server
+        assert _get_raw(base, "/v1/graph/changelog")[0] == 400
