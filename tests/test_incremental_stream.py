@@ -183,3 +183,62 @@ def test_stream_heavy_hitters_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert again == want
+
+
+def test_stream_ivm_view_matches_batch_reaggregation(spark, tmp_path):
+    """Two file drops through stream_ivm_view == batch re-aggregation
+    of the merged fact table at every instant; updates RETRACT the
+    replaced row's contribution (the changelog-fold rung live)."""
+    from pyspark.sql import functions as F, types as T
+
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.plans import ivm
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    facts_dir = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)], schema
+    )
+    b1.write.mode("append").parquet(facts_dir)
+    incremental.stream_ivm_view(
+        spark, facts_dir, cat, ckpt,
+        keys=["k"], group_cols=["grp"], value_col="v", schema=schema,
+    ).awaitTermination(300)
+    got1 = {
+        (r["grp"], r["cnt"], r["sum_value"])
+        for r in ivm.read_view(spark, cat, "live_agg").collect()
+    }
+    assert got1 == {("a", 2, 3.0), ("b", 1, 3.0)}
+
+    # batch 2: update k=2 (a -> 9.0), move k=3 to group a, add k=4 in b
+    b2 = spark.createDataFrame(
+        [(2, "a", 9.0), (3, "a", 3.5), (4, "b", 4.0)], schema
+    )
+    b2.write.mode("append").parquet(facts_dir)
+    incremental.stream_ivm_view(
+        spark, facts_dir, cat, ckpt,
+        keys=["k"], group_cols=["grp"], value_col="v", schema=schema,
+    ).awaitTermination(300)
+    got2 = {
+        (r["grp"], r["cnt"], r["sum_value"])
+        for r in ivm.read_view(spark, cat, "live_agg").collect()
+    }
+    full = {
+        (r["grp"], r["cnt"], r["sum_value"])
+        for r in cat.read(spark, "facts")
+        .groupBy("grp")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("sum_value"))
+        .collect()
+    }
+    assert got2 == full == {("a", 3, 13.5), ("b", 1, 4.0)}
