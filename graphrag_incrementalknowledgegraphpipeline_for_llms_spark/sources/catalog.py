@@ -388,6 +388,16 @@ class ParquetCatalog:
                 b = b.withColumn(c, F.lit(None).cast(dict(a.dtypes)[c]))
         a, b = a.select(*all_cols), b.select(*all_cols)
         cmp_cols = sorted(c for c in all_cols if c not in keys)
+        if not cmp_cols:
+            # keys-only table (e.g. a bare edge set): rows are identical
+            # iff the key exists on both sides — no update images possible
+            inserts = b.join(a, keys, "left_anti").select(
+                F.lit("insert").alias("_change_type"), "*"
+            )
+            deletes = a.join(b, keys, "left_anti").select(
+                F.lit("delete").alias("_change_type"), "*"
+            )
+            return inserts.unionByName(deletes).orderBy(*keys, "_change_type")
 
         def _rh(df):
             bitmap = F.concat_ws(

@@ -330,3 +330,16 @@ class TestSnapshotDiff:
         assert ("insert", 2) in by and by[("insert", 2)] == "de"
         assert ("update_before", 1) in by and by[("update_before", 1)] is None
         assert by[("update_after", 1)] == "en"
+
+    def test_keys_only_table_diff(self, spark, catalog):
+        # a bare edge-set table (all columns are the key): no update
+        # images are possible — only insert/delete membership changes
+        e1 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        e2 = spark.createDataFrame([(2, 3), (3, 4)], "src long, dst long")
+        catalog.overwrite(e1, "t")
+        catalog.overwrite(e2, "t")
+        got = sorted(
+            (r["_change_type"], r["src"], r["dst"])
+            for r in catalog.snapshot_diff(spark, "t", 1, 2, ["src", "dst"]).collect()
+        )
+        assert got == [("delete", 1, 2), ("insert", 3, 4)]
