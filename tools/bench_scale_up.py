@@ -58,6 +58,9 @@ QUERIES = [
     "sim_ann_topk",
     "sim_ivf_topk",
     "txt_stats",
+    "kg_eigenvector",
+    "kg_graph_growth",
+    "kg_tie_strength",
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
