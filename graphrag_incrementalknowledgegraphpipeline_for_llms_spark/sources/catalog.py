@@ -439,6 +439,61 @@ class ParquetCatalog:
             .orderBy(*keys, "_change_type")
         )
 
+    def snapshot_history(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: list[str],
+        max_back: int = 10,
+    ) -> list[dict]:
+        """Operational evolution panel: for each retained snapshot the
+        row-level CDC counts of what that commit DID —
+        ``{"version", "insert", "delete", "update"}``, newest first
+        (Iceberg's ``table.history()`` + changelog counts in one
+        call).  Pairs whose compare base fell out of dir retention are
+        reported as ``{"version", "expired": True}`` instead of
+        failing the panel: append-only and MOR-delta tables keep
+        their full dir history (GC removes only superseded dirs), so
+        the chain is complete there; CoW rewrites retain the last
+        pair only — the honest observability bound of the layout.
+        Version 1 is reported as all-insert from its snapshot count.
+
+        The lineage table says what a batch was; this says what it
+        CHANGED — the pair a pipeline operator reads after a refresh.
+        Driver-side cost: one bounded compare per listed version
+        (``max_back`` caps the walk)."""
+        from pyspark.errors import AnalysisException
+
+        cur = self.current_version(name)
+        out: list[dict] = []
+        for v in range(cur, max(0, cur - max_back), -1):
+            row: dict = {"version": v}
+            try:
+                if v == 1:
+                    base = self.read_as_of(spark, name, 1)
+                    row.update(
+                        insert=base.count() if base is not None else 0,
+                        delete=0,
+                        update=0,
+                    )
+                else:
+                    counts = {
+                        r["_change_type"]: r["n"]
+                        for r in self.snapshot_diff(spark, name, v - 1, v, keys)
+                        .groupBy("_change_type")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                    row.update(
+                        insert=counts.get("insert", 0),
+                        delete=counts.get("delete", 0),
+                        update=counts.get("update_after", 0),
+                    )
+            except (AnalysisException, KeyError, FileNotFoundError, OSError):
+                row["expired"] = True
+            out.append(row)
+        return out
+
     def count(self, name: str) -> int:
         """Row count from parquet footers — no Spark job.  PHYSICAL
         rows: on a merge-on-read table with unresolved deltas this

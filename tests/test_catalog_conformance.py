@@ -343,3 +343,24 @@ class TestSnapshotDiff:
             for r in catalog.snapshot_diff(spark, "t", 1, 2, ["src", "dst"]).collect()
         )
         assert got == [("delete", 1, 2), ("insert", 3, 4)]
+
+    def test_snapshot_history_panel(self, spark, catalog):
+        # append-only chain keeps full dir history -> complete panel
+        catalog.append(spark, _mk(spark, [(1, "a", 0.5), (2, "b", 0.5)]), "t")
+        catalog.append(spark, _mk(spark, [(3, "c", 0.5)]), "t")
+        catalog.merge_upsert(spark, "t", _mk(spark, [(3, "C", 0.9)]), ["k"])
+        hist = catalog.snapshot_history(spark, "t", ["k"])
+        assert [h["version"] for h in hist] == [3, 2, 1]
+        by = {h["version"]: h for h in hist}
+        assert by[3] == {"version": 3, "insert": 0, "delete": 0, "update": 1}
+        assert by[2] == {"version": 2, "insert": 1, "delete": 0, "update": 0}
+        assert by[1] == {"version": 1, "insert": 2, "delete": 0, "update": 0}
+
+    def test_snapshot_history_reports_expired_pairs(self, spark, catalog):
+        # three CoW rewrites: only the last pair's dirs survive GC
+        for i, val in enumerate(["a", "b", "c", "d"], start=1):
+            catalog.overwrite(_mk(spark, [(i, val, 0.5)]), "t")
+        hist = catalog.snapshot_history(spark, "t", ["k"])
+        by = {h["version"]: h for h in hist}
+        assert by[4] == {"version": 4, "insert": 1, "delete": 1, "update": 0}
+        assert by[2].get("expired") is True
