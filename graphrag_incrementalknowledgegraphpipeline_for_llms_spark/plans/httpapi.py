@@ -391,6 +391,25 @@ class GraphApiService:
             "truncated": total > len(rows),
         }
 
+    def graph_history(self, table: str = "nodes", max_back: int = 10) -> dict:
+        """GET /v1/graph/history — per-commit CDC evolution panel
+        (catalog.snapshot_history): what each retained snapshot of a
+        graph table changed, newest first; expired pairs flagged, not
+        failed.  The commit-granular companion of /v1/graph/changelog."""
+        if self.catalog is None:
+            raise ValueError("service started without a catalog")
+        from ..operators.graph import EDGE_KEY
+
+        if table not in ("nodes", "edges"):
+            raise KeyError(f"unknown graph table {table!r}")
+        keys = ["label", "id"] if table == "nodes" else list(EDGE_KEY)
+        return {
+            "table": table,
+            "history": self.catalog.snapshot_history(
+                self.spark, table, keys, max_back=max_back
+            ),
+        }
+
     def graph_stats(self) -> dict:
         """One-row structural summary of the concept graph (cached per
         service instance like the LPA labels — it is a pure function
@@ -793,6 +812,19 @@ def make_server(service: GraphApiService, host: str = "127.0.0.1", port: int = 0
                         return self._error(404, "CONCEPT_NOT_FOUND", str(e))
                 if path == "/v1/graph/stats":
                     return self._send(200, service.graph_stats())
+                if path == "/v1/graph/history":
+                    try:
+                        return self._send(
+                            200,
+                            service.graph_history(
+                                table=qs.get("table", "nodes"),
+                                max_back=int(qs.get("maxBack", "10")),
+                            ),
+                        )
+                    except KeyError as e:
+                        return self._error(404, "SNAPSHOT_NOT_FOUND", str(e))
+                    except ValueError as e:
+                        return self._error(400, "BAD_REQUEST", str(e))
                 if path == "/v1/graph/changelog":
                     try:
                         return self._send(

@@ -480,9 +480,22 @@ class TestChangelogEndpoint:
             # out-of-range and unknown table -> 404
             assert _get_raw(base, "/v1/graph/changelog?from=5&to=9")[0] == 404
             assert _get_raw(base, "/v1/graph/changelog?table=zzz")[0] == 404
+            # per-commit evolution panel over the same catalog
+            code, hb = _get_raw(base, "/v1/graph/history")
+            assert code == 200
+            hist = hb["data"]["history"]
+            assert [h["version"] for h in hist] == [2, 1]
+            assert hist[0] == {
+                "version": 2, "insert": 1, "delete": 0, "update": 1,
+            }
+            assert hist[1] == {
+                "version": 1, "insert": 2, "delete": 0, "update": 0,
+            }
+            assert _get_raw(base, "/v1/graph/history?table=zzz")[0] == 404
         finally:
             srv.shutdown()
 
     def test_changelog_without_catalog_is_400(self, server):
         base, _ = server
         assert _get_raw(base, "/v1/graph/changelog")[0] == 400
+        assert _get_raw(base, "/v1/graph/history")[0] == 400
