@@ -367,7 +367,10 @@ class ParquetCatalog:
         null fields; the bitmap keeps NULL ≠ 'null-shaped absence').
         Schema evolution: output carries the UNION of both versions'
         columns (null-filled), so a diff across an add-column commit
-        is well-formed."""
+        is well-formed.  ``keys`` must identify rows uniquely on both
+        sides (the invariant every MERGE-maintained table holds); on
+        a table with duplicate keys the update images multiply
+        per-pair — run the diff on the keyed tables, not raw appends."""
         a = self.read_as_of(spark, name, v_from)
         b = self.read_as_of(spark, name, v_to)
         if a is None and b is None:

@@ -364,3 +364,55 @@ class TestSnapshotDiff:
         by = {h["version"]: h for h in hist}
         assert by[4] == {"version": 4, "insert": 1, "delete": 1, "update": 0}
         assert by[2].get("expired") is True
+
+
+# scenario matrix for the replay test: (rows_v1, rows_v2) over schema
+# (k long, val string, conf double) — nulls, disjoint sets, identical
+# content, all-change, and value-type edges all covered
+_DIFF_SCENARIOS = [
+    # disjoint key sets: pure insert+delete
+    ([(1, "a", 0.1)], [(2, "b", 0.2)]),
+    # identical: empty diff
+    ([(1, "a", 0.1), (2, None, None)], [(1, "a", 0.1), (2, None, None)]),
+    # value change, null->value, value->null
+    (
+        [(1, "a", 0.1), (2, None, 0.2), (3, "c", None)],
+        [(1, "a", 0.9), (2, "x", 0.2), (3, "c", 0.5)],
+    ),
+    # mixed: keep, update, delete, insert
+    (
+        [(1, "a", 0.1), (2, "b", 0.2), (3, "c", 0.3)],
+        [(1, "a", 0.1), (2, "B", 0.2), (4, "d", 0.4)],
+    ),
+    # all rows replaced
+    ([(1, "a", 0.1)], [(1, "z", 0.9)]),
+    # float zero vs null distinction
+    ([(1, "a", 0.0)], [(1, "a", None)]),
+]
+
+
+class TestSnapshotDiffReplay:
+    """snapshot_diff vs an independent pandas replay of the spec over
+    a scenario matrix (the cross-implementation check the single-case
+    image tests can't give)."""
+
+    @pytest.mark.parametrize("v1_rows,v2_rows", _DIFF_SCENARIOS)
+    def test_matches_pandas_replay(self, spark, catalog, v1_rows, v2_rows):
+        catalog.overwrite(_mk(spark, v1_rows), "t")
+        catalog.overwrite(_mk(spark, v2_rows), "t")
+        got = sorted(
+            (r["_change_type"], r["k"], r["val"], r["conf"])
+            for r in catalog.snapshot_diff(spark, "t", 1, 2, ["k"]).collect()
+        )
+        a = {r[0]: r for r in v1_rows}
+        b = {r[0]: r for r in v2_rows}
+        want = []
+        for k in a.keys() - b.keys():
+            want.append(("delete", *a[k]))
+        for k in b.keys() - a.keys():
+            want.append(("insert", *b[k]))
+        for k in a.keys() & b.keys():
+            if a[k] != b[k]:
+                want.append(("update_before", *a[k]))
+                want.append(("update_after", *b[k]))
+        assert got == sorted(want)
