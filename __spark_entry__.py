@@ -4241,6 +4241,48 @@ def q_kg_triple_support(spark, sf_dir):
     )
 
 
+def q_kg_source_reliability(spark, sf_dir):
+    """Per-source trust panel: of the distinct triples each source
+    asserts, how many are CORROBORATED corpus-wide (supported by >= 2
+    distinct chunks) — the provenance-quality ranking that tells a
+    curator which sources mostly contribute single-witness claims.
+    Composes the kg_triple_support census with the chunk->source map:
+    triple-keyed support agg, a chunk->source broadcast-shaped join,
+    then a source-keyed re-agg — ids only, nothing wide shuffles."""
+    t = _triples(spark, sf_dir)
+    sup = t.groupBy("subj_id", "predicate", "obj_id").agg(
+        F.count_distinct("chunk_id").cast("long").alias("support")
+    )
+    ta = t.select("chunk_id", "subj_id", "predicate", "obj_id").distinct()
+    src = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"), "source"
+    )
+    j = (
+        ta.join(src, "chunk_id")
+        .join(sup, ["subj_id", "predicate", "obj_id"])
+        .select("source", "subj_id", "predicate", "obj_id", "support")
+        .distinct()
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.sum(F.when(F.col("support") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("corroborated"),
+        )
+        .select(
+            "source",
+            "n_triples",
+            "corroborated",
+            F.round(
+                F.col("corroborated").cast("double") / F.col("n_triples"), 6
+            ).alias("corroboration_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_kg_concept_roles(spark, sf_dir):
     """Per-concept ROLE profile over the triple store: how often it
     asserts (subject) vs is asserted about (object), how many distinct
@@ -5448,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eigenvector": q_kg_eigenvector,
         "kg_graph_growth": q_kg_graph_growth,
         "kg_tie_strength": q_kg_tie_strength,
+        "kg_source_reliability": q_kg_source_reliability,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7927,6 +7970,20 @@ SELECT te.lo AS a_id, te.hi AS b_id, da.d AS degree_a, db.d AS degree_b,
 FROM te JOIN tdeg da ON te.lo = da.id JOIN tdeg db ON te.hi = db.id
 LEFT JOIN tsup ON te.lo = tsup.lo AND te.hi = tsup.hi
 ORDER BY embeddedness DESC, a_id, b_id LIMIT 50""",
+        "kg_source_reliability": f"""WITH {TRIPLES_CTE},
+srsup AS (SELECT subj_id, predicate, obj_id,
+                 CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS support
+          FROM triples GROUP BY subj_id, predicate, obj_id),
+srta AS (SELECT DISTINCT chunk_id, subj_id, predicate, obj_id FROM triples),
+srsrc AS (SELECT CAST(doc_id AS VARCHAR) AS chunk_id, source FROM documents),
+srj AS (SELECT DISTINCT s.source, ta.subj_id, ta.predicate, ta.obj_id, sup.support
+        FROM srta ta JOIN srsrc s USING (chunk_id)
+        JOIN srsup sup USING (subj_id, predicate, obj_id))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(CASE WHEN support >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS corroborated,
+       ROUND(CAST(SUM(CASE WHEN support >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS corroboration_rate
+FROM srj GROUP BY source ORDER BY source""",
         "kg_spam_mass": _spam_sql,
         "rel_stickiness": """
 WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u

@@ -348,6 +348,8 @@ def main():
         "kg_graph_growth",
         # round-5 wave 47: Granovetter tie-strength census
         "kg_tie_strength",
+        # round-5 wave 54: per-source corroboration trust panel
+        "kg_source_reliability",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

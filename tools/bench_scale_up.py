@@ -61,6 +61,7 @@ QUERIES = [
     "kg_eigenvector",
     "kg_graph_growth",
     "kg_tie_strength",
+    "kg_source_reliability",
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
