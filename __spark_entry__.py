@@ -4241,6 +4241,52 @@ def q_kg_triple_support(spark, sf_dir):
     )
 
 
+def q_kg_evidence_freshness(spark, sf_dir):
+    """Per-predicate evidence-staleness panel for the incremental
+    regime: over distinct (triple, chunk) assertions, each triple's
+    FRESHEST supporting chunk, then per predicate the mean/max
+    staleness (crawl-minutes behind the corpus head, using the
+    deterministic warc_ts ramp = epoch + doc_id) and the share of
+    triples whose freshest evidence is older than 2 minutes of crawl
+    — the "which relation types are going stale" monitor a refresh
+    scheduler reads next to kg_graph_growth.
+
+    Scale shape: triple-keyed MAX agg + predicate-keyed re-agg (the
+    kg_triple_support shuffle profile); the corpus head is one
+    bounded 1-row aggregate folded as a literal."""
+    t = _triples(spark, sf_dir)
+    fresh = t.groupBy("subj_id", "predicate", "obj_id").agg(
+        F.max(F.col("chunk_id").cast("long")).alias("latest")
+    )
+    head = fresh.agg(F.max("latest").alias("h")).collect()[0]["h"]
+    # integer age-seconds aggregated exactly; ONE division per output
+    # column keeps the doubles bit-identical cross-engine
+    age = fresh.select(
+        "predicate", (F.lit(head) - F.col("latest")).alias("age_sec")
+    )
+    return (
+        age.groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.sum("age_sec").alias("_sum_sec"),
+            F.max("age_sec").alias("_max_sec"),
+            F.sum(F.when(F.col("age_sec") > 120, 1).otherwise(0)).alias("_stale"),
+        )
+        .select(
+            "predicate",
+            "n_triples",
+            F.round(
+                F.col("_sum_sec") / (F.lit(60.0) * F.col("n_triples")), 6
+            ).alias("avg_age_min"),
+            F.round(F.col("_max_sec") / F.lit(60.0), 6).alias("max_age_min"),
+            F.round(
+                F.col("_stale").cast("double") / F.col("n_triples"), 6
+            ).alias("stale_share"),
+        )
+        .orderBy("predicate")
+    )
+
+
 def q_kg_source_reliability(spark, sf_dir):
     """Per-source trust panel: of the distinct triples each source
     asserts, how many are CORROBORATED corpus-wide (supported by >= 2
@@ -5491,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_growth": q_kg_graph_growth,
         "kg_tie_strength": q_kg_tie_strength,
         "kg_source_reliability": q_kg_source_reliability,
+        "kg_evidence_freshness": q_kg_evidence_freshness,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -7984,6 +8031,19 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_triples,
        ROUND(CAST(SUM(CASE WHEN support >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS corroboration_rate
 FROM srj GROUP BY source ORDER BY source""",
+        "kg_evidence_freshness": f"""WITH {TRIPLES_CTE},
+effresh AS (SELECT subj_id, predicate, obj_id,
+                   MAX(CAST(chunk_id AS BIGINT)) AS latest
+            FROM triples GROUP BY subj_id, predicate, obj_id),
+efage AS (SELECT predicate,
+                 (SELECT MAX(latest) FROM effresh) - latest AS age_sec
+          FROM effresh)
+SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       ROUND(SUM(age_sec) / (60.0 * COUNT(*)), 6) AS avg_age_min,
+       ROUND(MAX(age_sec) / 60.0, 6) AS max_age_min,
+       ROUND(CAST(SUM(CASE WHEN age_sec > 120 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS stale_share
+FROM efage GROUP BY predicate ORDER BY predicate""",
         "kg_spam_mass": _spam_sql,
         "rel_stickiness": """
 WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u

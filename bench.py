@@ -350,6 +350,8 @@ def main():
         "kg_tie_strength",
         # round-5 wave 54: per-source corroboration trust panel
         "kg_source_reliability",
+        # round-5 wave 55: per-predicate evidence staleness
+        "kg_evidence_freshness",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

@@ -62,6 +62,7 @@ QUERIES = [
     "kg_graph_growth",
     "kg_tie_strength",
     "kg_source_reliability",
+    "kg_evidence_freshness",
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
