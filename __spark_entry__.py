@@ -4241,6 +4241,51 @@ def q_kg_triple_support(spark, sf_dir):
     )
 
 
+def q_dd_simhash_margin(spark, sf_dir):
+    """SimHash threshold-margin calibration — the simhash member of
+    the index-calibration family (MinHash error census, ANN recall,
+    Bloom FP, cardinality sketches): hamming-distance histogram of the
+    CANDIDATE pairs the hamming<=3 gate admits NEXT TO a deterministic
+    BACKGROUND draw (each doc paired with its md5-order successor
+    inside 256 hash buckets — linear, no all-pairs).  Independent
+    64-bit fingerprints concentrate near hamming 32, so the gap
+    between the two histograms IS the evidence the 3-bit gate
+    separates near-dups from noise.
+
+    Scale shape: fingerprints once (no UDF, pure bit math), candidate
+    path identical to dd_simhash, background via a 256-bucket window
+    lead — no global sort, no self-join."""
+    d = _docs_with_dups(spark, sf_dir)
+    cand = (
+        dedup.simhash_near_dup_pairs(d, max_hamming=3, hash_family="md5")
+        .select(
+            F.lit("candidate").alias("population"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+    fps = dedup.simhash(d, hash_family="md5")
+    mk = F.md5(F.col("id").cast("string"))
+    w = Window.partitionBy("bk").orderBy("mk", "id")
+    bg = (
+        fps.select("id", "simhash", mk.alias("mk"))
+        .withColumn("bk", F.substring("mk", 1, 2))
+        .withColumn("nxt", F.lead("simhash").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.lit("background").alias("population"),
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("nxt")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    return (
+        cand.unionByName(bg)
+        .groupBy("population", "hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("population", "hamming")
+    )
+
+
 def q_kg_evidence_freshness(spark, sf_dir):
     """Per-predicate evidence-staleness panel for the incremental
     regime: over distinct (triple, chunk) assertions, each triple's
@@ -5538,6 +5583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tie_strength": q_kg_tie_strength,
         "kg_source_reliability": q_kg_source_reliability,
         "kg_evidence_freshness": q_kg_evidence_freshness,
+        "dd_simhash_margin": q_dd_simhash_margin,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8044,6 +8090,40 @@ SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
        ROUND(CAST(SUM(CASE WHEN age_sec > 120 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS stale_share
 FROM efage GROUP BY predicate ORDER BY predicate""",
+        # simhash margin calibration: candidate pairs replay dd_simhash's
+        # bucket algorithm; background pairs are md5-order successors
+        # inside 256 hash buckets over the same fingerprints
+        "dd_simhash_margin": """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+norm AS (SELECT doc_id AS id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         FROM d WHERE length(trim(text)) > 0),
+th AS (SELECT id, md5(t) AS h FROM (SELECT id, unnest(toks) AS t FROM norm)),
+bits AS (
+  SELECT id, b,
+    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, (63 - b) // 4 + 1, 1)) - 1) >> (b % 4)) & 1 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(64) bb(b)
+  GROUP BY id, b
+),
+fp AS (SELECT id, bit_or(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                              ELSE CAST(0 AS UBIGINT) END) AS fp
+       FROM bits GROUP BY id),
+bk AS (SELECT id, fp, fp >> 48 AS bucket FROM fp),
+cand AS (SELECT 'candidate' AS population,
+                CAST(bit_count(xor(l.fp, r.fp)) AS BIGINT) AS hamming
+         FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
+         WHERE bit_count(xor(l.fp, r.fp)) <= 3),
+mk AS (SELECT id, fp, md5(CAST(id AS VARCHAR)) AS mk,
+              substr(md5(CAST(id AS VARCHAR)), 1, 2) AS bkt FROM fp),
+bg AS (SELECT 'background' AS population,
+              CAST(bit_count(xor(fp, nxt)) AS BIGINT) AS hamming FROM (
+         SELECT fp, LEAD(fp) OVER (PARTITION BY bkt ORDER BY mk, id) AS nxt FROM mk)
+       WHERE nxt IS NOT NULL),
+u AS (SELECT * FROM cand UNION ALL SELECT * FROM bg)
+SELECT population, hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM u GROUP BY population, hamming ORDER BY population, hamming""",
         "kg_spam_mass": _spam_sql,
         "rel_stickiness": """
 WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS u

@@ -352,6 +352,8 @@ def main():
         "kg_source_reliability",
         # round-5 wave 55: per-predicate evidence staleness
         "kg_evidence_freshness",
+        # round-5 wave 56: simhash threshold-margin calibration
+        "dd_simhash_margin",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

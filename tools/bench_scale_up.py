@@ -63,6 +63,7 @@ QUERIES = [
     "kg_tie_strength",
     "kg_source_reliability",
     "kg_evidence_freshness",
+    "dd_simhash_margin",
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
