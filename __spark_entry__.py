@@ -4241,6 +4241,61 @@ def q_kg_triple_support(spark, sf_dir):
     )
 
 
+def q_rel_bot_score(spark, sf_dir):
+    """Bot/automation census over the event log — the behavioral twin
+    of dd_url_quality for web-log curation: per user the event count,
+    ACTIVE minutes (distinct minute buckets — idle gaps don't dilute
+    the rate), events per active minute, and the top-event-type share
+    (scripted traffic is fast AND monotonous); flagged when both the
+    rate and monotony exceed their literals (>= 3 events/active-min
+    and >= 0.8 single-type share).  Integer counts aggregated exactly,
+    ONE division per ratio (the kg_evidence_freshness determinism
+    rule).  Top 50 by rate desc / user_id — deterministic total order.
+
+    Scale shape: two user-keyed hash aggs (events; distinct minutes
+    via a pre-distinct) + a user-keyed max-type join — the same
+    shuffle key throughout, no wide rows."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000)
+        ).alias("mi"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("mi").cast("long").alias("active_min"),
+    )
+    top_type = (
+        base.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("top_type_n"))
+    )
+    rate = F.round(F.col("n_events").cast("double") / F.col("active_min"), 6)
+    share = F.round(F.col("top_type_n").cast("double") / F.col("n_events"), 6)
+    return (
+        per_user.join(top_type, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "active_min",
+            rate.alias("events_per_min"),
+            share.alias("top_type_share"),
+            (
+                (F.col("n_events").cast("double") / F.col("active_min") >= 3.0)
+                & (F.col("top_type_n").cast("double") / F.col("n_events") >= 0.8)
+            )
+            .cast("int")
+            .cast("long")
+            .alias("flagged"),
+        )
+        .orderBy(F.desc("events_per_min"), "user_id")
+        .limit(50)
+    )
+
+
 def q_dd_simhash_margin(spark, sf_dir):
     """SimHash threshold-margin calibration — the simhash member of
     the index-calibration family (MinHash error census, ANN recall,
@@ -5584,6 +5639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_reliability": q_kg_source_reliability,
         "kg_evidence_freshness": q_kg_evidence_freshness,
         "dd_simhash_margin": q_dd_simhash_margin,
+        "rel_bot_score": q_rel_bot_score,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8090,6 +8146,24 @@ SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
        ROUND(CAST(SUM(CASE WHEN age_sec > 120 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS stale_share
 FROM efage GROUP BY predicate ORDER BY predicate""",
+        "rel_bot_score": """
+WITH bb AS (SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS mi
+            FROM events),
+pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(COUNT(DISTINCT mi) AS BIGINT) AS active_min
+       FROM bb GROUP BY user_id),
+tt AS (SELECT user_id, MAX(c) AS top_type_n FROM (
+         SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+         FROM bb GROUP BY user_id, event_type) GROUP BY user_id)
+SELECT pu.user_id, pu.n_events, pu.active_min,
+       ROUND(CAST(pu.n_events AS DOUBLE) / pu.active_min, 6) AS events_per_min,
+       ROUND(CAST(tt.top_type_n AS DOUBLE) / pu.n_events, 6) AS top_type_share,
+       CAST(CASE WHEN CAST(pu.n_events AS DOUBLE) / pu.active_min >= 3.0
+                  AND CAST(tt.top_type_n AS DOUBLE) / pu.n_events >= 0.8
+             THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM pu JOIN tt USING (user_id)
+ORDER BY events_per_min DESC, pu.user_id LIMIT 50""",
         # simhash margin calibration: candidate pairs replay dd_simhash's
         # bucket algorithm; background pairs are md5-order successors
         # inside 256 hash buckets over the same fingerprints

@@ -354,6 +354,8 @@ def main():
         "kg_evidence_freshness",
         # round-5 wave 56: simhash threshold-margin calibration
         "dd_simhash_margin",
+        # round-5 wave 57: bot/automation census over the event log
+        "rel_bot_score",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

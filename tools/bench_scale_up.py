@@ -64,6 +64,7 @@ QUERIES = [
     "kg_source_reliability",
     "kg_evidence_freshness",
     "dd_simhash_margin",
+    "rel_bot_score",
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
