@@ -4241,6 +4241,72 @@ def q_kg_triple_support(spark, sf_dir):
     )
 
 
+def q_mm_near_dup(spark, sf_dir):
+    """Asset-level media near-dup via shared tile fingerprints — the
+    follow-up the tile_stats docstring names: assets sharing >= 2
+    identical 64-byte tiles, scored by containment = shared /
+    min(|tiles_a|, |tiles_b|) over DISTINCT tile hashes.  Exact-copy
+    assets score 1.0; partially-shared segments (shared intro frames,
+    re-encoded thumbnails) rank below.  The viral-tile C(n,2) blowup
+    is guarded PPJoin-style: tiles present in > 32 assets (codec
+    padding, black frames) are dropped from the candidate join — the
+    same common-token filter dd_ngram_jaccard uses, threshold a
+    documented literal.
+
+    Scale shape: tiling is a narrow mapInPandas flatMap (no shuffle);
+    candidates are ONE equi-join on tile_sha256 (the exact-dedup
+    shape) after the frequency filter; per-asset tile counts are one
+    hash agg.  One division per score."""
+    from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import multimodal
+
+    d = _docs_with_dups(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    t = (
+        multimodal.tile_stats(d, tile_bytes=64)
+        .select("url", "tile_sha256")
+        .distinct()
+    )
+    keep = (
+        t.groupBy("tile_sha256")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= 32))
+        .select("tile_sha256")
+    )
+    tf = t.join(keep, "tile_sha256")
+    per = t.groupBy("url").agg(F.count(F.lit(1)).cast("long").alias("n_tiles"))
+    pairs = (
+        tf.select(F.col("tile_sha256"), F.col("url").alias("a_url"))
+        .join(
+            tf.select(F.col("tile_sha256"), F.col("url").alias("b_url")),
+            "tile_sha256",
+        )
+        .where(F.col("a_url") < F.col("b_url"))
+        .groupBy("a_url", "b_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_tiles"))
+        .where(F.col("shared_tiles") >= 2)
+    )
+    return (
+        pairs.join(per.select(F.col("url").alias("a_url"), F.col("n_tiles").alias("a_tiles")), "a_url")
+        .join(per.select(F.col("url").alias("b_url"), F.col("n_tiles").alias("b_tiles")), "b_url")
+        .select(
+            "a_url",
+            "b_url",
+            "shared_tiles",
+            "a_tiles",
+            "b_tiles",
+            F.round(
+                F.col("shared_tiles").cast("double")
+                / F.least("a_tiles", "b_tiles"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "a_url", "b_url")
+        .limit(50)
+    )
+
+
 def q_rel_bot_score(spark, sf_dir):
     """Bot/automation census over the event log — the behavioral twin
     of dd_url_quality for web-log curation: per user the event count,
@@ -5640,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_evidence_freshness": q_kg_evidence_freshness,
         "dd_simhash_margin": q_dd_simhash_margin,
         "rel_bot_score": q_rel_bot_score,
+        "mm_near_dup": q_mm_near_dup,
         # -- rows-only tail (exact numpy pytest oracle; no SQL oracle) --
         "kg_spanning_forest": q_kg_spanning_forest,
         "kg_graph_coloring": q_kg_graph_coloring,
@@ -8146,6 +8213,29 @@ SELECT predicate, CAST(COUNT(*) AS BIGINT) AS n_triples,
        ROUND(CAST(SUM(CASE WHEN age_sec > 120 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS stale_share
 FROM efage GROUP BY predicate ORDER BY predicate""",
+        "mm_near_dup": """
+WITH md AS (SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents
+            UNION ALL
+            SELECT CAST(doc_id + 1000000 AS VARCHAR), text FROM documents WHERE doc_id < 50),
+mtiles AS (SELECT url,
+                  sha256(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS tile_sha256
+           FROM md, unnest(range(0, GREATEST((length(text) + 63) // 64, 1))) u(i)),
+mt AS (SELECT DISTINCT url, tile_sha256 FROM mtiles),
+mkeep AS (SELECT tile_sha256 FROM (
+            SELECT tile_sha256, COUNT(*) AS nd FROM mt GROUP BY tile_sha256)
+          WHERE nd >= 2 AND nd <= 32),
+mtf AS (SELECT mt.url, mt.tile_sha256 FROM mt JOIN mkeep USING (tile_sha256)),
+mper AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_tiles FROM mt GROUP BY url),
+mpairs AS (SELECT a.url AS a_url, b.url AS b_url,
+                  CAST(COUNT(*) AS BIGINT) AS shared_tiles
+           FROM mtf a JOIN mtf b ON a.tile_sha256 = b.tile_sha256 AND a.url < b.url
+           GROUP BY a.url, b.url HAVING COUNT(*) >= 2)
+SELECT p.a_url, p.b_url, p.shared_tiles,
+       pa.n_tiles AS a_tiles, pb.n_tiles AS b_tiles,
+       ROUND(CAST(p.shared_tiles AS DOUBLE) / LEAST(pa.n_tiles, pb.n_tiles), 6)
+         AS containment
+FROM mpairs p JOIN mper pa ON p.a_url = pa.url JOIN mper pb ON p.b_url = pb.url
+ORDER BY containment DESC, p.a_url, p.b_url LIMIT 50""",
         "rel_bot_score": """
 WITH bb AS (SELECT user_id, event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS mi

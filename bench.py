@@ -356,6 +356,8 @@ def main():
         "dd_simhash_margin",
         # round-5 wave 57: bot/automation census over the event log
         "rel_bot_score",
+        # round-5 wave 58: tile-fingerprint media near-dup
+        "mm_near_dup",
     ]
     # best-of-N per query: this sandbox VM shares a host and a single
     # contaminated instant can inflate one query 10-40x (measured);

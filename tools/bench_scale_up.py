@@ -65,6 +65,7 @@ QUERIES = [
     "kg_evidence_freshness",
     "dd_simhash_margin",
     "rel_bot_score",
+    "mm_near_dup",
     "mm_features",
     "dd_kmv_distinct",
     "kg_pagerank",
