@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import scale
+
 
 def _canon(e: DataFrame) -> DataFrame:
     return e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")).where(
@@ -77,6 +79,7 @@ def connected_components(
     """-> (id, component) with component = min node id of the
     component.  Nodes appearing only in self-loops / isolated are the
     caller's to union in (see canonical_concepts)."""
+    spark = edges.sparkSession
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     e = e.localCheckpoint(eager=True)
     # size-derived iteration parallelism: materializing a small edge
@@ -84,16 +87,19 @@ def connected_components(
     # makes task scheduling the dominant cost (same pathology as
     # pagerank_und — measured there 22 s -> 7.5 s); the formula keeps
     # full parallelism for billion-edge graphs
-    sc = edges.sparkSession.sparkContext
-    parts = min(sc.defaultParallelism, max(8, e.count() // 100_000 + 1))
+    parts = scale.iter_parts(spark, e.count())
     e = e.coalesce(parts)
     prev = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).coalesce(parts).localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    # loop shuffles sized to the (counted) edge table, not the session
+    # default (functions/scale.py); lazy checkpoint fuses each round's
+    # materialization with its fixpoint checksum into ONE job
+    with scale.scoped_shuffle_partitions(spark, parts):
+        for _ in range(max_iter):
+            e = scale.ckpt(_small_star(_large_star(e)), parts)
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
     # converged: every edge is (member, root)
     members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn("component", F.col("id"))

@@ -235,13 +235,33 @@ def pagerank_und(
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
-    nodes_v = und.select(F.col("cid").alias("id")).distinct()
-    n = nodes_v.count()
     w_expr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     deg = und.groupBy("cid").agg(F.sum(w_expr).alias("deg"))
+    # attach out-degree to the adjacency ONCE (guide §2.4: the deg
+    # join is loop-invariant — re-joining it every iteration paid a
+    # shuffle per round for a value that never changes); the per-edge
+    # contribution expression (rank * w / deg) is unchanged, so the
+    # per-key sums see identical terms
+    undd = und.join(deg, "cid").localCheckpoint(eager=True)
+    nodes_v = (
+        undd.select(F.col("cid").alias("id"))
+        .distinct()
+        .coalesce(parts)
+        .localCheckpoint(eager=True)
+    )
+    n = nodes_v.count()
+    # rank/contribution relations are node-cardinality: broadcast them
+    # under a size gate so each iteration costs ONE shuffle (the
+    # inflow aggregate) instead of three (guide §3.1 — broadcast the
+    # side that fits; at web scale the gate falls back to shuffles)
+    bcast = n <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     if init is not None:
         ranks = nodes_v.join(
-            init.select("id", F.col("rank").cast("double").alias("_r0")),
+            _b(init.select("id", F.col("rank").cast("double").alias("_r0"))),
             "id",
             "left",
         ).select("id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"))
@@ -250,8 +270,7 @@ def pagerank_und(
         ranks = nodes_v.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
         contribs = (
-            und.join(ranks.withColumnRenamed("id", "cid"), "cid")
-            .join(deg, "cid")
+            undd.join(_b(ranks.withColumnRenamed("id", "cid")), "cid")
             .select(
                 F.col("nbr_id").alias("id"),
                 (F.col("rank") * (w_expr if weight_col else F.lit(1.0)) / F.col("deg")).alias("c"),
@@ -259,7 +278,7 @@ def pagerank_und(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes_v.join(contribs, "id", "left").select(
+        ranks = nodes_v.join(_b(contribs), "id", "left").select(
             "id",
             (
                 F.lit((1.0 - damping) / n)
@@ -311,7 +330,18 @@ def personalized_pagerank(
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
-    nodes_v = und.select(F.col("cid").alias("id")).distinct()
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    deg = und.groupBy("cid").agg(F.sum(w).alias("deg"))
+    # loop-invariant degree pre-join + node-cardinality broadcasts
+    # under a size gate — the pagerank_und iteration shape (one
+    # shuffle per round: the inflow aggregate)
+    undd = und.join(deg, "cid").localCheckpoint(eager=True)
+    nodes_v = (
+        undd.select(F.col("cid").alias("id"))
+        .distinct()
+        .coalesce(parts)
+        .localCheckpoint(eager=True)
+    )
     present = sorted(
         r["id"] for r in nodes_v.where(F.col("id").isin(list(seeds))).collect()
     )
@@ -323,13 +353,15 @@ def personalized_pagerank(
     teleport = F.when(F.col("id").isin(present), F.lit(1.0 / k)).otherwise(
         F.lit(0.0)
     )
-    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    deg = und.groupBy("cid").agg(F.sum(w).alias("deg"))
+    bcast = nodes_v.count() <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     ranks = nodes_v.withColumn("rank", teleport)
     for i in range(iters):
         contribs = (
-            und.join(ranks.withColumnRenamed("id", "cid"), "cid")
-            .join(deg, "cid")
+            undd.join(_b(ranks.withColumnRenamed("id", "cid")), "cid")
             .select(
                 F.col("nbr_id").alias("id"),
                 (F.col("rank") * w / F.col("deg")).alias("c"),
@@ -337,7 +369,7 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes_v.join(contribs, "id", "left").select(
+        ranks = nodes_v.join(_b(contribs), "id", "left").select(
             "id",
             (
                 F.lit(1.0 - damping) * teleport
@@ -724,10 +756,17 @@ def label_propagation(
         "label", F.col("id")
     )
     vote = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    # label vector is node-cardinality: broadcast it into the vote
+    # join under a size gate (guide §3.1) — the per-round shuffles are
+    # then only the two vote aggregates
+    bcast = n_edges <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
 
     def _argmax_vote(edges: DataFrame, labs: DataFrame) -> DataFrame:
         votes = (
-            edges.join(labs.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            edges.join(_b(labs.withColumnRenamed("id", "nbr_id")), "nbr_id")
             .groupBy(F.col("cid").alias("id"), "label")
             .agg(vote.alias("c"))
         )
@@ -2614,16 +2653,24 @@ def hits(
         .coalesce(parts)
     )
 
+    # score vectors are node-cardinality: broadcast them under a size
+    # gate so each half-round costs one shuffle (the aggregate), not
+    # two — guide §3.1; falls back to shuffle joins at web scale
+    bcast = nodes.count() <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     hub = nodes.withColumn("h", F.lit(1.0))
     auth = None
     for i in range(iters):
         auth = (
-            edges.join(hub.withColumnRenamed("id", "src_id"), "src_id")
+            edges.join(_b(hub.withColumnRenamed("id", "src_id")), "src_id")
             .groupBy(F.col("dst_id").alias("id"))
             .agg(F.sum("h").alias("a"))
         )
         hub = (
-            edges.join(auth.withColumnRenamed("id", "dst_id"), "dst_id")
+            edges.join(_b(auth.withColumnRenamed("id", "dst_id")), "dst_id")
             .groupBy(F.col("src_id").alias("id"))
             .agg(F.sum("a").alias("h"))
         )
@@ -2701,9 +2748,16 @@ def eigenvector_centrality(
     x = und.select(F.col("cid").alias("id")).distinct().withColumn(
         "x", F.lit(1.0)
     )
+    # broadcast the node-cardinality score vector under a size gate
+    # (one shuffle per round: the aggregate) — guide §3.1
+    bcast = und.select("cid").distinct().count() <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     for i in range(iters):
         x = (
-            und.join(x.withColumnRenamed("id", "nbr_id"), "nbr_id")
+            und.join(_b(x.withColumnRenamed("id", "nbr_id")), "nbr_id")
             .groupBy(F.col("cid").alias("id"))
             .agg(F.sum("x").alias("x"))
         )
@@ -3649,12 +3703,31 @@ def bowtie(
         .select("scc_id")
     )
     core = labels.join(core_lab, "scc_id").select("id").localCheckpoint(eager=True)
-    rplus = _directed_closure(e, core, forward=True, max_rounds=max_rounds)
-    rminus = _directed_closure(e, core, forward=False, max_rounds=max_rounds)
-    inn = rminus.join(core, "id", "left_anti").localCheckpoint(eager=True)
-    out = rplus.join(core, "id", "left_anti").localCheckpoint(eager=True)
-    fwd_in = _directed_closure(e, inn, forward=True, max_rounds=max_rounds)
-    back_out = _directed_closure(e, out, forward=False, max_rounds=max_rounds)
+
+    # the four BFS closures pair into two independent chains
+    # (core->OUT->back_out and core->IN->fwd_in): run the chains as
+    # concurrent driver threads so each round's straggler tail
+    # back-fills with the other chain's stages (guide §2.6); every
+    # closure is the same frontier BFS as before, results unchanged
+    def _chain_out():
+        rplus = _directed_closure(e, core, forward=True, max_rounds=max_rounds)
+        out = rplus.join(core, "id", "left_anti").localCheckpoint(eager=True)
+        back_out = _directed_closure(e, out, forward=False, max_rounds=max_rounds)
+        return out, back_out
+
+    def _chain_in():
+        rminus = _directed_closure(e, core, forward=False, max_rounds=max_rounds)
+        inn = rminus.join(core, "id", "left_anti").localCheckpoint(eager=True)
+        fwd_in = _directed_closure(e, inn, forward=True, max_rounds=max_rounds)
+        return inn, fwd_in
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_out = ex.submit(_chain_out)
+        f_in = ex.submit(_chain_in)
+        out, back_out = f_out.result()
+        inn, fwd_in = f_in.result()
     known = core.unionByName(inn).unionByName(out).distinct()
     tubes = (
         fwd_in.join(back_out, "id").join(known, "id", "left_anti")
@@ -3993,14 +4066,21 @@ def katz_centrality(
         .localCheckpoint(eager=True)
         .coalesce(parts)
     )
+    # broadcast the node-cardinality score vector under a size gate
+    # (one shuffle per round: the aggregate) — guide §3.1
+    bcast = nodes.count() <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     x = nodes.withColumn("x", F.lit(float(beta)))
     for i in range(iters):
         inflow = (
-            edges.join(x.withColumnRenamed("id", "src_id"), "src_id")
+            edges.join(_b(x.withColumnRenamed("id", "src_id")), "src_id")
             .groupBy(F.col("dst_id").alias("id"))
             .agg(F.sum("x").alias("inflow"))
         )
-        x = nodes.join(inflow, "id", "left").select(
+        x = nodes.join(_b(inflow), "id", "left").select(
             "id",
             (
                 F.lit(float(beta))
@@ -4076,8 +4156,16 @@ def label_spreading(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    parts = min(sc.defaultParallelism, max(8, adj.count() // 100_000 + 1))
+    n_adj = adj.count()
+    parts = min(sc.defaultParallelism, max(8, n_adj // 100_000 + 1))
     adj = adj.coalesce(parts)
+    # labeled set is node-cardinality: broadcast both per-round uses
+    # under a size gate (one shuffle per round: the vote aggregate)
+    bcast = n_adj <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     labs = seeds.select(
         F.col("id").cast("string").alias("id"),
         F.col("label").cast("string").alias("label"),
@@ -4086,9 +4174,9 @@ def label_spreading(
     for k in range(1, iters + 1):
         votes = (
             adj.join(
-                labs.select(F.col("id").alias("nbr_id"), "label"), "nbr_id"
+                _b(labs.select(F.col("id").alias("nbr_id"), "label")), "nbr_id"
             )
-            .join(labs.select(F.col("id").alias("cid")), "cid", "left_anti")
+            .join(_b(labs.select(F.col("id").alias("cid"))), "cid", "left_anti")
             .groupBy(F.col("cid").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -4565,7 +4653,16 @@ def spam_mass(
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
-    nodes_v = und.select(F.col("cid").alias("id")).distinct()
+    deg = und.groupBy("cid").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # loop-invariant degree pre-join + size-gated broadcasts — the
+    # pagerank_und iteration shape (one shuffle per round)
+    undd = und.join(deg, "cid").localCheckpoint(eager=True)
+    nodes_v = (
+        undd.select(F.col("cid").alias("id"))
+        .distinct()
+        .coalesce(parts)
+        .localCheckpoint(eager=True)
+    )
     n = nodes_v.count()
     present = sorted(
         r["id"]
@@ -4575,13 +4672,16 @@ def spam_mass(
         raise ValueError("no trusted seed present in the graph")
     k = len(present)
     tp = F.when(F.col("id").isin(present), F.lit(1.0 / k)).otherwise(F.lit(0.0))
-    deg = und.groupBy("cid").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    bcast = n <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     ranks = nodes_v.select("id", F.lit(1.0 / n).alias("pr"), tp.alias("tr"))
     base = (1.0 - damping) / n
     for i in range(iters):
         contribs = (
-            und.join(ranks.withColumnRenamed("id", "cid"), "cid")
-            .join(deg, "cid")
+            undd.join(_b(ranks.withColumnRenamed("id", "cid")), "cid")
             .select(
                 F.col("nbr_id").alias("id"),
                 (F.col("pr") / F.col("deg")).alias("_ca"),
@@ -4590,7 +4690,7 @@ def spam_mass(
             .groupBy("id")
             .agg(F.sum("_ca").alias("ia"), F.sum("_cb").alias("ib"))
         )
-        ranks = nodes_v.join(contribs, "id", "left").select(
+        ranks = nodes_v.join(_b(contribs), "id", "left").select(
             "id",
             (
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("ia"), F.lit(0.0))
@@ -4790,16 +4890,28 @@ def simrank(
         F.col("node").alias("i"), F.col("node").alias("j"), one.alias("v")
     )
     for _ in range(iters):
-        step = (
+        # matrix-chain association: aggregate Σ_i s(i,j) per (a, j)
+        # BETWEEN the two adjacency joins instead of after both.  The
+        # naive und ⋈ s ⋈ und enumerates Σ_{(i,j)∈s} d(i)·d(j) rows
+        # (measured 101M at sf0.1) before one big (a, b) aggregate;
+        # the two-stage form's fan-out is Σ d(i)·|s_i| + Σ |t_j|·d(j)
+        # (measured ~7.5M, a 13x cut — guide §2.3 "aggregate before
+        # you shuffle").  Sums stay DECIMAL end-to-end, so the
+        # regrouped addition is exact and the scores are bit-identical.
+        t = (
             und.select(F.col("node").alias("a"), F.col("nbr").alias("i"))
             .join(s, "i")
-            .join(
+            .groupBy("a", "j")
+            .agg(F.sum("v").alias("tv"))
+        )
+        step = (
+            t.join(
                 und.select(F.col("node").alias("b"), F.col("nbr").alias("j")),
                 "j",
             )
             .where(F.col("a") != F.col("b"))
             .groupBy("a", "b")
-            .agg(F.sum("v").alias("sv"))
+            .agg(F.sum("tv").alias("sv"))
             .join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
             .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
             .select(
@@ -4887,8 +4999,12 @@ def attack_tolerance(
         for r in deg.orderBy(F.desc("d"), "id").limit(max(ks)).collect()
     ]
     n_all = deg.count()
-    rows = []
-    for k in sorted(ks):
+
+    def _one_k(k: int):
+        # independent driver-synchronized CC runs: submit them from a
+        # small thread pool so each run's straggler tail back-fills
+        # with the next run's stages (guide §2.6) — the per-k results
+        # are assembled identically to the sequential form
         hubs = set(ranked_hubs[:k])
         nodes_k = n_all - len(hubs)
         e = und
@@ -4910,16 +5026,19 @@ def attack_tolerance(
             n_cc, largest, covered = 0, 0, 0
         singles = nodes_k - covered
         largest = max(largest, 1 if singles > 0 else 0)
-        rows.append(
-            (
-                k,
-                nodes_k,
-                n_edges,
-                n_cc + singles,
-                largest,
-                r6(largest / nodes_k) if nodes_k else 0.0,
-            )
+        return (
+            k,
+            nodes_k,
+            n_edges,
+            n_cc + singles,
+            largest,
+            r6(largest / nodes_k) if nodes_k else 0.0,
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(ks))) as ex:
+        rows = list(ex.map(_one_k, sorted(ks)))
     return pairs.sparkSession.createDataFrame(
         rows,
         "k_removed int, n_nodes bigint, n_edges bigint, n_components bigint, "
@@ -5011,6 +5130,20 @@ def wu_palmer_similarity(
     vocab-bound here like simrank; the two-aggregate argmax (max
     layer, then MIN id at that layer) avoids any window over the
     pair relation."""
+    # derive + materialize the distinct edge view ONCE: closure and
+    # layers each checkpoint their own copy internally, which would
+    # re-run the upstream is_a derivation (triples scan + filter +
+    # distinct) twice; handing both a checkpointed edge table makes
+    # their internal distinct/checkpoint a cheap re-read
+    isa = (
+        isa.select(
+            F.col("child_id").cast("string").alias("child_id"),
+            F.col("parent_id").cast("string").alias("parent_id"),
+        )
+        .where(F.col("child_id") != F.col("parent_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     clo = taxonomy_closure(isa, max_depth=max_depth)
     layers = taxonomy_layers(isa, max_depth=max_depth).select("id", "layer")
     nodes = layers.select("id")
@@ -5030,12 +5163,35 @@ def wu_palmer_similarity(
             "anc",
         )
     )
-    best = common.groupBy("a", "b").agg(F.max("lc").alias("lca_layer"))
+    # ONE pass over the (Σ_c |desc(c)|²-sized) pair fan-out: the
+    # argmax (max layer, MIN anc at that layer) folds into a single
+    # aggregate with one conditional-min column per layer value
+    # (layers are 0..max_depth by construction), replacing the
+    # two-aggregate max + join-back form that re-enumerated the pair
+    # relation a second time (measured 8.4M fan-out rows at sf0.1 —
+    # guide §2.3/§2.4: one shuffle instead of three over the widest
+    # relation in the plan).  Identical (lca_layer, lca_id) by
+    # construction.
     lca = (
-        common.join(best, ["a", "b"])
-        .where(F.col("lc") == F.col("lca_layer"))
-        .groupBy("a", "b", "lca_layer")
-        .agg(F.min("anc").alias("lca_id"))
+        common.groupBy("a", "b")
+        .agg(
+            F.max("lc").alias("lca_layer"),
+            *[
+                F.min(F.when(F.col("lc") == L, F.col("anc"))).alias(f"_m{L}")
+                for L in range(max_depth + 1)
+            ],
+        )
+        .select(
+            "a",
+            "b",
+            "lca_layer",
+            F.coalesce(
+                *[
+                    F.when(F.col("lca_layer") == L, F.col(f"_m{L}"))
+                    for L in range(max_depth + 1)
+                ]
+            ).alias("lca_id"),
+        )
     )
     la = layers.select(F.col("id").alias("a"), F.col("layer").alias("la"))
     lb = layers.select(F.col("id").alias("b"), F.col("layer").alias("lb"))

@@ -41,8 +41,10 @@ def get_spark(
         # parallelism and measurably flattened the merge stages'
         # core-count scaling (graph_merge 2.2x from 4->16 cores with
         # partitions=max(cpus,8); the shuffle reduce side is also the
-        # parquet write side here)
-        shuffle_partitions = max(cpus * 4, 32)
+        # parquet write side here).  SPARK_GRAFT_SHUFFLE_PARTITIONS
+        # overrides for deployments that size it from cluster specs.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_sp) if env_sp else max(cpus * 4, 32)
     builder = SparkSession.builder
     # Cluster path: when SPARK_GRAFT_MASTER is set (e.g. "yarn",
     # "k8s://...", "spark://...") or the process was launched by
