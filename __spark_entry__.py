@@ -3013,9 +3013,7 @@ def q_dd_dup_clusters(spark, sf_dir):
     cluster_size, is_canonical)."""
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
 
-    pairs = dedup.minhash_near_dup_pairs(
-        _docs_with_dups(spark, sf_dir), threshold=0.5, hash_family="md5"
-    )
+    pairs = _mh_md5_pairs(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
     cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
     szs = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -3126,6 +3124,34 @@ def q_txt_tfidf(spark, sf_dir):
 
 # -- rows-only (non-SQL-expressible internals) --------------------------------
 
+
+def _mh_md5_pairs(spark, sf_dir):
+    """Session-staged MinHash-LSH md5 pair relation at threshold 0
+    (the index's full candidate stream + estimates): dd_minhash_lsh /
+    dd_dup_clusters / dd_soft_dedup / dd_dup_family_stats re-filter it
+    at their own thresholds, dd_minhash_calibration consumes it whole
+    — one 32x md5-per-shingle signature pass per session instead of
+    five (the _staged pattern; threshold is a final est_jaccard
+    filter, so filtering the staged th-0 relation is row-identical)."""
+    return _staged(
+        spark, sf_dir, "dd_mh_md5_pairs",
+        lambda: dedup.minhash_near_dup_pairs(
+            _docs_with_dups(spark, sf_dir), threshold=0.0, hash_family="md5"
+        ),
+    )
+
+
+def _sh_md5_pairs(spark, sf_dir):
+    """Session-staged SimHash md5 candidate pairs (max_hamming=3),
+    shared verbatim by dd_simhash and dd_simhash_margin."""
+    return _staged(
+        spark, sf_dir, "dd_sh_md5_pairs",
+        lambda: dedup.simhash_near_dup_pairs(
+            _docs_with_dups(spark, sf_dir), max_hamming=3, hash_family="md5"
+        ),
+    )
+
+
 def q_dd_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with the md5 hash family so the ENTIRE chain —
     signatures, banding, bucket co-membership, jaccard estimate — is
@@ -3134,9 +3160,7 @@ def q_dd_minhash_lsh(spark, sf_dir):
     Production path: collapse_exact=True routes identical-text groups
     around the band join + sig-carrying estimate joins (output proven
     identical — test_dedup_similarity TestCollapseExact + this oracle)."""
-    return dedup.minhash_near_dup_pairs(
-        _docs_with_dups(spark, sf_dir), threshold=0.5, hash_family="md5"
-    )
+    return _mh_md5_pairs(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
 
 
 def q_dd_simhash(spark, sf_dir):
@@ -3147,9 +3171,7 @@ def q_dd_simhash(spark, sf_dir):
     dup groups (viral boilerplate) out of the bucket self-join — the
     C(n,2) true-dup pairs re-expand from the membership table instead
     (output proven identical — TestCollapseExact + this oracle)."""
-    return dedup.simhash_near_dup_pairs(
-        _docs_with_dups(spark, sf_dir), max_hamming=3, hash_family="md5"
-    )
+    return _sh_md5_pairs(spark, sf_dir)
 
 
 def q_sim_ann_topk(spark, sf_dir):
@@ -3840,7 +3862,7 @@ def q_dd_soft_dedup(spark, sf_dir):
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
 
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5, hash_family="md5")
+    pairs = _mh_md5_pairs(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
     cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
     clusters = (
         cc.join(
@@ -3867,6 +3889,20 @@ def q_rel_decayed_counts(spark, sf_dir):
 
 
 
+
+def _kmeans8_fit(spark, sf_dir):
+    """Session-memoized k-means FIT (the bounded {cluster: centroid}
+    dict) for the k=8/iters=2 model five queries score against —
+    the driver-side sibling of the _staged pattern: the fit's seed +
+    per-round update collects run once per session, every consumer
+    injects the same centroids (identical assignment/scatter rule)."""
+    k = (id(spark), sf_dir, "sim_kmeans8_fit")
+    if k not in _ENRICHED_STAGE:
+        base = similarity._kmeans_base(_emb(spark, sf_dir), "vec_id", "embedding")
+        _ENRICHED_STAGE[k] = similarity._kmeans_fit(base, 8, 2)
+    return _ENRICHED_STAGE[k]
+
+
 def _kmeans8(spark, sf_dir):
     """Session-staged k-means assignment (k=8, iters=2) shared by the
     three queries that fit the identical model (sim_kmeans,
@@ -3874,7 +3910,9 @@ def _kmeans8(spark, sf_dir):
     each consumer re-applies its own projection/order."""
     return _staged(
         spark, sf_dir, "sim_kmeans8",
-        lambda: similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2),
+        lambda: similarity.kmeans_assign(
+            _emb(spark, sf_dir), k=8, iters=2, cents=_kmeans8_fit(spark, sf_dir)
+        ),
     )
 
 def q_sim_kmeans(spark, sf_dir):
@@ -4206,9 +4244,7 @@ def q_dd_dup_family_stats(spark, sf_dir):
     graph); singletons aren't dup families."""
     from graphrag_incrementalknowledgegraphpipeline_for_llms_spark.operators import canonicalize
 
-    pairs = dedup.minhash_near_dup_pairs(
-        _docs_with_dups(spark, sf_dir), threshold=0.5, hash_family="md5"
-    )
+    pairs = _mh_md5_pairs(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
     cc = canonicalize.connected_components(pairs, src="a_id", dst="b_id")
     szs = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -4228,7 +4264,9 @@ def q_sim_silhouette(spark, sf_dir):
     panel (no ground truth needed, unlike sim_cluster_purity).  One
     scan + one k-row agg; engine-exact via the kmeans centroid
     contract + order-statistic tie rule."""
-    return similarity.simplified_silhouette(_emb(spark, sf_dir), k=8, iters=2)
+    return similarity.simplified_silhouette(
+        _emb(spark, sf_dir), k=8, iters=2, cents=_kmeans8_fit(spark, sf_dir)
+    )
 
 
 def q_sim_davies_bouldin(spark, sf_dir):
@@ -4237,7 +4275,9 @@ def q_sim_davies_bouldin(spark, sf_dir):
     which rival (the scalar DB index is the mean of r_db).  Corpus
     cost = one scan + one k-row scatter agg; the k(k-1) separation
     table folds from the fitted centroids."""
-    return similarity.davies_bouldin(_emb(spark, sf_dir), k=8, iters=2)
+    return similarity.davies_bouldin(
+        _emb(spark, sf_dir), k=8, iters=2, cents=_kmeans8_fit(spark, sf_dir)
+    )
 
 
 def q_kg_predicate_conflicts(spark, sf_dir):
@@ -4420,7 +4460,7 @@ def q_dd_simhash_margin(spark, sf_dir):
     lead — no global sort, no self-join."""
     d = _docs_with_dups(spark, sf_dir)
     cand = (
-        dedup.simhash_near_dup_pairs(d, max_hamming=3, hash_family="md5")
+        _sh_md5_pairs(spark, sf_dir)
         .select(
             F.lit("candidate").alias("population"),
             F.col("hamming").cast("long").alias("hamming"),
@@ -5270,7 +5310,7 @@ def q_dd_minhash_calibration(spark, sf_dir):
     2%-wide error buckets (floor(err*50)); md5 hash family so the
     oracle replays the whole chain."""
     d = _docs_with_dups(spark, sf_dir)
-    pairs = dedup.minhash_near_dup_pairs(d, threshold=0.0, hash_family="md5")
+    pairs = _mh_md5_pairs(spark, sf_dir)
     exact = dedup.ngram_jaccard_verify(
         d, pairs.select("a_id", "b_id"), threshold=0.0, shingle_n=3
     )

@@ -397,18 +397,36 @@ def embedding_near_dups(
             embeddings, dim, n_planes=n_planes, bands=bands,
             id_col=id_col, vec_col=vec_col,
         )
+    # per-VECTOR double cast + norm computed once on the n-row side
+    # tables instead of per candidate pair (dot/(na*nb) is the same
+    # IEEE expression cosine_col evaluates, so scores are identical)
+    based = base.withColumn(
+        "vec", F.transform(F.col("vec"), lambda x: x.cast("double"))
+    ).withColumn("_n", _norm(F.col("vec")))
     if candidates is not None:
-        a = base.select(F.col("id").alias("a_id"), F.col("vec").alias("vec_a"))
-        b = base.select(F.col("id").alias("b_id"), F.col("vec").alias("vec_b"))
-        sim = F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6)
+        a = based.select(
+            F.col("id").alias("a_id"),
+            F.col("vec").alias("vec_a"),
+            F.col("_n").alias("_na"),
+        )
+        b = based.select(
+            F.col("id").alias("b_id"),
+            F.col("vec").alias("vec_b"),
+            F.col("_n").alias("_nb"),
+        )
+        sim = F.round(
+            _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_na") * F.col("_nb")), 6
+        )
         return (
             candidates.join(a, "a_id")
             .join(b, "b_id")
             .select("a_id", "b_id", sim.alias("cosine"))
             .where(F.col("cosine") >= threshold)
         )
-    l, r = base.alias("l"), base.alias("r")
-    sim = F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6)
+    l, r = based.alias("l"), based.alias("r")
+    sim = F.round(
+        _dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l._n") * F.col("r._n")), 6
+    )
     return (
         l.join(r, [F.col("l.grp") == F.col("r.grp")])
         .where(F.col("l.id") < F.col("r.id"))
@@ -894,6 +912,7 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: dict | None = None,
 ) -> DataFrame:
     """Distributed Lloyd k-means, fully SQL-expressible and
     cross-engine exact — the clustering primitive behind
@@ -929,7 +948,11 @@ def kmeans_assign(
     the canonical map-side-combine k-means; raise ``iters`` for
     quality, each round costs one pass."""
     base = _kmeans_base(embeddings, id_col, vec_col)
-    cents = _kmeans_fit(base, k, iters)
+    if cents is None:
+        # cents: optionally inject an already-fitted model (the
+        # _kmeans_fit dict) so consumers sharing one fit skip the
+        # seed + per-round update collects — same assignment rule
+        cents = _kmeans_fit(base, k, iters)
     if cents is None:
         return embeddings.sparkSession.createDataFrame(
             [], "id string, cluster int, dist2 double"
@@ -1010,6 +1033,7 @@ def simplified_silhouette(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: dict | None = None,
 ) -> DataFrame:
     """Per-cluster simplified silhouette of the :func:`kmeans_assign`
     model — the internal clustering-quality panel next to
@@ -1035,7 +1059,8 @@ def simplified_silhouette(
     k-row hash aggregate — identical cost to the assignment pass
     itself; nothing but (cluster, s) pairs ever shuffles."""
     base = _kmeans_base(embeddings, id_col, vec_col)
-    cents = _kmeans_fit(base, k, iters)
+    if cents is None:
+        cents = _kmeans_fit(base, k, iters)
     if cents is None or len(cents) < 2:
         return embeddings.sparkSession.createDataFrame(
             [], "cluster int, n_points bigint, silhouette double"
@@ -1071,6 +1096,7 @@ def davies_bouldin(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: dict | None = None,
 ) -> DataFrame:
     """Per-cluster Davies-Bouldin similarity R_i = max_{j≠i}
     (S_i + S_j) / M_ij over the :func:`kmeans_assign` model, where
@@ -1095,7 +1121,8 @@ def davies_bouldin(
     import math
 
     base = _kmeans_base(embeddings, id_col, vec_col)
-    cents = _kmeans_fit(base, k, iters)
+    if cents is None:
+        cents = _kmeans_fit(base, k, iters)
     if cents is None or len(cents) < 2:
         return embeddings.sparkSession.createDataFrame(
             [], "cluster int, n_points bigint, scatter double, r_db double"
@@ -1601,17 +1628,39 @@ def knn_graph(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # norms are per-VECTOR, not per-pair: compute them once on the
+    # n-row vector table and carry them through the joins, so each of
+    # the ~n*bands*fanout candidate pairs pays one dot product instead
+    # of a dot plus two 2d-element norm re-evaluations (guide §1.2
+    # per-task work; dot/(na*nb) is the same IEEE expression as
+    # cosine_col, so the rounded scores are bit-identical)
     vecs = embeddings.select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).select("_vid", "_v", _norm(F.col("_v")).alias("_n"))
     scored = (
-        cand.join(vecs.select(F.col("_vid").alias("src"), F.col("_v").alias("_va")), "src")
-        .join(vecs.select(F.col("_vid").alias("dst"), F.col("_v").alias("_vb")), "dst")
+        cand.join(
+            vecs.select(
+                F.col("_vid").alias("src"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "src",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("dst"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "dst",
+        )
         .select(
             "src",
             "dst",
-            F.round(cosine_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import scale
+
 
 def graph_metadata(nodes: DataFrame, edges: DataFrame) -> dict:
     """Q1 (Neo4jQueryService.scala:76-117): global counts + edge-type
@@ -473,9 +475,17 @@ def node_features(
         .localCheckpoint(eager=True)
     )
     deg = adj.groupBy("cid").agg(F.count(F.lit(1)).alias("degree"))
-    pr = pagerank_und(adj, iters=pr_iters, top_k=None, prepared=True)
-    core = coreness(adj, iters=core_iters, prepared=True)
-    labels = label_propagation(adj, iters=lpa_iters, prepared=True)
+    # the three iterative primitives are independent given the shared
+    # checkpointed adjacency: run their driver loops as concurrent
+    # threads (guide §2.6) so their small per-round stages interleave;
+    # each primitive and the final assembly are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_pr = ex.submit(pagerank_und, adj, iters=pr_iters, top_k=None, prepared=True)
+        f_core = ex.submit(coreness, adj, iters=core_iters, prepared=True)
+        f_lab = ex.submit(label_propagation, adj, iters=lpa_iters, prepared=True)
+        pr, core, labels = f_pr.result(), f_core.result(), f_lab.result()
     return (
         deg.select(F.col("cid").alias("id"), "degree")
         .join(core, "id")
@@ -668,6 +678,10 @@ def bfs_distances(
     und = und.coalesce(parts)
     visited = sc.createDataFrame([(source_id, 0)], "id string, dist int").coalesce(1)
     frontier = visited
+    # one driver action per hop: the frontier's lazy checkpoint is
+    # materialized by its emptiness count; the visited union stays
+    # lazy (shallow — parents are checkpointed) until the next hop or
+    # the caller's action
     for hop in range(1, max_hops + 1):
         nxt = (
             und.join(frontier.withColumnRenamed("id", "cid"), "cid")
@@ -676,11 +690,11 @@ def bfs_distances(
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(hop))
             .coalesce(parts)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).coalesce(parts).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).coalesce(parts).localCheckpoint(eager=False)
         frontier = nxt
     return visited.orderBy("dist", "id")
 
@@ -1386,8 +1400,10 @@ def spanning_forest(
         cb = comp.select(F.col("id").alias("b_id"), F.col("comp").alias("cb"))
         cross = (
             e.join(ca, "a_id").join(cb, "b_id").where(F.col("ca") != F.col("cb"))
-        ).localCheckpoint(eager=True)
-        if cross.isEmpty():
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint + count: one action materializes the round's
+        # crossing set AND answers the termination probe
+        if cross.count() == 0:
             break
         both = cross.select(
             F.col("ca").alias("comp"), key.alias("k"), "a_id", "b_id", "w"
@@ -1463,10 +1479,14 @@ def graph_coloring(und: DataFrame, max_rounds: int = 64) -> DataFrame:
     parts = min(sc_.defaultParallelism, max(8, e.count() // 100_000 + 1))
     e = e.coalesce(parts)
     unc = e.select(F.col("cid").alias("id")).distinct().localCheckpoint(eager=True)
+    n_unc = unc.count()
     colored = None
     pr = F.md5(F.col("id"))
+    # per-round driver actions: winners stay an eager checkpoint (3
+    # consumers), but the colored union is lazy (shallow parents) and
+    # the uncolored set's truncation fuses with its emptiness count
     for _ in range(max_rounds):
-        if unc.isEmpty():
+        if n_unc == 0:
             break
         u_ids = unc.select("id")
         unc_edges = (
@@ -1514,8 +1534,9 @@ def graph_coloring(und: DataFrame, max_rounds: int = 64) -> DataFrame:
         )
         colored = (
             new if colored is None else colored.unionByName(new)
-        ).localCheckpoint(eager=True)
-        unc = unc.join(winners, "id", "left_anti").localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        unc = unc.join(winners, "id", "left_anti").localCheckpoint(eager=False)
+        n_unc = unc.count()
     else:
         raise RuntimeError(
             f"graph_coloring: {max_rounds} rounds exhausted before full coloring"
@@ -3139,6 +3160,10 @@ def _multi_source_bfs(und: DataFrame, sources: list[str], max_hops: int) -> Data
         [(s, s) for s in sorted(set(sources))], "s string, v string"
     )
     visited = frontier.withColumn("d", F.lit(0))
+    # one eager job per level (the frontier materialization); the
+    # visited union stays a lazy checkpoint — its parents are already
+    # materialized, so the next level's frontier job (or the caller's
+    # action) truncates it without recomputation
     for k in range(1, max_hops + 1):
         nxt = (
             frontier.join(adj, frontier["v"] == adj["cid"])
@@ -3150,7 +3175,7 @@ def _multi_source_bfs(und: DataFrame, sources: list[str], max_hops: int) -> Data
         ).localCheckpoint(eager=True)
         visited = visited.unionByName(
             frontier.withColumn("d", F.lit(k))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return visited
 
 
@@ -3476,7 +3501,7 @@ def scc(
     isolated are the caller's to union in, as with
     connected_components.
     """
-    sc_ = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
     e = (
         edges.select(
             F.col(src).cast("string").alias("src"),
@@ -3486,7 +3511,7 @@ def scc(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    parts = min(sc_.defaultParallelism, max(8, e.count() // 100_000 + 1))
+    parts = scale.iter_parts(spark, e.count())
     e = e.coalesce(parts)
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -3507,108 +3532,117 @@ def scc(
     # inputs return an empty result instead of dereferencing None
     assigned = nodes.select("id", F.col("id").alias("scc_id")).limit(0)
 
+    # job-count discipline (the per-round latency floor dominates this
+    # algorithm on any graph whose live set fits in memory): every
+    # round fuses its lineage truncation (lazy localCheckpoint) with
+    # its fixpoint probe (count/checksum) into ONE driver action, the
+    # emptiness probes ride the counts the rounds already take, and
+    # the accumulated (id, scc_id) parts stay lazy — they reference
+    # only checkpointed frames, so the final plan is shallow.  Loop
+    # shuffles are sized to the live edge set (functions/scale.py).
     def _acc(part: DataFrame):
         nonlocal assigned
-        part = part.localCheckpoint(eager=True)
         assigned = assigned.unionByName(part)
-        return part
 
-    for _ in range(max_peel):
-        # --- 1. trim singleton SCCs (no in- or no out-edge) in layers
-        while True:
-            if nodes.isEmpty():
-                return assigned.select("id", "scc_id")
-            live = (
-                e.select("src").distinct()
-                .join(e.select("dst").distinct(), F.col("src") == F.col("dst"))
-                .select(F.col("src").alias("id"))
-                .localCheckpoint(eager=True)
-            )
-            dead = nodes.join(live, "id", "left_anti")
-            if dead.isEmpty():
-                break
-            _acc(dead.select("id", F.col("id").alias("scc_id")))
-            nodes = live.coalesce(parts)
-            e = (
-                e.join(live.withColumnRenamed("id", "src"), "src")
-                .join(live.withColumnRenamed("id", "dst"), "dst")
+    n_nodes = nodes.count()
+    with scale.scoped_shuffle_partitions(spark, parts):
+        for _ in range(max_peel):
+            # --- 1. trim singleton SCCs (no in- or no out-edge) in layers
+            while True:
+                if n_nodes == 0:
+                    return assigned.select("id", "scc_id")
+                live = (
+                    e.select("src").distinct()
+                    .join(e.select("dst").distinct(), F.col("src") == F.col("dst"))
+                    .select(F.col("src").alias("id"))
+                    .localCheckpoint(eager=False)
+                )
+                n_live = live.count()
+                if n_live == n_nodes:
+                    break
+                _acc(
+                    nodes.join(live, "id", "left_anti").select(
+                        "id", F.col("id").alias("scc_id")
+                    )
+                )
+                nodes = live.coalesce(parts)
+                n_nodes = n_live
+                e = scale.ckpt(
+                    e.join(live.withColumnRenamed("id", "src"), "src")
+                    .join(live.withColumnRenamed("id", "dst"), "dst")
+                    .select("src", "dst"),
+                    parts,
+                )
+            # --- 2. forward min-color propagation to fixpoint
+            color = nodes.select("id", F.col("id").alias("c"))
+            prev, converged = None, False
+            for _ in range(max_prop):
+                inflow = (
+                    e.join(
+                        color.select(F.col("id").alias("src"), F.col("c").alias("cs")),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("cs").alias("cin"))
+                )
+                color = scale.ckpt(
+                    color.join(inflow, "id", "left").select(
+                        "id", F.least("c", F.coalesce("cin", "c")).alias("c")
+                    ),
+                    parts,
+                )
+                cur = _ck(color, "id", "c")
+                if cur == prev:
+                    converged = True
+                    break
+                prev = cur
+            if not converged:
+                raise ValueError(
+                    "scc: color propagation did not reach a fixpoint in "
+                    f"{max_prop} rounds — raise max_prop (long directed chain?)"
+                )
+            # --- 3. backward mark from roots along same-color edges
+            ce = (
+                e.join(color.select(F.col("id").alias("src"), F.col("c").alias("c1")), "src")
+                .join(color.select(F.col("id").alias("dst"), F.col("c").alias("c2")), "dst")
+                .where(F.col("c1") == F.col("c2"))
                 .select("src", "dst")
                 .coalesce(parts)
                 .localCheckpoint(eager=True)
             )
-        # --- 2. forward min-color propagation to fixpoint
-        color = nodes.select("id", F.col("id").alias("c"))
-        prev, converged = None, False
-        for _ in range(max_prop):
-            inflow = (
-                e.join(
-                    color.select(F.col("id").alias("src"), F.col("c").alias("cs")),
-                    "src",
+            mark = color.where(F.col("c") == F.col("id")).select("id")
+            prev, converged = None, False
+            for _ in range(max_prop):
+                grown = scale.ckpt(
+                    ce.join(mark.withColumnRenamed("id", "dst"), "dst")
+                    .select(F.col("src").alias("id"))
+                    .unionByName(mark)
+                    .distinct(),
+                    parts,
                 )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("cs").alias("cin"))
-            )
-            color = (
-                color.join(inflow, "id", "left")
-                .select(
-                    "id", F.least("c", F.coalesce("cin", "c")).alias("c")
+                cur = _ck(grown, "id")
+                mark = grown
+                if cur == prev:
+                    converged = True
+                    break
+                prev = cur
+            if not converged:
+                raise ValueError(
+                    "scc: backward marking did not reach a fixpoint in "
+                    f"{max_prop} rounds — raise max_prop"
                 )
-                .coalesce(parts)
-                .localCheckpoint(eager=True)
+            _acc(
+                color.join(mark, "id").select("id", F.col("c").alias("scc_id"))
             )
-            cur = _ck(color, "id", "c")
-            if cur == prev:
-                converged = True
-                break
-            prev = cur
-        if not converged:
-            raise ValueError(
-                "scc: color propagation did not reach a fixpoint in "
-                f"{max_prop} rounds — raise max_prop (long directed chain?)"
+            nodes = scale.ckpt(nodes.join(mark, "id", "left_anti"), parts)
+            n_nodes = nodes.count()
+            if n_nodes == 0:
+                return assigned.select("id", "scc_id")
+            e = scale.ckpt(
+                e.join(mark.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(mark.withColumnRenamed("id", "dst"), "dst", "left_anti"),
+                parts,
             )
-        # --- 3. backward mark from roots along same-color edges
-        ce = (
-            e.join(color.select(F.col("id").alias("src"), F.col("c").alias("c1")), "src")
-            .join(color.select(F.col("id").alias("dst"), F.col("c").alias("c2")), "dst")
-            .where(F.col("c1") == F.col("c2"))
-            .select("src", "dst")
-            .coalesce(parts)
-            .localCheckpoint(eager=True)
-        )
-        mark = color.where(F.col("c") == F.col("id")).select("id")
-        prev, converged = None, False
-        for _ in range(max_prop):
-            grown = (
-                ce.join(mark.withColumnRenamed("id", "dst"), "dst")
-                .select(F.col("src").alias("id"))
-                .unionByName(mark)
-                .distinct()
-                .coalesce(parts)
-                .localCheckpoint(eager=True)
-            )
-            cur = _ck(grown, "id")
-            mark = grown
-            if cur == prev:
-                converged = True
-                break
-            prev = cur
-        if not converged:
-            raise ValueError(
-                "scc: backward marking did not reach a fixpoint in "
-                f"{max_prop} rounds — raise max_prop"
-            )
-        _acc(
-            color.join(mark, "id").select("id", F.col("c").alias("scc_id"))
-        )
-        nodes = nodes.join(mark, "id", "left_anti").coalesce(parts).localCheckpoint(eager=True)
-        if nodes.isEmpty():
-            return assigned.select("id", "scc_id")
-        e = (
-            e.join(mark.withColumnRenamed("id", "src"), "src", "left_anti")
-            .join(mark.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .coalesce(parts)
-            .localCheckpoint(eager=True)
-        )
     raise ValueError(
         "scc: peel budget exhausted with live nodes remaining — raise max_peel"
     )
@@ -3628,16 +3662,21 @@ def _directed_closure(
     step = e if forward else e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     visited = seeds.select("id").distinct().localCheckpoint(eager=True)
     frontier = visited
+    # ONE driver action per round: the frontier's lazy checkpoint is
+    # materialized by its own count (which replaces the isEmpty
+    # probe), and the visited union stays lazy until the next round's
+    # count (or the caller's action) materializes it — both frames
+    # reference only checkpointed parents, so lineage stays shallow
     for _ in range(max_rounds):
-        if frontier.isEmpty():
-            return visited
         nxt = (
             frontier.join(step, frontier["id"] == step["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        frontier = nxt.join(visited, "id", "left_anti").localCheckpoint(eager=True)
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        frontier = nxt.join(visited, "id", "left_anti").localCheckpoint(eager=False)
+        if frontier.count() == 0:
+            return visited
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     raise ValueError(
         "directed closure did not reach a fixpoint in "
         f"{max_rounds} rounds — raise max_rounds (long directed chain?)"
