@@ -1368,10 +1368,34 @@ def matryoshka_recall_at_k(
                 qlit,
                 lambda q: F.struct(
                     q["qid"].alias("qid"),
-                    (
+                    # same zero-norm sentinel as _tcos: an all-zero
+                    # embedding must score -2 (below any cosine), not
+                    # NaN — NaN sorts above every value in a DESC
+                    # window and would pollute the exact top-k arm
+                    F.when(
+                        (
+                            F.aggregate(
+                                F.transform(F.col("v"), lambda x: x * x),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            )
+                            == 0
+                        )
+                        | (
+                            F.aggregate(
+                                F.transform(q["qv"], lambda x: x * x),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            )
+                            == 0
+                        ),
+                        F.lit(-2.0),
+                    )
+                    .otherwise(
                         _dot(F.col("v"), q["qv"])
                         / (_norm(F.col("v")) * _norm(q["qv"]))
-                    ).alias("cf"),
+                    )
+                    .alias("cf"),
                 ),
             )
         ).alias("s"),
@@ -1873,6 +1897,10 @@ def kcenter_coverage(
         F.round(F.avg("ms"), 6).alias("mean_cos"),
         F.count(F.lit(1)).cast("long").alias("n_covered"),
     ).collect()[0]
+    if a["n_covered"] == 0:
+        # every vector was selected as a center (corpus size <= k):
+        # there is no uncovered point, so no worst id to report
+        return spark.createDataFrame([], schema)
     worst = (
         cov.where(F.col("ms") == F.lit(a["radius_cos"]))
         .agg(F.min("vec_id"))

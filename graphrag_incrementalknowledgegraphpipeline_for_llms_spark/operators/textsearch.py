@@ -574,8 +574,11 @@ def rake_keywords(
     top_k: int = 50,
 ) -> DataFrame:
     """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
-    candidate phrases are maximal runs of non-stopword tokens (the
-    islands between function-word/punctuation boundaries), each word
+    candidate phrases are maximal runs of non-stopword tokens — ONLY
+    stopwords delimit phrases here (the tokenizer drops punctuation
+    before the run grouping, so unlike the original RAKE a candidate
+    can span a sentence/clause boundary when no stopword intervenes;
+    documented deviation, pinned by the oracle), each word
     scores deg/freq (deg = summed length of every phrase it appears
     in — rewards words that live in long collocations), and a phrase
     scores the sum of its word scores.  The PHRASE-level complement

@@ -175,6 +175,13 @@ def _refresh_changelog(
             )
         dstate = diff.groupBy(*group_cols).agg(*aggs)
         state = catalog.read(spark, _state_table(view))
+        if state is None:
+            # the watermark can be committed on an empty first build
+            # (new_state None): a later refresh then has a compare base
+            # but no state table — rebuild instead of dereferencing None
+            return _rebuild(
+                spark, catalog, source, view, group_cols, value_col, cur
+            )
         pool = state.unionByName(dstate)
         merge_aggs = [F.sum("cnt").alias("cnt")]
         if value_col is not None:
