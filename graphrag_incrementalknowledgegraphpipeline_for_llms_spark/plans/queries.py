@@ -2674,24 +2674,21 @@ def hits(
         .coalesce(parts)
     )
 
-    # score vectors are node-cardinality: broadcast them under a size
-    # gate so each half-round costs one shuffle (the aggregate), not
-    # two — guide §3.1; falls back to shuffle joins at web scale
-    bcast = nodes.count() <= 1_000_000
-
-    def _b(df):
-        return F.broadcast(df) if bcast else df
-
+    # note: a per-half-round broadcast of the score vector was tried
+    # (guide §3.1) and measured NET-NEGATIVE here — unlike the
+    # pagerank family there is no loop-invariant join to remove, so
+    # the 2·iters BroadcastExchanges only added driver round-trips
+    # (kg_hits 2.80 -> 3.08 s); plain shuffle joins restored
     hub = nodes.withColumn("h", F.lit(1.0))
     auth = None
     for i in range(iters):
         auth = (
-            edges.join(_b(hub.withColumnRenamed("id", "src_id")), "src_id")
+            edges.join(hub.withColumnRenamed("id", "src_id"), "src_id")
             .groupBy(F.col("dst_id").alias("id"))
             .agg(F.sum("h").alias("a"))
         )
         hub = (
-            edges.join(_b(auth.withColumnRenamed("id", "dst_id")), "dst_id")
+            edges.join(auth.withColumnRenamed("id", "dst_id"), "dst_id")
             .groupBy(F.col("src_id").alias("id"))
             .agg(F.sum("a").alias("h"))
         )
@@ -2769,16 +2766,13 @@ def eigenvector_centrality(
     x = und.select(F.col("cid").alias("id")).distinct().withColumn(
         "x", F.lit(1.0)
     )
-    # broadcast the node-cardinality score vector under a size gate
-    # (one shuffle per round: the aggregate) — guide §3.1
-    bcast = und.select("cid").distinct().count() <= 1_000_000
-
-    def _b(df):
-        return F.broadcast(df) if bcast else df
-
+    # note: broadcasting the score vector per round was tried (guide
+    # §3.1) and measured net-negative here — same finding as hits: no
+    # loop-invariant join to remove, so the per-round
+    # BroadcastExchange only added latency (1.42 -> 1.91 s)
     for i in range(iters):
         x = (
-            und.join(_b(x.withColumnRenamed("id", "nbr_id")), "nbr_id")
+            und.join(x.withColumnRenamed("id", "nbr_id"), "nbr_id")
             .groupBy(F.col("cid").alias("id"))
             .agg(F.sum("x").alias("x"))
         )
