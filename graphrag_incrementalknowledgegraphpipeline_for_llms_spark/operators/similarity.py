@@ -1812,6 +1812,12 @@ def kcenter_sample(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    # the pool is re-scanned k times (one literal-cosine pass per
+    # greedy pick): materialize it once so each pass reads cached
+    # blocks instead of replaying the upstream scan+cast — the pool
+    # is bounded by contract at scale (pass candidates=), so the
+    # checkpoint is coreset-pool-sized
+    vecs = vecs.localCheckpoint(eager=True)
     seed = vecs.orderBy("vec_id").limit(1).collect()
     if not seed:
         return embeddings.sparkSession.createDataFrame(
@@ -1879,7 +1885,7 @@ def kcenter_coverage(
     vecs = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).localCheckpoint(eager=True)
     cmap = {
         int(r["vec_id"]): [float(x) for x in r["_v"]]
         for r in vecs.where(F.col("vec_id").isin(ids)).collect()

@@ -1738,6 +1738,16 @@ def random_walks(
     slices = [
         walks.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
     ]
+    # degree and indexed-adjacency lookups are loop-INVARIANT: under a
+    # size gate on the EDGE count (the adjacency is the bigger side),
+    # broadcast them so each step's joins skip shuffling the walk
+    # frontier (guide §3.1; the invariant-lookup sibling of the
+    # pagerank pre-join — at web scale the gate falls back)
+    bcast = adj_i.count() <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     for t in range(1, walk_length + 1):
         h32 = F.conv(
             F.substring(
@@ -1749,10 +1759,10 @@ def random_walks(
             10,
         ).cast("long")
         walks = (
-            walks.join(deg.withColumnRenamed("cid", "cur"), "cur")
+            walks.join(_b(deg.withColumnRenamed("cid", "cur")), "cur")
             .select("walk_id", "cur", (h32 % F.col("deg")).alias("idx"))
             .join(
-                adj_i.withColumnRenamed("cid", "cur"),
+                _b(adj_i.withColumnRenamed("cid", "cur")),
                 ["cur", "idx"],
             )
             .select("walk_id", F.col("nbr_id").alias("cur"))
@@ -1824,9 +1834,17 @@ def node2vec_walks(
         frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
     ]
     win = Window.partitionBy("walk_id").orderBy("nbr_id")
+    # the adjacency and edge-set lookups are loop-invariant: broadcast
+    # under a size gate on the edge count so each step pays only its
+    # walk_id window shuffle (guide §3.1; falls back at web scale)
+    bcast = adj.count() <= 1_000_000
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     for t in range(1, walk_length + 1):
-        cand = frontier.join(adj.withColumnRenamed("cid", "cur"), "cur").join(
-            eset,
+        cand = frontier.join(_b(adj.withColumnRenamed("cid", "cur")), "cur").join(
+            _b(eset),
             (F.least("nbr_id", "prev") == F.col("ea"))
             & (F.greatest("nbr_id", "prev") == F.col("eb")),
             "left",
