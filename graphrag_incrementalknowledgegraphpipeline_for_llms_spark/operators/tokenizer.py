@@ -210,6 +210,7 @@ def bpe_encode_stats(
     n_merges: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    merges: "list[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Tokenization-cost profile of a corpus under its own learned BPE:
     learn ``n_merges`` merges (:func:`bpe_learn`), encode, and report
@@ -230,11 +231,17 @@ def bpe_encode_stats(
     merge table as literals) and documents get their costs back via
     ONE equi-join on word; the corpus is scanned once for the vocab
     and once for the join.  The per-doc sums are exact BIGINTs with
-    one final division."""
-    merges_df = bpe_learn(df, text_col=text_col, n_merges=n_merges)
-    merges = [
-        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("round").collect()
-    ]
+    one final division.
+
+    ``merges`` injects a pre-learned (lhs, rhs) list — the same
+    injection seam as ``kmeans_assign(cents=...)`` — so a session that
+    already trained the identical model (same corpus, same n_merges)
+    skips the learn rounds; ``None`` learns in place."""
+    if merges is None:
+        merges_df = bpe_learn(df, text_col=text_col, n_merges=n_merges)
+        merges = [
+            (r["lhs"], r["rhs"]) for r in merges_df.orderBy("round").collect()
+        ]
     enc = word_counts(df, text_col).select(
         "word", _initial_symbols(F.col("word")).alias("syms")
     )
