@@ -4176,7 +4176,13 @@ def q_dd_edit_distance(spark, sf_dir):
     the dedup family — catches reorders/in-place edits that set-based
     Jaccard scores identically."""
     return dedup.edit_distance_near_dup(
-        _docs_with_dups(spark, sf_dir), max_rel=0.3, hash_family="md5"
+        _docs_with_dups(spark, sf_dir),
+        max_rel=0.3,
+        hash_family="md5",
+        # the staged th-0 md5 MinHash pair relation IS this chain's
+        # candidate set (same corpus + params; set-equality verified
+        # empirically at sf0.1 — symmetric difference 0)
+        candidates=_mh_md5_pairs(spark, sf_dir),
     )
 
 

@@ -1201,6 +1201,7 @@ def edit_distance_near_dup(
     bands: int = 8,
     rows_per_band: int = 4,
     hash_family: str = "xxh64",
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-dup pairs verified by EXACT Levenshtein distance: MinHash
     LSH generates the candidates (never an all-pairs join), then each
@@ -1227,12 +1228,21 @@ def edit_distance_near_dup(
     construction, so the expensive verify is output-bounded.  For
     very long documents pair this with a length cap upstream or the
     banded-DP variant; at 100 TB the candidate generation cost
-    dominates and is identical to the MinHash path already measured."""
-    sigs = stage_parquet(
-        minhash_signatures(df, text_col, id_col, shingle_n, num_hashes, hash_family),
-        "ed_sigs",
-    )
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
+    dominates and is identical to the MinHash path already measured.
+
+    ``candidates`` injects a pre-built (a_id, b_id) candidate relation
+    from the SAME LSH parameters (the injection seam of
+    ``bpe_encode_stats(merges=...)``), so a session that already ran
+    the identical MinHash chain skips the 32-hash signature pass;
+    ``None`` generates candidates in place."""
+    if candidates is not None:
+        cands = candidates.select("a_id", "b_id")
+    else:
+        sigs = stage_parquet(
+            minhash_signatures(df, text_col, id_col, shingle_n, num_hashes, hash_family),
+            "ed_sigs",
+        )
+        cands = minhash_lsh_candidates(sigs, bands, rows_per_band, hash_family)
     norm = df.select(
         F.col(id_col).alias("id"),
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("t"),
