@@ -893,7 +893,16 @@ def kl_divergence_from_counts(st: DataFrame, top_v: int = 2048) -> DataFrame:
     categorical distribution per group — unigrams, extracted concept
     ids, URL hosts — gets the same closed-form drift score with the
     same engine-exact expression shapes (the exact arithmetic the
-    ``txt_source_drift`` oracle replays)."""
+    ``txt_source_drift`` oracle replays).
+
+    ``st`` feeds FIVE consumers (top-V ranking, the two scalar
+    collects' chains, ns, and the seen-sum), so it is staged as
+    scratch parquet once — the corpus-scale explode+aggregate behind
+    it would otherwise recompute per consumer; the staged relation is
+    (source, term, c) triples, exactly round-tripped."""
+    from .dedup import stage_parquet
+
+    st = stage_parquet(st, "kl_counts")
     ct = st.groupBy("term").agg(F.sum("c").alias("ct"))
     top = ct.orderBy(F.desc("ct"), "term").limit(top_v).select("term")
     bucketed = (
