@@ -184,10 +184,17 @@ def market_basket(
     agg, the basket-keyed self-join, and the pair agg — all on keys
     the data is naturally sized for once the two guards fire.
     """
-    bi = (
+    from .dedup import stage_parquet
+
+    # bi feeds FIVE consumers (the basket-total count, item support,
+    # both sides of the pair self-join via freq, and the mega-basket
+    # guard): stage the narrow 2-column distinct once instead of
+    # re-running the scan+distinct per consumer
+    bi = stage_parquet(
         items.select(
             F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-        ).distinct()
+        ).distinct(),
+        "mb_bi",
     )
     n_baskets = bi.select("b").distinct().count()
     sup = (
