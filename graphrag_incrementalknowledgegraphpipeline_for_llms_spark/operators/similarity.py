@@ -1769,12 +1769,67 @@ def centroid_outliers(
     )
 
 
+def kcenter_greedy(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> tuple[list, list]:
+    """The bounded greedy farthest-point trace behind
+    :func:`kcenter_sample` / :func:`kcenter_coverage` — returns
+    (picked, sel_vecs): ``picked`` is the [(rank, vec_id, max_sim)]
+    trace, ``sel_vecs`` the selected vectors in rank order (k * dim
+    floats — driver-bounded by construction).  Exposed so the two
+    consumers can share ONE greedy run (the kmeans_assign(cents=...)
+    injection seam): the trace is deterministic, so sharing it cannot
+    change either query's rows."""
+    src = candidates if candidates is not None else embeddings
+    vecs = src.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    # the pool is re-scanned k times (one literal-cosine pass per
+    # greedy pick): materialize it once so each pass reads cached
+    # blocks instead of replaying the upstream scan+cast — the pool
+    # is bounded by contract at scale (pass candidates=), so the
+    # checkpoint is coreset-pool-sized
+    vecs = vecs.localCheckpoint(eager=True)
+    seed = vecs.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return [], []
+    picked = [(1, int(seed[0]["vec_id"]), 0.0)]
+    sel_vecs = [[float(x) for x in seed[0]["_v"]]]
+    for rank in range(2, k + 1):
+        sims = [
+            F.round(
+                cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in sv])), 6
+            )
+            for sv in sel_vecs
+        ]
+        ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        top = (
+            vecs.where(~F.col("vec_id").isin([p[1] for p in picked]))
+            .select("vec_id", "_v", ms.alias("max_sim"))
+            .orderBy("max_sim", "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        picked.append((rank, int(r["vec_id"]), float(r["max_sim"])))
+        sel_vecs.append([float(x) for x in r["_v"]])
+    return picked, sel_vecs
+
+
 def kcenter_sample(
     embeddings: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    greedy: tuple[list, list] | None = None,
 ) -> DataFrame:
     """Greedy k-center / farthest-point traversal (Gonzalez 1985):
     pick ``k`` vectors that maximally SPREAD over the embedding space
@@ -1807,44 +1862,15 @@ def kcenter_sample(
     k-center on a uniform pool is the standard coreset recipe."""
     if k < 1:
         raise ValueError("need k >= 1")
-    src = candidates if candidates is not None else embeddings
-    vecs = src.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
-    # the pool is re-scanned k times (one literal-cosine pass per
-    # greedy pick): materialize it once so each pass reads cached
-    # blocks instead of replaying the upstream scan+cast — the pool
-    # is bounded by contract at scale (pass candidates=), so the
-    # checkpoint is coreset-pool-sized
-    vecs = vecs.localCheckpoint(eager=True)
-    seed = vecs.orderBy("vec_id").limit(1).collect()
-    if not seed:
+    if greedy is None:
+        greedy = kcenter_greedy(
+            embeddings, k=k, id_col=id_col, vec_col=vec_col, candidates=candidates
+        )
+    picked, _ = greedy
+    if not picked:
         return embeddings.sparkSession.createDataFrame(
             [], "rank int, vec_id long, max_sim double"
         )
-    picked = [(1, int(seed[0]["vec_id"]), 0.0)]
-    sel_vecs = [[float(x) for x in seed[0]["_v"]]]
-    for rank in range(2, k + 1):
-        sims = [
-            F.round(
-                cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in sv])), 6
-            )
-            for sv in sel_vecs
-        ]
-        ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        top = (
-            vecs.where(~F.col("vec_id").isin([p[1] for p in picked]))
-            .select("vec_id", "_v", ms.alias("max_sim"))
-            .orderBy("max_sim", "vec_id")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        r = top[0]
-        picked.append((rank, int(r["vec_id"]), float(r["max_sim"])))
-        sel_vecs.append([float(x) for x in r["_v"]])
     out = embeddings.sparkSession.createDataFrame(
         picked, "rank int, vec_id long, max_sim double"
     )
@@ -1856,6 +1882,7 @@ def kcenter_coverage(
     k: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    greedy: tuple[list, list] | None = None,
 ) -> DataFrame:
     """Coverage audit of the greedy k-center pick: after
     :func:`kcenter_sample` selects k centers (same exact trace),
@@ -1873,8 +1900,10 @@ def kcenter_coverage(
     Scale shape: the selection's k bounded passes + ONE more scan
     with k literal-center cosines and a 1-row aggregate — no joins,
     no shuffle beyond the final reduce."""
-    sel = kcenter_sample(embeddings, k=k, id_col=id_col, vec_col=vec_col).collect()
-    ids = [int(r["vec_id"]) for r in sel]
+    if greedy is None:
+        greedy = kcenter_greedy(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    picked, sel_vecs = greedy
+    ids = [p[1] for p in picked]
     spark = embeddings.sparkSession
     schema = (
         "k int, radius_cos double, mean_cos double, n_covered bigint, "
@@ -1886,13 +1915,11 @@ def kcenter_coverage(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).localCheckpoint(eager=True)
-    cmap = {
-        int(r["vec_id"]): [float(x) for x in r["_v"]]
-        for r in vecs.where(F.col("vec_id").isin(ids)).collect()
-    }
+    # the greedy trace already carries the selected vectors (same
+    # double-cast _v values the cmap collect re-fetched), rank order
     sims = [
-        F.round(cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in cmap[i]])), 6)
-        for i in ids
+        F.round(cosine_col(F.col("_v"), F.array(*[F.lit(x) for x in sv])), 6)
+        for sv in sel_vecs
     ]
     ms = F.greatest(*sims) if len(sims) > 1 else sims[0]
     cov = vecs.where(~F.col("vec_id").isin(ids)).select(

@@ -1011,7 +1011,10 @@ def incremental_label_propagation(
 
 
 def community_hierarchy(
-    und: DataFrame, iters: int = 5, checkpoint_every: int = 2
+    und: DataFrame,
+    iters: int = 5,
+    checkpoint_every: int = 2,
+    l0: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level GraphRAG community hierarchy: (id, label_l0,
     label_l1).  Level 0 is plain LPA; level 1 re-runs LPA on the
@@ -1029,7 +1032,10 @@ def community_hierarchy(
     than the input, so the second level is nearly free.  Weighted
     votes keep the contracted multigraph's edge mass (an unweighted
     pass would treat a 1000-edge bridge like a single edge)."""
-    l0 = label_propagation(und, iters=iters, checkpoint_every=checkpoint_every)
+    # l0= lets a caller inject an already-materialized level-0 LPA
+    # (the kmeans_assign(cents=...) seam): same relation, computed once
+    if l0 is None:
+        l0 = label_propagation(und, iters=iters, checkpoint_every=checkpoint_every)
     relabel = (
         und.select("cid", "nbr_id")
         .distinct()
@@ -3700,6 +3706,7 @@ def bowtie(
     src: str = "src_id",
     dst: str = "dst_id",
     max_rounds: int = 60,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Bow-tie decomposition of a directed graph (Broder et al.
     WWW 2000 — THE web-graph macro-structure result): pick the largest
@@ -3745,7 +3752,11 @@ def bowtie(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = scc(edges, src=src, dst=dst)
+    # labels= lets a caller inject the precomputed (id, scc_id)
+    # relation for these edges (the community_hierarchy l0= seam):
+    # kg_scc and kg_bowtie otherwise each run the full peeling loop
+    if labels is None:
+        labels = scc(edges, src=src, dst=dst)
     core_lab = (
         labels.groupBy("scc_id")
         .agg(F.count(F.lit(1)).alias("sz"))
