@@ -1116,16 +1116,33 @@ def q_kg_neighbors_2hop(spark, sf_dir):
     )
 
 
+def _pr10(spark, sf_dir):
+    """Session-staged FULL PageRank field (10 iters, d=0.85,
+    top_k=None) over the co-occurrence graph — kg_pagerank and
+    kg_node_features each re-ran the identical power iteration; the
+    rank column is rounded to 8 dp before staging, so the parquet
+    round-trip is exact."""
+    return _staged(
+        spark, sf_dir, "kg_pr10",
+        lambda: q.pagerank_und(_kg_cooccur_und(spark, sf_dir), iters=10, top_k=None),
+    )
+
+
+def _core8(spark, sf_dir):
+    """Session-staged coreness (8 h-index rounds) — kg_coreness and
+    kg_node_features each re-ran the identical iteration."""
+    return _staged(
+        spark, sf_dir, "kg_core8",
+        lambda: q.coreness(_kg_cooccur_und(spark, sf_dir), iters=8),
+    )
+
+
 def q_kg_pagerank(spark, sf_dir):
     """PageRank over the co-occurrence concept graph (10 iterations,
     d=0.85), top 20 — deterministic; exact numpy oracle in
     tests/test_graph_queries.py, and a DuckDB oracle with the 10
     iterations unrolled as chained CTEs."""
-    pairs = q_kg_pairs(spark, sf_dir)
-    und = pairs.select(F.col("a_id").alias("cid"), F.col("b_id").alias("nbr_id")).unionByName(
-        pairs.select(F.col("b_id").alias("cid"), F.col("a_id").alias("nbr_id"))
-    )
-    return q.pagerank_und(und, iters=10, top_k=20)
+    return _pr10(spark, sf_dir).orderBy(F.desc("rank"), "id").limit(20)
 
 
 def q_kg_pagerank_weighted(spark, sf_dir):
@@ -1509,7 +1526,7 @@ def q_kg_coreness(spark, sf_dir):
     """k-core decomposition: 8 rounds of synchronous h-index
     iteration over the co-occurrence graph (converges to exact
     coreness; pytest pins fixture convergence vs peeling)."""
-    return q.coreness(_kg_cooccur_und(spark, sf_dir), iters=8)
+    return _core8(spark, sf_dir).orderBy(F.desc("coreness"), "id")
 
 
 def q_kg_local_search(spark, sf_dir):
@@ -2590,7 +2607,12 @@ def q_kg_node_features(spark, sf_dir):
     community) over the co-occurrence graph — the tabular export a
     node classifier / GNN trainer consumes; ties the graph-ML family
     into one oracle-pinned table."""
-    return q.node_features(_kg_cooccur_und(spark, sf_dir))
+    return q.node_features(
+        _kg_cooccur_und(spark, sf_dir),
+        pr=_pr10(spark, sf_dir),
+        core=_core8(spark, sf_dir),
+        labels=_lpa5(spark, sf_dir),
+    )
 
 
 def q_kg_context_pack(spark, sf_dir):

@@ -43,6 +43,61 @@ def _checksum(e: DataFrame):
     return (row["n"], row["h"])
 
 
+def _local_contract(e: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction — the standard CC
+    pre-pass: each task collapses ITS edges to (node ->
+    partition-local min root) star edges in ONE narrow pass (no
+    shuffle).  Connectivity is preserved exactly — every in-partition
+    path collapses onto its root, and nodes shared across partitions
+    chain the roots — while the edge list shrinks to <= the distinct
+    node count per partition and becomes star-shaped, so the global
+    large/small-star loop only resolves the cross-partition residue:
+    1-3 rounds instead of O(log longest-path) (a chain graph is the
+    worst case the lag-edge CC query feeds it).  The final labels are
+    unchanged: a component's global min id is the min of its OWN
+    local group, hence survives contraction as a live node, and
+    large/small-star converges to min-id stars on any
+    connectivity-equivalent input.  Per-task state is O(nodes in the
+    partition) — bounded by the ~100k-row partitions
+    scale.iter_parts targets, never corpus-global."""
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru == rv:
+                    continue
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        us, vs = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                us.append(x)
+                vs.append(r)
+        if us:
+            yield pd.DataFrame({"u": us, "v": vs})
+
+    return e.mapInPandas(contract, schema=e.schema)
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -92,8 +147,12 @@ def connected_components(
     prev = None
     # loop shuffles sized to the (counted) edge table, not the session
     # default (functions/scale.py); lazy checkpoint fuses each round's
-    # materialization with its fixpoint checksum into ONE job
+    # materialization with its fixpoint checksum into ONE job.  The
+    # partition-local contraction pre-pass (one narrow mapInPandas
+    # stage, fused into round 1's probe) star-shapes the edge list so
+    # the loop below converges in its cross-partition residue rounds.
     with scale.scoped_shuffle_partitions(spark, parts):
+        e = scale.ckpt(_canon(_local_contract(e)), parts)
         for _ in range(max_iter):
             e = scale.ckpt(_small_star(_large_star(e)), parts)
             cur = _checksum(e)

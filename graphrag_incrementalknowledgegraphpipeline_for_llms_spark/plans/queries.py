@@ -453,6 +453,9 @@ def node_features(
     pr_iters: int = 10,
     core_iters: int = 8,
     lpa_iters: int = 5,
+    pr: DataFrame | None = None,
+    core: DataFrame | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node feature matrix for downstream node classification /
     GNN training: degree, coreness (h-index iteration), PageRank, and
@@ -479,13 +482,28 @@ def node_features(
     # checkpointed adjacency: run their driver loops as concurrent
     # threads (guide §2.6) so their small per-round stages interleave;
     # each primitive and the final assembly are unchanged
+    # pr=/core=/labels= let a caller inject already-materialized
+    # primitives (the bowtie labels= seam): kg_pagerank / kg_coreness /
+    # the LPA family stage the identical relations, so re-running the
+    # three iterative loops here would recompute what the session has
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as ex:
-        f_pr = ex.submit(pagerank_und, adj, iters=pr_iters, top_k=None, prepared=True)
-        f_core = ex.submit(coreness, adj, iters=core_iters, prepared=True)
-        f_lab = ex.submit(label_propagation, adj, iters=lpa_iters, prepared=True)
-        pr, core, labels = f_pr.result(), f_core.result(), f_lab.result()
+        f_pr = (
+            None if pr is not None
+            else ex.submit(pagerank_und, adj, iters=pr_iters, top_k=None, prepared=True)
+        )
+        f_core = (
+            None if core is not None
+            else ex.submit(coreness, adj, iters=core_iters, prepared=True)
+        )
+        f_lab = (
+            None if labels is not None
+            else ex.submit(label_propagation, adj, iters=lpa_iters, prepared=True)
+        )
+        pr = pr if f_pr is None else f_pr.result()
+        core = core if f_core is None else f_core.result()
+        labels = labels if f_lab is None else f_lab.result()
     return (
         deg.select(F.col("cid").alias("id"), "degree")
         .join(core, "id")

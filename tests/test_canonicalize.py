@@ -132,3 +132,49 @@ class TestBloomAliasGate:
         assert canonicalize.bloom_lemma_filter(aliases) is None
         m = self._mentions(spark, ["a_lemma"])
         assert canonicalize.alias_edges(m, aliases).count() == 0
+
+
+def _uf_reference(edges):
+    """Pure-Python union-find oracle: component = min id."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
+def test_local_contract_prepass_matches_union_find(spark):
+    """The partition-local contraction pre-pass must leave CC labels
+    identical to a pure union-find on an adversarial mix of chains,
+    stars and cross-links, under several partition layouts."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]          # long chain
+    edges += [(f"h", f"s{i:02d}") for i in range(15)]                  # star
+    edges += [("c005", "s03"), ("z9", "z8"), ("z8", "z7")]             # bridges + tail
+    edges += [
+        (f"r{rng.randrange(30):02d}", f"r{rng.randrange(30):02d}")
+        for _ in range(50)
+    ]                                                                   # random blob
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _uf_reference(edges)
+    for nparts in (1, 3, 16):
+        df = spark.createDataFrame(edges, "u string, v string").repartition(nparts)
+        got = {
+            r["id"]: r["component"]
+            for r in canonicalize.connected_components(df).collect()
+        }
+        assert got == want, f"mismatch at {nparts} partitions"
