@@ -930,18 +930,25 @@ class ParquetCatalog:
             self._write_spec(name, keys, buckets)
 
         touched: list[int] | None = None
-        if spec is not None:
+        if spec is not None and self.exists(name):
             # ---- bucket pruning (copy-on-write MERGE, Iceberg analog):
             # only buckets that contain update keys are read, merged and
             # rewritten; every other bucket keeps its existing data dir
-            # untouched in the new manifest.
+            # untouched in the new manifest.  The probe costs one full
+            # pass of the updates plan, so it runs ONLY when there is a
+            # table to prune — on a first write (no existing snapshot)
+            # it would recompute the whole batch chain to learn bucket
+            # ids nothing reads (measured: the probe doubled the
+            # pipeline's node/edge build on fresh catalogs).
             updates = updates.withColumn("_ub", self._bucket_col(spec))
             touched = sorted(
                 r["_ub"] for r in updates.select("_ub").distinct().collect()
             )
             updates = updates.drop("_ub")
-            dirs = self.data_dirs(name, buckets=touched) if self.exists(name) else []
+            dirs = self.data_dirs(name, buckets=touched)
             existing = spark.read.parquet(*dirs) if dirs else None
+        elif spec is not None:
+            existing = None
         else:
             existing = self.read(spark, name)
         pool = updates
