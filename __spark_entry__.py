@@ -1277,6 +1277,19 @@ def _kg_cooccur_und(spark, sf_dir):
     )
 
 
+def _und_distinct(spark, sf_dir):
+    """Session-staged DISTINCT co-occurrence adjacency — the PPR
+    family (local_search, context_pack, drift_search) each re-paid
+    the 312k->10k distinct shuffle + checkpoint per invocation; the
+    staged relation goes in with prepared=True (the pagerank_und
+    seam).  Only consumers whose semantics are multiplicity-free may
+    use this (PPR distincts internally; weighted votes must NOT)."""
+    return _staged(
+        spark, sf_dir, "kg_und_distinct",
+        lambda: _kg_cooccur_und(spark, sf_dir).distinct(),
+    )
+
+
 def _lpa5(spark, sf_dir):
     """Session-staged 5-round LPA labels over the unweighted
     co-occurrence graph — the community index seven queries
@@ -1534,11 +1547,12 @@ def q_kg_local_search(spark, sf_dir):
     (pure hash — no scan), expand with personalized PageRank, then
     attach mention statistics for context assembly."""
     return q.local_search(
-        _kg_cooccur_und(spark, sf_dir),
+        _und_distinct(spark, sf_dir),
         q_kg_mentions(spark, sf_dir),
         terms=list(_LOCAL_SEARCH_TERMS),
         iters=10,
         top_k=20,
+        und_prepared=True,
     )
 
 
@@ -2495,10 +2509,12 @@ def q_kg_drift_search(spark, sf_dir):
     """GraphRAG DRIFT search: global community ranking picks the most
     query-relevant community, then PPR re-seeded at its matched
     members drills into (and may drift beyond) that community."""
-    und = _kg_cooccur_und(spark, sf_dir)
     labels = _lpa5(spark, sf_dir)
     mentions = q_kg_mentions(spark, sf_dir)
-    return q.drift_search(und, labels, mentions, pattern="a", iters=10, top_k=20)
+    return q.drift_search(
+        _und_distinct(spark, sf_dir), labels, mentions,
+        pattern="a", iters=10, top_k=20, und_prepared=True,
+    )
 
 
 def q_kg_betweenness(spark, sf_dir):
@@ -2620,7 +2636,7 @@ def q_kg_context_pack(spark, sf_dir):
     link + PPR pick the top-10 entities, each contributes <=3 evidence
     snippets, packed greedily (rank desc) until the 150-token budget
     is spent.  The rows ARE the prompt, in prompt order."""
-    und = _kg_cooccur_und(spark, sf_dir)
+    und = _und_distinct(spark, sf_dir)
     m = q_kg_mentions(spark, sf_dir)
     chunks = _chunks(spark, sf_dir)
     return q.context_pack(
@@ -2632,6 +2648,7 @@ def q_kg_context_pack(spark, sf_dir):
         top_entities=10,
         evidence_per_entity=3,
         snippet_chars=200,
+        und_prepared=True,
     )
 
 

@@ -305,6 +305,7 @@ def personalized_pagerank(
     top_k: int = 20,
     checkpoint_every: int = 3,
     weight_col: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: power iteration where the teleport mass
     (1 - damping) returns to the SEED set instead of spreading
@@ -328,7 +329,12 @@ def personalized_pagerank(
     weights (e.g. co-occurrence frequency); None = uniform."""
     sc = und.sparkSession.sparkContext
     wcols = ["cid", "nbr_id"] + ([weight_col] if weight_col else [])
-    und = und.select(*wcols).distinct().localCheckpoint(eager=True)
+    und = und.select(*wcols)
+    if not prepared:
+        # prepared=True: caller already dedup'd + materialized the
+        # adjacency (the pagerank_und seam) — skips the distinct
+        # shuffle + checkpoint each PPR consumer otherwise re-pays
+        und = und.distinct().localCheckpoint(eager=True)
     n_edges = und.count()
     parts = min(sc.defaultParallelism, max(8, n_edges // 100_000 + 1))
     und = und.coalesce(parts)
@@ -395,6 +401,7 @@ def local_search(
     damping: float = 0.85,
     iters: int = 10,
     top_k: int = 20,
+    und_prepared: bool = False,
 ) -> DataFrame:
     """GraphRAG LOCAL search (Edge et al. 2024 §3.5): answer a query
     from the entity level up — the complement of :func:`global_search`.
@@ -426,7 +433,8 @@ def local_search(
 
     seeds = sorted({concept_id(normalize_lemma(t)) for t in terms})
     ranked = personalized_pagerank(
-        und, seeds, damping=damping, iters=iters, top_k=top_k
+        und, seeds, damping=damping, iters=iters, top_k=top_k,
+        prepared=und_prepared,
     )
     stats = mentions.groupBy(F.col("concept_id").alias("id")).agg(
         F.min("lemma").alias("lemma"),
@@ -617,6 +625,7 @@ def context_pack(
     snippet_chars: int = 200,
     damping: float = 0.85,
     iters: int = 10,
+    und_prepared: bool = False,
 ) -> DataFrame:
     """The GraphRAG last mile: assemble the LLM context window for a
     query under a token budget.  :func:`local_search`'s entity linking
@@ -641,7 +650,8 @@ def context_pack(
 
     seeds = sorted({concept_id(normalize_lemma(t)) for t in terms})
     ranked = personalized_pagerank(
-        und, seeds, damping=damping, iters=iters, top_k=top_entities
+        und, seeds, damping=damping, iters=iters, top_k=top_entities,
+        prepared=und_prepared,
     )
     ev = (
         mentions.select(F.col("concept_id").alias("id"), "chunk_id")
@@ -3422,6 +3432,7 @@ def drift_search(
     pattern: str,
     iters: int = 10,
     top_k: int = 20,
+    und_prepared: bool = False,
 ) -> DataFrame:
     """GraphRAG DRIFT search (Microsoft GraphRAG's global-then-local
     drill-down), extractive-deterministic: the GLOBAL phase ranks
@@ -3460,7 +3471,9 @@ def drift_search(
     )
     if not seeds:
         return empty
-    pr = personalized_pagerank(und, seeds, iters=iters, top_k=top_k)
+    pr = personalized_pagerank(
+        und, seeds, iters=iters, top_k=top_k, prepared=und_prepared
+    )
     stats = mentions.groupBy(F.col("concept_id").alias("id")).agg(
         F.min("lemma").alias("lemma"),
         F.count(F.lit(1)).alias("n_mentions"),
@@ -5224,63 +5237,87 @@ def wu_palmer_similarity(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    clo = taxonomy_closure(isa, max_depth=max_depth)
-    layers = taxonomy_layers(isa, max_depth=max_depth).select("id", "layer")
+    # closure and layers are independent given the checkpointed isa
+    # view: run their bounded-round driver loops concurrently so each
+    # round's straggler tail back-fills with the other loop's stages
+    # (guide §2.6, the node_features pattern); results unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_clo = ex.submit(taxonomy_closure, isa, max_depth=max_depth)
+        f_lay = ex.submit(taxonomy_layers, isa, max_depth=max_depth)
+        clo, layers = f_clo.result(), f_lay.result().select("id", "layer")
     nodes = layers.select("id")
     anc = clo.select(
         F.col("desc_id").alias("node"), F.col("anc_id").alias("anc")
     ).unionByName(
         nodes.select(F.col("id").alias("node"), F.col("id").alias("anc"))
     ).distinct()
-    common = (
-        anc.select(F.col("node").alias("a"), "anc")
-        .join(anc.select(F.col("node").alias("b"), "anc"), "anc")
-        .where(F.col("a") < F.col("b"))
-        .join(
+    # The pair fan-out (Σ_c |desc(c)|² rows — measured 8.4M at sf0.1,
+    # the widest relation in the plan) used to carry three 16-char
+    # string ids per row into a 6-column aggregate.  Now (guide §2.3,
+    # narrower types): dense ORDER-PRESERVING integer codes (rank by
+    # id over the vocab-bound node dictionary — the same vocab bound
+    # the algorithm already carries), and the (max layer, min anc)
+    # argmax packs into ONE bigint `min(k)` with
+    # k = (max_depth - layer) · 2^33 + anc_code — lexicographic by
+    # construction, hash-aggregable, 24 narrow bytes per fan-out row.
+    # Code-min == id-min because codes are rank-ordered, so the
+    # decoded (lca_layer, lca_id) is identical.
+    wcode = Window.orderBy("id")
+    codes = (
+        nodes.select("id", F.row_number().over(wcode).cast("bigint").alias("code"))
+        .localCheckpoint(eager=True)
+    )
+    adict = codes.join(layers, "id").select(
+        F.col("id").alias("anc"),
+        F.col("code").alias("ac"),
+        F.col("layer").alias("lc"),
+    )
+    enc = (
+        anc.join(
             F.broadcast(
-                layers.select(F.col("id").alias("anc"), F.col("layer").alias("lc"))
+                codes.select(F.col("id").alias("node"), F.col("code").alias("nc"))
             ),
-            "anc",
+            "node",
+        )
+        .join(F.broadcast(adict), "anc")
+        .select(
+            F.col("nc").alias("n"),
+            "ac",
+            (
+                (F.lit(max_depth) - F.col("lc")) * F.lit(1 << 33) + F.col("ac")
+            ).alias("k"),
         )
     )
-    # ONE pass over the (Σ_c |desc(c)|²-sized) pair fan-out: the
-    # argmax (max layer, MIN anc at that layer) folds into a single
-    # aggregate with one conditional-min column per layer value
-    # (layers are 0..max_depth by construction), replacing the
-    # two-aggregate max + join-back form that re-enumerated the pair
-    # relation a second time (measured 8.4M fan-out rows at sf0.1 —
-    # guide §2.3/§2.4: one shuffle instead of three over the widest
-    # relation in the plan).  Identical (lca_layer, lca_id) by
-    # construction.
+    common = enc.select(F.col("n").alias("a"), "ac", "k").join(
+        enc.select(F.col("n").alias("b"), "ac"), "ac"
+    ).where(F.col("a") < F.col("b"))
+    lca_k = common.groupBy("a", "b").agg(F.min("k").alias("k"))
+    dec = lambda cname, alias: F.broadcast(
+        codes.select(F.col("code").alias(cname), F.col("id").alias(alias))
+    )
     lca = (
-        common.groupBy("a", "b")
-        .agg(
-            F.max("lc").alias("lca_layer"),
-            *[
-                F.min(F.when(F.col("lc") == L, F.col("anc"))).alias(f"_m{L}")
-                for L in range(max_depth + 1)
-            ],
-        )
-        .select(
+        lca_k.select(
             "a",
             "b",
-            "lca_layer",
-            F.coalesce(
-                *[
-                    F.when(F.col("lca_layer") == L, F.col(f"_m{L}"))
-                    for L in range(max_depth + 1)
-                ]
-            ).alias("lca_id"),
+            (F.lit(max_depth) - F.floor(F.col("k") / F.lit(1 << 33)))
+            .cast("int")
+            .alias("lca_layer"),
+            (F.col("k") % F.lit(1 << 33)).alias("_lcac"),
         )
+        .join(dec("a", "a_id"), "a")
+        .join(dec("b", "b_id"), "b")
+        .join(dec("_lcac", "lca_id"), "_lcac")
     )
-    la = layers.select(F.col("id").alias("a"), F.col("layer").alias("la"))
-    lb = layers.select(F.col("id").alias("b"), F.col("layer").alias("lb"))
+    la = layers.select(F.col("id").alias("a_id"), F.col("layer").alias("la"))
+    lb = layers.select(F.col("id").alias("b_id"), F.col("layer").alias("lb"))
     return (
-        lca.join(F.broadcast(la), "a")
-        .join(F.broadcast(lb), "b")
+        lca.join(F.broadcast(la), "a_id")
+        .join(F.broadcast(lb), "b_id")
         .select(
-            F.col("a").alias("a_id"),
-            F.col("b").alias("b_id"),
+            "a_id",
+            "b_id",
             "lca_id",
             F.col("lca_layer").cast("int").alias("lca_layer"),
             F.round(
