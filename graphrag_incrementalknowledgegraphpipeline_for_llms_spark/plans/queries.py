@@ -583,17 +583,32 @@ def shortest_path_between(
             )
             .unionByName(dist)
         )
-        # only the src row carries a NULL pred (positive weights keep
-        # every relaxed dist > 0), so min(pred) at the min dist is the
-        # exact lexicographic (dist, pred NULLS FIRST) argmin
-        mind = cand.groupBy("id").agg(F.min("dist").alias("dist"))
-        dist = (
-            cand.join(mind, ["id", "dist"])
-            .groupBy("id", "dist")
-            .agg(F.min("pred").alias("pred"))
+        # ONE aggregate for the per-node (dist, pred) argmin: the old
+        # two-aggregate form (min dist, join back, min pred) referenced
+        # cand TWICE, doubling the logical tree per round — Catalyst
+        # planning went exponential (measured 4.6 s inside one
+        # localCheckpoint's toRdd at round 3, pure driver time) and the
+        # candidate relation executed twice per round.  min_by over the
+        # narrow struct(dist, pred) key returns the pred of the minimal
+        # (dist, pred) row — identical output: that row's dist IS
+        # min(dist), its pred IS the min pred among min-dist rows, and
+        # the only NULL pred (the src seed) sits at the strict dist
+        # minimum 0.0 (positive weights), so null ordering never
+        # decides.  Duplicate (dist, pred) candidates are identical
+        # rows, so ties cannot produce nondeterminism.
+        dist = cand.groupBy("id").agg(
+            F.min("dist").alias("dist"),
+            F.min_by("pred", F.struct("dist", "pred")).alias("pred"),
         )
         if k % checkpoint_every == 0 or k == iters:
-            dist = dist.coalesce(parts).localCheckpoint(eager=True)
+            # LAZY truncation: this loop has no per-round fixpoint
+            # probe (fixed iteration count), so nothing needs the
+            # checkpoint materialized before the caller's single
+            # action — eager checkpoints here paid one driver-
+            # synchronized job per truncation for no reader (the CC
+            # one-action-per-round discipline, applied to the
+            # zero-probe case)
+            dist = dist.coalesce(parts).localCheckpoint(eager=False)
     frontier = dist.where(F.col("id") == dst)
     path = frontier
     for _ in range(iters):
@@ -2514,9 +2529,13 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
+            # dist is referenced twice per round (relaxation join +
+            # union): per-round LAZY truncation keeps planning linear
+            # (the shortest_path_between pathology) without the one
+            # driver-synchronized job per eager checkpoint
+            .coalesce(parts)
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            dist = dist.coalesce(parts).localCheckpoint(eager=True)
     return dist.select("id", F.round("dist", 6).alias("dist")).orderBy("dist", "id")
 
 
@@ -2566,6 +2585,12 @@ def taxonomy_closure(isa: DataFrame, max_depth: int = 4) -> DataFrame:
             clo.unionByName(step)
             .groupBy("desc_id", "anc_id")
             .agg(F.min("depth").alias("depth"))
+            # clo is referenced TWICE per round (frontier filter +
+            # union): without truncation the logical tree doubles per
+            # round and Catalyst planning goes exponential (the
+            # shortest_path_between pathology).  Lazy checkpoint =
+            # linear planning, zero extra driver actions.
+            .localCheckpoint(eager=False)
         )
     return clo.orderBy("desc_id", "anc_id")
 
@@ -2620,6 +2645,9 @@ def taxonomy_layers(isa: DataFrame, max_depth: int = 4) -> DataFrame:
             layers.unionByName(relaxed)
             .groupBy("id")
             .agg(F.max("layer").alias("layer"))
+            # double-reference per round (join + union) — lazy
+            # truncation for linear planning, as in taxonomy_closure
+            .localCheckpoint(eager=False)
         )
     parents = isa.groupBy(F.col("child_id").alias("id")).agg(
         F.count(F.lit(1)).alias("n_parents")
@@ -4000,8 +4028,16 @@ def independent_set(
     )
     live = all_nodes
     mis = None
+    # job-count discipline (the CC regime): each round takes ONE
+    # driver action — live's count materializes the round's lazy
+    # checkpoints (winners, live; the shrunken adjacency rides into
+    # the next round's job) AND answers the emptiness probe the old
+    # isEmpty + three eager checkpoints paid four jobs for.  Lazy
+    # truncation also keeps Catalyst planning linear: winners and adj
+    # are each referenced twice downstream.
+    n_live = live.count()
     for _ in range(max_rounds):
-        if live.isEmpty():
+        if n_live == 0:
             break
         pri = live.select("id", _pri(F.col("id")).alias("p"))
         minnb = (
@@ -4016,7 +4052,7 @@ def independent_set(
             pri.join(minnb, "id", "left")
             .where(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
             .select("id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         mis = winners if mis is None else mis.unionByName(winners)
         touched = winners.unionByName(
@@ -4024,18 +4060,21 @@ def independent_set(
                 F.col("nbr_id").alias("id")
             )
         ).distinct()
-        live = live.join(touched, "id", "left_anti").coalesce(parts).localCheckpoint(
-            eager=True
+        live = (
+            live.join(touched, "id", "left_anti")
+            .coalesce(parts)
+            .localCheckpoint(eager=False)
         )
         adj = (
             adj.join(live.withColumnRenamed("id", "cid"), "cid")
             .join(live.withColumnRenamed("id", "nbr_id"), "nbr_id")
             .select("cid", "nbr_id")
             .coalesce(parts)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_live = live.count()
     else:
-        if not live.isEmpty():
+        if n_live != 0:
             raise ValueError(
                 "independent_set: round budget exhausted — raise max_rounds"
             )
