@@ -1531,9 +1531,11 @@ def graph_coloring(und: DataFrame, max_rounds: int = 64) -> DataFrame:
     n_unc = unc.count()
     colored = None
     pr = F.md5(F.col("id"))
-    # per-round driver actions: winners stay an eager checkpoint (3
-    # consumers), but the colored union is lazy (shallow parents) and
-    # the uncolored set's truncation fuses with its emptiness count
+    # per-round driver actions: winners is a LAZY checkpoint shared
+    # by its three consumers (one LogicalRDD — linear planning) and
+    # materializes inside the uncolored set's emptiness count, so a
+    # round costs ONE driver job; the colored union stays lazy
+    # (shallow parents)
     for _ in range(max_rounds):
         if n_unc == 0:
             break
@@ -1549,7 +1551,7 @@ def graph_coloring(und: DataFrame, max_rounds: int = 64) -> DataFrame:
             unc.join(nbr_max, unc.id == nbr_max.cid, "left")
             .where(F.col("mx").isNull() | (pr > F.col("mx")))
             .select("id")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         if colored is not None:
             used = (
                 e.withColumnRenamed("cid", "id")
@@ -3926,8 +3928,14 @@ def maximal_matching(
     live = e.coalesce(parts)
     pri = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("a_id"), F.col("b_id")))
     matched = None
+    # ONE driver action per round (the Luby-MIS/CC regime): live's
+    # count materializes the round's lazy checkpoints and doubles as
+    # the emptiness probe the old isEmpty + three eager checkpoints
+    # paid four jobs for; lazy truncation keeps planning linear (win
+    # and live are each referenced twice downstream)
+    n_live = live.count()
     for _ in range(max_rounds):
-        if live.isEmpty():
+        if n_live == 0:
             break
         pe = live.select("a_id", "b_id", pri.alias("p"))
         ends = pe.select(F.col("a_id").alias("node"), "p").unionByName(
@@ -3949,11 +3957,9 @@ def maximal_matching(
             )
             .where((F.col("p") == F.col("ma")) & (F.col("p") == F.col("mb")))
             .select("a_id", "b_id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        matched = (
-            win if matched is None else matched.unionByName(win)
-        ).localCheckpoint(eager=True)
+        matched = win if matched is None else matched.unionByName(win)
         dead = (
             win.select(F.col("a_id").alias("node"))
             .unionByName(win.select(F.col("b_id").alias("node")))
@@ -3963,9 +3969,10 @@ def maximal_matching(
             live.join(dead.withColumnRenamed("node", "a_id"), "a_id", "left_anti")
             .join(dead.withColumnRenamed("node", "b_id"), "b_id", "left_anti")
             .select("a_id", "b_id")
-            .localCheckpoint(eager=True)
             .coalesce(parts)
+            .localCheckpoint(eager=False)
         )
+        n_live = live.count()
     else:
         raise RuntimeError(
             f"maximal_matching: {max_rounds} rounds exhausted with live edges"
