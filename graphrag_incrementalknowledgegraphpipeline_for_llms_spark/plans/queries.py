@@ -1943,7 +1943,10 @@ def node2vec_walks(
             & (F.col("lo") <= F.col("u") * F.col("tot"))
         ).select("walk_id", F.col("cur").alias("prev"), F.col("nbr_id").alias("cur"))
         if t % 2 == 0 or t == walk_length:
-            frontier = frontier.coalesce(parts).localCheckpoint(eager=True)
+            # lazy: no probe in the walk loop — the caller's single
+            # action materializes all steps (frontier is referenced
+            # twice per step: slice projection + next step's join)
+            frontier = frontier.coalesce(parts).localCheckpoint(eager=False)
         slices.append(
             frontier.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
@@ -3236,10 +3239,10 @@ def _multi_source_bfs(und: DataFrame, sources: list[str], max_hops: int) -> Data
         [(s, s) for s in sorted(set(sources))], "s string, v string"
     )
     visited = frontier.withColumn("d", F.lit(0))
-    # one eager job per level (the frontier materialization); the
-    # visited union stays a lazy checkpoint — its parents are already
-    # materialized, so the next level's frontier job (or the caller's
-    # action) truncates it without recomputation
+    # fixed-hop loop with no fixpoint probe: LAZY truncation per
+    # level (frontier is referenced twice — visited union + next
+    # level's join — so the checkpoint keeps planning linear) and the
+    # caller's single action materializes the whole traversal
     for k in range(1, max_hops + 1):
         nxt = (
             frontier.join(adj, frontier["v"] == adj["cid"])
@@ -3248,7 +3251,7 @@ def _multi_source_bfs(und: DataFrame, sources: list[str], max_hops: int) -> Data
         )
         frontier = nxt.join(
             visited.select("s", "v"), ["s", "v"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         visited = visited.unionByName(
             frontier.withColumn("d", F.lit(k))
         ).localCheckpoint(eager=False)
