@@ -113,6 +113,13 @@ def _winner_dedup(pool: DataFrame, keys: list[str], tb_exprs: list) -> DataFrame
     into a broadcast join — the build side is just the winner rids)."""
     cols = pool.columns
     pool = pool.withColumn("_rid", content_rid(cols))
+    # the pool feeds BOTH the narrow winner aggregate and the
+    # rid semi-join fetch-back: lazily checkpoint it so the upstream
+    # chain (stage-table read + explode + distinct for the pipeline's
+    # node batch) executes once and the join side reads persisted
+    # blocks; state is batch-sized (spills to local disk), never
+    # table-sized
+    pool = pool.localCheckpoint(eager=False)
     narrow = pool.select(
         *keys,
         F.col("_rid"),
