@@ -2590,13 +2590,17 @@ def taxonomy_closure(isa: DataFrame, max_depth: int = 4) -> DataFrame:
             clo.unionByName(step)
             .groupBy("desc_id", "anc_id")
             .agg(F.min("depth").alias("depth"))
-            # clo is referenced TWICE per round (frontier filter +
-            # union): without truncation the logical tree doubles per
-            # round and Catalyst planning goes exponential (the
-            # shortest_path_between pathology).  Lazy checkpoint =
-            # linear planning, zero extra driver actions.
-            .localCheckpoint(eager=False)
         )
+        # clo is referenced TWICE per round (frontier filter + union):
+        # without truncation the logical tree doubles per round and
+        # Catalyst planning goes exponential (the shortest_path_between
+        # pathology).  Truncating every OTHER round bounds the tree at
+        # one doubling while paying half the toRdd planning calls —
+        # the per-call cost is what a 3-round loop actually feels
+        # (measured +0.7 s on kg_taxonomy_reduction with every-round
+        # truncation).
+        if d % 2 == 0 or d == max_depth - 1:
+            clo = clo.localCheckpoint(eager=False)
     return clo.orderBy("desc_id", "anc_id")
 
 
@@ -2637,7 +2641,7 @@ def taxonomy_layers(isa: DataFrame, max_depth: int = 4) -> DataFrame:
         .distinct()
         .select("id", F.lit(0).cast("int").alias("layer"))
     )
-    for _ in range(max_depth):
+    for _d in range(max_depth):
         relaxed = layers.join(
             isa.select(
                 F.col("parent_id").alias("id"), F.col("child_id").alias("_child")
@@ -2650,10 +2654,12 @@ def taxonomy_layers(isa: DataFrame, max_depth: int = 4) -> DataFrame:
             layers.unionByName(relaxed)
             .groupBy("id")
             .agg(F.max("layer").alias("layer"))
-            # double-reference per round (join + union) — lazy
-            # truncation for linear planning, as in taxonomy_closure
-            .localCheckpoint(eager=False)
         )
+        # double-reference per round (join + union) — every-other-round
+        # lazy truncation bounds planning at one tree doubling while
+        # halving the toRdd calls (the taxonomy_closure rationale)
+        if _d % 2 == 1 or _d == max_depth - 1:
+            layers = layers.localCheckpoint(eager=False)
     parents = isa.groupBy(F.col("child_id").alias("id")).agg(
         F.count(F.lit(1)).alias("n_parents")
     )
