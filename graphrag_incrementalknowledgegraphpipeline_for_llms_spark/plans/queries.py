@@ -2544,7 +2544,9 @@ def shortest_paths(
     return dist.select("id", F.round("dist", 6).alias("dist")).orderBy("dist", "id")
 
 
-def taxonomy_closure(isa: DataFrame, max_depth: int = 4) -> DataFrame:
+def taxonomy_closure(
+    isa: DataFrame, max_depth: int = 4, truncate: bool = False
+) -> DataFrame:
     """Depth-bounded transitive closure of the ``is_a`` taxonomy:
     (desc_id, anc_id, depth) for every ancestor reachable in at most
     ``max_depth`` hops, depth = the SHORTEST such chain — the subsumption
@@ -2591,20 +2593,24 @@ def taxonomy_closure(isa: DataFrame, max_depth: int = 4) -> DataFrame:
             .groupBy("desc_id", "anc_id")
             .agg(F.min("depth").alias("depth"))
         )
-        # clo is referenced TWICE per round (frontier filter + union):
-        # without truncation the logical tree doubles per round and
-        # Catalyst planning goes exponential (the shortest_path_between
-        # pathology).  Truncating every OTHER round bounds the tree at
-        # one doubling while paying half the toRdd planning calls —
-        # the per-call cost is what a 3-round loop actually feels
-        # (measured +0.7 s on kg_taxonomy_reduction with every-round
-        # truncation).
-        if d % 2 == 0 or d == max_depth - 1:
+        # clo is referenced twice per round (frontier filter + union),
+        # so the logical tree doubles per round.  Whether truncating
+        # pays depends on the CONSUMER: a query that references the
+        # returned closure once plans/executes the 2^max_depth
+        # duplication cheaper than mid-loop toRdd checkpoints
+        # (kg_taxonomy_reduction 1.35 s untruncated vs 1.77 s
+        # truncated, same window), while a consumer that EMBEDS the
+        # closure in further self-joined subtrees (wu_palmer) must
+        # truncate or re-execute the duplicated branches
+        # (kg_wu_palmer 5.9 s untruncated vs 3.8 s truncated).
+        if truncate and (d % 2 == 0 or d == max_depth - 1):
             clo = clo.localCheckpoint(eager=False)
     return clo.orderBy("desc_id", "anc_id")
 
 
-def taxonomy_layers(isa: DataFrame, max_depth: int = 4) -> DataFrame:
+def taxonomy_layers(
+    isa: DataFrame, max_depth: int = 4, truncate: bool = False
+) -> DataFrame:
     """Topological layer assignment over the ``is_a`` DAG: roots (no
     parent edge) sit at layer 0, every other concept at
     max(parent layer) + 1 — the longest ancestor chain, i.e. the
@@ -2655,10 +2661,8 @@ def taxonomy_layers(isa: DataFrame, max_depth: int = 4) -> DataFrame:
             .groupBy("id")
             .agg(F.max("layer").alias("layer"))
         )
-        # double-reference per round (join + union) — every-other-round
-        # lazy truncation bounds planning at one tree doubling while
-        # halving the toRdd calls (the taxonomy_closure rationale)
-        if _d % 2 == 1 or _d == max_depth - 1:
+        # truncate= trade-off: see the taxonomy_closure note
+        if truncate and (_d % 2 == 1 or _d == max_depth - 1):
             layers = layers.localCheckpoint(eager=False)
     parents = isa.groupBy(F.col("child_id").alias("id")).agg(
         F.count(F.lit(1)).alias("n_parents")
@@ -5299,8 +5303,8 @@ def wu_palmer_similarity(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as ex:
-        f_clo = ex.submit(taxonomy_closure, isa, max_depth=max_depth)
-        f_lay = ex.submit(taxonomy_layers, isa, max_depth=max_depth)
+        f_clo = ex.submit(taxonomy_closure, isa, max_depth=max_depth, truncate=True)
+        f_lay = ex.submit(taxonomy_layers, isa, max_depth=max_depth, truncate=True)
         clo, layers = f_clo.result(), f_lay.result().select("id", "layer")
     nodes = layers.select("id")
     anc = clo.select(
@@ -5345,6 +5349,10 @@ def wu_palmer_similarity(
             ).alias("k"),
         )
     )
+    # enc is both sides of the pair self-join: one lazy checkpoint
+    # keeps the (untruncated) closure/layers subtree from being
+    # planned twice — and the encoded relation materializes once
+    enc = enc.localCheckpoint(eager=False)
     common = enc.select(F.col("n").alias("a"), "ac", "k").join(
         enc.select(F.col("n").alias("b"), "ac"), "ac"
     ).where(F.col("a") < F.col("b"))
